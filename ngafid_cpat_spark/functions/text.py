@@ -1,0 +1,141 @@
+"""Text-analysis column expressions (LLM-data-pipeline extensions).
+
+The reference has no text surface (its strings are airport codes);
+these are the driver-mandated extensions (SURVEY.md §2.11) expressed
+JVM-side wherever possible: tokenization, token/char stats, quality
+scoring, language-ID scoring, shingling and fingerprinting all stay
+column expressions — the only Python-side path is the optional char
+n-gram language model in ``langid_trigram`` (vectorized pandas UDF,
+used by tests; the catalog query uses the expression-only scorer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny multilingual stopword marker lists for expression-only
+# language scoring. Deliberately small and deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in"),
+    "es": ("el", "la", "de", "que", "los", "es"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "fr": ("le", "la", "les", "des", "est", "une"),
+    "zh": ("的", "了", "是", "我", "不", "在"),
+}
+
+STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# BPE-ish token pattern: runs of word chars OR single non-space symbols.
+TOKEN_REGEX = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize(text) -> Column:
+    """Canonical form: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(_col(text)), "\\s+", " "))
+
+
+def tokens(text) -> Column:
+    """Whitespace tokenization of the normalized text -> array<string>."""
+    return F.split(normalize(text), " ")
+
+
+def token_count(text) -> Column:
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text) -> Column:
+    """Sub-word-ish token count: word runs + individual symbols,
+    counted with a regex entirely JVM-side."""
+    return F.regexp_count(F.lower(_col(text)), F.lit(TOKEN_REGEX))
+
+
+def avg_token_len(text) -> Column:
+    t = tokens(text)
+    return F.aggregate(
+        t, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / F.size(t).cast("double")
+
+
+def punct_count(text) -> Column:
+    t = _col(text)
+    return F.length(t) - F.length(F.regexp_replace(t, "[^\\w\\s]", ""))
+
+
+def stopword_ratio(text, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    t = tokens(text)
+    hits = F.size(F.array_intersect(t, F.array(*[F.lit(s) for s in stopwords])))
+    # ratio of *distinct* stopwords present over token count — cheap,
+    # deterministic, and SQL-expressible for the oracle
+    return hits.cast("double") / F.size(t).cast("double")
+
+
+def quality_score(text) -> Column:
+    """Deterministic doc-quality heuristic in [0, 1]: rewards moderate
+    length, low punctuation density, presence of stopwords. The exact
+    arithmetic is mirrored in the DuckDB oracle SQL."""
+    n = F.length(_col(text)).cast("double")
+    length_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_ratio = punct_count(text).cast("double") / F.greatest(n, F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * F.lit(10.0), F.lit(1.0))
+    return (length_score + punct_score + stop_score) / F.lit(3.0)
+
+
+def lang_scores(text) -> dict[str, Column]:
+    """Per-language marker-hit counts over distinct tokens."""
+    t = tokens(text)
+    return {
+        lang: F.size(F.array_intersect(t, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text, default: str = "und") -> Column:
+    """Expression-only language ID: argmax of marker hits, ties broken
+    by language-code order, 'und' when nothing matches."""
+    scores = lang_scores(text)
+    # build argmax with a fold over (score, lang) structs
+    pairs = F.array(
+        *[F.struct(score.alias("s"), F.lit(lang).alias("l")) for lang, score in sorted(scores.items())]
+    )
+    best = F.array_max(F.filter(pairs, lambda p: p["s"] > 0))
+    return F.when(best.isNull(), F.lit(default)).otherwise(best["l"])
+
+
+def shingles(text, k: int = 3) -> Column:
+    """k-word shingles as array<string>; the unit of near-dup hashing
+    (SURVEY.md §2.11). Built from lead-style slicing of the token
+    array — JVM-side, no explode needed until the caller wants one."""
+    t = tokens(text)
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(-1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, k), " "))
+
+
+def fingerprint_md5(text) -> Column:
+    """Canonical-text fingerprint: md5 of the normalized text. Used for
+    exact dedup at scale (hash-groupBy instead of comparing bodies)."""
+    return F.md5(normalize(text))
+
+
+def rolling_hashes(text, window: int = 8, base: int = 257, mod: int = (1 << 61) - 1) -> Column:
+    """Rabin-Karp rolling hashes of the normalized char sequence ->
+    array<long>. Document fingerprinting / winnowing building block.
+    Expression-only via transform over substring windows."""
+    norm = normalize(text)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window) + 1, F.lit(0)))
+    # hash each window substring with a polynomial fold over its chars
+    return F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.split(F.substr(norm, i, F.lit(window)), ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: F.pmod(acc * F.lit(base) + F.ascii(ch), F.lit(mod)),
+        ),
+    )

@@ -1,0 +1,67 @@
+"""Embedding-vector column expressions.
+
+Similarity math over ``array<float>`` embedding columns, JVM-side via
+higher-order functions (F.zip_with / F.aggregate) — no Python in the
+hot path. A vectorized pandas-UDF variant is provided for batch-dense
+workloads where Arrow + numpy BLAS beats codegen'd per-element loops;
+operators/similarity.py picks per workload.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(_col(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def dot_literal(a, query: list[float]) -> Column:
+    """Dot product against a driver-side constant query vector —
+    folds to a codegen'd sum of products (broadcast-free)."""
+    av = _col(a)
+    expr = F.lit(0.0)
+    for i, q in enumerate(query):
+        expr = expr + av[i] * F.lit(float(q))
+    return expr
+
+
+def cosine_literal(a, query: list[float]) -> Column:
+    qnorm = sum(x * x for x in query) ** 0.5
+    return dot_literal(a, query) / (norm(a) * F.lit(qnorm))
+
+
+@pandas_udf(DoubleType())
+def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched cosine for dense batch workloads (numpy dot)."""
+    import numpy as np
+
+    out = []
+    for x, y in zip(a, b):
+        xv, yv = np.asarray(x, dtype=float), np.asarray(y, dtype=float)
+        denom = float(np.linalg.norm(xv) * np.linalg.norm(yv))
+        out.append(float(xv.dot(yv)) / denom if denom else None)
+    return pd.Series(out)

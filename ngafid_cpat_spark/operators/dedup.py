@@ -1,0 +1,257 @@
+"""Deduplication operators for large-scale text corpora.
+
+Driver-mandated LLM-pipeline extensions (SURVEY.md §2.11). All
+operate on a (id, text) DataFrame and are designed so the expensive
+pairwise step never materializes the full O(n^2) cross product:
+
+  * exact_dedup          hash-groupBy on the md5 fingerprint of the
+                         normalized text; survivor = min id.
+  * jaccard_pairs        exact shingle-set Jaccard for candidate
+                         pairs that share >=1 shingle (inverted-index
+                         join on shingle — linear in sum of posting
+                         list squares, not n^2).
+  * minhash_lsh_pairs    MinHash signatures + banded LSH: candidate
+                         pairs only where a band bucket collides,
+                         then exact-Jaccard verification. The 100 TB
+                         scale path — shuffle is on (band, bucket).
+  * simhash_pairs        64-bit SimHash + hamming-distance pairs via
+                         band rotation (4x16-bit block keys).
+  * embedding_neardup    cosine-similar embedding pairs over an LSH-
+                         free id-range restriction (testdata-sized) —
+                         the scale path shares similarity.lsh_buckets.
+
+Everything is JVM-side column expressions: xxhash64 for hashing,
+higher-order functions for signatures; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import vector as V
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical (normalized) texts; one row per distinct text:
+    keeper id (min), duplicate count. Hash-groupBy — one shuffle on
+    the 128-bit fingerprint, never on the text body (at 100 TB the
+    shuffle carries 16-byte keys, not documents)."""
+    return (
+        df.select(F.col(id_col), T.fingerprint_md5(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) distinct pairs + per-doc set sizes."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(T.shingles(text_col, k)).alias("sh"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs sharing >=1
+    shingle. Inverted-index self-join: shuffle on shingle, then on
+    the (id1, id2) pair — no cross product. Output columns:
+    id1, id2, jaccard."""
+    sh = _shingle_sets(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = (
+        common.join(F.broadcast(sizes).withColumnRenamed("id", "id1").withColumnRenamed("n", "n1"), "id1")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n", "n2")), "id2")
+        .withColumn("jaccard", F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return out
+
+
+def minhash_signature(text_col, k: int = 3, num_hashes: int = 32) -> Column:
+    """MinHash signature as array<long>: for hash function i, the min
+    over shingles of xxhash64(shingle, seed=i). Pure expressions."""
+    sh = T.shingles(text_col, k)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    verify_threshold: float = 0.05,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup detection, verified by exact
+    Jaccard on candidates only.
+
+    Scale shape: signatures are computed in one map-side pass; the
+    only shuffles are (band_hash -> bucket grouping) and the candidate
+    pair verification join. With b bands of r rows, a pair with true
+    Jaccard j collides with prob 1-(1-j^r)^b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, k, num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", *[
+                            F.col("sig")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ])
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = _shingle_sets(df, id_col, text_col, k)
+    sets = sh.groupBy("id").agg(F.collect_set("sh").alias("s"))
+    out = (
+        cands.join(sets.withColumnRenamed("id", "id1").withColumnRenamed("s", "s1"), "id1")
+        .join(sets.withColumnRenamed("id", "id2").withColumnRenamed("s", "s2"), "id2")
+        .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("s1") + F.size("s2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return out
+
+
+def simhash(text_col, k: int = 3, bits: int = 64) -> Column:
+    """SimHash: sign-sum of per-shingle hash bits -> single long.
+    Expression-only: for each bit position, count shingles with the
+    bit set vs total, set result bit when majority."""
+    sh = T.shingles(text_col, k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    n = F.size(sh)
+    bit_exprs = []
+    for b in range(bits):
+        ones = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("int"),
+        )
+        bit_exprs.append(
+            F.when(ones * 2 >= n, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        # bitwise OR of disjoint bits == sum; OR keeps intent explicit
+        out = out.bitwiseOR(e)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+    Candidate generation by 4x16-bit block keys (pigeonhole: any pair
+    within hamming 3*blocks shares a block; wider radii verified
+    after the block join) — avoids the n^2 comparison."""
+    sig = df.select(F.col(id_col).alias("id"), simhash(text_col, k).alias("sh64"))
+    blocks = sig.select(
+        "id",
+        "sh64",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftrightunsigned(F.col("sh64"), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("key"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("id", "sh64", "b.blk", "b.key")
+    cands = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), on=["blk", "key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id1"),
+            F.col("y.id").alias("id2"),
+            F.col("x.sh64").alias("h1"),
+            F.col("y.sh64").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", hamming64(F.col("h1"), F.col("h2")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. The testdata-sized exact
+    variant (optionally id-restricted); at scale, pre-bucket with
+    similarity.lsh_bucket_assignments and join within buckets."""
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if max_id is not None:
+        e = e.filter(F.col("id") < max_id)
+    pairs = e.alias("a").join(e.alias("b"), F.col("a.id") < F.col("b.id"))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            V.cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

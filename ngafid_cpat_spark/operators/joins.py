@@ -1,0 +1,161 @@
+"""Join operators beyond plain equi-joins.
+
+The reference hand-rolls two non-equi joins (SURVEY.md §2.3): a
+nearest-neighbor airport lookup — a full linear scan of 15k airports
+per telemetry point (FlightAnalysis.py:347-367) — and a heading-band
+filtered argmin runway lookup (FlightAnalysis.py:369-391). Here they
+are DataFrame operators:
+
+  * nearest_1d / nearest: broadcast dim + groupBy + min(struct)
+    argmin. min(struct(dist, key)) gives a total order => determinism
+    on ties, unlike bare min_by.
+  * nearest_gridded: the 100 TB-scale variant — bucket both sides on
+    a lat/lon grid cell and join each point to its 3x3 neighborhood,
+    turning the cross product into an equi-join on cell id.
+  * asof_join: most-recent-prior match per key (union + running
+    last_value), the classic log-enrichment join over events.
+
+All avoid driver-side loops; the small side is broadcast explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import geo
+
+
+def nearest(
+    facts: DataFrame,
+    dims: DataFrame,
+    distance: Column,
+    fact_key: str,
+    dim_cols: list[str],
+    out_prefix: str = "nearest_",
+) -> DataFrame:
+    """Argmin join: for every fact row, the dim row minimizing
+    ``distance`` (a Column over the joined row). Dims are broadcast;
+    ties break on the first dim_col for determinism.
+
+    Generalizes the reference's nearest-airport scan
+    (FlightAnalysis.py:347-367) — same semantics, but one broadcast
+    hash join + partial aggregation instead of a Python loop per row.
+    """
+    joined = facts.join(F.broadcast(dims), how="cross")
+    struct_cols = [distance.alias("__d")] + [F.col(c) for c in dim_cols]
+    agg = joined.groupBy(fact_key).agg(
+        F.min(F.struct(*struct_cols)).alias("__best")
+    )
+    out = agg.select(
+        fact_key,
+        F.col("__best.__d").alias(f"{out_prefix}dist"),
+        *[F.col(f"__best.{c}").alias(f"{out_prefix}{c}") for c in dim_cols],
+    )
+    return facts.join(out, on=fact_key, how="left")
+
+
+GRID_DEG = 0.5  # ~55 km cells; nearest-airport search radius
+
+
+def nearest_gridded(
+    points: DataFrame,
+    dims: DataFrame,
+    point_key: str,
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    dim_lat: str = "latitude",
+    dim_lon: str = "longitude",
+    dim_cols: list[str] | None = None,
+    cell_deg: float = GRID_DEG,
+) -> DataFrame:
+    """Grid-bucketed nearest neighbor for planetary-scale point sets.
+
+    Each dim row is replicated into its cell and the 8 surrounding
+    cells (build side — small); each point maps to exactly one cell.
+    The join is then a plain equi-join on cell id, and argmin runs per
+    point. At 100 TB of points this keeps the shuffle linear in the
+    points and never materializes a cross product. Falls back to
+    Manhattan-degree metric like the reference (FlightAnalysis.py:356).
+    """
+    dim_cols = dim_cols or [c for c in dims.columns]
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    dims_cells = (
+        dims.withColumn("__o", F.explode(offsets))
+        .withColumn(
+            "__cell",
+            F.concat_ws(
+                ":",
+                (F.floor(F.col(dim_lat) / cell_deg) + F.col("__o.dx")).cast("long"),
+                (F.floor(F.col(dim_lon) / cell_deg) + F.col("__o.dy")).cast("long"),
+            ),
+        )
+        .drop("__o")
+    )
+    pts = points.withColumn(
+        "__cell",
+        F.concat_ws(
+            ":",
+            F.floor(F.col(lat_col) / cell_deg).cast("long"),
+            F.floor(F.col(lon_col) / cell_deg).cast("long"),
+        ),
+    )
+    joined = pts.join(F.broadcast(dims_cells), on="__cell", how="left")
+    d = geo.manhattan_deg(lat_col, dim_lat, lon_col, dim_lon)
+    struct_cols = [d.alias("__d")] + [F.col(c).alias(f"__v_{c}") for c in dim_cols]
+    best = joined.groupBy(point_key).agg(F.min(F.struct(*struct_cols)).alias("__best"))
+    return points.join(
+        best.select(
+            point_key,
+            F.col("__best.__d").alias("nearest_dist"),
+            *[F.col(f"__best.__v_{c}").alias(f"nearest_{c}") for c in dim_cols],
+        ),
+        on=point_key,
+        how="left",
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    right_cols: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` (``<`` when strict) per ``on`` key.
+
+    Implemented as union + running last_value over one ordered window
+    — a single shuffle on the key, no range cross product; the same
+    plan shape Spark uses for streaming stream-stream interval joins.
+
+    ``right`` must expose exactly [on, ts_col] + right_cols; matched
+    right values land on the left rows as ``asof_<col>`` columns.
+    """
+    lt = left.withColumn("__side", F.lit(1))
+    for c in right_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    rt = right.select(on, ts_col, *right_cols).withColumn("__side", F.lit(0))
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+    # At equal ts: strict ("<") sorts left(1) before right(0) so the
+    # preceding-frame excludes the tying right row; "<=" sorts right
+    # first so it is visible to the left row's frame.
+    side_order = F.col("__side").desc() if strict else F.col("__side").asc()
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = unioned
+    for c in right_cols:
+        src = F.when(F.col("__side") == 0, F.col(c))
+        out = out.withColumn(f"asof_{c}", F.last(src, ignorenulls=True).over(w))
+    out = out.filter(F.col("__side") == 1).drop("__side", *right_cols)
+    return out

@@ -1,0 +1,144 @@
+"""Ordered-series window operators — the heart of the engine.
+
+The reference's single-pass per-flight state machine
+(FlightAnalysis.py:134-330) decomposes into four reusable windowed
+operators, each a classic Spark pattern (SURVEY.md §2.5):
+
+  * islands()          gaps-and-islands episode detection (W2): a
+                       boolean per row -> contiguous-run ids via
+                       lag + cumulative sum.
+  * sessionize()       gap-based sessionization (the streaming-ready
+                       generalization; same cumsum trick keyed on
+                       time gaps instead of a predicate edge).
+  * rolling()          rowsBetween rolling aggregate with warm-up
+                       guard (W8/A5: the reference's rolling-5 AGL
+                       mean, FlightAnalysis.py:301-307).
+  * topk_per_group()   row_number()<=k (O2 argmin/top-1 generalized).
+
+All are pure DataFrame transformations: one shuffle on the partition
+key, then sorted within partitions — at cluster scale the shuffle is
+the only data movement, and AQE handles skewed keys (one chatty
+user/flight) via skew-join/partition splitting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _cols(cs) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in (cs if isinstance(cs, (list, tuple)) else [cs])]
+
+
+def ordered_window(partition_by, order_by) -> WindowSpec:
+    return Window.partitionBy(*_cols(partition_by)).orderBy(*_cols(order_by))
+
+
+def islands(
+    df: DataFrame,
+    partition_by,
+    order_by,
+    flag: Column,
+    island_col: str = "island_id",
+    in_island_only: bool = True,
+) -> DataFrame:
+    """Gaps-and-islands: number the contiguous runs where ``flag`` holds.
+
+    Matches reference episode entry (FlightAnalysis.py:142-170): a new
+    island starts on a False->True edge of ``flag``. Island ids are
+    1-based in first-appearance order per partition (W7's monotonic
+    approach id, FlightAnalysis.py:102-111).
+    """
+    w = ordered_window(partition_by, order_by)
+    f = flag.cast("int")
+    edge = F.when(
+        f.eqNullSafe(1) & (~F.lag(f, 1, 0).over(w).eqNullSafe(1)), 1
+    ).otherwise(0)
+    out = df.withColumn("__flag", f).withColumn(
+        island_col,
+        F.sum(edge).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    if in_island_only:
+        out = out.filter(F.col("__flag") == 1)
+    return out.drop("__flag")
+
+
+def sessionize(
+    df: DataFrame,
+    partition_by,
+    ts_col: str,
+    gap_seconds: float,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the previous row exceeds ``gap_seconds``. The batch analog
+    of Structured Streaming's session_window (streaming/sessions.py
+    reuses the same semantics)."""
+    w = ordered_window(partition_by, [ts_col])
+    ts = F.col(ts_col).cast("double")
+    prev = F.lag(ts).over(w)
+    new_session = F.when(prev.isNull() | ((ts - prev) > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def rolling(
+    df: DataFrame,
+    partition_by,
+    order_by,
+    value: Column,
+    agg: str = "avg",
+    window_rows: int = 5,
+    out_col: str = "rolling",
+    require_full: bool = False,
+) -> DataFrame:
+    """Trailing ``window_rows``-row aggregate (current row inclusive).
+
+    ``require_full=True`` reproduces the reference's warm-up guard —
+    the rolling-5 AGL mean only counts once 5 samples are seen
+    (FlightAnalysis.py:301-307) — by NULLing the value until the frame
+    is full.
+    """
+    frame = (
+        ordered_window(partition_by, order_by)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    expr = getattr(F, agg)(value).over(frame)
+    if require_full:
+        expr = F.when(F.count(value).over(frame) >= window_rows, expr)
+    return df.withColumn(out_col, expr)
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by,
+    order_by,
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number. Give ``order_by`` a
+    deterministic tiebreak column; the reference's argmin airport
+    search (FlightAnalysis.py:356-366) is k=1 of this."""
+    w = ordered_window(partition_by, order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def boundaries(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_col: str,
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Per-island boundary extraction (W3): min/max of the ordering
+    column plus caller aggregates, one row per island."""
+    return df.groupBy(*group_by).agg(
+        F.min(order_col).alias(f"{order_col}_start"),
+        F.max(order_col).alias(f"{order_col}_end"),
+        F.count(F.lit(1)).alias("n_rows"),
+        *aggs,
+    )

@@ -1,0 +1,353 @@
+"""LLM-data-pipeline query catalog: dedup, similarity, text, media.
+
+Driver-mandated extensions (SURVEY.md §2.11, BASELINE.json). Same
+contract as relational.py: every oracle-paired query aliases columns
+identically and rounds computed doubles on both sides. Queries with
+engine-specific hashing (minhash/simhash/IVF) are registered without
+an oracle — the driver records the weaker rows-only check — and get
+exact-recall unit tests instead (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import vector as V
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..sources import load
+from .relational import register
+
+# Shared normalization SQL fragment (DuckDB needs the 'g' flag to
+# replace globally; Spark's regexp_replace is global by default).
+NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.04
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT md5({NORM_SQL}) AS fp,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 fingerprint of normalized text — shuffle
+    carries 16-byte keys, not bodies."""
+    return D.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+_SHINGLE_SQL = f"""
+    docs AS (
+      SELECT doc_id, string_split({NORM_SQL}, ' ') AS toks FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - {SHINGLE_K - 2})) AS i
+      FROM docs WHERE len(toks) >= {SHINGLE_K}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+{SHINGLE_K - 1}], ' ') AS s
+      FROM idx
+    )
+"""
+
+
+@register(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4) AS jaccard
+    FROM common
+      JOIN sizes s1 ON common.id1 = s1.doc_id
+      JOIN sizes s2 ON common.id2 = s2.doc_id
+    WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard near-dup pairs via inverted-index
+    join (no n^2 cross product)."""
+    out = D.jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        k=SHINGLE_K,
+        threshold=JACCARD_THRESHOLD,
+    )
+    return out.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register("dedup_minhash_lsh", None)  # hash-function-specific => rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidates, exact-Jaccard verified: the
+    100 TB near-dedup path. Verified output equals an exact-Jaccard
+    subset, so recall is unit-tested against dedup_jaccard_pairs."""
+    out = D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        k=SHINGLE_K,
+        num_hashes=32,
+        bands=16,
+        verify_threshold=JACCARD_THRESHOLD,
+    )
+    return out.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register("dedup_simhash", None)  # hash-function-specific => rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance 12 of the
+    64-bit signature, candidates from 16-bit block collisions."""
+    return D.simhash_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=12, k=SHINGLE_K
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) >= 0.35
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, id<-restricted variant
+    for oracle comparability; scale path buckets with LSH first)."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = D.embedding_neardup_pairs(emb, threshold=0.35)
+    return out.select("id1", "id2", F.round("cosine", 4).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(v, qv) /
+                 (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(qv, qv))), 4) AS cosine
+    FROM e, q
+    ORDER BY ROUND(list_dot_product(v, qv) /
+                 (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(qv, qv))), 4) DESC,
+             vec_id
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 query vector: the
+    exact ANN baseline. Dot product folds to codegen'd arithmetic;
+    top-k is TakeOrdered (no global sort)."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = _query_vector(spark, sf_dir, 0)
+    out = S.cosine_topk(emb, q, k=10, exclude_id=0)
+    return out.select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    ).orderBy(F.round(F.col("cosine"), 4).desc(), F.col("vec_id"))
+
+
+@register("ann_ivf_topk", None)  # approximate => rows-only
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: vectors assigned to nearest of 8 seed centroids,
+    probe the 2 closest to the query. Recall vs the exact baseline is
+    unit-tested (tests/test_similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = _query_vector(spark, sf_dir, 0)
+    seeds = (
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seeds]
+    return S.ivf_topk(emb, q, centroids, k=10, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_SUM = " + ".join(
+    f"CASE WHEN list_contains(toks, '{s}') THEN 1 ELSE 0 END" for s in T.STOPWORDS_EN
+)
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {NORM_SQL} AS norm,
+             string_split({NORM_SQL}, ' ') AS toks,
+             text
+      FROM documents
+    )
+    SELECT doc_id,
+           length(norm) AS n_chars_norm,
+           len(toks) AS n_tokens,
+           ROUND(CAST(length(norm) - (len(toks) - 1) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+           length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct_cnt,
+           ROUND(CAST({_STOP_SUM} AS DOUBLE) / len(toks), 4) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics, all JVM-side expressions."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(T.normalize("text")).cast("long").alias("n_chars_norm"),
+        T.token_count("text").cast("long").alias("n_tokens"),
+        F.round(T.avg_token_len("text"), 4).alias("avg_token_len"),
+        T.punct_count("text").cast("long").alias("punct_cnt"),
+        F.round(T.stopword_ratio("text"), 4).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split({NORM_SQL}, ' ') AS toks FROM documents
+    ), parts AS (
+      SELECT doc_id,
+             LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_score,
+             1.0 - LEAST(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                         / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0) AS punct_score,
+             LEAST(CAST({_STOP_SUM} AS DOUBLE) / len(toks) * 10.0, 1.0) AS stop_score
+      FROM t
+    )
+    SELECT doc_id, ROUND((length_score + punct_score + stop_score) / 3.0, 4) AS quality
+    FROM parts
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality score in [0,1] (length / punctuation /
+    stopword-presence mix) — identical arithmetic both sides."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(T.quality_score("text"), 4).alias("quality")
+    )
+
+
+_LANG_SCORE_SQL = ", ".join(
+    "CAST("
+    + " + ".join(
+        f"CASE WHEN list_contains(toks, '{m}') THEN 1 ELSE 0 END" for m in markers
+    )
+    + f" AS INTEGER) AS score_{lang}"
+    for lang, markers in sorted(T.LANG_MARKERS.items())
+)
+
+
+@register(
+    "lang_id_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({NORM_SQL}, ' ') AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, {_LANG_SCORE_SQL} FROM t
+    ), unp AS (
+      SELECT doc_id, lang, score FROM scored
+      UNPIVOT (score FOR lang IN (score_de AS 'de', score_en AS 'en', score_es AS 'es',
+                                  score_fr AS 'fr', score_zh AS 'zh'))
+    ), best AS (
+      SELECT doc_id, lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+      FROM unp
+    )
+    SELECT doc_id,
+           CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+    FROM best WHERE rn = 1
+    """,
+)
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-only language ID by stopword-marker voting (argmax,
+    ties to the lexicographically last code, 'und' when scoreless).
+    The richer char-trigram model lives in functions/text.py."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "token_count_bpe",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{T.TOKEN_REGEX}')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counting with a BPE-ish regex, JVM-side."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.token_count_bpe("text").cast("long").alias("n_bpe_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary) columns
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           'text' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text payloads as binary + typed meta,
+    hashed and measured through the mapInPandas feature extractor
+    (decode stubbed — see operators/multimodal.py)."""
+    media = M.assemble_media(
+        load(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        payload_expr="text",
+        media_type="text",
+        source_col="source",
+    )
+    feats = M.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "sha256",
+    )

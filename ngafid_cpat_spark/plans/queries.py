@@ -1,0 +1,14 @@
+"""Unified query registry: name -> (spark, sf_dir) -> DataFrame,
+plus the DuckDB oracle SQL for every SQL-expressible entry.
+
+Import order matters only for registration side effects; relational
+defines the registry, extensions appends to it.
+"""
+
+from __future__ import annotations
+
+from . import extensions as _extensions  # noqa: F401  (registers)
+from . import relational as _relational  # noqa: F401  (registers)
+from .relational import ORACLES, QUERIES
+
+__all__ = ["QUERIES", "ORACLES"]

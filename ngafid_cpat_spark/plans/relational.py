@@ -1,0 +1,942 @@
+"""Relational query catalog: scans, joins, aggregations, windows.
+
+Each entry is (spark, sf_dir) -> DataFrame plus a DuckDB oracle SQL
+string with IDENTICAL column aliases (driver hashes values after
+sorting columns by name). Computed doubles are rounded the same on
+both sides so float summation order can't flip the hash.
+
+Operator coverage mapping to SURVEY.md §2 is noted per query.
+Performance notes assume the 100 TB deployment: fact tables are
+lineitem/events; everything joined to them is dimension-sized and
+broadcast; every groupBy keys on high-cardinality columns so AQE can
+coalesce/split as needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import joins as OJ
+from ..operators import windows as OW
+from ..sources import load
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections  (SURVEY §2.1 S1-S5, §2.2 P1/P4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_discount > 0.05
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P4: pushed-down range predicates + pruned projection — the
+    Spark form of the reference's WHERE flight=.. AND ORDER BY push
+    (main.py:29-37). .explain shows PushedFilters + 6-col ReadSchema."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_quantity").between(10, 20)
+            & (F.col("l_discount") > 0.05)
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations  (SURVEY §2.4 A1-A6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)       AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)  AS avg_price,
+           ROUND(AVG(l_discount), 4)       AS avg_disc,
+           COUNT(*)                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A6: the TPC-H-Q1 shape — full-scan hash aggregate with
+    partial (map-side) combine; mirrors the per-episode metric rollup
+    (FlightAnalysis.py:400-423) as one groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "distinct_parts_per_flag",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg in Spark)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register("approx_distinct_parts", None)  # approximate => no exact oracle
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the scale path where exact distinct
+    would shuffle every key. rows-only driver check by design."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )
+
+
+@register(
+    "agg_rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "agg_cube_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "conditional_agg_events",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+           ROUND(AVG(CASE WHEN event_type = 'error' THEN value END), 4) AS avg_error_value,
+           ROUND(AVG(value), 4) AS avg_value,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def conditional_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: FILTER/CASE-WHEN aggregation — the unstable-only vs
+    all-samples means of the reference (FlightAnalysis.py:184-236,
+    413-420). AVG of an empty conditional group is NULL, exactly the
+    reference's empty-list -> NULL rule (A1)."""
+    ev = load(spark, sf_dir, "events")
+    err_val = F.when(F.col("event_type") == "error", F.col("value"))
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(err_val).alias("n_error"),
+        F.round(F.avg(err_val), 4).alias("avg_error_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins  (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-style flagship: filter + 3-way equi-join + agg + top-k.
+    customer/orders broadcast against the lineitem fact at this SF;
+    on a 100 TB cluster AQE decides broadcast vs shuffled-hash from
+    runtime stats (orders would be bucket/shuffle-joined)."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way star join, all dims broadcast (J1/J5): the degenerate
+    region filter is omitted because the toy region table is complete;
+    join order written fact-first so Catalyst keeps lineitem unshuffled
+    until the single agg exchange."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "join_semi_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the reference's pending-work-queue semantics
+    (J6: flights with approach_analysis=0, main.py:27)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_acctbal")
+
+
+@register(
+    "join_outer_nation_counts",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join over pre-aggregated sides."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "broadcast_star_revenue",
+    """
+    SELECT p_brand, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY p_brand
+    """,
+)
+def broadcast_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hint star join (J1/J5): fact scans once, two
+    broadcast hash joins, one exchange for the final agg."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "nn_join_acctbal",
+    """
+    SELECT c_custkey, nearest_suppkey, acctbal_diff FROM (
+      SELECT c_custkey, s_suppkey AS nearest_suppkey,
+             ROUND(ABS(c_acctbal - s_acctbal), 4) AS acctbal_diff,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_custkey
+               ORDER BY ABS(c_acctbal - s_acctbal), s_suppkey
+             ) AS rn
+      FROM customer CROSS JOIN supplier
+    ) WHERE rn = 1
+    """,
+)
+def nn_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D nearest-neighbor join (J2's argmin family): every customer
+    matched to the supplier with the closest account balance.
+    min(struct(dist, key)) argmin — broadcast dim, no window shuffle,
+    deterministic tie-break on suppkey."""
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    joined = cust.join(F.broadcast(supp), how="cross")
+    best = (
+        joined.groupBy("c_custkey")
+        .agg(
+            F.min(
+                F.struct(
+                    F.abs(F.col("c_acctbal") - F.col("s_acctbal")).alias("d"),
+                    F.col("s_suppkey").alias("k"),
+                )
+            ).alias("b")
+        )
+    )
+    return best.select(
+        "c_custkey",
+        F.col("b.k").alias("nearest_suppkey"),
+        F.round(F.col("b.d"), 4).alias("acctbal_diff"),
+    )
+
+
+@register(
+    "asof_click_before_purchase",
+    """
+    SELECT event_id, user_id, ts, last_click_ts FROM (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_click_ts
+      FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase enriched with the latest strictly-
+    earlier click per user (union + running last_value — one shuffle,
+    no range cross product)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    out = OJ.asof_join(
+        purchases, clicks, on="user_id", ts_col="ts", right_cols=["click_ts"], strict=True
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_click_ts").alias("last_click_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions  (SURVEY §2.5 W1-W9, §2.6 O2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_customers_per_nation",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk, quartile FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER w AS rn,
+             RANK()       OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             NTILE(4)     OVER w AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    ) WHERE rn <= 3
+    """,
+)
+def topk_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows + top-k per group (O2 generalized from the
+    reference's argmin top-1, FlightAnalysis.py:356-366)."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           ROUND(LAG(o_totalprice)  OVER w, 2) AS prev_price,
+           ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_running_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running sum, lag/lead neighborhood (W9 — the
+    state machine's i-1 reads, FlightAnalysis.py:169-170), first_value."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.round(F.sum("o_totalprice").over(wsum), 2).alias("running_total"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+    )
+
+
+@register(
+    "rolling5_events",
+    """
+    SELECT event_id, user_id, ts, value,
+           ROUND(AVG(value) OVER w5, 4) AS rolling_avg,
+           CASE WHEN COUNT(value) OVER w5 >= 5
+                THEN ROUND(AVG(value) OVER w5, 4) END AS rolling_avg_full
+    FROM events
+    WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling5_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8/A5: trailing 5-row mean with the reference's warm-up guard
+    (rolling-5 AGL mean only valid once 5 samples seen,
+    FlightAnalysis.py:301-307) as rolling_avg_full."""
+    ev = load(spark, sf_dir, "events")
+    out = OW.rolling(
+        ev, "user_id", ["ts", "event_id"], F.col("value"),
+        agg="avg", window_rows=5, out_col="__avg",
+    )
+    out = OW.rolling(
+        out, "user_id", ["ts", "event_id"], F.col("value"),
+        agg="avg", window_rows=5, out_col="__avg_full", require_full=True,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.round("__avg", 4).alias("rolling_avg"),
+        F.round("__avg_full", 4).alias("rolling_avg_full"),
+    )
+
+
+@register(
+    "range_window_events",
+    """
+    SELECT event_id, user_id, ts,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY CAST(epoch(ts) AS DOUBLE)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS hour_sum,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY CAST(epoch(ts) AS DOUBLE)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_n
+    FROM events
+    """,
+)
+def range_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rangeBetween frame over event-time seconds: trailing 1-hour
+    sum per user — the time-based frame the reference's tick-index
+    windows approximate."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, 0)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("hour_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization / gaps-and-islands  (SURVEY §2.5 W2-W7)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 3600.0
+
+@register(
+    "sessionize_events",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR CAST(epoch(ts) AS DOUBLE) - CAST(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS DOUBLE) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 gaps-and-islands, time-gap flavor: user sessions separated
+    by >1h of inactivity, with per-session boundaries and rollup
+    (W3+A6). Exactly the approach-episode sessionization generalized."""
+    ev = load(spark, sf_dir, "events")
+    sess = OW.sessionize(ev, "user_id", "ts", SESSION_GAP_S)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+EPISODE_THRESHOLD = 50.0
+FULLSTOP_MIN = 5.0
+TOUCHGO_AVG = 20.0
+
+@register(
+    "episode_detect_events",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value < {EPISODE_THRESHOLD} THEN 1 ELSE 0 END AS in_ep,
+             CASE WHEN value < {EPISODE_THRESHOLD}
+                    AND COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 1e9) >= {EPISODE_THRESHOLD}
+                  THEN 1 ELSE 0 END AS edge
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(edge) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode_id
+      FROM flagged
+    )
+    SELECT user_id, episode_id,
+           MIN(ts) AS episode_start, MAX(ts) AS episode_end,
+           COUNT(*) AS n_ticks,
+           ROUND(AVG(value), 4) AS avg_value,
+           ROUND(MIN(value), 2) AS min_value,
+           CASE WHEN MIN(value) < {FULLSTOP_MIN} THEN 'full-stop'
+                WHEN AVG(value) < {TOUCHGO_AVG} THEN 'touch-and-go'
+                ELSE 'go-around' END AS label
+    FROM numbered WHERE in_ep = 1
+    GROUP BY user_id, episode_id
+    """,
+)
+def episode_detect_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's approach-episode detection (W2/W3/W5/W6,
+    FlightAnalysis.py:142-330) generalized to the events table:
+    islands of value below a threshold per user, numbered in order,
+    with boundaries, per-episode stats, and a first-match-wins 3-way
+    classification — the same CASE chain as the landing classifier
+    (FlightAnalysis.py:288-294, 316-324)."""
+    ev = load(spark, sf_dir, "events")
+    eps = OW.islands(
+        ev, "user_id", ["ts", "event_id"],
+        flag=F.col("value") < EPISODE_THRESHOLD,
+        island_col="episode_id",
+    )
+    return eps.groupBy("user_id", "episode_id").agg(
+        F.min("ts").alias("episode_start"),
+        F.max("ts").alias("episode_end"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.when(F.min("value") < FULLSTOP_MIN, "full-stop")
+        .when(F.avg("value") < TOUCHGO_AVG, "touch-and-go")
+        .otherwise("go-around")
+        .alias("label"),
+    )
+
+
+@register(
+    "unstable_subintervals",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value < {EPISODE_THRESHOLD} THEN 1 ELSE 0 END AS in_ep,
+             CASE WHEN value < {EPISODE_THRESHOLD}
+                    AND COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 1e9) >= {EPISODE_THRESHOLD}
+                  THEN 1 ELSE 0 END AS edge
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(edge) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode_id
+      FROM flagged
+    ), inside AS (
+      SELECT user_id, episode_id, ts, event_id, value,
+             CASE WHEN value < {FULLSTOP_MIN * 2} THEN 1 ELSE 0 END AS unst,
+             CASE WHEN value < {FULLSTOP_MIN * 2}
+                    AND COALESCE(LAG(value) OVER (PARTITION BY user_id, episode_id ORDER BY ts, event_id), 1e9) >= {FULLSTOP_MIN * 2}
+                  THEN 1 ELSE 0 END AS uedge
+      FROM numbered WHERE in_ep = 1
+    ), unumbered AS (
+      SELECT *, SUM(uedge) OVER (PARTITION BY user_id, episode_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS interval_id
+      FROM inside
+    )
+    SELECT user_id, episode_id, interval_id,
+           MIN(ts) AS interval_start, MAX(ts) AS interval_end, COUNT(*) AS n_ticks
+    FROM unumbered WHERE unst = 1
+    GROUP BY user_id, episode_id, interval_id
+    """,
+)
+def unstable_subintervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: nested gaps-and-islands — the unstable (start,end) interval
+    list inside each approach (FlightAnalysis.py:208-227, 248-250),
+    here: sub-islands of value<10 inside value<50 episodes."""
+    ev = load(spark, sf_dir, "events")
+    eps = OW.islands(
+        ev, "user_id", ["ts", "event_id"],
+        flag=F.col("value") < EPISODE_THRESHOLD,
+        island_col="episode_id",
+    )
+    sub = OW.islands(
+        eps, ["user_id", "episode_id"], ["ts", "event_id"],
+        flag=F.col("value") < FULLSTOP_MIN * 2,
+        island_col="interval_id",
+    )
+    return sub.groupBy("user_id", "episode_id", "interval_id").agg(
+        F.min("ts").alias("interval_start"),
+        F.max("ts").alias("interval_end"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations  (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_ops_nations",
+    """
+    SELECT 'both' AS tag, nk FROM
+      (SELECT DISTINCT c_nationkey AS nk FROM customer
+       INTERSECT SELECT DISTINCT s_nationkey FROM supplier) t1
+    UNION ALL
+    SELECT 'customer_only' AS tag, nk FROM
+      (SELECT DISTINCT c_nationkey AS nk FROM customer
+       EXCEPT SELECT DISTINCT s_nationkey FROM supplier) t2
+    UNION ALL
+    SELECT 'supplier_only' AS tag, nk FROM
+      (SELECT DISTINCT s_nationkey AS nk FROM supplier
+       EXCEPT SELECT DISTINCT c_nationkey FROM customer) t3
+    """,
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect / except / unionByName in one result."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("tag"), "nk")
+    conly = c.exceptAll(s).select(F.lit("customer_only").alias("tag"), "nk")
+    sonly = s.exceptAll(c).select(F.lit("supplier_only").alias("tag"), "nk")
+    return both.unionByName(conly).unionByName(sonly)
+
+
+# ---------------------------------------------------------------------------
+# JSON / pivot / time windows  (SURVEY §2.8 json, §2.9 batch analog)
+# ---------------------------------------------------------------------------
+
+@register(
+    "json_extract_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (events.props is a JSON string) with
+    get_json_object — JVM-side JSON path, no UDF."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list => no extra distinct pass job)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    pv = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+    )
+    return pv.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation — the batch twin of the
+    streaming windowed count (streaming/sessions.py reuses this)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geodesy scalar functions on tabular data  (SURVEY §2.8 F1-F10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "geo_haversine_customers",
+    """
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 7) % 120 AS DOUBLE) - 60.0 AS lat,
+             CAST((c_custkey * 13) % 360 AS DOUBLE) - 180.0 AS lon
+      FROM customer
+    ), vec AS (
+      SELECT c_custkey, lat, lon,
+             COS(RADIANS(lat)) * COS(RADIANS(lon)) AS ax,
+             COS(RADIANS(lat)) * SIN(RADIANS(lon)) AS ay,
+             SIN(RADIANS(lat)) AS az,
+             COS(RADIANS(40.64)) * COS(RADIANS(-73.78)) AS bx,
+             COS(RADIANS(40.64)) * SIN(RADIANS(-73.78)) AS by,
+             SIN(RADIANS(40.64)) AS bz
+      FROM pts
+    )
+    SELECT c_custkey, lat, lon,
+           ROUND(ATAN2(
+             SQRT(POW(ay*bz - az*by, 2) + POW(az*bx - ax*bz, 2) + POW(ax*by - ay*bx, 2)),
+             ax*bx + ay*by + az*bz) * 6371000.0, 1) AS dist_m,
+           ROUND(180.0 - ABS(ABS(CAST((c_custkey * 31) % 360 AS DOUBLE)
+                 - CAST((c_custkey * 17) % 360 AS DOUBLE)) - 180.0), 4) AS hdg_diff
+    FROM vec
+    """,
+)
+def geo_haversine_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F4 on tabular data: great-circle distance (n-vector
+    formulation, LatLon.py:95-117) and circular heading difference
+    (FlightAnalysis.py:130-132) as pure column expressions over
+    synthetic lat/lon derived from customer keys."""
+    from ..functions import geo
+
+    cust = load(spark, sf_dir, "customer")
+    lat = ((F.col("c_custkey") * 7) % 120).cast("double") - 60.0
+    lon = ((F.col("c_custkey") * 13) % 360).cast("double") - 180.0
+    h1 = ((F.col("c_custkey") * 31) % 360).cast("double")
+    h2 = ((F.col("c_custkey") * 17) % 360).cast("double")
+    return cust.select(
+        "c_custkey",
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.round(
+            geo.distance(lat, lon, F.lit(40.64), F.lit(-73.78), geo.EARTH_RADIUS_M), 1
+        ).alias("dist_m"),
+        F.round(geo.heading_difference(h1, h2), 4).alias("hdg_diff"),
+    )

@@ -1,0 +1,136 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every queries() entry on Spark and its oracle_sql() on DuckDB
+over the same parquet dir, then compares: row count, column names,
+and order-insensitive values (sorted rows, tolerant float compare to
+surface near-misses before they become hash mismatches).
+
+Usage:
+    python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize_cell(v):
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def sortable(row):
+    return tuple((x is None, str(x)) for x in row)
+
+
+def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
+    problems = []
+    if sorted(spark_cols) != sorted(duck_cols):
+        problems.append(f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        return problems
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    s = sorted((tuple(normalize_cell(r[i]) for i in order) for r in spark_rows), key=sortable)
+    d = sorted((tuple(normalize_cell(r[i]) for i in dorder) for r in duck_rows), key=sortable)
+    if len(s) != len(d):
+        problems.append(f"row count: spark={len(s)} duck={len(d)}")
+        return problems
+    n_bad = 0
+    for i, (sr, dr) in enumerate(zip(s, d)):
+        for a, b in zip(sr, dr):
+            ok = a == b
+            if not ok and isinstance(a, float) and isinstance(b, float):
+                ok = abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+                if ok:
+                    problems.append(f"row {i}: float near-miss {a!r} vs {b!r} (would hash-mismatch!)")
+            if not ok:
+                n_bad += 1
+                if n_bad <= 3:
+                    problems.append(f"row {i}: {sr} != {dr}")
+                break
+    if n_bad > 3:
+        problems.append(f"... {n_bad} mismatched rows total")
+    return problems
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from __spark_entry__ import oracle_sql, queries
+    from ngafid_cpat_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    from ngafid_cpat_spark.sources import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    qs = queries()
+    oracles = oracle_sql()
+    names = args.names or list(qs)
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(spark_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        real = [p for p in problems if "near-miss" not in p]
+        if real:
+            print(f"FAIL  {name}: [{time.time()-t0:.1f}s]")
+            for p in problems[:8]:
+                print(f"      {p}")
+            n_fail += 1
+        else:
+            note = f" ({len(problems)} float near-misses)" if problems else ""
+            print(f"ok    {name}: {len(spark_rows)} rows{note} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
