@@ -1,0 +1,81 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is fully materialized (count + a cheap checksum collect)
+so lazy plans can't fake speed. A warm-up pass on a tiny query pays
+the session/JIT cost outside the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "broadcast_star_revenue",
+    "nn_join_acctbal",
+    "asof_click_before_purchase",
+    "topk_customers_per_nation",
+    "sessionize_events",
+    "episode_detect_events",
+    "rolling5_events",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_stats",
+    "json_extract_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ngafid_cpat_spark.plans import QUERIES
+    from ngafid_cpat_spark.session import get_spark
+
+    spark = get_spark("ngafid-cpat-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def materialize(df) -> None:
+        # noop sink computes every column of every row (count() would
+        # let Catalyst prune the aggregates away)
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm-up: JVM/codegen/parquet-footer costs out of the measurement
+    materialize(QUERIES["q1_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

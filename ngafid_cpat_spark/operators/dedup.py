@@ -114,9 +114,16 @@ def minhash_lsh_pairs(
     Jaccard j collides with prob 1-(1-j^r)^b.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, k, num_hashes).alias("sig"),
+    # signature via exploded shingles + one partial-aggregated groupBy:
+    # computing 32 array_min(transform(...)) expressions inline blows
+    # up codegen (9+ MB task binaries, ~100x slower) — the explode
+    # form is one pass and map-side combines before the shuffle
+    sh = _shingle_sets(df, id_col, text_col, k)
+    sig = sh.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
     banded = sig.select(
         "id",
@@ -126,7 +133,7 @@ def minhash_lsh_pairs(
                     F.lit(b).alias("band"),
                     F.xxhash64(
                         F.concat_ws(",", *[
-                            F.col("sig")[b * rows_per_band + r].cast("string")
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
                             for r in range(rows_per_band)
                         ])
                     ).alias("bucket"),
@@ -198,7 +205,24 @@ def simhash_pairs(
     Candidate generation by 4x16-bit block keys (pigeonhole: any pair
     within hamming 3*blocks shares a block; wider radii verified
     after the block join) — avoids the n^2 comparison."""
-    sig = df.select(F.col(id_col).alias("id"), simhash(text_col, k).alias("sh64"))
+    # signature from exploded shingles (see minhash comment): per bit,
+    # majority vote of the shingle-hash bits, assembled into one long
+    sh = _shingle_sets(df, id_col, text_col, k)
+    hashed = sh.select("id", F.xxhash64("sh").alias("h"))
+    votes = hashed.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)).cast("int")).alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    sh64 = F.lit(0).cast("long")
+    for b in range(64):
+        sh64 = sh64.bitwiseOR(
+            F.when(F.col(f"b{b}") * 2 >= F.col("n"), F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    sig = votes.select("id", sh64.alias("sh64"))
     blocks = sig.select(
         "id",
         "sh64",

@@ -1,0 +1,357 @@
+"""Flight approach/landing analysis — the reference's core pipeline,
+re-expressed as one windowed DataFrame plan.
+
+Reference: FlightAnalysis.py's per-flight state machine
+(FlightAnalysis.py:134-330) run from main.py's per-flight loop. Here
+the whole fleet is analyzed in one distributed plan: no per-flight
+Python loop, no driver-side state — a shuffle on flight_id, ordered
+windows within, broadcast dimension joins for airports/runways.
+
+Pipeline stages (SURVEY.md §2.5 W1-W9):
+  1. NULL-row filter                        (P1, main.py:92-96)
+  2. nearest-airport per tick               (J2, FlightAnalysis.py:347-367)
+  3. initial-takeoff detection              (W1, FlightAnalysis.py:113-128)
+  4. approach-episode islands               (W2, FlightAnalysis.py:142-170)
+  5. final-band predicate evaluation        (P5/P6, FlightAnalysis.py:187-244)
+  6. runway detection per episode           (J3, FlightAnalysis.py:369-391)
+  7. per-episode aggregation                (A1-A6, FlightAnalysis.py:400-423)
+  8. landing window + classification        (W5/W6, FlightAnalysis.py:272-330)
+
+Thresholds are the reference constants (FlightAnalysis.py:4-18),
+overridable per call (the reference's exceedance_thresholds table,
+J7, maps to passing a Thresholds per aircraft type and unioning).
+
+Scale notes: the nearest-airport argmin is a broadcast cross join +
+map-side partial argmin — shuffle size is one row per telemetry tick,
+never |ticks| x |airports|; at planetary airport counts switch to
+operators.joins.nearest_gridded (grid-cell equi-join). All window
+stages share the (flight_id, time) shuffle; Catalyst reuses the
+exchange.
+
+The reference's analyze() clear-before-return bug (results dict
+cleared at FlightAnalysis.py:60 before the return at :64, so callers
+always receive {}) is intentionally NOT replicated — this returns the
+results DataFrame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import geo
+from ..operators import windows as OW
+
+TELEMETRY_COLS = (
+    "flight",
+    "time",
+    "msl_altitude",
+    "indicated_airspeed",
+    "vertical_airspeed",
+    "heading",
+    "latitude",
+    "longitude",
+)
+
+
+@dataclass(frozen=True)
+class Thresholds:
+    """Reference constants, FlightAnalysis.py:4-18."""
+
+    approach_min_distance_mi: float = 1.0     # :4  (entry: dist < 1 mi)
+    approach_min_agl: float = 500.0           # :14 (entry: AGL < 500)
+    final_max_agl: float = 150.0              # :15 (final band top)
+    final_min_agl: float = 50.0               # :15 (final band bottom)
+    max_heading_error: float = 10.0           # :7  (F1)
+    max_crosstrack_ft: float = 50.0           # :8  (F2)
+    min_ias: float = 55.0                     # :9  (A lower)
+    max_ias: float = 75.0                     # :10 (A upper)
+    min_vsi: float = -1000.0                  # :11 (S)
+    full_stop_ias: float = 35.0               # :16 (stop-and-go)
+    touch_go_agl: float = 5.0                 # :17 (touch-and-go)
+    runway_heading_band: float = 20.0         # :18 (J3)
+
+
+def with_nearest_airport(flight_df: DataFrame, airports: DataFrame) -> DataFrame:
+    """Per-tick nearest airport by Manhattan |dlat|+|dlon| degrees
+    (FlightAnalysis.py:356-366): broadcast cross join + min(struct)
+    argmin, deterministic tie-break on airport_code."""
+    d = geo.manhattan_deg("latitude", "ap_lat", "longitude", "ap_lon")
+    ap = airports.select(
+        F.col("airport_code"),
+        F.col("latitude").alias("ap_lat"),
+        F.col("longitude").alias("ap_lon"),
+        F.col("elevation_ft").alias("ap_elev"),
+    )
+    joined = flight_df.join(F.broadcast(ap), how="cross")
+    best = joined.groupBy("flight", "time").agg(
+        F.min(
+            F.struct(
+                d.alias("d"),
+                F.col("airport_code").alias("code"),
+                F.col("ap_lat").alias("lat"),
+                F.col("ap_lon").alias("lon"),
+                F.col("ap_elev").alias("elev"),
+            )
+        ).alias("b")
+    )
+    return flight_df.join(best, ["flight", "time"]).select(
+        flight_df["*"],
+        F.col("b.code").alias("airport_code"),
+        F.col("b.lat").alias("airport_lat"),
+        F.col("b.lon").alias("airport_lon"),
+        F.col("b.elev").alias("airport_elev"),
+    )
+
+
+def analyze(
+    flight_df: DataFrame,
+    airports: DataFrame,
+    runways: DataFrame,
+    th: Thresholds = Thresholds(),
+) -> DataFrame:
+    """Full fleet analysis -> one row per (flight_id, approach_id),
+    schema matching the reference's approaches table (FIXTURES.md §7;
+    insert list FlightAnalysis.py:22-26)."""
+    wf = Window.partitionBy("flight").orderBy("time")
+    wflight = Window.partitionBy("flight")
+
+    # 1. NULL-row filter (main.py:92-96)
+    df = flight_df.na.drop(subset=list(TELEMETRY_COLS))
+
+    # 2. nearest airport + AGL + distance (FlightAnalysis.py:143-147)
+    df = with_nearest_airport(df, airports)
+    df = df.withColumn("agl", geo.agl("msl_altitude", "airport_elev")).withColumn(
+        "dist_mi",
+        geo.distance(
+            "latitude", "longitude", "airport_lat", "airport_lon", geo.EARTH_RADIUS_MI
+        ),
+    )
+
+    # 3. initial takeoff: first tick's airport elevation; analysis
+    #    starts at the first time AGL >= approach_min_agl vs THAT
+    #    airport (FlightAnalysis.py:113-128)
+    first_elev = F.first("airport_elev").over(wf)
+    takeoff_time = F.min(
+        F.when(
+            (F.col("msl_altitude") - first_elev) >= th.approach_min_agl, F.col("time")
+        )
+    ).over(wflight)
+    df = (
+        df.withColumn("takeoff_time", takeoff_time)
+        .filter(F.col("time") >= F.col("takeoff_time"))
+    )
+
+    # 4. approach-episode islands: dist < 1 mi AND AGL < 500
+    #    (FlightAnalysis.py:150)
+    in_approach = (F.col("dist_mi") < th.approach_min_distance_mi) & (
+        F.col("agl") < th.approach_min_agl
+    )
+    df = df.withColumn("in_approach", in_approach)
+    eps = OW.islands(
+        df, "flight", ["time"], flag=F.col("in_approach"),
+        island_col="approach_id", in_island_only=True,
+    )
+
+    # 5. final approach band [50, 150] AGL (FlightAnalysis.py:187-244)
+    eps = eps.withColumn(
+        "in_final",
+        F.col("agl").between(th.final_min_agl, th.final_max_agl),
+    )
+
+    # 6. runway detection at the first final-band tick: the episode
+    #    airport's runways within the 20-degree heading band, argmin
+    #    Manhattan distance (FlightAnalysis.py:369-391)
+    first_final = (
+        eps.filter("in_final")
+        .groupBy("flight", "approach_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("time").alias("t"),
+                    F.col("heading").alias("hdg"),
+                    F.col("latitude").alias("lat"),
+                    F.col("longitude").alias("lon"),
+                    F.col("airport_code").alias("code"),
+                )
+            ).alias("ff")
+        )
+        .select(
+            "flight",
+            "approach_id",
+            F.col("ff.hdg").alias("ff_heading"),
+            F.col("ff.lat").alias("ff_lat"),
+            F.col("ff.lon").alias("ff_lon"),
+            F.col("ff.code").alias("ff_airport"),
+        )
+    )
+    rw = runways.select(
+        F.col("airport_code").alias("ff_airport"),
+        F.col("runway_code"),
+        F.col("magnetic_rwy_hdg"),
+        F.col("true_rwy_hdg"),
+        F.col("center_lat"),
+        F.col("center_long"),
+    )
+    rw_match = (
+        first_final.join(F.broadcast(rw), "ff_airport", "left")
+        .filter(
+            F.col("runway_code").isNull()
+            | (
+                geo.heading_difference("magnetic_rwy_hdg", "ff_heading")
+                <= th.runway_heading_band
+            )
+        )
+        .groupBy("flight", "approach_id")
+        .agg(
+            F.min(
+                F.struct(
+                    geo.manhattan_deg("ff_lat", "center_lat", "ff_lon", "center_long").alias("d"),
+                    F.col("runway_code").alias("code"),
+                    F.col("true_rwy_hdg").alias("true_hdg"),
+                    F.col("magnetic_rwy_hdg").alias("mag_hdg"),
+                    F.col("center_lat").alias("clat"),
+                    F.col("center_long").alias("clon"),
+                )
+            ).alias("rw")
+        )
+        .select(
+            "flight",
+            "approach_id",
+            F.col("rw.code").alias("runway_id"),
+            F.col("rw.true_hdg").alias("rw_true_hdg"),
+            F.col("rw.mag_hdg").alias("rw_mag_hdg"),
+            F.col("rw.clat").alias("rw_lat"),
+            F.col("rw.clon").alias("rw_lon"),
+        )
+    )
+    eps = eps.join(rw_match, ["flight", "approach_id"], "left")
+
+    # 7. stability predicates per final-band tick (FlightAnalysis.py:
+    #    192-206); F1/F2 forced true when runway unknown (:197-199, P6)
+    heading_err = geo.heading_difference("heading", "rw_mag_hdg")
+    crosstrack = geo.cross_track_distance(
+        "latitude", "longitude", "rw_lat", "rw_lon", "rw_true_hdg", geo.EARTH_RADIUS_FT
+    )
+    has_rw = F.col("runway_id").isNotNull()
+    eps = (
+        eps.withColumn("heading_err", F.when(has_rw, heading_err))
+        .withColumn("xtrack_ft", F.when(has_rw, crosstrack))
+        .withColumn("cond_f1", F.when(~has_rw, F.lit(True)).otherwise(F.col("heading_err") <= th.max_heading_error))
+        .withColumn("cond_f2", F.when(~has_rw, F.lit(True)).otherwise(F.abs(F.col("xtrack_ft")) <= th.max_crosstrack_ft))
+        .withColumn("cond_a", F.col("indicated_airspeed").between(th.min_ias, th.max_ias))
+        .withColumn("cond_s", F.col("vertical_airspeed") >= th.min_vsi)
+        .withColumn(
+            "is_unstable",
+            F.col("in_final")
+            & ~(F.col("cond_f1") & F.col("cond_f2") & F.col("cond_a") & F.col("cond_s")),
+        )
+    )
+
+    # 8. per-episode rollup (A1-A6, FlightAnalysis.py:400-423):
+    #    all_* means over final-band ticks, <cond>_* means over the
+    #    ticks where that condition failed; empty group -> NULL (A1)
+    fin = F.col("in_final")
+    ep_agg = eps.groupBy("flight", "approach_id").agg(
+        # airport at episode entry = first tick's nearest airport
+        # (FlightAnalysis.py:252)
+        F.min(F.struct(F.col("time"), F.col("airport_code"))).alias("__ap0"),
+        F.min("runway_id").alias("runway_id"),
+        (F.min(F.when(fin, F.col("time"))) - 1).alias("approach_start"),
+        F.max(F.when(fin, F.col("time"))).alias("approach_end"),
+        F.max(F.when(fin & F.col("is_unstable"), 1).otherwise(0)).alias("unstable"),
+        F.avg(F.when(fin, F.col("heading_err"))).alias("all_heading"),
+        F.avg(F.when(fin & ~F.col("cond_f1"), F.col("heading_err"))).alias("f1_heading"),
+        F.avg(F.when(fin, F.col("xtrack_ft"))).alias("all_crosstrack"),
+        F.avg(F.when(fin & ~F.col("cond_f2"), F.col("xtrack_ft"))).alias("f2_crosstrack"),
+        F.avg(F.when(fin, F.col("indicated_airspeed"))).alias("all_ias"),
+        F.avg(F.when(fin & ~F.col("cond_a"), F.col("indicated_airspeed"))).alias("a_ias"),
+        F.avg(F.when(fin, F.col("vertical_airspeed"))).alias("all_vsi"),
+        F.avg(F.when(fin & ~F.col("cond_s"), F.col("vertical_airspeed"))).alias("s_vsi"),
+    ).withColumn("airport_id", F.col("__ap0.airport_code")).drop("__ap0")
+
+    # 9. landing window: the run of AGL<500 ticks after approach_end,
+    #    ending at climb-out (AGL >= 500), next approach, or data end
+    #    (FlightAnalysis.py:272-330). Classification first-match-wins:
+    #    stop-and-go (min IAS <= 35) -> touch-and-go (rolling-5 AGL
+    #    mean <= 5, warm-up guarded) -> go-around (:288-294, 316-324).
+    low = OW.islands(
+        df, "flight", ["time"], flag=F.col("agl") < th.approach_min_agl,
+        island_col="low_id", in_island_only=True,
+    )
+    low = OW.rolling(
+        low, "flight", ["time"], F.col("agl"),
+        agg="avg", window_rows=5, out_col="agl_roll5", require_full=True,
+    ).select("flight", "time", "low_id", "agl", "agl_roll5", "indicated_airspeed")
+
+    ep_bounds = ep_agg.select(
+        "flight", "approach_id", "approach_end",
+        F.lead("approach_start").over(
+            Window.partitionBy("flight").orderBy("approach_id")
+        ).alias("next_approach_start"),
+    )
+    # episode -> its low island (the island containing approach_end)
+    ep_island = (
+        low.join(
+            ep_bounds,
+            (low["flight"] == ep_bounds["flight"])
+            & (low["time"] == ep_bounds["approach_end"]),
+        )
+        .select(
+            ep_bounds["flight"], "approach_id", "low_id",
+            "approach_end", "next_approach_start",
+        )
+    )
+    landing_rows = (
+        low.join(ep_island, ["flight", "low_id"])
+        .filter(
+            (F.col("time") > F.col("approach_end"))
+            & (
+                F.col("next_approach_start").isNull()
+                | (F.col("time") < F.col("next_approach_start"))
+            )
+        )
+    )
+    landing = landing_rows.groupBy("flight", "approach_id").agg(
+        F.min("time").alias("landing_start"),
+        F.max("time").alias("landing_end"),
+        F.min("indicated_airspeed").alias("landing_min_ias"),
+        F.min("agl_roll5").alias("landing_min_roll5"),
+    )
+
+    out = (
+        ep_agg.join(landing, ["flight", "approach_id"], "left")
+        .withColumn(
+            "landing_type",
+            F.when(F.col("landing_min_ias") <= th.full_stop_ias, "stop-and-go")
+            .when(F.col("landing_min_roll5") <= th.touch_go_agl, "touch-and-go")
+            .otherwise("go-around"),
+        )
+    )
+    return out.select(
+        F.col("flight").alias("flight_id"),
+        F.col("approach_id").cast("int"),
+        "airport_id",
+        "runway_id",
+        "approach_start",
+        "approach_end",
+        "landing_start",
+        "landing_end",
+        "landing_type",
+        F.col("unstable").cast("int"),
+        "all_heading",
+        "f1_heading",
+        "all_crosstrack",
+        "f2_crosstrack",
+        "all_ias",
+        "a_ias",
+        "all_vsi",
+        "s_vsi",
+    )
+
+
+def pending_flights(flight_analyses: DataFrame) -> DataFrame:
+    """Work-queue scan (S1/J6, main.py:27): flights not yet analyzed."""
+    return flight_analyses.filter(F.col("approach_analysis") == 0).select("flight_id")

@@ -25,6 +25,20 @@ QUERIES: dict = {}
 ORACLES: dict = {}
 
 
+def stable_avg(col, digits: int = 4):
+    """Rounding-boundary-stable average of 2-decimal (money-like)
+    values: ROUND(SUM,2) recovers the exact decimal sum (killing
+    summation-order ulp noise), so the division input — and therefore
+    the final round — is bit-identical in Spark and DuckDB. A bare
+    ROUND(AVG(x),4) flips at exact .xxxx5 boundaries, which
+    2-decimal inputs hit routinely (e.g. sum 222.05 over 8 rows)."""
+    return F.round(F.round(F.sum(col), 2) / F.count(col), digits)
+
+
+def STABLE_AVG_SQL(expr: str, digits: int = 4) -> str:
+    return f"ROUND(ROUND(SUM({expr}), 2) / COUNT({expr}), {digits})"
+
+
 def register(name: str, oracle: str | None):
     def deco(fn):
         QUERIES[name] = fn
@@ -77,9 +91,9 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           ROUND(AVG(l_quantity), 4)       AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)  AS avg_price,
-           ROUND(AVG(l_discount), 4)       AS avg_disc,
+           ROUND(ROUND(SUM(l_quantity), 2) / COUNT(l_quantity), 4)           AS avg_qty,
+           ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(l_extendedprice), 4) AS avg_price,
+           ROUND(ROUND(SUM(l_discount), 2) / COUNT(l_discount), 4)           AS avg_disc,
            COUNT(*)                        AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -100,9 +114,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            stable_avg("l_quantity").alias("avg_qty"),
+            stable_avg("l_extendedprice").alias("avg_price"),
+            stable_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -209,8 +223,9 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(*) AS n_events,
            COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
-           ROUND(AVG(CASE WHEN event_type = 'error' THEN value END), 4) AS avg_error_value,
-           ROUND(AVG(value), 4) AS avg_value,
+           ROUND(ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2)
+                 / COUNT(CASE WHEN event_type = 'error' THEN value END), 4) AS avg_error_value,
+           ROUND(ROUND(SUM(value), 2) / COUNT(value), 4) AS avg_value,
            ROUND(MIN(value), 2) AS min_value,
            ROUND(MAX(value), 2) AS max_value
     FROM events GROUP BY user_id
@@ -226,8 +241,8 @@ def conditional_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count(err_val).alias("n_error"),
-        F.round(F.avg(err_val), 4).alias("avg_error_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        stable_avg(err_val).alias("avg_error_value"),
+        stable_avg(F.col("value")).alias("avg_value"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
     )
@@ -567,9 +582,9 @@ def window_running_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling5_events",
     """
     SELECT event_id, user_id, ts, value,
-           ROUND(AVG(value) OVER w5, 4) AS rolling_avg,
+           ROUND(ROUND(SUM(value) OVER w5, 2) / COUNT(value) OVER w5, 4) AS rolling_avg,
            CASE WHEN COUNT(value) OVER w5 >= 5
-                THEN ROUND(AVG(value) OVER w5, 4) END AS rolling_avg_full
+                THEN ROUND(ROUND(SUM(value) OVER w5, 2) / COUNT(value) OVER w5, 4) END AS rolling_avg_full
     FROM events
     WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -580,18 +595,17 @@ def rolling5_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rolling-5 AGL mean only valid once 5 samples seen,
     FlightAnalysis.py:301-307) as rolling_avg_full."""
     ev = load(spark, sf_dir, "events")
-    out = OW.rolling(
-        ev, "user_id", ["ts", "event_id"], F.col("value"),
-        agg="avg", window_rows=5, out_col="__avg",
+    w5 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
     )
-    out = OW.rolling(
-        out, "user_id", ["ts", "event_id"], F.col("value"),
-        agg="avg", window_rows=5, out_col="__avg_full", require_full=True,
-    )
-    return out.select(
+    # stable form: exact-ized window sum / count (see stable_avg)
+    avg5 = F.round(F.round(F.sum("value").over(w5), 2) / F.count("value").over(w5), 4)
+    return ev.select(
         "event_id", "user_id", "ts", "value",
-        F.round("__avg", 4).alias("rolling_avg"),
-        F.round("__avg_full", 4).alias("rolling_avg_full"),
+        avg5.alias("rolling_avg"),
+        F.when(F.count("value").over(w5) >= 5, avg5).alias("rolling_avg_full"),
     )
 
 
@@ -688,10 +702,10 @@ TOUCHGO_AVG = 20.0
     SELECT user_id, episode_id,
            MIN(ts) AS episode_start, MAX(ts) AS episode_end,
            COUNT(*) AS n_ticks,
-           ROUND(AVG(value), 4) AS avg_value,
+           ROUND(ROUND(SUM(value), 2) / COUNT(value), 4) AS avg_value,
            ROUND(MIN(value), 2) AS min_value,
            CASE WHEN MIN(value) < {FULLSTOP_MIN} THEN 'full-stop'
-                WHEN AVG(value) < {TOUCHGO_AVG} THEN 'touch-and-go'
+                WHEN ROUND(SUM(value), 2) / COUNT(value) < {TOUCHGO_AVG} THEN 'touch-and-go'
                 ELSE 'go-around' END AS label
     FROM numbered WHERE in_ep = 1
     GROUP BY user_id, episode_id
@@ -714,10 +728,10 @@ def episode_detect_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("episode_start"),
         F.max("ts").alias("episode_end"),
         F.count(F.lit(1)).alias("n_ticks"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        stable_avg(F.col("value")).alias("avg_value"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.when(F.min("value") < FULLSTOP_MIN, "full-stop")
-        .when(F.avg("value") < TOUCHGO_AVG, "touch-and-go")
+        .when(F.round(F.sum("value"), 2) / F.count("value") < TOUCHGO_AVG, "touch-and-go")
         .otherwise("go-around")
         .alias("label"),
     )
