@@ -113,8 +113,10 @@ def shingles(text, k: int = 3) -> Column:
     array — JVM-side, no explode needed until the caller wants one."""
     t = tokens(text)
     n = F.size(t)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(-1)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, k), " "))
+    idx = F.sequence(F.lit(0), n - F.lit(k))
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, k), " "))
+    )
 
 
 def fingerprint_md5(text) -> Column:

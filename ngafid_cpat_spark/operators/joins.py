@@ -83,14 +83,21 @@ def nearest_gridded(
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
         for dx in (-1, 0, 1) for dy in (-1, 0, 1)
     ])
+    # prefix every dim column so the equi-join never collides with
+    # point columns of the same name (latitude/longitude typically)
+    dims_sel = dims.select(
+        F.col(dim_lat).alias("__d_lat"),
+        F.col(dim_lon).alias("__d_lon"),
+        *[F.col(c).alias(f"__v_{c}") for c in dim_cols],
+    )
     dims_cells = (
-        dims.withColumn("__o", F.explode(offsets))
+        dims_sel.withColumn("__o", F.explode(offsets))
         .withColumn(
             "__cell",
             F.concat_ws(
                 ":",
-                (F.floor(F.col(dim_lat) / cell_deg) + F.col("__o.dx")).cast("long"),
-                (F.floor(F.col(dim_lon) / cell_deg) + F.col("__o.dy")).cast("long"),
+                (F.floor(F.col("__d_lat") / cell_deg) + F.col("__o.dx")).cast("long"),
+                (F.floor(F.col("__d_lon") / cell_deg) + F.col("__o.dy")).cast("long"),
             ),
         )
         .drop("__o")
@@ -104,8 +111,8 @@ def nearest_gridded(
         ),
     )
     joined = pts.join(F.broadcast(dims_cells), on="__cell", how="left")
-    d = geo.manhattan_deg(lat_col, dim_lat, lon_col, dim_lon)
-    struct_cols = [d.alias("__d")] + [F.col(c).alias(f"__v_{c}") for c in dim_cols]
+    d = geo.manhattan_deg(lat_col, lon_col, "__d_lat", "__d_lon")
+    struct_cols = [d.alias("__d")] + [F.col(f"__v_{c}") for c in dim_cols]
     best = joined.groupBy(point_key).agg(F.min(F.struct(*struct_cols)).alias("__best"))
     return points.join(
         best.select(

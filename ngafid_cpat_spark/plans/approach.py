@@ -78,7 +78,7 @@ def with_nearest_airport(flight_df: DataFrame, airports: DataFrame) -> DataFrame
     """Per-tick nearest airport by Manhattan |dlat|+|dlon| degrees
     (FlightAnalysis.py:356-366): broadcast cross join + min(struct)
     argmin, deterministic tie-break on airport_code."""
-    d = geo.manhattan_deg("latitude", "ap_lat", "longitude", "ap_lon")
+    d = geo.manhattan_deg("latitude", "longitude", "ap_lat", "ap_lon")
     ap = airports.select(
         F.col("airport_code"),
         F.col("latitude").alias("ap_lat"),
@@ -208,7 +208,7 @@ def analyze(
         .agg(
             F.min(
                 F.struct(
-                    geo.manhattan_deg("ff_lat", "center_lat", "ff_lon", "center_long").alias("d"),
+                    geo.manhattan_deg("ff_lat", "ff_lon", "center_lat", "center_long").alias("d"),
                     F.col("runway_code").alias("code"),
                     F.col("true_rwy_hdg").alias("true_hdg"),
                     F.col("magnetic_rwy_hdg").alias("mag_hdg"),
@@ -287,7 +287,9 @@ def analyze(
     ).select("flight", "time", "low_id", "agl", "agl_roll5", "indicated_airspeed")
 
     ep_bounds = ep_agg.select(
-        "flight", "approach_id", "approach_end",
+        F.col("flight").alias("ep_flight"),
+        "approach_id",
+        "approach_end",
         F.lead("approach_start").over(
             Window.partitionBy("flight").orderBy("approach_id")
         ).alias("next_approach_start"),
@@ -296,11 +298,11 @@ def analyze(
     ep_island = (
         low.join(
             ep_bounds,
-            (low["flight"] == ep_bounds["flight"])
+            (low["flight"] == ep_bounds["ep_flight"])
             & (low["time"] == ep_bounds["approach_end"]),
         )
         .select(
-            ep_bounds["flight"], "approach_id", "low_id",
+            F.col("ep_flight").alias("flight"), "approach_id", "low_id",
             "approach_end", "next_approach_start",
         )
     )

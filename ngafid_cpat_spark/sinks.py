@@ -1,0 +1,87 @@
+"""Idempotent upsert sink (SURVEY.md §2.1 S6/S7).
+
+The reference upserts per-flight approach rows with MySQL
+``INSERT ... ON DUPLICATE KEY UPDATE`` plus a status flip, both in
+one transaction (FlightAnalysis.py:22-30, 428-433). Without Delta
+Lake in this environment, the same idempotent MERGE semantics are
+provided over plain parquet via deterministic partition overwrite:
+
+  * the table is hash-partitioned on the merge key into a fixed
+    bucket count (directory column ``bucket=N``);
+  * an upsert rewrites ONLY the buckets that contain incoming keys:
+    old rows with a matching key are replaced, others in the bucket
+    are carried over (dynamic partition overwrite);
+  * re-running the same upsert is a no-op (idempotent), which is the
+    property the reference's work-queue restart logic relies on.
+
+At cluster scale this is the classic copy-on-write MERGE layout:
+write amplification bounded by bucket granularity, reads prune on
+the bucket column when filtering by key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "__bucket"
+
+
+def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        BUCKET_COL, F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
+    )
+
+
+def create_table(df: DataFrame, path: str, keys: list[str], n_buckets: int = 16) -> None:
+    """Initialize an upsert-able parquet table."""
+    (
+        _with_bucket(df, keys, n_buckets)
+        .write.partitionBy(BUCKET_COL)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    n_buckets: int = 16,
+) -> None:
+    """MERGE: replace rows whose key appears in ``updates``, keep the
+    rest, rewrite only affected buckets."""
+    updates = _with_bucket(updates, keys, n_buckets).cache()
+    touched = [r[BUCKET_COL] for r in updates.select(BUCKET_COL).distinct().collect()]
+    if not touched:
+        return
+    existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    merged = existing.join(
+        updates.select(*keys).distinct(), on=keys, how="left_anti"
+    ).unionByName(updates)
+    # break lineage from `path` before overwriting it (Spark refuses
+    # to overwrite a path it is reading from); Delta MERGE would make
+    # this a real transaction on a production cluster
+    merged = merged.localCheckpoint(eager=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+    updates.unpersist()
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop(BUCKET_COL)
+
+
+def mark_analyzed(
+    spark: SparkSession,
+    status_path: str,
+    flight_ids: DataFrame,
+    n_buckets: int = 16,
+) -> None:
+    """Status flip (S7, FlightAnalysis.py:32): upsert approach_analysis=1
+    for the given flight_id rows."""
+    done = flight_ids.select(
+        F.col("flight_id"), F.lit(1).alias("approach_analysis")
+    )
+    upsert(spark, done, status_path, keys=["flight_id"], n_buckets=n_buckets)

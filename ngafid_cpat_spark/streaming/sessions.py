@@ -1,0 +1,125 @@
+"""Structured Streaming slice (SURVEY.md §2.9).
+
+The reference has no streaming — its incremental analog is the
+work-queue flag (main.py:27, FlightAnalysis.py:32) polled by a
+consumer pool. Here the same segmentation semantics run as real
+streams over the events table:
+
+  * windowed_counts     tumbling/sliding event-time windows with a
+                        watermark (late data bounded, state evicted).
+  * session_aggregates  F.session_window gap-sessions — the streaming
+                        twin of operators.windows.sessionize (same
+                        gap semantics, engine-managed state).
+  * dedup_stream        watermarked dropDuplicates (exactly-once-ish
+                        event dedup by id).
+
+All take any streaming DataFrame so tests can feed them from a
+file/rate/memory source; read_events_stream builds the parquet-dir
+source with the testdata's nanos-timestamp quirk handled.
+
+Scale notes: state is keyed by (user, window) and evicted at the
+watermark — constant memory per key; shuffle partitioning is the
+same (key, window) hash as batch, so a 1000-executor cluster scales
+linearly with key cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),  # raw nanos (nanosAsLong)
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming source over a directory of events parquet files
+    (nanos ts -> microsecond timestamp, like sources.load)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding, if slide given) watermarked window counts
+    per event_type — the streaming twin of events_tumbling_window."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregates(
+    events: DataFrame,
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per user (session_window — the
+    engine-stateful form of the batch lag+cumsum sessionization,
+    W2's streaming twin)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked exact dedup by event_id (late duplicates beyond the
+    watermark age out of state)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory(df: DataFrame, query_name: str, mode: str = "append"):
+    """Execute a streaming plan to completion on the available data
+    (availableNow trigger) into an in-memory table; returns the
+    finished StreamingQuery. Test/debug harness."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

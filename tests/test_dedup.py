@@ -1,0 +1,94 @@
+"""Dedup operator tests: exact, shingle-jaccard, minhash-LSH recall,
+simhash, embedding near-dup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ngafid_cpat_spark.operators import dedup as D
+
+BASE = "the quick brown fox jumps over the lazy dog near the old barn"
+NEAR = "the quick brown fox jumps over the lazy cat near the old barn"
+OTHER = "completely different words live in this sentence about spark engines"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        {"doc_id": 1, "text": BASE},
+        {"doc_id": 2, "text": BASE},                  # exact dup of 1
+        {"doc_id": 3, "text": "  The  QUICK brown fox jumps over the lazy dog near the old barn "},  # dup after normalize
+        {"doc_id": 4, "text": NEAR},                  # near-dup of 1
+        {"doc_id": 5, "text": OTHER},
+        {"doc_id": 6, "text": "tiny"},
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark, docs):
+    out = D.exact_dedup(docs)
+    rows = {r["keeper_id"]: r["n_copies"] for r in out.collect()}
+    assert rows[1] == 3          # 1, 2, 3 collapse after normalization
+    assert rows[4] == 1
+    assert out.count() == 4      # 4 distinct normalized texts
+
+
+def test_exact_dedup_idempotent(spark, docs):
+    once = D.exact_dedup(docs)
+    again = D.exact_dedup(
+        docs.join(once.select(F.col("keeper_id").alias("doc_id")), "doc_id", "left_semi")
+    )
+    assert again.count() == once.count()
+
+
+def test_jaccard_pairs_finds_neardup(spark, docs):
+    out = D.jaccard_pairs(docs, k=3, threshold=0.3).collect()
+    pairs = {(r["id1"], r["id2"]): r["jaccard"] for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in pairs and pairs[(1, 3)] == pytest.approx(1.0)
+    assert (1, 4) in pairs and 0.3 <= pairs[(1, 4)] < 1.0
+    assert not any(5 in p for p in pairs)  # OTHER shares no shingle run
+
+
+def test_minhash_lsh_recall(spark, docs):
+    exact = {
+        (r["id1"], r["id2"])
+        for r in D.jaccard_pairs(docs, k=3, threshold=0.3).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"])
+        for r in D.minhash_lsh_pairs(
+            docs, k=3, num_hashes=32, bands=16, verify_threshold=0.3
+        ).collect()
+    }
+    # banded LSH with b=16, r=2 catches j>=0.3 pairs with prob ~1-(1-j^2)^16
+    # >= 0.78; the high-jaccard pairs (>=0.8) are near-certain
+    high = {(1, 2), (1, 3)}
+    assert high <= lsh
+    assert lsh <= exact  # verification step guarantees precision
+
+
+def test_simhash_pairs(spark, docs):
+    out = D.simhash_pairs(docs, max_hamming=16, k=3).collect()
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in out}
+    # exact dups collide in every block at hamming 0
+    assert pairs.get((1, 2)) == 0
+    assert pairs.get((1, 3)) == 0
+    # precision: every reported pair is within the budget; unrelated
+    # docs (5, 6) never pair with the BASE cluster
+    assert all(h <= 16 for h in pairs.values())
+    assert not any(5 in p or 6 in p for p in pairs)
+    # NOTE: (1,4) [one word changed] has no *guaranteed* 16-bit block
+    # collision — block LSH only guarantees recall at hamming < 4;
+    # minhash-LSH is the high-recall path for word-level edits
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        {"vec_id": 1, "embedding": [1.0, 0.0, 0.0]},
+        {"vec_id": 2, "embedding": [0.999, 0.01, 0.0]},
+        {"vec_id": 3, "embedding": [0.0, 1.0, 0.0]},
+    ]
+    emb = spark.createDataFrame(rows)
+    out = D.embedding_neardup_pairs(emb, threshold=0.95)
+    got = [(r["id1"], r["id2"]) for r in out.collect()]
+    assert got == [(1, 2)]

@@ -1,0 +1,71 @@
+"""Similarity search tests: exact top-k vs numpy, IVF recall, LSH
+bucket sanity, pandas-UDF parity with expression cosine."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ngafid_cpat_spark.functions import vector as V
+from ngafid_cpat_spark.operators import similarity as S
+
+RNG = np.random.default_rng(7)
+N, DIM = 200, 16
+VECS = RNG.normal(size=(N, DIM)).astype("float64")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        {"vec_id": i, "embedding": [float(x) for x in VECS[i]]} for i in range(N)
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def np_topk(query, k=10, exclude=None):
+    sims = VECS @ query / (np.linalg.norm(VECS, axis=1) * np.linalg.norm(query))
+    order = [i for i in np.argsort(-sims) if i != exclude]
+    return [(i, sims[i]) for i in order[:k]]
+
+
+def test_cosine_topk_matches_numpy(emb):
+    q = [float(x) for x in VECS[0]]
+    got = S.cosine_topk(emb, q, k=10, exclude_id=0).collect()
+    want = np_topk(VECS[0], k=10, exclude=0)
+    assert [r["vec_id"] for r in got] == [i for i, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["cosine"] == pytest.approx(s, abs=1e-5)
+
+
+def test_ivf_recall(emb):
+    q = [float(x) for x in VECS[3]]
+    centroids = [(i, [float(x) for x in VECS[i]]) for i in range(8)]
+    exact_ids = {i for i, _ in np_topk(VECS[3], k=10)}
+    approx = S.ivf_topk(emb, q, centroids, k=10, n_probe=4)
+    approx_ids = {r["vec_id"] for r in approx.collect()}
+    # approximate: assert meaningful overlap, not equality
+    assert len(exact_ids & approx_ids) >= 3
+    assert 3 in approx_ids  # the query vector itself is always found
+
+
+def test_lsh_buckets_put_identical_vectors_together(spark):
+    planes = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    rows = [
+        {"vec_id": 1, "embedding": [0.5, 0.5]},
+        {"vec_id": 2, "embedding": [0.5, 0.5]},
+        {"vec_id": 3, "embedding": [-0.5, -0.5]},
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["vec_id"]: r["bucket"] for r in S.lsh_bucket_assignments(df, planes).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_pandas_udf_cosine_matches_expression(emb):
+    df = emb.limit(50).select(
+        "vec_id",
+        V.cosine(F.col("embedding"), F.col("embedding")).alias("expr_self"),
+        V.cosine_pandas(F.col("embedding"), F.col("embedding")).alias("udf_self"),
+    )
+    for r in df.collect():
+        assert r["expr_self"] == pytest.approx(1.0, abs=1e-9)
+        assert r["udf_self"] == pytest.approx(1.0, abs=1e-9)

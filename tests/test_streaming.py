@@ -1,0 +1,63 @@
+"""Structured Streaming tests: the streaming plans must agree with
+their batch twins on the same (complete) data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ngafid_cpat_spark.sources import load
+from ngafid_cpat_spark.streaming import sessions as ST
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream(spark, tmp_path_factory):
+    # the streaming file source needs a directory, not a single file
+    d = tmp_path_factory.mktemp("events_stream")
+    import shutil
+
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    return ST.read_events_stream(spark, str(d))
+
+
+def test_windowed_counts_matches_batch(spark, stream):
+    ST.run_to_memory(ST.windowed_counts(stream), "wc_test", mode="append")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM wc_test").collect()
+    }
+    batch = load(spark, SF_DIR, "events")
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+        .collect()
+    }
+    # append mode withholds windows past the final watermark; everything
+    # emitted must match the batch result exactly, and coverage must be
+    # substantial
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= 0.8 * len(want)
+
+
+def test_session_aggregates_runs_and_is_sane(spark, stream):
+    ST.run_to_memory(ST.session_aggregates(stream, gap="1 hour"), "sess_test")
+    rows = spark.sql("SELECT * FROM sess_test").collect()
+    assert rows
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
+
+
+def test_dedup_stream_drops_duplicates(spark, stream):
+    ST.run_to_memory(ST.dedup_stream(stream), "dedup_test")
+    n = spark.sql("SELECT count(*) AS n FROM dedup_test").first()["n"]
+    distinct_ids = (
+        load(spark, SF_DIR, "events").select("event_id").distinct().count()
+    )
+    assert n == distinct_ids

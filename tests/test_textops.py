@@ -1,0 +1,84 @@
+"""Text function tests: tokenization, stats, quality, lang-id,
+shingles, fingerprints, rolling hashes."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ngafid_cpat_spark.functions import text as T
+
+
+def one(spark, s):
+    return spark.createDataFrame([{"text": s}])
+
+
+def test_normalize_and_tokens(spark):
+    df = one(spark, "  The  QUICK   brown\tfox ")
+    row = df.select(
+        T.normalize("text").alias("n"),
+        T.token_count("text").alias("c"),
+    ).first()
+    assert row["n"] == "the quick brown fox"
+    assert row["c"] == 4
+
+
+def test_token_count_bpe(spark):
+    df = one(spark, "Hello, world! x2")
+    # tokens: hello , world ! x2  -> 5
+    assert df.select(T.token_count_bpe("text").alias("c")).first()["c"] == 5
+
+
+def test_avg_token_len(spark):
+    df = one(spark, "ab cdef")  # lens 2, 4 -> 3.0
+    assert df.select(T.avg_token_len("text").alias("a")).first()["a"] == pytest.approx(3.0)
+
+
+def test_stopword_ratio_and_quality_bounds(spark):
+    df = one(spark, "the cat and the hat is a cat")
+    row = df.select(
+        T.stopword_ratio("text").alias("r"),
+        T.quality_score("text").alias("q"),
+    ).first()
+    # distinct stopwords present: the, and, is, a -> 4 of 8 tokens
+    assert row["r"] == pytest.approx(0.5)
+    assert 0.0 <= row["q"] <= 1.0
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        {"text": "the cat and the dog is here"},   # en
+        {"text": "der hund und die katze ist da"}, # de
+        {"text": "qqq zzz xxx"},                   # no markers -> und
+    ]
+    df = spark.createDataFrame(rows)
+    got = [r["l"] for r in df.select(T.lang_id("text").alias("l")).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_shingles(spark):
+    df = one(spark, "a b c d")
+    got = df.select(T.shingles("text", 3).alias("s")).first()["s"]
+    assert got == ["a b c", "b c d"]
+    # short text -> empty shingle set
+    df2 = one(spark, "a b")
+    assert df2.select(T.shingles("text", 3).alias("s")).first()["s"] == []
+
+
+def test_fingerprint_md5_matches_hashlib(spark):
+    df = one(spark, "  Hello   World ")
+    got = df.select(T.fingerprint_md5("text").alias("f")).first()["f"]
+    assert got == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_rolling_hashes_window_count_and_determinism(spark):
+    s = "abcdefghij"
+    df = one(spark, s)
+    h1 = df.select(T.rolling_hashes("text", window=4).alias("h")).first()["h"]
+    assert len(h1) == len(s) - 4 + 1
+    h2 = df.select(T.rolling_hashes("text", window=4).alias("h")).first()["h"]
+    assert h1 == h2
+    # shifted text shares interior window hashes
+    df2 = one(spark, "xabcdefghij")
+    h3 = df2.select(T.rolling_hashes("text", window=4).alias("h")).first()["h"]
+    assert set(h1) <= set(h3)

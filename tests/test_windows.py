@@ -1,0 +1,74 @@
+"""Unit tests for the ordered-series window operators (SURVEY §2.5)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from ngafid_cpat_spark.operators import windows as OW
+
+
+def test_islands_basic(spark):
+    rows = [
+        # flight 1: flags F F T T F T F -> islands 1 (t3,t4), 2 (t6)
+        {"f": 1, "t": 1, "v": 10.0},
+        {"f": 1, "t": 2, "v": 10.0},
+        {"f": 1, "t": 3, "v": 1.0},
+        {"f": 1, "t": 4, "v": 2.0},
+        {"f": 1, "t": 5, "v": 10.0},
+        {"f": 1, "t": 6, "v": 1.0},
+        {"f": 1, "t": 7, "v": 10.0},
+        # flight 2: all in one island
+        {"f": 2, "t": 1, "v": 0.0},
+        {"f": 2, "t": 2, "v": 0.0},
+    ]
+    df = spark.createDataFrame(rows)
+    out = OW.islands(df, "f", ["t"], flag=F.col("v") < 5, island_col="isl")
+    got = {(r["f"], r["t"]): r["isl"] for r in out.collect()}
+    assert got == {(1, 3): 1, (1, 4): 1, (1, 6): 2, (2, 1): 1, (2, 2): 1}
+
+
+def test_islands_keep_all_rows(spark):
+    df = spark.createDataFrame([{"f": 1, "t": i, "v": float(i % 2)} for i in range(4)])
+    out = OW.islands(df, "f", ["t"], flag=F.col("v") > 0, in_island_only=False)
+    assert out.count() == 4
+
+
+def test_sessionize_gap(spark):
+    ts = [0, 100, 200, 5000, 5100, 20000]
+    df = spark.createDataFrame(
+        [{"u": 1, "ts": datetime.fromtimestamp(t)} for t in ts]
+    )
+    out = OW.sessionize(df, "u", "ts", gap_seconds=1000.0)
+    sessions = [r["session_id"] for r in out.orderBy("ts").collect()]
+    assert sessions == [1, 1, 1, 2, 2, 3]
+
+
+def test_rolling_warmup_guard(spark):
+    df = spark.createDataFrame([{"g": 1, "t": i, "v": float(i)} for i in range(1, 8)])
+    out = OW.rolling(
+        df, "g", ["t"], F.col("v"), agg="avg", window_rows=5,
+        out_col="r", require_full=True,
+    ).orderBy("t")
+    vals = [r["r"] for r in out.collect()]
+    assert vals[:4] == [None, None, None, None]  # warm-up (FlightAnalysis.py:301-307)
+    assert vals[4] == 3.0  # mean(1..5)
+    assert vals[5] == 4.0
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [{"g": g, "k": k, "v": float(10 * g + k)} for g in (1, 2) for k in range(5)]
+    )
+    out = OW.topk_per_group(df, "g", [F.col("v").desc()], k=2)
+    got = sorted((r["g"], r["v"]) for r in out.collect())
+    assert got == [(1, 13.0), (1, 14.0), (2, 23.0), (2, 24.0)]
+
+
+def test_boundaries(spark):
+    df = spark.createDataFrame(
+        [{"g": 1, "t": t, "v": 1.0} for t in (3, 4, 5)]
+        + [{"g": 2, "t": t, "v": 2.0} for t in (10, 11)]
+    )
+    out = OW.boundaries(df, ["g"], "t", aggs=[F.sum("v").alias("s")])
+    got = {r["g"]: (r["t_start"], r["t_end"], r["n_rows"], r["s"]) for r in out.collect()}
+    assert got == {1: (3, 5, 3, 3.0), 2: (10, 11, 2, 4.0)}
