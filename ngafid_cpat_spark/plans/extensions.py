@@ -323,6 +323,56 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal (binary) columns
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Flight-domain flagship (rows-only: the full approach pipeline)
+# ---------------------------------------------------------------------------
+
+@register("approach_pipeline_demo", None)  # windowed pipeline => rows-only
+def approach_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full approach/landing analysis
+    (FlightAnalysis.py:46-330 re-expressed in plans/approach.py), run
+    distributed over telemetry synthesized from the events table:
+    user_id -> flight, per-user row_number -> tick, value -> altitude
+    profile. Exercises nearest-airport argmin, takeoff detection,
+    episode islands, final-band predicates, runway theta-join and
+    landing classification end-to-end at SF scale."""
+    from pyspark.sql import Window as W
+
+    from . import approach as AP
+
+    ev = load(spark, sf_dir, "events")
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    telemetry = ev.select(
+        F.col("user_id").alias("flight"),
+        rn.alias("time"),
+        (F.lit(800.0) + F.col("value") * 10).alias("msl_altitude"),
+        (F.col("value") / 2).alias("indicated_airspeed"),
+        (-F.col("value")).alias("vertical_airspeed"),
+        F.lit(90.0).alias("heading"),
+        (F.lit(40.0) + F.col("value") / 5000).alias("latitude"),
+        (F.lit(-85.0) + F.col("value") / 5000).alias("longitude"),
+    )
+    airports = spark.createDataFrame(
+        [
+            {"airport_code": "KAAA", "latitude": 40.0, "longitude": -85.0,
+             "elevation_ft": 800.0},
+            {"airport_code": "KBBB", "latitude": 40.02, "longitude": -84.98,
+             "elevation_ft": 820.0},
+        ]
+    )
+    runways = spark.createDataFrame(
+        [
+            {"airport_code": "KAAA", "runway_code": "09",
+             "magnetic_rwy_hdg": 90.0, "true_rwy_hdg": 90.0,
+             "center_lat": 40.0, "center_long": -85.0},
+            {"airport_code": "KBBB", "runway_code": "08",
+             "magnetic_rwy_hdg": 85.0, "true_rwy_hdg": 85.0,
+             "center_lat": 40.02, "center_long": -84.98},
+        ]
+    )
+    return AP.analyze(telemetry, airports, runways)
+
+
 @register(
     "multimodal_meta",
     """

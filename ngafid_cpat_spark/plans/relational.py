@@ -902,6 +902,171 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6 shape: pure scan + conjunctive pushed filters + global
+    agg — zero shuffles beyond the final single-row combine."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "stride_sample_events",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE event_id % 15 = 0
+    """,
+)
+def stride_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: the reference's stride-15 cruise sampling
+    (FlightAnalysis.py:268) as a declarative modulo filter — the
+    coarse pass of a two-phase sample-then-refine scan."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 15 == 0)
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "validity_probe_users",
+    """
+    SELECT user_id, MAX(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS any_big
+    FROM (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 10
+    GROUP BY user_id
+    """,
+)
+def validity_probe_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/O3: the reference's first-10-rows validity probe
+    (isFlightDataValid, main.py:186-191) per group: windowed
+    row_number()<=10 + bool_or."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("user_id")
+        .agg(F.max(F.when(F.col("value") > 100, 1).otherwise(0)).alias("any_big"))
+    )
+
+
+@register(
+    "argmax_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/O2: max_by-style argmax — each customer's highest-value
+    order, via one hash aggregate (no window shuffle), deterministic
+    tie-break on orderkey."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+                )
+            ).alias("b")
+        )
+        .select(
+            "o_custkey",
+            F.col("b.k").alias("top_orderkey"),
+            F.col("b.p").alias("top_price"),
+        )
+    )
+
+
+@register(
+    "date_functions_orders",
+    """
+    SELECT year(o_orderdate) AS o_year,
+           quarter(o_orderdate) AS o_quarter,
+           month(o_orderdate) AS o_month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar functions (none exist in the reference — tick time
+    is an int, SURVEY §2.8) over the timestamp columns."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.quarter("o_orderdate").alias("o_quarter"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "session_event_ids",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR CAST(epoch(ts) AS DOUBLE) - CAST(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS DOUBLE) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), numbered AS (
+      SELECT user_id, event_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           array_to_string(list(event_id ORDER BY event_id), ',') AS event_ids,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def session_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_list + sort_array, serialized to a
+    string for engine-neutral comparison) — the per-episode value
+    lists of the reference (FlightAnalysis.py:184-186, 232-236)."""
+    ev = load(spark, sf_dir, "events")
+    sess = OW.sessionize(ev, "user_id", "ts", SESSION_GAP_S)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.array_join(F.sort_array(F.collect_list("event_id")), ",").alias("event_ids"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Geodesy scalar functions on tabular data  (SURVEY §2.8 F1-F10)
 # ---------------------------------------------------------------------------
