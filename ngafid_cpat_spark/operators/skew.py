@@ -1,0 +1,74 @@
+"""Skew-mitigation operators: salting for hot keys.
+
+The reference's analog is the per-flight task queue (one hot flight =
+one slow consumer, main.py:47-68). In Spark, a skewed groupBy/join
+key concentrates a partition on one task; AQE's skew-join splitting
+(enabled in session.py) covers sort-merge joins, and these helpers
+cover the aggregate and broadcast-replicate cases explicitly:
+
+  * salted_agg: two-phase aggregation — partial agg on (key, salt),
+    final agg on key. Turns one hot reducer into n_salts reducers.
+  * salted_join: replicate the small side across n_salts copies and
+    join on (key, salt) so a hot fact key spreads over n_salts
+    partitions. Deterministic salt from a hash of caller-chosen
+    columns (no rand(): keeps reruns/retries idempotent).
+
+Both are semantics-preserving: tests assert equality with the
+unsalted plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def with_salt(df: DataFrame, salt_from: list[str], n_salts: int) -> DataFrame:
+    """Deterministic salt in [0, n_salts) from a hash of ``salt_from``
+    columns (pick high-cardinality ones, e.g. the row's unique id)."""
+    return df.withColumn(
+        SALT_COL, F.pmod(F.hash(*[F.col(c) for c in salt_from]), F.lit(n_salts))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    salt_from: list[str],
+    partial_aggs: list[tuple[Column, str]],
+    final_aggs: list[tuple[Column, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    partial_aggs: (expr, alias) evaluated per (key, salt);
+    final_aggs:   (expr over the partial aliases, alias) per key.
+    e.g. sum -> partial sum + final sum; count -> partial count +
+    final sum; avg -> partial (sum, count) + final sum/sum.
+    """
+    salted = with_salt(df, salt_from, n_salts)
+    partial = salted.groupBy(*key_cols, SALT_COL).agg(
+        *[e.alias(a) for e, a in partial_aggs]
+    )
+    return partial.groupBy(*key_cols).agg(*[e.alias(a) for e, a in final_aggs])
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_from: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: facts get a deterministic salt, the dim is
+    replicated n_salts times, and the join key becomes (on, salt) —
+    a hot key's rows land on n_salts different reducers."""
+    salted_facts = with_salt(facts, salt_from, n_salts)
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    salted_dim = dim.withColumn(SALT_COL, salts)
+    return (
+        salted_facts.join(salted_dim, on=[on, SALT_COL], how=how).drop(SALT_COL)
+    )

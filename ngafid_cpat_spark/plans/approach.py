@@ -111,6 +111,7 @@ def analyze(
     airports: DataFrame,
     runways: DataFrame,
     th: Thresholds = Thresholds(),
+    persist: bool = True,
 ) -> DataFrame:
     """Full fleet analysis -> one row per (flight_id, approach_id),
     schema matching the reference's approaches table (FIXTURES.md §7;
@@ -143,6 +144,12 @@ def analyze(
         df.withColumn("takeoff_time", takeoff_time)
         .filter(F.col("time") >= F.col("takeoff_time"))
     )
+    if persist:
+        # the enriched post-takeoff frame feeds two branches (episode
+        # islands and the landing low-island pass); persisting it cuts
+        # the nearest-airport argmin + takeoff window from being
+        # recomputed per branch (~2x fewer exchanges end-to-end)
+        df = df.persist()
 
     # 4. approach-episode islands: dist < 1 mi AND AGL < 500
     #    (FlightAnalysis.py:150)
