@@ -52,7 +52,12 @@ def main() -> None:
         # let Catalyst prune the aggregates away)
         df.write.format("noop").mode("overwrite").save()
 
-    # warm-up: JVM/codegen/parquet-footer costs out of the measurement
+    # warm-up: JVM/codegen/parquet-footer costs out of the measurement;
+    # touch every table once so no query pays the first-scan cost
+    from ngafid_cpat_spark.sources import TABLES, load
+
+    for t in TABLES:
+        load(spark, sf_dir, t).count()
     materialize(QUERIES["q1_pricing_summary"](spark, sf_dir))
 
     timings: dict[str, float] = {}

@@ -270,12 +270,51 @@ def embedding_neardup_pairs(
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if max_id is not None:
         e = e.filter(F.col("id") < max_id)
+    # pre-normalize once per vector: per-pair work drops to one dot
+    # product (computing |a| and |b| inside the pair loop is 3x the
+    # flops across O(n^2) pairs)
+    n = V.norm(F.col("v"))
+    e = e.select("id", F.transform(F.col("v"), lambda x: x / n).alias("u"))
     pairs = e.alias("a").join(e.alias("b"), F.col("a.id") < F.col("b.id"))
     return (
         pairs.select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            V.cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            V.dot(F.col("a.u"), F.col("b.u")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Scale path: hyperplane-LSH bucket the vectors, compare only
+    within buckets (plus exact cosine verification). Linear shuffle
+    in |vectors|; recall governed by the plane count (P(collide) =
+    (1 - theta/pi)^k for angle theta)."""
+    from .similarity import lsh_bucket_assignments
+
+    n = V.norm(F.col(vec_col))
+    unit = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x / n).alias(vec_col),
+    )
+    b = lsh_bucket_assignments(unit, planes, id_col=id_col, vec_col=vec_col)
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"), on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            V.dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -182,6 +182,23 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.round(F.col("cosine"), 4).desc(), F.col("vec_id"))
 
 
+@register("embedding_neardup_lsh", None)  # LSH-recall approximate => rows-only
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed near-dup pairs — the linear-shuffle
+    scale path for embedding dedup; recall vs the exact query is
+    unit-tested."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    # deterministic pseudo-random hyperplanes (no RNG state to seed)
+    planes = [
+        [(((i * 2654435761 + d * 40503) % 1000) - 500) / 500.0 for d in range(64)]
+        for i in range(8)
+    ]
+    out = D.embedding_neardup_lsh(emb, planes, threshold=0.35)
+    return out.select("id1", "id2", F.round("cosine", 4).alias("cosine"))
+
+
 @register("ann_ivf_topk", None)  # approximate => rows-only
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: vectors assigned to nearest of 8 seed centroids,

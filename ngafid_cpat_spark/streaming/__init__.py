@@ -1,1 +1,1 @@
-from . import sessions  # noqa: F401
+from . import sessions, stateful  # noqa: F401

@@ -92,3 +92,21 @@ def test_embedding_neardup(spark):
     out = D.embedding_neardup_pairs(emb, threshold=0.95)
     got = [(r["id1"], r["id2"]) for r in out.collect()]
     assert got == [(1, 2)]
+
+
+def test_embedding_neardup_lsh_finds_close_pairs(spark):
+    # near-identical vectors always collide in every hyperplane bucket
+    rows = [
+        {"vec_id": 1, "embedding": [1.0, 0.2, -0.3, 0.5]},
+        {"vec_id": 2, "embedding": [1.001, 0.2, -0.3, 0.5]},   # ~identical
+        {"vec_id": 3, "embedding": [-1.0, 0.4, 0.1, -0.9]},
+        {"vec_id": 4, "embedding": [0.1, -0.8, 0.7, 0.0]},
+    ]
+    emb = spark.createDataFrame(rows)
+    planes = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+              [0.0, 0.0, 1.0, 0.0], [0.5, -0.5, 0.5, -0.5]]
+    got = {(r["id1"], r["id2"]): r["cosine"]
+           for r in D.embedding_neardup_lsh(emb, planes, threshold=0.99).collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.999
+    # precision: nothing dissimilar sneaks past the cosine verify
+    assert all(c >= 0.99 for c in got.values())

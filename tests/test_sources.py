@@ -1,0 +1,59 @@
+"""Source-layer tests: table registry, CSV with explicit schema
+(the reference's Airports.csv positional parse, S4/S5), nanos
+timestamp handling."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ngafid_cpat_spark import sources
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_load_registry_rejects_unknown(spark):
+    with pytest.raises(KeyError):
+        sources.load(spark, SF_DIR, "bogus")
+
+
+def test_events_nanos_become_timestamps(spark):
+    ev = sources.load(spark, SF_DIR, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_read_csv_explicit_schema(spark, tmp_path):
+    # an Airports.csv-shaped dim (reference main.py:168-174), read
+    # with a declared schema instead of positional split+float
+    p = tmp_path / "airports.csv"
+    p.write_text(
+        "airport_code,airport_name,city,state_code,latitude,longitude,elevation_ft\n"
+        'KAAA,"Alpha Field","Springfield",IL,40.0,-85.0,800\n'
+        "KBBB,Bravo,Metropolis,NY,41.0,-86.0,900\n"
+    )
+    schema = StructType([
+        StructField("airport_code", StringType()),
+        StructField("airport_name", StringType()),
+        StructField("city", StringType()),
+        StructField("state_code", StringType()),
+        StructField("latitude", DoubleType()),
+        StructField("longitude", DoubleType()),
+        StructField("elevation_ft", DoubleType()),
+    ])
+    df = sources.read_csv(spark, str(p), schema)
+    rows = {r["airport_code"]: r for r in df.collect()}
+    assert rows["KAAA"]["airport_name"] == "Alpha Field"  # quoted field
+    assert rows["KAAA"]["latitude"] == 40.0               # typed, not str
+    assert rows["KBBB"]["elevation_ft"] == 900.0
+    assert df.schema == schema
+
+
+def test_all_tables_load(spark):
+    for t in sources.TABLES:
+        df = sources.load(spark, SF_DIR, t)
+        assert len(df.columns) > 0

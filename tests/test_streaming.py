@@ -61,3 +61,41 @@ def test_dedup_stream_drops_duplicates(spark, stream):
         load(spark, SF_DIR, "events").select("event_id").distinct().count()
     )
     assert n == distinct_ids
+
+
+def test_stateful_closed_sessions_matches_batch(spark, stream):
+    """applyInPandasWithState sessionizer: every emitted CLOSED
+    session must exactly match a batch-sessionize session (the open
+    tail sessions stay in state and are not emitted)."""
+    from ngafid_cpat_spark.operators import windows as OW
+    from ngafid_cpat_spark.streaming import stateful as SS
+
+    ST.run_to_memory(
+        SS.closed_sessions(stream, gap_seconds=3600.0, use_timeout=False),
+        "closed_test",
+    )
+    got = {
+        (r["user_id"], round(r["session_start_s"], 3)): (
+            r["n_events"],
+            round(r["sum_value"], 2),
+        )
+        for r in spark.sql("SELECT * FROM closed_test").collect()
+    }
+    assert got  # at least some sessions closed over 30 days of data
+
+    ev = load(spark, SF_DIR, "events")
+    batch = (
+        OW.sessionize(ev, "user_id", "ts", 3600.0)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.col("ts").cast("double")).alias("start_s"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sv"),
+        )
+    )
+    want = {
+        (r["user_id"], round(r["start_s"], 3)): (r["n"], r["sv"])
+        for r in batch.collect()
+    }
+    for k, v in got.items():
+        assert want[k] == v
