@@ -171,6 +171,14 @@ def analyze(
     # 6. runway detection at the first final-band tick: the episode
     #    airport's runways within the 20-degree heading band, argmin
     #    Manhattan distance (FlightAnalysis.py:369-391)
+    # the episode's airport is the one detected at episode ENTRY
+    # (FlightAnalysis.py:252) — runways are searched at that airport
+    # even if a later final-band tick drifts nearer another field
+    ep_entry = (
+        eps.groupBy("flight", "approach_id")
+        .agg(F.min(F.struct(F.col("time"), F.col("airport_code"))).alias("e0"))
+        .select("flight", "approach_id", F.col("e0.airport_code").alias("ff_airport"))
+    )
     first_final = (
         eps.filter("in_final")
         .groupBy("flight", "approach_id")
@@ -181,7 +189,6 @@ def analyze(
                     F.col("heading").alias("hdg"),
                     F.col("latitude").alias("lat"),
                     F.col("longitude").alias("lon"),
-                    F.col("airport_code").alias("code"),
                 )
             ).alias("ff")
         )
@@ -191,8 +198,8 @@ def analyze(
             F.col("ff.hdg").alias("ff_heading"),
             F.col("ff.lat").alias("ff_lat"),
             F.col("ff.lon").alias("ff_lon"),
-            F.col("ff.code").alias("ff_airport"),
         )
+        .join(ep_entry, ["flight", "approach_id"])
     )
     rw = runways.select(
         F.col("airport_code").alias("ff_airport"),
@@ -288,8 +295,10 @@ def analyze(
         df, "flight", ["time"], flag=F.col("agl") < th.approach_min_agl,
         island_col="low_id", in_island_only=True,
     )
+    # rolling frame stays inside one low island (a frame spanning the
+    # gap between two sub-500 AGL periods would mix unrelated samples)
     low = OW.rolling(
-        low, "flight", ["time"], F.col("agl"),
+        low, ["flight", "low_id"], ["time"], F.col("agl"),
         agg="avg", window_rows=5, out_col="agl_roll5", require_full=True,
     ).select("flight", "time", "low_id", "agl", "agl_roll5", "indicated_airspeed")
 
@@ -359,6 +368,49 @@ def analyze(
         "all_vsi",
         "s_vsi",
     )
+
+
+def analyze_fleet(
+    flight_df: DataFrame,
+    airports: DataFrame,
+    runways: DataFrame,
+    aircraft: DataFrame,
+    thresholds_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-aircraft-type thresholds (J7): the reference fetches an
+    exceedance_thresholds row per aircraft (FlightAnalysis.py:20,
+    67-83 — dead code there, live here). ``aircraft`` maps flight id
+    -> aircraft_type (reference main.py:28); ``thresholds_df`` has
+    one row per aircraft_type with Thresholds field names as columns
+    (missing columns fall back to the reference constants).
+
+    Implementation: the config is driver-side tiny, so the fleet is
+    analyzed as a union of per-type plans, each with its thresholds
+    CONSTANT-FOLDED into the predicates (better than threading
+    threshold columns through every expression — Catalyst folds the
+    literals and codegen sees constants)."""
+    type_rows = {r["id"]: r["aircraft_type"] for r in aircraft.collect()}
+    th_by_type: dict = {}
+    if thresholds_df is not None:
+        valid = {f.name for f in Thresholds.__dataclass_fields__.values()}
+        for r in thresholds_df.collect():
+            d = {k: v for k, v in r.asDict().items() if k in valid and v is not None}
+            th_by_type[r["aircraft_id"]] = Thresholds(**d)
+
+    out = None
+    types = sorted(set(type_rows.values()), key=str)
+    for t in types:
+        flights = [fid for fid, ft in type_rows.items() if ft == t]
+        part = analyze(
+            flight_df.filter(F.col("flight").isin(flights)),
+            airports,
+            runways,
+            th=th_by_type.get(t, Thresholds()),
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return analyze(flight_df.limit(0), airports, runways)
+    return out
 
 
 def pending_flights(flight_analyses: DataFrame) -> DataFrame:

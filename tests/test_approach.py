@@ -7,79 +7,8 @@ import pytest
 
 from ngafid_cpat_spark.plans import approach as AP
 
-
-def tick(flight, t, msl, ias, vsi, hdg, lat, lon):
-    return {
-        "flight": flight, "time": t, "msl_altitude": float(msl),
-        "indicated_airspeed": float(ias), "vertical_airspeed": float(vsi),
-        "heading": float(hdg), "latitude": float(lat), "longitude": float(lon),
-        "pitch_attitude": 0.0, "eng_1_rpm": 2400.0,
-    }
-
-
-@pytest.fixture(scope="module")
-def dims(spark):
-    airports = spark.createDataFrame(
-        [
-            {"airport_code": "KAAA", "airport_name": "Alpha", "city": "A",
-             "state_code": "IN", "latitude": 40.0, "longitude": -85.0,
-             "elevation_ft": 800.0},
-            {"airport_code": "KBBB", "airport_name": "Bravo", "city": "B",
-             "state_code": "IN", "latitude": 41.0, "longitude": -86.0,
-             "elevation_ft": 900.0},
-        ]
-    )
-    runways = spark.createDataFrame(
-        [
-            {"airport_code": "KAAA", "elevation_ft": 800.0, "runway_code": "09",
-             "magnetic_rwy_hdg": 90.0, "true_rwy_hdg": 90.0,
-             "center_lat": 40.0, "center_long": -85.0},
-            {"airport_code": "KAAA", "elevation_ft": 800.0, "runway_code": "27",
-             "magnetic_rwy_hdg": 270.0, "true_rwy_hdg": 270.0,
-             "center_lat": 40.0, "center_long": -85.0},
-            {"airport_code": "KBBB", "elevation_ft": 900.0, "runway_code": "18",
-             "magnetic_rwy_hdg": 180.0, "true_rwy_hdg": 180.0,
-             "center_lat": 41.0, "center_long": -86.0},
-        ]
-    )
-    return airports, runways
-
-
-@pytest.fixture(scope="module")
-def telemetry(spark):
-    rows = []
-    # --- flight 1: taxi, climb, cruise, approach to KAAA rwy 09,
-    #     full-stop landing; one fast (IAS 80) tick in the final band
-    for t in range(0, 5):                     # ground at KAAA
-        rows.append(tick(1, t, 800, 0, 0, 90, 40.0, -85.0))
-    for t, msl in [(5, 1000), (6, 1200), (7, 1400)]:  # climb; AGL>=500 at t=7
-        rows.append(tick(1, t, msl, 70, 800, 90, 40.0, -85.0 + 0.001 * t))
-    for t in range(8, 16):                    # cruise, away from airports
-        rows.append(tick(1, t, 3000, 100, 0, 90, 40.5, -84.5))
-    approach_agl = {16: 490, 17: 400, 18: 300, 19: 200, 20: 150,
-                    21: 120, 22: 90, 23: 60, 24: 50, 25: 30, 26: 10}
-    for t, agl in approach_agl.items():
-        ias = 80 if t == 22 else 65           # t=22: cond_A fails -> unstable
-        rows.append(tick(1, t, 800 + agl, ias, -500, 90, 40.0, -85.0 + 0.0002 * (t - 27)))
-    rows.append(tick(1, 27, 800, 30, 0, 90, 40.0, -85.0))   # rollout, IAS<=35
-    rows.append(tick(1, 28, 800, 10, 0, 90, 40.0, -85.0))
-
-    # --- flight 2: go-around at KBBB rwy 18 (stable, climbs out)
-    for t in range(0, 3):
-        rows.append(tick(2, t, 900, 0, 0, 180, 41.0, -86.0))
-    rows.append(tick(2, 3, 1200, 70, 800, 180, 41.0, -86.0))
-    rows.append(tick(2, 4, 1500, 80, 800, 180, 41.0, -86.0))   # AGL 600: takeoff
-    for t in range(5, 9):
-        rows.append(tick(2, t, 3000, 100, 0, 180, 41.5, -86.5))
-    ga_agl = {9: 450, 10: 300, 11: 140, 12: 100, 13: 60, 14: 80, 15: 200, 16: 400}
-    for t, agl in ga_agl.items():
-        rows.append(tick(2, t, 900 + agl, 70, -400, 175, 41.0 - 0.0002 * t, -86.0))
-    rows.append(tick(2, 17, 1500, 90, 800, 175, 41.0, -86.0))  # AGL 600: climb-out
-
-    # --- flight 3: never reaches AGL 500 -> excluded (W1)
-    for t in range(0, 6):
-        rows.append(tick(3, t, 1000, 40, 0, 90, 40.0, -85.0))
-    return spark.createDataFrame(rows)
+# telemetry / dims fixtures live in conftest.py (shared with the
+# plan-vs-twin equivalence tests)
 
 
 @pytest.fixture(scope="module")
@@ -135,6 +64,38 @@ def test_idempotent_rerun(spark, telemetry, dims, result):
     airports, runways = dims
     again = AP.analyze(telemetry, airports, runways).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, result))
+
+
+def test_analyze_fleet_per_type_thresholds(spark, telemetry, dims):
+    """J7: flight 1's IAS-80 tick is unstable under the default A-band
+    [55,75] but stable for an aircraft type configured with
+    max_ias=85 (exceedance_thresholds semantics)."""
+    airports, runways = dims
+    aircraft = spark.createDataFrame(
+        [
+            {"id": 1, "aircraft_type": 7},
+            {"id": 2, "aircraft_type": 9},
+            {"id": 3, "aircraft_type": 9},
+        ]
+    )
+    thresholds = spark.createDataFrame(
+        [{"aircraft_id": 7, "max_ias": 85.0}]
+    )
+    out = {
+        (r["flight_id"], r["approach_id"]): r
+        for r in AP.analyze_fleet(
+            telemetry, airports, runways, aircraft, thresholds
+        ).collect()
+    }
+    assert out[(1, 1)]["unstable"] == 0          # 80 <= 85: stable now
+    assert out[(1, 1)]["a_ias"] is None
+    assert out[(2, 1)]["unstable"] == 0          # unchanged default type
+    # same fleet with no config = default thresholds -> unstable again
+    out2 = {
+        (r["flight_id"], r["approach_id"]): r
+        for r in AP.analyze_fleet(telemetry, airports, runways, aircraft).collect()
+    }
+    assert out2[(1, 1)]["unstable"] == 1
 
 
 def test_pending_flights(spark):
