@@ -23,19 +23,29 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
     "broadcast_star_revenue",
     "nn_join_acctbal",
     "asof_click_before_purchase",
+    "argmax_order_per_customer",
     "topk_customers_per_nation",
+    "window_running_orders",
+    "range_window_events",
     "sessionize_events",
     "episode_detect_events",
+    "unstable_subintervals",
     "rolling5_events",
     "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_neardup_lsh",
     "ann_cosine_topk",
     "text_stats",
+    "text_quality",
     "json_extract_events",
+    "events_tumbling_window",
 ]
 
 

@@ -49,9 +49,13 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, shingle) distinct pairs + per-doc set sizes."""
+    """(id, shingle) distinct pairs. The shingle is kept as its
+    xxhash64 — 8-byte shuffle keys instead of multi-word strings
+    (identical set semantics; a 64-bit collision across a corpus's
+    distinct-shingle count is ~n^2/2^64, negligible)."""
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(T.shingles(text_col, k)).alias("sh"))
+        df.select(F.col(id_col).alias("id"), F.explode(T.shingles(text_col, k)).alias("s"))
+        .select("id", F.xxhash64("s").alias("sh"))
         .distinct()
     )
 

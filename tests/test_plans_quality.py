@@ -1,0 +1,62 @@
+"""Physical-plan regression guards: the properties the engine's
+scale story depends on must survive refactors — filters reach the
+parquet scan, dimension joins broadcast, windowed queries keep to a
+single shuffle per window lineage, hot paths stay Python-free."""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from ngafid_cpat_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filters_push_to_scan(spark):
+    p = plan(spark, "q6_forecast_revenue")
+    assert re.search(r"PushedFilters: \[(?!\])", p), p  # non-empty pushdown
+
+
+def test_projection_prunes_scan(spark):
+    p = plan(spark, "scan_filter_project")
+    # ReadSchema carries exactly the 6 projected columns, no over-fetch
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    projected = {"l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_shipdate"}
+    # scan reads projection + filter columns, nothing else (the
+    # reference over-fetched pitch_attitude/eng_1_rpm, main.py:31 —
+    # Spark's column pruning must not regress to that)
+    assert projected <= cols
+    assert cols <= projected | {"l_discount"}
+
+
+def test_star_join_broadcasts_dims(spark):
+    p = plan(spark, "q5_region_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_window_queries_single_exchange(spark):
+    for name in ("sessionize_events", "rolling5_events", "episode_detect_events"):
+        p = plan(spark, name)
+        # one Exchange for the (user) partitioning + AQE's final read
+        assert len(re.findall(r"\bExchange\b", p)) <= 2, (name, p)
+
+
+def test_no_python_eval_in_relational_hot_paths(spark):
+    for name in ("q1_pricing_summary", "q3_shipping_priority",
+                 "dedup_jaccard_pairs", "ann_cosine_topk", "text_stats"):
+        p = plan(spark, name)
+        assert not re.search(r"BatchEvalPython|ArrowEvalPython", p), (name, p)
