@@ -10,7 +10,7 @@ exact-recall unit tests instead (tests/test_dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -197,6 +197,56 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = D.embedding_neardup_lsh(emb, planes, threshold=0.35)
     return out.select("id1", "id2", F.round("cosine", 4).alias("cosine"))
+
+
+@register(
+    "ann_topk_batch",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+      SELECT qid, vec_id,
+             ROUND(list_dot_product(v, qv) /
+                   (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(qv, qv))), 4) AS cosine
+      FROM e, q WHERE vec_id <> qid
+    )
+    SELECT qid, vec_id, cosine FROM (
+      SELECT qid, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched similarity search: top-5 neighbors for EACH of the
+    first 10 query vectors in one plan — broadcast the query block,
+    score all pairs, windowed top-k per query. The realistic
+    many-query ANN shape (one scan serves the whole query batch)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                V.dot("v", "qv") / (V.norm("v") * V.norm("qv")), 4
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id", "cosine")
+    )
 
 
 @register("ann_ivf_topk", None)  # approximate => rows-only

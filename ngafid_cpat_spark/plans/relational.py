@@ -511,6 +511,84 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "min_acctbal_customer_per_nation",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal = (
+      SELECT MIN(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def min_acctbal_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (TPC-H Q2's min-per-group): the
+    customer(s) holding each nation's minimum balance. Spark form:
+    window min + filter (one shuffle; the correlated rewrite Catalyst
+    would produce anyway)."""
+    w = Window.partitionBy("c_nationkey")
+    return (
+        load(spark, sf_dir, "customer")
+        .withColumn("__mn", F.min("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") == F.col("__mn"))
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "q18_big_orders",
+    """
+    SELECT o_orderkey, o_totalprice, ROUND(sq.sum_qty, 2) AS sum_qty
+    FROM orders JOIN (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    ) sq ON o_orderkey = sq.l_orderkey
+    """,
+)
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: aggregate + HAVING as a derived table joined
+    back to the parent (group-filter-join)."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey", "o_totalprice", F.round("sum_qty", 2).alias("sum_qty")
+        )
+    )
+
+
+@register(
+    "above_avg_customers",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (
+      SELECT ROUND(SUM(c_acctbal), 2) / COUNT(*) FROM customer
+    )
+    """,
+)
+def above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery threshold. The global average uses the
+    stable_avg form (exact-ized sum) so the comparison threshold is
+    bit-identical across engines — a bare AVG() would make boundary
+    rows engine-dependent."""
+    cust = load(spark, sf_dir, "customer")
+    thresh = cust.agg(
+        (F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1))).alias("t")
+    )
+    return (
+        cust.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("t"))
+        .select("c_custkey", "c_acctbal")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions  (SURVEY §2.5 W1-W9, §2.6 O2)
 # ---------------------------------------------------------------------------

@@ -56,7 +56,12 @@ def upsert(
     touched = [r[BUCKET_COL] for r in updates.select(BUCKET_COL).distinct().collect()]
     if not touched:
         return
-    existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    try:
+        existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    except Exception:
+        # table absent or empty (a create_table with zero rows writes
+        # no files): the upsert degenerates to an insert
+        existing = updates.limit(0)
     merged = existing.join(
         updates.select(*keys).distinct(), on=keys, how="left_anti"
     ).unionByName(updates)
