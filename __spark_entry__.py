@@ -12,11 +12,18 @@ oracle_sql()   DuckDB-equivalent ANSI SQL per query (same column
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ngafid_cpat_spark.plans import ORACLES, QUERIES
+# make the package importable regardless of the caller's cwd
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from ngafid_cpat_spark.plans import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -125,6 +125,70 @@ def fingerprint_md5(text) -> Column:
     return F.md5(normalize(text))
 
 
+def winnow(text, window: int = 8, select: int = 4) -> Column:
+    """Winnowing fingerprint: from the rolling-hash sequence, keep the
+    minimum hash of each ``select``-wide band -> array<long>. The
+    classic local document fingerprint (robust to insertions) built
+    entirely from expressions: transform over band starts + array_min
+    over slices."""
+    hashes = rolling_hashes(text, window)
+    n = F.size(hashes)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(select) + 1, F.lit(1)), F.lit(select))
+    return F.when(n <= 0, F.array().cast("array<long>")).otherwise(
+        F.array_distinct(
+            F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, select)))
+        )
+    )
+
+
+# Tiny per-language char-trigram profiles for the pandas-UDF language
+# model (top trigrams of each language's common words; deterministic,
+# embedded — no model files).
+TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "ing", "ion", "tio", "ent", "ati", "for", "her", "ter"),
+    "es": ("que", "con", "ión", "nte", "ado", "est", "par", "los", "ien", "cio"),
+    "de": ("der", "ein", "sch", "ich", "nde", "die", "und", "den", "cht", "gen"),
+    "fr": ("les", "ent", "ion", "des", "que", "ait", "lle", "our", "ans", "men"),
+}
+
+
+def langid_trigram(text_col) -> Column:
+    """Vectorized (Arrow-batched) char-trigram language ID: score each
+    language by profile-trigram hits per trigram of the normalized
+    text, argmax with 'und' fallback. The pandas-UDF counterpart of
+    the expression-only lang_id (used where real char-level modeling
+    beats the stopword-marker heuristic)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    profiles = {k: set(v) for k, v in TRIGRAM_PROFILES.items()}
+
+    # no inner type hints: the module's `from __future__ import
+    # annotations` stringifies them and pandas_udf can't resolve the
+    # local 'pd.Series' name; hint-less defaults to scalar series UDF
+    @pandas_udf(StringType())
+    def _udf(texts):
+        import re
+
+        out = []
+        for t in texts:
+            norm = re.sub(r"\s+", " ", (t or "").lower()).strip()
+            tris = [norm[i : i + 3] for i in range(max(len(norm) - 2, 0))]
+            if not tris:
+                out.append("und")
+                continue
+            scores = {
+                lang: sum(1 for tri in tris if tri in prof)
+                for lang, prof in profiles.items()
+            }
+            best = max(sorted(scores), key=lambda k: scores[k])
+            out.append(best if scores[best] > 0 else "und")
+        return pd.Series(out)
+
+    return _udf(_col(text_col))
+
+
 def rolling_hashes(text, window: int = 8, base: int = 257, mod: int = (1 << 61) - 1) -> Column:
     """Rabin-Karp rolling hashes of the normalized char sequence ->
     array<long>. Document fingerprinting / winnowing building block.

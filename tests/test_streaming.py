@@ -45,6 +45,21 @@ def test_windowed_counts_matches_batch(spark, stream):
     assert len(got) >= 0.8 * len(want)
 
 
+def test_sliding_window_counts(spark, stream):
+    """Sliding windows: every event lands in window_size/slide
+    windows; totals across windows = 2x event count for 1h/30m."""
+    ST.run_to_memory(
+        ST.windowed_counts(stream, window="1 hour", slide="30 minutes"),
+        "slide_test",
+    )
+    rows = spark.sql("SELECT * FROM slide_test").collect()
+    assert rows
+    total_batch = load(spark, SF_DIR, "events").count()
+    emitted = sum(r["n"] for r in rows)
+    # append mode may withhold the trailing watermark windows
+    assert 1.5 * total_batch <= emitted <= 2 * total_batch
+
+
 def test_session_aggregates_runs_and_is_sane(spark, stream):
     ST.run_to_memory(ST.session_aggregates(stream, gap="1 hour"), "sess_test")
     rows = spark.sql("SELECT * FROM sess_test").collect()

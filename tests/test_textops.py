@@ -71,6 +71,28 @@ def test_fingerprint_md5_matches_hashlib(spark):
     assert got == hashlib.md5(b"hello world").hexdigest()
 
 
+def test_winnow_fingerprint(spark):
+    s = "the quick brown fox jumps over the lazy dog"
+    f1 = one(spark, s).select(T.winnow("text").alias("w")).first()["w"]
+    assert f1 and all(isinstance(h, int) for h in f1)
+    # insertion early in the doc leaves most downstream fingerprints
+    f2 = one(spark, "x " + s).select(T.winnow("text").alias("w")).first()["w"]
+    assert len(set(f1) & set(f2)) >= len(f1) // 2
+
+
+def test_langid_trigram(spark):
+    rows = [
+        {"text": "the information station is there for the gathering"},
+        {"text": "ich dachte der schlüssel und die schöne geschichte"},
+        {"text": "zz qq xx"},
+    ]
+    df = spark.createDataFrame(rows)
+    got = [r["l"] for r in df.select(T.langid_trigram("text").alias("l")).collect()]
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "und"
+
+
 def test_rolling_hashes_window_count_and_determinism(spark):
     s = "abcdefghij"
     df = one(spark, s)
