@@ -619,10 +619,12 @@ def topk_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             "c_custkey",
             "c_acctbal",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.ntile(4).over(w).alias("quartile"),
+            # cast to long: DuckDB's ranking fns return BIGINT, and the
+            # driver's schema compare should see matching widths
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -721,6 +723,128 @@ def range_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10 shape: lost-revenue-from-returns top-20 customers."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_by_flag",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12 shape: IN-list CASE counting split by group."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_share",
+    """
+    SELECT ROUND(100.0 * ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+                 / ROUND(SUM(l_extendedprice * (1 - l_discount)), 2), 4) AS promo_share,
+           COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape: conditional-ratio aggregate (LIKE-prefix
+    predicate); both sums exact-ized before the division so the ratio
+    is bit-identical across engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * F.round(F.sum(promo), 2) / F.round(F.sum(rev), 2), 4
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "from_json_events",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing with from_json into a struct column (vs
+    get_json_object's string path in json_extract_events)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([StructField("k", IntegerType())])
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("p", F.from_json("props", schema))
+        .groupBy((F.col("p.k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization / gaps-and-islands  (SURVEY §2.5 W2-W7)
 # ---------------------------------------------------------------------------
@@ -738,8 +862,8 @@ SESSION_GAP_S = 3600.0
       FROM events
     ), numbered AS (
       SELECT user_id, ts, value,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -776,8 +900,8 @@ TOUCHGO_AVG = 20.0
                   THEN 1 ELSE 0 END AS edge
       FROM events
     ), numbered AS (
-      SELECT *, SUM(edge) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode_id
+      SELECT *, CAST(SUM(edge) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS episode_id
       FROM flagged
     )
     SELECT user_id, episode_id,
@@ -829,8 +953,8 @@ def episode_detect_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS edge
       FROM events
     ), numbered AS (
-      SELECT *, SUM(edge) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode_id
+      SELECT *, CAST(SUM(edge) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS episode_id
       FROM flagged
     ), inside AS (
       SELECT user_id, episode_id, ts, event_id, value,
@@ -840,8 +964,8 @@ def episode_detect_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS uedge
       FROM numbered WHERE in_ep = 1
     ), unumbered AS (
-      SELECT *, SUM(uedge) OVER (PARTITION BY user_id, episode_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS interval_id
+      SELECT *, CAST(SUM(uedge) OVER (PARTITION BY user_id, episode_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS interval_id
       FROM inside
     )
     SELECT user_id, episode_id, interval_id,
@@ -1058,7 +1182,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n1.n_name").alias("supp_nation"),
             F.col("n2.n_name").alias("cust_nation"),
-            F.year("l_shipdate").alias("l_year"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(
             F.round(
@@ -1163,9 +1287,9 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return (
         o.groupBy(
-            F.year("o_orderdate").alias("o_year"),
-            F.quarter("o_orderdate").alias("o_quarter"),
-            F.month("o_orderdate").alias("o_month"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -1185,8 +1309,8 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), numbered AS (
       SELECT user_id, event_id,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,

@@ -53,6 +53,16 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
     if len(s) != len(d):
         problems.append(f"row count: spark={len(s)} duck={len(d)}")
         return problems
+    # informational: python-type mismatches per column (a strict
+    # schema comparison in the driver could flag these)
+    if s and d:
+        for ci in range(len(s[0])):
+            sv = next((row[ci] for row in s if row[ci] is not None), None)
+            dv = next((row[ci] for row in d if row[ci] is not None), None)
+            if sv is not None and dv is not None and type(sv) is not type(dv):
+                problems.append(
+                    f"type note col {sorted(spark_cols)[ci]}: spark {type(sv).__name__} vs duck {type(dv).__name__} (near-miss)"
+                )
     n_bad = 0
     for i, (sr, dr) in enumerate(zip(s, d)):
         for a, b in zip(sr, dr):
