@@ -20,8 +20,10 @@ pairwise step never materializes the full O(n^2) cross product:
                          free id-range restriction (testdata-sized) —
                          the scale path shares similarity.lsh_buckets.
 
-Everything is JVM-side column expressions: xxhash64 for hashing,
-higher-order functions for signatures; no Python UDFs.
+Text-hash paths are JVM-side column expressions (xxhash64, exploded
+shingles); embedding pair scoring runs as Arrow-batched matmul groups
+(operators/similarity.cosine_pairs_in_groups) — no row-at-a-time
+Python anywhere.
 """
 
 from __future__ import annotations
@@ -30,7 +32,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..functions import vector as V
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -52,12 +53,28 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
     """(id, shingle) distinct pairs. The shingle is kept as its
     xxhash64 — 8-byte shuffle keys instead of multi-word strings
     (identical set semantics; a 64-bit collision across a corpus's
-    distinct-shingle count is ~n^2/2^64, negligible)."""
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(T.shingles(text_col, k)).alias("s"))
-        .select("id", F.xxhash64("s").alias("sh"))
-        .distinct()
+    distinct-shingle count is ~n^2/2^64, negligible).
+
+    Shape: posexplode the token array, window-lead the next k-1
+    tokens, hash the k-tuple. Tokens never contain the separator, so
+    hashing the tuple is distinctness-equivalent to hashing the
+    joined string — and every step stays in whole-stage codegen (the
+    transform/slice/array_join shingle expression was an interpreted
+    lambda per position and dominated every dedup query)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(T.tokens(text_col)).alias("pos", "t0"),
     )
+    w = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, k)]
+    sh = toks.select("id", "t0", *lead_cols).filter(
+        F.col(f"t{k - 1}").isNotNull()
+    )
+    return sh.select(
+        "id", F.xxhash64(*[f"t{i}" for i in range(k)]).alias("sh")
+    ).distinct()
 
 
 def jaccard_pairs(
@@ -71,7 +88,7 @@ def jaccard_pairs(
     shingle. Inverted-index self-join: shuffle on shingle, then on
     the (id1, id2) pair — no cross product. Output columns:
     id1, id2, jaccard."""
-    sh = _shingle_sets(df, id_col, text_col, k).cache()
+    sh = _shingle_sets(df, id_col, text_col, k)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     common = (
         sh.alias("a")
@@ -271,22 +288,13 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs. The testdata-sized exact
     variant (optionally id-restricted); at scale, pre-bucket with
     similarity.lsh_bucket_assignments and join within buckets."""
-    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from .similarity import cosine_pairs_blocked
+
+    e = emb.select(F.col(id_col), F.col(vec_col))
     if max_id is not None:
-        e = e.filter(F.col("id") < max_id)
-    # pre-normalize once per vector: per-pair work drops to one dot
-    # product (computing |a| and |b| inside the pair loop is 3x the
-    # flops across O(n^2) pairs)
-    n = V.norm(F.col("v"))
-    e = e.select("id", F.transform(F.col("v"), lambda x: x / n).alias("u"))
-    pairs = e.alias("a").join(e.alias("b"), F.col("a.id") < F.col("b.id"))
-    return (
-        pairs.select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            V.dot(F.col("a.u"), F.col("b.u")).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+        e = e.filter(F.col(id_col) < max_id)
+    return cosine_pairs_blocked(
+        e, id_col=id_col, vec_col=vec_col, threshold=threshold
     )
 
 
@@ -300,25 +308,17 @@ def embedding_neardup_lsh(
     """Scale path: hyperplane-LSH bucket the vectors, compare only
     within buckets (plus exact cosine verification). Linear shuffle
     in |vectors|; recall governed by the plane count (P(collide) =
-    (1 - theta/pi)^k for angle theta)."""
-    from .similarity import lsh_bucket_assignments
+    (1 - theta/pi)^k for angle theta).
 
-    n = V.norm(F.col(vec_col))
-    unit = emb.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x / n).alias(vec_col),
-    )
-    b = lsh_bucket_assignments(unit, planes, id_col=id_col, vec_col=vec_col)
-    pairs = (
-        b.alias("a")
-        .join(b.alias("b"), on="bucket")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    )
-    return (
-        pairs.select(
-            F.col(f"a.{id_col}").alias("id1"),
-            F.col(f"b.{id_col}").alias("id2"),
-            V.dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    Sign bits are invariant under positive scaling, so bucketing runs
+    on the RAW vectors — no per-row normalization pass — and the
+    within-bucket pair scoring is one Arrow-batched matmul per bucket
+    (cosine_pairs_in_groups): the interpreted higher-order
+    normalize-then-dot formulation evaluated the 64-element lambda per
+    candidate pair and was ~20x slower."""
+    from .similarity import cosine_pairs_in_groups, lsh_bucket_assignments
+
+    b = lsh_bucket_assignments(emb, planes, id_col=id_col, vec_col=vec_col)
+    return cosine_pairs_in_groups(
+        b, ["bucket"], id_col=id_col, vec_col=vec_col, threshold=threshold
     )

@@ -41,15 +41,25 @@ def nearest(
     Generalizes the reference's nearest-airport scan
     (FlightAnalysis.py:347-367) — same semantics, but one broadcast
     hash join + partial aggregation instead of a Python loop per row.
+
+    The fact side is repartitioned on the group key first: the argmin
+    then needs no post-aggregation exchange, and the dim fan-out is
+    spread across all cores even when the fact scan is a single small
+    file (`min(struct)` falls back to a single-threaded SortAggregate
+    otherwise). `min_by` + `min` aggregate without a sort.
     """
-    joined = facts.join(F.broadcast(dims), how="cross")
-    struct_cols = [distance.alias("__d")] + [F.col(c) for c in dim_cols]
+    # explicit partition count: AQE would coalesce the (small) pre-join
+    # shuffle to one partition, blind to the |dims|x fan-out behind it
+    n_part = facts.sparkSession.sparkContext.defaultParallelism
+    joined = facts.repartition(n_part, fact_key).join(F.broadcast(dims), how="cross")
+    ordering = F.struct(distance.alias("__d"), *[F.col(c) for c in dim_cols])
     agg = joined.groupBy(fact_key).agg(
-        F.min(F.struct(*struct_cols)).alias("__best")
+        F.min_by(F.struct(*[F.col(c) for c in dim_cols]), ordering).alias("__best"),
+        F.min(distance).alias("__dist"),
     )
     out = agg.select(
         fact_key,
-        F.col("__best.__d").alias(f"{out_prefix}dist"),
+        F.col("__dist").alias(f"{out_prefix}dist"),
         *[F.col(f"__best.{c}").alias(f"{out_prefix}{c}") for c in dim_cols],
     )
     return facts.join(out, on=fact_key, how="left")
@@ -112,12 +122,17 @@ def nearest_gridded(
     )
     joined = pts.join(F.broadcast(dims_cells), on="__cell", how="left")
     d = geo.manhattan_deg(lat_col, lon_col, "__d_lat", "__d_lon")
-    struct_cols = [d.alias("__d")] + [F.col(f"__v_{c}") for c in dim_cols]
-    best = joined.groupBy(point_key).agg(F.min(F.struct(*struct_cols)).alias("__best"))
+    ordering = F.struct(d.alias("__d"), *[F.col(f"__v_{c}") for c in dim_cols])
+    best = joined.groupBy(point_key).agg(
+        F.min_by(
+            F.struct(*[F.col(f"__v_{c}") for c in dim_cols]), ordering
+        ).alias("__best"),
+        F.min(d).alias("__dist"),
+    )
     return points.join(
         best.select(
             point_key,
-            F.col("__best.__d").alias("nearest_dist"),
+            F.col("__dist").alias("nearest_dist"),
             *[F.col(f"__best.__v_{c}").alias(f"nearest_{c}") for c in dim_cols],
         ),
         on=point_key,

@@ -52,6 +52,100 @@ def lsh_bucket_assignments(
     return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def cosine_pairs_in_groups(
+    grouped: DataFrame,
+    group_cols: list[str],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    symmetric: bool = True,
+    split_col: str | None = None,
+) -> DataFrame:
+    """All-pairs cosine WITHIN each group via Arrow + BLAS.
+
+    One `applyInPandas` per group: stack the group's vectors into a
+    matrix, one normalized matmul gives every pairwise cosine — the
+    per-pair cost is a fused multiply-add in BLAS instead of an
+    interpreted higher-order expression (~50x) or a codegen'd unroll
+    (which Janino refuses to compile at dim 64). The shuffle is linear
+    in |vectors|; per-group memory is O(group^2), so group size is the
+    caller's skew knob (LSH bucket width / block size).
+
+    With ``split_col`` (two-sided blocks), rows where split_col ==
+    group_cols[0] form side A, the rest side B; only A x B pairs are
+    emitted — the blocked exact-all-pairs path. Output: id1 < id2,
+    cosine >= threshold.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "id1 long, id2 long, cosine double"
+    empty = pd.DataFrame({
+        "id1": pd.Series(dtype="int64"),
+        "id2": pd.Series(dtype="int64"),
+        "cosine": pd.Series(dtype="float64"),
+    })
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((M * M).sum(axis=1))
+        nrm[nrm == 0.0] = np.nan
+        U = M / nrm[:, None]
+        if split_col is not None and key[0] != key[1]:
+            a = pdf[split_col].to_numpy() == key[0]
+            if not a.any() or a.all():
+                return empty
+            S = U[a] @ U[~a].T
+            i1, i2 = np.nonzero(S >= threshold)
+            x, y = ids[a][i1], ids[~a][i2]
+            c = S[i1, i2]
+        else:
+            S = U @ U.T
+            i1, i2 = np.triu_indices(len(ids), k=1)
+            c = S[i1, i2]
+            keep = c >= threshold
+            x, y, c = ids[i1[keep]], ids[i2[keep]], c[keep]
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
+        return pd.DataFrame({"id1": lo, "id2": hi, "cosine": c})
+
+    return grouped.groupBy(*group_cols).applyInPandas(fn, out_schema)
+
+
+def cosine_pairs_blocked(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine without a row-level cross join: hash
+    ids into ``num_blocks`` blocks, replicate each row to its
+    num_blocks block-pairs, and matmul inside each (b1, b2) group.
+    Data volume is |vectors| * num_blocks (choose num_blocks ~
+    sqrt(parallelism) at scale); every unordered row pair lands in
+    exactly one group."""
+    partners = F.array(*[F.lit(j) for j in range(num_blocks)])
+    e = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__blk", F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)))
+        .withColumn("__p", F.explode(partners))
+        .withColumn("__b1", F.least("__blk", "__p"))
+        .withColumn("__b2", F.greatest("__blk", "__p"))
+        .select(id_col, vec_col, "__b1", "__b2", "__blk")
+    )
+    return cosine_pairs_in_groups(
+        e,
+        ["__b1", "__b2"],
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        split_col="__blk",
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query: list[float],

@@ -456,26 +456,29 @@ def broadcast_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nn_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D nearest-neighbor join (J2's argmin family): every customer
     matched to the supplier with the closest account balance.
-    min(struct(dist, key)) argmin — broadcast dim, no window shuffle,
-    deterministic tie-break on suppkey."""
-    cust = load(spark, sf_dir, "customer")
+    Broadcast dim + `min_by`/`min` argmin — no window shuffle, no
+    sort-based aggregate, deterministic tie-break on suppkey. The fact
+    side is repartitioned on the group key so the 15M-row fan-out
+    aggregates in parallel and needs no post-agg exchange (a single
+    parquet file would otherwise pin the whole cross product to one
+    task)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
-    joined = cust.join(F.broadcast(supp), how="cross")
-    best = (
-        joined.groupBy("c_custkey")
-        .agg(
-            F.min(
-                F.struct(
-                    F.abs(F.col("c_acctbal") - F.col("s_acctbal")).alias("d"),
-                    F.col("s_suppkey").alias("k"),
-                )
-            ).alias("b")
-        )
+    # explicit partition count: AQE would coalesce the tiny pre-join
+    # shuffle to one partition, not knowing every row fans out |supp|x
+    joined = (
+        cust.repartition(spark.sparkContext.defaultParallelism, "c_custkey")
+        .join(F.broadcast(supp), how="cross")
+        .withColumn("d", F.abs(F.col("c_acctbal") - F.col("s_acctbal")))
+    )
+    best = joined.groupBy("c_custkey").agg(
+        F.min_by("s_suppkey", F.struct("d", "s_suppkey")).alias("nearest_suppkey"),
+        F.min("d").alias("d"),
     )
     return best.select(
         "c_custkey",
-        F.col("b.k").alias("nearest_suppkey"),
-        F.round(F.col("b.d"), 4).alias("acctbal_diff"),
+        "nearest_suppkey",
+        F.round(F.col("d"), 4).alias("acctbal_diff"),
     )
 
 

@@ -95,10 +95,13 @@ def test_embedding_neardup(spark):
 
 
 def test_embedding_neardup_lsh_finds_close_pairs(spark):
-    # near-identical vectors always collide in every hyperplane bucket
+    # near-identical vectors collide in every hyperplane bucket as
+    # long as neither sits exactly ON a plane (sign bits are computed
+    # on the raw vectors; a zero dot product deterministically gets
+    # bit 0, so boundary vectors can split from their near-twins)
     rows = [
-        {"vec_id": 1, "embedding": [1.0, 0.2, -0.3, 0.5]},
-        {"vec_id": 2, "embedding": [1.001, 0.2, -0.3, 0.5]},   # ~identical
+        {"vec_id": 1, "embedding": [1.0, 0.2, -0.3, 0.4]},
+        {"vec_id": 2, "embedding": [1.001, 0.2, -0.3, 0.4]},   # ~identical
         {"vec_id": 3, "embedding": [-1.0, 0.4, 0.1, -0.9]},
         {"vec_id": 4, "embedding": [0.1, -0.8, 0.7, 0.0]},
     ]
