@@ -67,7 +67,9 @@ def main() -> None:
     from ngafid_cpat_spark.sources import TABLES, load
 
     for t in TABLES:
-        load(spark, sf_dir, t).count()
+        # noop write decodes every column; a bare count() hits the
+        # parquet count pushdown and leaves column pages cold
+        materialize(load(spark, sf_dir, t))
     materialize(QUERIES["q1_pricing_summary"](spark, sf_dir))
 
     timings: dict[str, float] = {}

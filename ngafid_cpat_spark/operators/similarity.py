@@ -161,17 +161,22 @@ def ivf_topk(
     depends on codebook quality; tests measure it against
     cosine_topk. At scale the assignment is a write-time partition
     key, making a probe a partition-pruned scan."""
-    # nearest centroid per vector: fold argmin over literal centroids
-    best_cid, best_sim = None, None
-    for cid, cvec in centroids:
-        sim = V.cosine_literal(vec_col, cvec)
-        if best_cid is None:
-            best_cid, best_sim = F.lit(cid), sim
-        else:
-            cond = sim > best_sim
-            best_cid = F.when(cond, F.lit(cid)).otherwise(best_cid)
-            best_sim = F.when(cond, sim).otherwise(best_sim)
-    assigned = emb.withColumn("centroid_id", best_cid)
+    # nearest centroid per vector. Each per-centroid cosine is
+    # evaluated ONCE into a (sim, cid) struct; array_max picks the
+    # lexicographic max = argmax by sim. (A naive when-chain fold that
+    # nests best_sim inside itself doubles the expression tree per
+    # centroid — 2^|centroids| copies of the 64-term dot product, a
+    # ~10 MB task binary, and ~25x slowdown.)
+    sim_structs = F.array(*[
+        F.struct(
+            V.cosine_literal(vec_col, cvec).alias("sim"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cvec in centroids
+    ])
+    assigned = emb.withColumn(
+        "centroid_id", F.array_max(sim_structs)["cid"]
+    )
 
     # pick the n_probe centroids closest to the query (driver-side,
     # codebook is tiny by construction)
