@@ -26,6 +26,9 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q7_nation_volume",
     "broadcast_star_revenue",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q21_sole_failing_supplier",
     "nn_join_acctbal",
     "asof_click_before_purchase",
     "argmax_order_per_customer",

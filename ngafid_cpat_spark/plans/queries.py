@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from . import extensions as _extensions  # noqa: F401  (registers)
 from . import relational as _relational  # noqa: F401  (registers)
+from . import tpch_extra as _tpch_extra  # noqa: F401  (registers)
 from .relational import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]
