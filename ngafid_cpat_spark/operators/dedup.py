@@ -298,6 +298,69 @@ def embedding_neardup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: every node's label converges to the
+    smallest id reachable from it — the canonical cluster
+    representative for dedup survivorship.
+
+    Distributed shape: each round is one join (labels x edges) + one
+    min-aggregate, both keyed on the node id, so a cluster of any
+    size never gathers on one executor (vs. collect_set approaches
+    that OOM on mega-clusters). Rounds needed = graph diameter, which
+    for near-dup clusters is tiny; convergence is checked with a
+    count of changed labels (an O(1)-result job, not a collect of
+    data). Output: (id, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    # localCheckpoint after every round: truncates the logical plan so
+    # round N doesn't re-analyze rounds 1..N-1 (lineage otherwise grows
+    # superlinearly and stalls the driver after ~6 iterations)
+    labels = ids.select(
+        F.col(id_col).alias("nid"), F.col(id_col).alias("lbl")
+    ).localCheckpoint()
+    # labels only ever decrease, so the label sum is a monotone
+    # convergence witness — one scalar agg per round, no self-join
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.nid)
+            .groupBy(F.col("src").alias("nid"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr, "nid", "left_outer")
+            .select(
+                "nid",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("lbl")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(F.col("nid").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
 def embedding_neardup_lsh(
     emb: DataFrame,
     planes: list[list[float]],

@@ -91,6 +91,48 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
 
 
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM common
+        JOIN sizes s1 ON common.id1 = s1.doc_id
+        JOIN sizes s2 ON common.id2 = s2.doc_id
+      WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ),
+    reach(id, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(root) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (not just pairs): connected components over
+    the exact-Jaccard pair graph by iterative min-label propagation —
+    the dedup survivorship step that picks one representative per
+    transitive duplicate group. Oracle: recursive CTE reachability.
+    Isolated documents form singleton clusters."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, k=SHINGLE_K, threshold=JACCARD_THRESHOLD)
+    return D.connected_components(
+        pairs, docs.select("doc_id"), id_col="doc_id"
+    )
+
+
 @register("dedup_minhash_lsh", None)  # hash-function-specific => rows-only
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidates, exact-Jaccard verified: the
@@ -467,4 +509,66 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_type",
         F.col("n_bytes").cast("long").alias("n_bytes"),
         "sha256",
+    )
+
+
+@register(
+    "vocab_topk",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({NORM_SQL}, ' ')) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k: explode (generator/UDTF surface) +
+    global count + TakeOrdered top-20. At scale the count partial-
+    aggregates map-side, so the shuffle carries one row per distinct
+    token per partition, and the top-k never sorts the full vocab."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "quantile_events",
+    """
+    SELECT event_type,
+           ROUND(median(value), 4) AS median_value,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90_value,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile aggregates (median / p90 / p99, continuous
+    interpolation — Spark percentile == DuckDB quantile_cont). The
+    exact form is the correctness baseline; approx_quantile_events is
+    the sketch-based scale path."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 4).alias("median_value"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90_value"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register("approx_quantile_events", None)  # sketch-based => rows-only
+def approx_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles — the 100 TB path
+    where exact quantiles would sort every group."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("median_approx"),
+        F.percentile_approx("value", 0.9, 1000).alias("p90_approx"),
     )

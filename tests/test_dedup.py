@@ -113,3 +113,27 @@ def test_embedding_neardup_lsh_finds_close_pairs(spark):
     assert (1, 2) in got and got[(1, 2)] > 0.999
     # precision: nothing dissimilar sneaks past the cosine verify
     assert all(c >= 0.99 for c in got.values())
+
+
+def test_connected_components(spark):
+    # components: {1,2,3} via chain, {5,6}, isolated {4}
+    pairs = spark.createDataFrame(
+        [{"id1": 1, "id2": 2}, {"id1": 2, "id2": 3}, {"id1": 5, "id2": 6}]
+    )
+    ids = spark.createDataFrame([{"id": i} for i in range(1, 7)])
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in D.connected_components(pairs, ids, id_col="id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain(spark):
+    # a 10-node path needs several propagation rounds to converge
+    pairs = spark.createDataFrame(
+        [{"id1": i, "id2": i + 1} for i in range(1, 10)]
+    )
+    ids = spark.createDataFrame([{"id": i} for i in range(1, 11)])
+    out = D.connected_components(pairs, ids, id_col="id").collect()
+    assert all(r["cluster_id"] == 1 for r in out)
+    assert len(out) == 10
