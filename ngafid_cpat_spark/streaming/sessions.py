@@ -123,3 +123,42 @@ def run_to_memory(df: DataFrame, query_name: str, mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+def stream_stream_click_purchase(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    lookback: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each purchase joined to the same user's clicks from the trailing
+    ``lookback`` window — the streaming twin of the batch as-of join
+    (asof_click_before_purchase), relaxed to all-matches-in-range
+    (streaming state can't hold an unbounded "latest ever" without a
+    custom stateful op; the interval bound is what lets Spark evict
+    join state at the watermark).
+
+    Scale: state per side is bounded by watermark x arrival rate,
+    keyed/shuffled on user_id; the interval predicate prunes state by
+    event time, so skewed users bound memory by time, not history.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user_id)
+        & (clicks.click_ts >= purchases.ts - F.expr(f"INTERVAL {lookback}"))
+        & (clicks.click_ts < purchases.ts),
+        "inner",
+    ).select("event_id", "user_id", "ts", "click_ts")

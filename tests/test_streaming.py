@@ -114,3 +114,33 @@ def test_stateful_closed_sessions_matches_batch(spark, stream):
     }
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_stream_stream_join_matches_batch(spark, stream):
+    """Stream-stream interval join == the same join run in batch."""
+    ST.run_to_memory(
+        ST.stream_stream_click_purchase(stream), "ssj_test", mode="append"
+    )
+    got = {
+        (r["event_id"], r["click_ts"]) for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    want = {
+        (r["event_id"], r["click_ts"])
+        for r in purchases.join(
+            clicks,
+            (purchases.user_id == clicks.c_user_id)
+            & (clicks.click_ts >= purchases.ts - F.expr("INTERVAL 1 hour"))
+            & (clicks.click_ts < purchases.ts),
+        ).collect()
+    }
+    assert got, "stream-stream join emitted nothing"
+    assert got.issubset(want)
+    # append mode withholds rows near the final watermark only
+    assert len(got) >= 0.8 * len(want)
