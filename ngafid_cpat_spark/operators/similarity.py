@@ -146,6 +146,75 @@ def cosine_pairs_blocked(
     )
 
 
+def assign_centroids(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-side nearest-centroid assignment over a literal codebook:
+    each per-centroid cosine evaluated once into a (sim, cid) struct,
+    array_max = argmax (linear expression size in |centroids|)."""
+    sim_structs = F.array(*[
+        F.struct(
+            V.cosine_literal(vec_col, cvec).alias("sim"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cvec in centroids
+    ])
+    return emb.withColumn("centroid_id", F.array_max(sim_structs)["cid"])
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: vectors written partitioned by
+    their nearest centroid, so a probe is a PARTITION-PRUNED scan
+    (PartitionFilters, zero I/O outside probed cells) instead of a
+    full scan + filter. This is the write-time half of ivf_topk's
+    scale story."""
+    assign_centroids(emb, centroids, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a write_ivf_index store: the centroid_id filter prunes
+    whole directories at planning time."""
+    probes = _nearest_probes(query, centroids, n_probe)
+    pruned = spark.read.parquet(path).filter(F.col("centroid_id").isin(probes))
+    return cosine_topk(pruned, query, k, id_col=id_col, vec_col=vec_col)
+
+
+def _nearest_probes(
+    query: list[float], centroids: list[tuple[int, list[float]]], n_probe: int
+) -> list[int]:
+    """The n_probe centroid ids closest (cosine) to the query —
+    driver-side; the codebook is tiny by construction."""
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    return [
+        cid
+        for cid, cvec in sorted(centroids, key=lambda c: -cos(query, c[1]))[:n_probe]
+    ]
+
+
 def ivf_topk(
     emb: DataFrame,
     query: list[float],
@@ -159,33 +228,16 @@ def ivf_topk(
     (map-side argmin over a literal codebook), search only the
     ``n_probe`` centroids nearest the query. Approximate: recall
     depends on codebook quality; tests measure it against
-    cosine_topk. At scale the assignment is a write-time partition
-    key, making a probe a partition-pruned scan."""
-    # nearest centroid per vector. Each per-centroid cosine is
-    # evaluated ONCE into a (sim, cid) struct; array_max picks the
-    # lexicographic max = argmax by sim. (A naive when-chain fold that
-    # nests best_sim inside itself doubles the expression tree per
-    # centroid — 2^|centroids| copies of the 64-term dot product, a
-    # ~10 MB task binary, and ~25x slowdown.)
-    sim_structs = F.array(*[
-        F.struct(
-            V.cosine_literal(vec_col, cvec).alias("sim"),
-            F.lit(cid).alias("cid"),
-        )
-        for cid, cvec in centroids
-    ])
-    assigned = emb.withColumn(
-        "centroid_id", F.array_max(sim_structs)["cid"]
-    )
+    cosine_topk. The write-time twin (write_ivf_index /
+    ivf_topk_indexed) turns the probe into a partition-pruned scan.
 
-    # pick the n_probe centroids closest to the query (driver-side,
-    # codebook is tiny by construction)
-    def cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(x * x for x in b) ** 0.5
-        return num / (na * nb) if na and nb else 0.0
-
-    probes = [cid for cid, cvec in sorted(centroids, key=lambda c: -cos(query, c[1]))[:n_probe]]
+    Assignment shape: each per-centroid cosine is evaluated ONCE into
+    a (sim, cid) struct; array_max picks the lexicographic max =
+    argmax by sim. (A naive when-chain fold that nests best_sim
+    inside itself doubles the expression tree per centroid —
+    2^|centroids| copies of the 64-term dot product, a ~10 MB task
+    binary, and ~25x slowdown.)"""
+    assigned = assign_centroids(emb, centroids, vec_col)
+    probes = _nearest_probes(query, centroids, n_probe)
     pruned = assigned.filter(F.col("centroid_id").isin(probes))
     return cosine_topk(pruned, query, k, id_col=id_col, vec_col=vec_col)

@@ -64,3 +64,24 @@ def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """Explicit-schema CSV reader (vs reference's split(',')+float()
     positional parse, main.py:171-181)."""
     return spark.read.option("header", True).schema(schema).csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Explicit-schema JSON-lines reader. Schema is mandatory: an
+    inferred schema costs an extra full scan and can drift between
+    files at scale."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same DataSource V2 pushdown/pruning surface as
+    parquet (PushedFilters / ReadSchema in .explain())."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

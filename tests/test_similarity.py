@@ -69,3 +69,38 @@ def test_pandas_udf_cosine_matches_expression(emb):
     for r in df.collect():
         assert r["expr_self"] == pytest.approx(1.0, abs=1e-9)
         assert r["udf_self"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ivf_indexed_matches_unindexed(spark, tmp_path):
+    """Partition-pruned probe over a write_ivf_index store returns
+    exactly what the scan-time ivf_topk returns, and the probe plan
+    prunes partitions (PartitionFilters) rather than filtering rows."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from ngafid_cpat_spark.operators import similarity as S
+    from ngafid_cpat_spark.sources import load
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    rows = emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+    q = [float(x) for x in rows[0]["embedding"]]
+
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(emb, centroids, path)
+    indexed = S.ivf_topk_indexed(spark, path, q, centroids, k=5, n_probe=2)
+    direct = S.ivf_topk(emb, q, centroids, k=5, n_probe=2)
+    got = [(r["vec_id"], round(r["cosine"], 6)) for r in indexed.collect()]
+    want = [(r["vec_id"], round(r["cosine"], 6)) for r in direct.collect()]
+    assert got == want
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        indexed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan and "centroid_id" in plan

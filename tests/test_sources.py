@@ -57,3 +57,37 @@ def test_all_tables_load(spark):
     for t in sources.TABLES:
         df = sources.load(spark, SF_DIR, t)
         assert len(df.columns) > 0
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ngafid_cpat_spark.sources.tables import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    )
+    p = str(tmp_path / "j")
+    write_jsonl(df, p)
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    back = read_jsonl(spark, p, schema)
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    from ngafid_cpat_spark.sources.tables import read_orc, write_orc
+
+    df = spark.createDataFrame([{"id": i, "v": float(i)} for i in range(100)])
+    p = str(tmp_path / "o")
+    write_orc(df, p)
+    back = read_orc(spark, p).filter("id > 90")
+    assert back.count() == 9
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain("formatted")
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)]" in buf.getvalue()
