@@ -1,0 +1,120 @@
+"""Property-based tests (SURVEY.md §5.4): algebraic invariants of the
+geodesy expressions, island segmentation, and dedup, checked by
+hypothesis over randomized inputs. Each example evaluates a whole
+BATCH of generated rows in one Spark job so example counts stay low
+while row coverage stays high.
+"""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ngafid_cpat_spark.functions import geo
+from ngafid_cpat_spark.operators import dedup as D
+from ngafid_cpat_spark.operators import windows as OW
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+lat = st.floats(min_value=-89.0, max_value=89.0, allow_nan=False, width=32)
+lon = st.floats(min_value=-179.0, max_value=179.0, allow_nan=False, width=32)
+hdg = st.floats(min_value=0.0, max_value=360.0, allow_nan=False, width=32)
+
+
+@given(st.lists(st.tuples(hdg, hdg), min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_heading_difference_range_and_symmetry(spark, pairs):
+    df = spark.createDataFrame(
+        [{"i": i, "h1": float(a), "h2": float(b)} for i, (a, b) in enumerate(pairs)]
+    )
+    rows = df.select(
+        geo.heading_difference("h1", "h2").alias("d12"),
+        geo.heading_difference("h2", "h1").alias("d21"),
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r["d12"] <= 180.0
+        assert abs(r["d12"] - r["d21"]) < 1e-9
+
+
+@given(st.lists(st.tuples(lat, lon, lat, lon), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_distance_identity_symmetry_nonneg(spark, quads):
+    df = spark.createDataFrame(
+        [
+            {"la1": float(a), "lo1": float(b), "la2": float(c), "lo2": float(d)}
+            for a, b, c, d in quads
+        ]
+    )
+    rows = df.select(
+        geo.distance("la1", "lo1", "la1", "lo1", geo.EARTH_RADIUS_M).alias("self_d"),
+        geo.distance("la1", "lo1", "la2", "lo2", geo.EARTH_RADIUS_M).alias("ab"),
+        geo.distance("la2", "lo2", "la1", "lo1", geo.EARTH_RADIUS_M).alias("ba"),
+    ).collect()
+    for r in rows:
+        assert abs(r["self_d"]) < 1e-6
+        assert r["ab"] >= 0.0
+        assert abs(r["ab"] - r["ba"]) < 1e-6
+
+
+@given(st.lists(st.tuples(lat, lon, lat, lon, hdg), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_cross_track_sign_flips_on_bearing_reversal(spark, rows_in):
+    df = spark.createDataFrame(
+        [
+            {"pa": float(pa), "po": float(po), "sa": float(sa), "so": float(so),
+             "brg": float(b), "rbrg": (float(b) + 180.0) % 360.0}
+            for pa, po, sa, so, b in rows_in
+        ]
+    )
+    rows = df.select(
+        geo.cross_track_distance(
+            "pa", "po", "sa", "so", "brg", geo.EARTH_RADIUS_M
+        ).alias("fwd"),
+        geo.cross_track_distance(
+            "pa", "po", "sa", "so", "rbrg", geo.EARTH_RADIUS_M
+        ).alias("rev"),
+    ).collect()
+    # bearing+180 is the same great circle traversed the other way:
+    # left/right mirror, magnitude unchanged
+    for r in rows:
+        if abs(r["fwd"]) > 1e-3:
+            assert abs(abs(r["fwd"]) - abs(r["rev"])) < max(1e-6 * abs(r["fwd"]), 1e-3)
+            assert (r["fwd"] > 0) != (r["rev"] > 0)
+
+
+@given(st.lists(st.booleans(), min_size=1, max_size=80))
+@settings(**SETTINGS)
+def test_islands_match_edge_count_and_contiguity(spark, flags):
+    df = spark.createDataFrame(
+        [{"g": 1, "t": i, "flag_src": bool(f)} for i, f in enumerate(flags)]
+    )
+    out = (
+        OW.islands(df, "g", ["t"], flag=F.col("flag_src"), island_col="isl")
+        .orderBy("t")
+        .collect()
+    )
+    # only flagged rows survive; islands numbered 1..K in time order,
+    # one island per 0->1 edge, each island contiguous in t
+    edges = sum(
+        1 for i, f in enumerate(flags) if f and (i == 0 or not flags[i - 1])
+    )
+    assert len(out) == sum(flags)
+    if out:
+        assert max(r["isl"] for r in out) == edges
+        by_island: dict = {}
+        for r in out:
+            by_island.setdefault(r["isl"], []).append(r["t"])
+        for ts in by_island.values():
+            assert ts == list(range(min(ts), max(ts) + 1))
+
+
+@given(st.lists(st.sampled_from(["aa bb cc", "dd ee ff", "gg hh"]), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_exact_dedup_partitions_rows(spark, texts):
+    df = spark.createDataFrame(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    out = D.exact_dedup(df).collect()
+    # groups partition the rows: copies sum to row count, one keeper
+    # per distinct text, keepers are real doc ids
+    assert sum(r["n_copies"] for r in out) == len(texts)
+    assert len(out) == len(set(texts))
+    assert all(0 <= r["keeper_id"] < len(texts) for r in out)
