@@ -27,6 +27,31 @@ NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.04
 
+# Deterministic pseudo-random hyperplanes for embedding LSH (no RNG
+# state to seed; shared by the Spark plan and its DuckDB oracle).
+LSH_PLANES = [
+    [(((i * 2654435761 + d * 40503) % 1000) - 500) / 500.0 for d in range(64)]
+    for i in range(8)
+]
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(SQRT(list_dot_product({a}, {a})) * SQRT(list_dot_product({b}, {b})))"
+)
+
+
+def _plane_bucket_sql(vec: str) -> str:
+    """Sign-bit bucket id of ``vec`` vs LSH_PLANES as a SQL expr —
+    mirrors similarity.lsh_bucket_assignments bit for bit (same
+    sequential dot-product order, same 2^i packing)."""
+    bits = []
+    for i, p in enumerate(LSH_PLANES):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(
+            f"CASE WHEN list_dot_product({vec}, {lit}) > 0 THEN {1 << i} ELSE 0 END"
+        )
+    return " + ".join(bits)
+
 
 # ---------------------------------------------------------------------------
 # Dedup
@@ -224,20 +249,29 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.round(F.col("cosine"), 4).desc(), F.col("vec_id"))
 
 
-@register("embedding_neardup_lsh", None)  # LSH-recall approximate => rows-only
+@register(
+    "embedding_neardup_lsh",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, ({_plane_bucket_sql('v')}) AS bucket FROM e
+    )
+    SELECT a.vec_id AS id1, c.vec_id AS id2,
+           ROUND({_COS_SQL.format(a='a.v', b='c.v')}, 4) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_COS_SQL.format(a='a.v', b='c.v')} >= 0.35
+    """,
+)
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed near-dup pairs — the linear-shuffle
-    scale path for embedding dedup; recall vs the exact query is
-    unit-tested."""
+    scale path for embedding dedup. The hyperplanes are deterministic
+    literals, so even this LSH variant is fully oracle-paired (the
+    DuckDB SQL recomputes the same sign-bit buckets)."""
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    # deterministic pseudo-random hyperplanes (no RNG state to seed)
-    planes = [
-        [(((i * 2654435761 + d * 40503) % 1000) - 500) / 500.0 for d in range(64)]
-        for i in range(8)
-    ]
-    out = D.embedding_neardup_lsh(emb, planes, threshold=0.35)
+    out = D.embedding_neardup_lsh(emb, LSH_PLANES, threshold=0.35)
     return out.select("id1", "id2", F.round("cosine", 4).alias("cosine"))
 
 
@@ -291,11 +325,38 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk", None)  # approximate => rows-only
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 8
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), assign AS (
+      SELECT e.vec_id, e.v,
+             arg_max(c.cid, {_COS_SQL.format(a='e.v', b='c.cv')}) AS cid
+      FROM e CROSS JOIN c GROUP BY e.vec_id, e.v
+    ), probes AS (
+      SELECT cid FROM c, q
+      ORDER BY {_COS_SQL.format(a='c.cv', b='qv')} DESC, cid LIMIT 2
+    )
+    SELECT vec_id, ROUND(cos, 4) AS cosine FROM (
+      SELECT a.vec_id, {_COS_SQL.format(a='a.v', b='qv')} AS cos
+      FROM assign a JOIN probes p ON a.cid = p.cid, q
+      ORDER BY ROUND(cos, 6) DESC, vec_id LIMIT 10
+    )
+    ORDER BY ROUND(cos, 4) DESC, vec_id
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: vectors assigned to nearest of 8 seed centroids,
-    probe the 2 closest to the query. Recall vs the exact baseline is
-    unit-tested (tests/test_similarity.py)."""
+    """IVF-style ANN: vectors assigned to nearest of 8 seed centroids
+    (embedding rows 0-7 — a deterministic codebook, so the whole
+    approximate search is oracle-paired), probe the 2 closest to the
+    query. Recall vs the exact baseline is unit-tested
+    (tests/test_similarity.py)."""
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
@@ -304,7 +365,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
     )
     centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seeds]
-    return S.ivf_topk(emb, q, centroids, k=10, n_probe=2)
+    out = S.ivf_topk(emb, q, centroids, k=10, n_probe=2)
+    return out.select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    ).orderBy(F.round(F.col("cosine"), 4).desc(), F.col("vec_id"))
 
 
 # ---------------------------------------------------------------------------
