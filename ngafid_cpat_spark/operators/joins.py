@@ -6,9 +6,12 @@ per telemetry point (FlightAnalysis.py:347-367) — and a heading-band
 filtered argmin runway lookup (FlightAnalysis.py:369-391). Here they
 are DataFrame operators:
 
-  * nearest_1d / nearest: broadcast dim + groupBy + min(struct)
-    argmin. min(struct(dist, key)) gives a total order => determinism
-    on ties, unlike bare min_by.
+  * nearest: broadcast dim + groupBy + min(struct) argmin.
+    min(struct(dist, key)) gives a total order => determinism on
+    ties, unlike bare min_by.
+  * nearest_banded_1d: exact banded 1-D nearest neighbor — 3-band
+    equi-join + provable window guarantee + sparse-tail fallback;
+    linear shuffle instead of a cross product.
   * nearest_gridded: the 100 TB-scale variant — bucket both sides on
     a lat/lon grid cell and join each point to its 3x3 neighborhood,
     turning the cross product into an equi-join on cell id.
@@ -63,6 +66,74 @@ def nearest(
         *[F.col(f"__best.{c}").alias(f"{out_prefix}{c}") for c in dim_cols],
     )
     return facts.join(out, on=fact_key, how="left")
+
+
+def nearest_banded_1d(
+    facts: DataFrame,
+    dims: DataFrame,
+    fact_key: str,
+    fact_val: str,
+    dim_key: str,
+    dim_val: str,
+    band_width: float,
+) -> DataFrame:
+    """EXACT 1-D nearest neighbor without a cross product: band both
+    sides into fixed-width buckets, equi-join each fact to dims in its
+    band +/- 1, argmin per fact. Any dim within ``band_width`` of a
+    fact is provably inside that 3-band window, so a banded winner at
+    distance <= band_width IS the global winner; the (rare) facts
+    whose banded best is farther — or who saw no candidate at all —
+    fall back to the exact broadcast-argmin pass.
+
+    At scale: the main join shuffles linearly in |facts| (dims
+    replicated 3x, broadcast), and the fallback handles only the
+    sparse tail — the 1-D form of nearest_gridded's 3x3 cell walk.
+    Output: (fact_key, fact_val, nearest key, distance). Ties break
+    on (distance, dim_key) like `nearest`.
+    """
+    w = float(band_width)
+    dims3 = (
+        dims.select(F.col(dim_key), F.col(dim_val))
+        .withColumn("__o", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn(
+            "__band", (F.floor(F.col(dim_val) / w) + F.col("__o")).cast("long")
+        )
+        .drop("__o")
+    )
+    f = facts.select(F.col(fact_key), F.col(fact_val)).withColumn(
+        "__band", F.floor(F.col(fact_val) / w).cast("long")
+    )
+    d = F.abs(F.col(fact_val) - F.col(dim_val))
+    banded_best = (
+        f.join(F.broadcast(dims3), on="__band")
+        .groupBy(fact_key)
+        .agg(
+            F.min_by(F.col(dim_key), F.struct(d.alias("__d"), F.col(dim_key))).alias(
+                "__best_key"
+            ),
+            F.min(d).alias("__dist"),
+        )
+    )
+    resolved = banded_best.filter(F.col("__dist") <= w)
+    # facts with no in-window winner: exact broadcast argmin (tail)
+    rest = f.join(resolved.select(fact_key), on=fact_key, how="left_anti")
+    rest_best = (
+        rest.join(F.broadcast(dims.select(F.col(dim_key), F.col(dim_val))), how="cross")
+        .groupBy(fact_key)
+        .agg(
+            F.min_by(F.col(dim_key), F.struct(d.alias("__d"), F.col(dim_key))).alias(
+                "__best_key"
+            ),
+            F.min(d).alias("__dist"),
+        )
+    )
+    best = resolved.unionByName(rest_best)
+    return facts.select(fact_key, fact_val).join(best, on=fact_key).select(
+        fact_key,
+        fact_val,
+        F.col("__best_key").alias("nearest_key"),
+        F.col("__dist").alias("nearest_dist"),
+    )
 
 
 GRID_DEG = 0.5  # ~55 km cells; nearest-airport search radius

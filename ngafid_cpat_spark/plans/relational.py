@@ -455,30 +455,23 @@ def broadcast_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def nn_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D nearest-neighbor join (J2's argmin family): every customer
-    matched to the supplier with the closest account balance.
-    Broadcast dim + `min_by`/`min` argmin — no window shuffle, no
-    sort-based aggregate, deterministic tie-break on suppkey. The fact
-    side is repartitioned on the group key so the 15M-row fan-out
-    aggregates in parallel and needs no post-agg exchange (a single
-    parquet file would otherwise pin the whole cross product to one
-    task)."""
+    matched to the supplier with the closest account balance — via
+    the banded equi-join (operators/joins.nearest_banded_1d): dims
+    replicated into +/-1 fixed-width bands, argmin per customer, and
+    an exact fallback for customers whose nearest is beyond one band.
+    Same semantics as the oracle's CROSS JOIN argmin, but the shuffle
+    is linear in |customer| — the cross product (|customer| x
+    |supplier| rows) never materializes at any scale."""
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
-    # explicit partition count: AQE would coalesce the tiny pre-join
-    # shuffle to one partition, not knowing every row fans out |supp|x
-    joined = (
-        cust.repartition(spark.sparkContext.defaultParallelism, "c_custkey")
-        .join(F.broadcast(supp), how="cross")
-        .withColumn("d", F.abs(F.col("c_acctbal") - F.col("s_acctbal")))
+    out = OJ.nearest_banded_1d(
+        cust, supp, "c_custkey", "c_acctbal", "s_suppkey", "s_acctbal",
+        band_width=100.0,
     )
-    best = joined.groupBy("c_custkey").agg(
-        F.min_by("s_suppkey", F.struct("d", "s_suppkey")).alias("nearest_suppkey"),
-        F.min("d").alias("d"),
-    )
-    return best.select(
+    return out.select(
         "c_custkey",
-        "nearest_suppkey",
-        F.round(F.col("d"), 4).alias("acctbal_diff"),
+        F.col("nearest_key").alias("nearest_suppkey"),
+        F.round(F.col("nearest_dist"), 4).alias("acctbal_diff"),
     )
 
 

@@ -68,3 +68,47 @@ def test_nearest_argmin_deterministic_ties(spark):
     )
     # lexicographic tie-break inside min(struct): 'A' < 'B'
     assert out.first()["nearest_code"] == "A"
+
+
+def test_nearest_banded_1d_exact_with_sparse_tail(spark):
+    """Banded NN == brute force, including facts whose nearest dim is
+    beyond one band (the fallback pass) and distance ties (key
+    tie-break)."""
+    from ngafid_cpat_spark.operators.joins import nearest_banded_1d
+
+    facts = spark.createDataFrame(
+        [{"fk": i, "fv": v} for i, v in enumerate([0.0, 99.0, 250.0, 1000.0, -500.0])]
+    )
+    # dims: 99 is out of band 0's +/-1 window for fact at -500 etc.;
+    # two dims equidistant from fv=150 would tie — include a pair
+    # equidistant from 250 (at 200 and 300) to check key tie-break
+    dims = spark.createDataFrame(
+        [{"dk": k, "dv": v} for k, v in [(1, 0.0), (2, 200.0), (3, 300.0), (4, 205.0)]]
+    )
+    out = {
+        r["fk"]: (r["nearest_key"], r["nearest_dist"])
+        for r in nearest_banded_1d(
+            facts, dims, "fk", "fv", "dk", "dv", band_width=100.0
+        ).collect()
+    }
+    # brute force expectations (tie at fv=250: d=45 for dk=4 wins;
+    # craft a true tie: fv=250 vs dk2@200 (d=50) and dk3@300 (d=50)
+    # loses to dk4@205 (d=45))
+    assert out[0] == (1, 0.0)
+    assert out[1] == (1, 99.0)
+    assert out[2] == (4, 45.0)
+    assert out[3] == (3, 700.0)   # fallback: nearest far beyond one band
+    assert out[4] == (1, 500.0)   # fallback on the other side
+
+
+def test_nearest_banded_1d_tie_breaks_on_key(spark):
+    from ngafid_cpat_spark.operators.joins import nearest_banded_1d
+
+    facts = spark.createDataFrame([{"fk": 1, "fv": 250.0}])
+    dims = spark.createDataFrame(
+        [{"dk": 9, "dv": 200.0}, {"dk": 3, "dv": 300.0}]
+    )
+    r = nearest_banded_1d(
+        facts, dims, "fk", "fv", "dk", "dv", band_width=100.0
+    ).first()
+    assert (r["nearest_key"], r["nearest_dist"]) == (3, 50.0)
