@@ -127,3 +127,41 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 16
             F.col("payload"), (F.col("frame_no") - 1) * every_n_bytes + 1, F.lit(every_n_bytes)
         ).alias("frame_bytes"),
     )
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("orig_bytes", LongType(), True),
+    StructField("resized", BinaryType(), True),
+])
+
+
+def resize(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """'Resize' for the stub modality: deterministic linear
+    downsample of the payload to ``target_bytes`` (index-sampled — the
+    1-D stand-in for bilinear image resize; a real implementation
+    would decode, interpolate pixels, re-encode in the same Arrow
+    batch loop). Payloads shorter than the target pass through
+    unchanged."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def one(b):
+                if b is None:
+                    return None
+                raw = bytes(b)
+                if len(raw) <= target_bytes:
+                    return raw
+                idx = np.linspace(0, len(raw) - 1, target_bytes).astype(np.int64)
+                return np.frombuffer(raw, dtype=np.uint8)[idx].tobytes()
+
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "orig_bytes": pdf["payload"].map(
+                    lambda b: len(b) if b is not None else 0
+                ),
+                "resized": pdf["payload"].map(one),
+            })
+
+    return media.mapInPandas(gen, schema=RESIZE_SCHEMA)

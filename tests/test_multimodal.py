@@ -51,3 +51,21 @@ def test_frame_sample(media):
     assert all(len(bytes(r["frame_bytes"])) <= 64 for r in got)
     joined = b"".join(bytes(r["frame_bytes"]) for r in sorted(got, key=lambda r: r["frame_no"]))
     assert joined == b"x" * 256  # 4 full strides
+
+
+def test_resize_downsamples_deterministically(spark):
+    from ngafid_cpat_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": "x" * 500, "source": "s"},
+            {"doc_id": 2, "text": "short", "source": "s"},
+        ]
+    )
+    media = M.assemble_media(docs, "doc_id", "text", "image", "source")
+    out = {r["media_id"]: r for r in M.resize(media, target_bytes=64).collect()}
+    assert out[1]["orig_bytes"] == 500 and len(out[1]["resized"]) == 64
+    assert out[2]["orig_bytes"] == 5 and bytes(out[2]["resized"]) == b"short"
+    # deterministic: second run bit-identical
+    again = {r["media_id"]: r for r in M.resize(media, target_bytes=64).collect()}
+    assert bytes(again[1]["resized"]) == bytes(out[1]["resized"])
