@@ -636,3 +636,42 @@ def approx_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 1000).alias("median_approx"),
         F.percentile_approx("value", 0.9, 1000).alias("p90_approx"),
     )
+
+
+@register(
+    "skew_salted_event_type_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_event_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation on a LOW-cardinality hot key
+    (event_type — 5 values over the whole fact): the salt spreads
+    each hot key over 16 reducers for the partial phase, the final
+    phase combines 16 rows per key. Results are identical to the
+    plain GROUP BY (the oracle), so the skew path is fully
+    correctness-gated."""
+    from ..operators import skew as SK
+
+    ev = load(spark, sf_dir, "events")
+    out = SK.salted_agg(
+        ev,
+        key_cols=["event_type"],
+        salt_from=["event_id"],
+        partial_aggs=[
+            (F.count(F.lit(1)), "pn"),
+            (F.sum("value"), "psum"),
+            (F.max("value"), "pmax"),
+        ],
+        final_aggs=[
+            (F.sum("pn").cast("long"), "n"),
+            (F.round(F.sum("psum"), 2), "sum_value"),
+            (F.round(F.max("pmax"), 2), "max_value"),
+        ],
+        n_salts=16,
+    )
+    return out.select("event_type", "n", "sum_value", "max_value")
