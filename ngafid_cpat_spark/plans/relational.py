@@ -25,18 +25,97 @@ QUERIES: dict = {}
 ORACLES: dict = {}
 
 
+# ---------------------------------------------------------------------------
+# Cross-engine-exact decimal arithmetic.
+#
+# ROUND() of a float is NOT portable at decimal ties: Spark rounds the
+# double's shortest decimal representation (BigDecimal.valueOf) with
+# HALF_UP while DuckDB computes round(x * 10^d) / 10^d — when the true
+# rational value lands exactly on a .xxxx5 tie (which quotients of
+# decimal sums hit at ~1e-4 rate per group), 1-ulp noise decides the
+# direction differently per engine. Every money aggregate and every
+# rounded ratio below therefore goes through INTEGER arithmetic that
+# both engines evaluate bit-identically:
+#   * cents_sum: per-row half-up to integer cents (the input double is
+#     byte-identical on both engines, so the row rounding agrees even
+#     AT ties — both round half away from zero), then an exact BIGINT
+#     sum. Also the saner shape at 100 TB: integer partial aggregates.
+#   * ratio_round: round-half-up(num/den) via floor((2|num|+den)/(2den))
+#     — pure integers, no float tie anywhere. The double division
+#     inside floor() is safe: non-tie quotients sit >= 1/(2den) away
+#     from integers, far beyond double error for any realistic count.
+# ---------------------------------------------------------------------------
+
+
+def cents_sum_long(expr) -> "Column":
+    """Per-row half-up to integer cents, exact BIGINT sum."""
+    if isinstance(expr, str):
+        expr = F.col(expr)
+    return F.sum(F.round(expr * 100, 0).cast("long"))
+
+
+def cents_sum(expr) -> "Column":
+    """Exact 2-decimal money sum: per-row half-up to cents, BIGINT
+    sum, back to a 2-decimal double. Immune to summation order."""
+    return cents_sum_long(expr) / 100.0
+
+
+def CENTS_SUM_LONG_SQL(expr: str) -> str:
+    return f"SUM(CAST(ROUND(({expr}) * 100, 0) AS BIGINT))"
+
+
+def CENTS_SUM_SQL(expr: str) -> str:
+    return f"{CENTS_SUM_LONG_SQL(expr)} / 100.0"
+
+
+def _ratio_round(num, den, digits: int):
+    """round-half-away-from-zero(num/den) / 10^digits for integer
+    Columns num, den — num pre-scaled so num/den is the value at
+    10^digits scale."""
+    mag = F.floor((2 * F.abs(num) + den) / (2 * den)).cast("long")
+    signed = F.when(num < 0, -mag).otherwise(mag)
+    return signed.cast("double") / (10 ** digits)
+
+
+def _RATIO_ROUND_SQL(num: str, den: str, digits: int) -> str:
+    return (
+        f"(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END) * "
+        f"CAST(FLOOR((2 * ABS({num}) + ({den})) / (2.0 * ({den}))) AS BIGINT)"
+        f" / {10 ** digits}.0"
+    )
+
+
+def _sum_cents(col):
+    return F.round(F.sum(col) * 100, 0).cast("long")
+
+
 def stable_avg(col, digits: int = 4):
-    """Rounding-boundary-stable average of 2-decimal (money-like)
-    values: ROUND(SUM,2) recovers the exact decimal sum (killing
-    summation-order ulp noise), so the division input — and therefore
-    the final round — is bit-identical in Spark and DuckDB. A bare
-    ROUND(AVG(x),4) flips at exact .xxxx5 boundaries, which
-    2-decimal inputs hit routinely (e.g. sum 222.05 over 8 rows)."""
-    return F.round(F.round(F.sum(col), 2) / F.count(col), digits)
+    """Cross-engine-exact average of 2-decimal values, rounded
+    half-up to ``digits``: integer cents / integer count via
+    ratio_round. NULL on empty groups (A1 semantics)."""
+    num = _sum_cents(col) * (10 ** (digits - 2))
+    return _ratio_round(num, F.count(col), digits)
 
 
 def STABLE_AVG_SQL(expr: str, digits: int = 4) -> str:
-    return f"ROUND(ROUND(SUM({expr}), 2) / COUNT({expr}), {digits})"
+    num = (
+        f"CAST(ROUND(SUM({expr}) * 100, 0) AS BIGINT) * {10 ** (digits - 2)}"
+    )
+    return _RATIO_ROUND_SQL(num, f"COUNT({expr})", digits)
+
+
+def stable_avg_window(col, w, digits: int = 4):
+    """stable_avg over a window frame instead of a group."""
+    cents = F.round(F.sum(col).over(w) * 100, 0).cast("long")
+    return _ratio_round(cents * (10 ** (digits - 2)), F.count(col).over(w), digits)
+
+
+def STABLE_AVG_WINDOW_SQL(expr: str, over: str, digits: int = 4) -> str:
+    num = (
+        f"CAST(ROUND(SUM({expr}) OVER {over} * 100, 0) AS BIGINT)"
+        f" * {10 ** (digits - 2)}"
+    )
+    return _RATIO_ROUND_SQL(num, f"COUNT({expr}) OVER {over}", digits)
 
 
 def register(name: str, oracle: str | None):
@@ -85,15 +164,15 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           ROUND(ROUND(SUM(l_quantity), 2) / COUNT(l_quantity), 4)           AS avg_qty,
-           ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(l_extendedprice), 4) AS avg_price,
-           ROUND(ROUND(SUM(l_discount), 2) / COUNT(l_discount), 4)           AS avg_disc,
+           {CENTS_SUM_SQL('l_extendedprice * (1 - l_discount)')}            AS sum_disc_price,
+           {CENTS_SUM_SQL('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {STABLE_AVG_SQL('l_quantity')}      AS avg_qty,
+           {STABLE_AVG_SQL('l_extendedprice')} AS avg_price,
+           {STABLE_AVG_SQL('l_discount')}      AS avg_disc,
            COUNT(*)                        AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -103,7 +182,10 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A6: the TPC-H-Q1 shape — full-scan hash aggregate with
     partial (map-side) combine; mirrors the per-episode metric rollup
-    (FlightAnalysis.py:400-423) as one groupBy."""
+    (FlightAnalysis.py:400-423) as one groupBy. Sums of PRODUCTS
+    (disc_price/charge) aggregate in integer cents (see cents_sum);
+    sums of raw 2-decimal columns keep ROUND(SUM, 2) — their true
+    sums are exact 2-decimal values, so that round has no ties."""
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -112,8 +194,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            cents_sum(disc_price).alias("sum_disc_price"),
+            cents_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             stable_avg("l_quantity").alias("avg_qty"),
             stable_avg("l_extendedprice").alias("avg_price"),
             stable_avg("l_discount").alias("avg_disc"),
@@ -219,13 +301,12 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "conditional_agg_events",
-    """
+    f"""
     SELECT user_id,
            COUNT(*) AS n_events,
            COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
-           ROUND(ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2)
-                 / COUNT(CASE WHEN event_type = 'error' THEN value END), 4) AS avg_error_value,
-           ROUND(ROUND(SUM(value), 2) / COUNT(value), 4) AS avg_value,
+           {STABLE_AVG_SQL("CASE WHEN event_type = 'error' THEN value END")} AS avg_error_value,
+           {STABLE_AVG_SQL('value')} AS avg_value,
            ROUND(MIN(value), 2) AS min_value,
            ROUND(MAX(value), 2) AS max_value
     FROM events GROUP BY user_id
@@ -256,7 +337,7 @@ def conditional_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT o_orderkey, o_orderdate, o_orderpriority,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
@@ -287,8 +368,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -299,7 +380,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_region_revenue",
     """
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -336,8 +417,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -412,7 +493,7 @@ def join_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "broadcast_star_revenue",
     """
-    SELECT p_brand, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT p_brand, SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS revenue,
            ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows
     FROM lineitem JOIN part ON l_partkey = p_partkey
                   JOIN supplier ON l_suppkey = s_suppkey
@@ -430,8 +511,8 @@ def broadcast_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("p_brand")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -659,11 +740,11 @@ def window_running_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rolling5_events",
-    """
+    f"""
     SELECT event_id, user_id, ts, value,
-           ROUND(ROUND(SUM(value) OVER w5, 2) / COUNT(value) OVER w5, 4) AS rolling_avg,
+           {STABLE_AVG_WINDOW_SQL('value', 'w5')} AS rolling_avg,
            CASE WHEN COUNT(value) OVER w5 >= 5
-                THEN ROUND(ROUND(SUM(value) OVER w5, 2) / COUNT(value) OVER w5, 4) END AS rolling_avg_full
+                THEN {STABLE_AVG_WINDOW_SQL('value', 'w5')} END AS rolling_avg_full
     FROM events
     WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -679,8 +760,7 @@ def rolling5_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-4, 0)
     )
-    # stable form: exact-ized window sum / count (see stable_avg)
-    avg5 = F.round(F.round(F.sum("value").over(w5), 2) / F.count("value").over(w5), 4)
+    avg5 = stable_avg_window("value", w5)
     return ev.select(
         "event_id", "user_id", "ts", "value",
         avg5.alias("rolling_avg"),
@@ -723,7 +803,7 @@ def range_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue",
     """
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_returnflag = 'R'
@@ -747,8 +827,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -788,9 +868,14 @@ def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_share",
-    """
-    SELECT ROUND(100.0 * ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
-                 / ROUND(SUM(l_extendedprice * (1 - l_discount)), 2), 4) AS promo_share,
+    f"""
+    SELECT {_RATIO_ROUND_SQL(
+        CENTS_SUM_LONG_SQL(
+            "CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+        ) + " * 1000000",
+        CENTS_SUM_LONG_SQL("l_extendedprice * (1 - l_discount)"),
+        4,
+    )} AS promo_share,
            COUNT(*) AS n_rows
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -799,8 +884,9 @@ def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q14 shape: conditional-ratio aggregate (LIKE-prefix
-    predicate); both sums exact-ized before the division so the ratio
-    is bit-identical across engines."""
+    predicate). promo_share = 100 * promo_cents / total_cents rounded
+    half-up at 4 digits — all-integer, engine-exact (see ratio_round
+    notes at the top of this module)."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
@@ -811,8 +897,8 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
-                F.lit(100.0) * F.round(F.sum(promo), 2) / F.round(F.sum(rev), 2), 4
+            _ratio_round(
+                cents_sum_long(promo) * 1_000_000, cents_sum_long(rev), 4
             ).alias("promo_share"),
             F.count(F.lit(1)).alias("n_rows"),
         )
@@ -903,14 +989,14 @@ TOUCHGO_AVG = 20.0
     SELECT user_id, episode_id,
            MIN(ts) AS episode_start, MAX(ts) AS episode_end,
            COUNT(*) AS n_ticks,
-           ROUND(ROUND(SUM(value), 2) / COUNT(value), 4) AS avg_value,
+           {{STABLE_AVG}} AS avg_value,
            ROUND(MIN(value), 2) AS min_value,
            CASE WHEN MIN(value) < {FULLSTOP_MIN} THEN 'full-stop'
                 WHEN ROUND(SUM(value), 2) / COUNT(value) < {TOUCHGO_AVG} THEN 'touch-and-go'
                 ELSE 'go-around' END AS label
     FROM numbered WHERE in_ep = 1
     GROUP BY user_id, episode_id
-    """,
+    """.replace("{STABLE_AVG}", STABLE_AVG_SQL("value")),
 )
 def episode_detect_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's approach-episode detection (W2/W3/W5/W6,
@@ -1106,7 +1192,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT SUM(CAST(ROUND((l_extendedprice * l_discount) * 100, 0) AS BIGINT)) / 100.0 AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1125,7 +1211,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.03, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        cents_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -1134,7 +1220,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_nation_volume",
     """
     SELECT supp_nation, cust_nation, l_year,
-           ROUND(SUM(volume), 2) AS revenue, COUNT(*) AS n_rows
+           SUM(CAST(ROUND((volume) * 100, 0) AS BIGINT)) / 100.0 AS revenue, COUNT(*) AS n_rows
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
@@ -1181,8 +1267,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )

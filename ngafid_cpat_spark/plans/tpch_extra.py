@@ -31,7 +31,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load
-from .relational import register
+from .relational import (
+    CENTS_SUM_LONG_SQL,
+    CENTS_SUM_SQL,
+    STABLE_AVG_SQL,
+    _RATIO_ROUND_SQL,
+    _ratio_round,
+    cents_sum,
+    cents_sum_long,
+    register,
+    stable_avg,
+)
 
 
 @register(
@@ -135,11 +145,12 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
     )
     SELECT o_year,
-           ROUND(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2)
-                 / ROUND(SUM(volume), 2), 4) AS mkt_share,
+           {MKT} AS mkt_share,
            COUNT(*) AS n_rows
     FROM flat GROUP BY o_year
-    """,
+    """.replace("{MKT}", _RATIO_ROUND_SQL(
+        CENTS_SUM_LONG_SQL("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END") + " * 10000",
+        CENTS_SUM_LONG_SQL("volume"), 4)),
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q8 shape: national market share — nation joined in two
@@ -172,8 +183,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0)
     )
     return flat.groupBy("o_year").agg(
-        F.round(
-            F.round(F.sum(share_vol), 2) / F.round(F.sum("volume"), 2), 4
+        _ratio_round(
+            cents_sum_long(share_vol) * 10_000, cents_sum_long("volume"), 4
         ).alias("mkt_share"),
         F.count(F.lit(1)).alias("n_rows"),
     )
@@ -183,8 +194,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     """
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)
-                     - p_retailprice * 0.1 * l_quantity), 2) AS profit
+           SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+                     - p_retailprice * 0.1 * l_quantity) * 100, 0) AS BIGINT)) / 100.0 AS profit
     FROM lineitem
       JOIN part     ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -215,7 +226,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(cents_sum(profit).alias("profit"))
     )
 
 
@@ -223,13 +234,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_parts",
     """
     WITH v AS (
-      SELECT l_partkey AS partkey, ROUND(SUM(l_extendedprice), 2) AS value
+      SELECT l_partkey AS partkey,
+             CAST(ROUND(SUM(l_extendedprice) * 100, 0) AS BIGINT) AS vc
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       WHERE s_nationkey < 5
       GROUP BY 1
     )
-    SELECT partkey, value FROM v
-    WHERE value > (SELECT ROUND(SUM(value) * 0.001, 2) FROM v)
+    SELECT partkey, vc / 100.0 AS value FROM v
+    WHERE 1000 * vc > (SELECT SUM(vc) FROM v)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,13 +254,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "inner")
         .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("value"))
+        .agg(F.round(F.sum("l_extendedprice") * 100, 0).cast("long").alias("vc"))
     )
-    thresh = v.agg(F.round(F.sum("value") * 0.001, 2).alias("t"))
+    thresh = v.agg(F.sum("vc").alias("t"))
     return (
         v.join(F.broadcast(thresh))
-        .filter(F.col("value") > F.col("t"))
-        .select("partkey", "value")
+        .filter(1000 * F.col("vc") > F.col("t"))
+        .select("partkey", (F.col("vc") / 100.0).alias("value"))
     )
 
 
@@ -286,7 +298,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -307,7 +319,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         )
     )
@@ -355,15 +367,20 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pa AS (
       SELECT l_partkey AS pk,
-             ROUND(ROUND(SUM(l_quantity), 2) / COUNT(l_quantity), 4) AS avg_qty
+             {AVGQ} AS avg_qty
       FROM lineitem GROUP BY 1
     )
-    SELECT ROUND(ROUND(SUM(l_extendedprice), 2) / 7.0, 2) AS avg_yearly,
+    SELECT {AVGY} AS avg_yearly,
            COUNT(*) AS n_rows
     FROM lineitem JOIN part ON l_partkey = p_partkey
                   JOIN pa ON l_partkey = pa.pk
     WHERE p_brand = 'Brand#2' AND l_quantity < 0.2 * avg_qty
-    """,
+    """.replace("{AVGQ}", STABLE_AVG_SQL("l_quantity")).replace(
+        "{AVGY}",
+        _RATIO_ROUND_SQL(
+            "CAST(ROUND(SUM(l_extendedprice) * 100, 0) AS BIGINT)", "7", 2
+        ),
+    ),
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q17 shape: correlated per-part average threshold
@@ -372,9 +389,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     form so the 0.2x threshold is engine-identical."""
     li = load(spark, sf_dir, "lineitem")
     pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.round(F.round(F.sum("l_quantity"), 2) / F.count("l_quantity"), 4).alias(
-            "avg_qty"
-        )
+        stable_avg("l_quantity").alias("avg_qty")
     )
     part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
     return (
@@ -382,7 +397,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pa, li.l_partkey == pa.pk)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            F.round(F.round(F.sum("l_extendedprice"), 2) / 7.0, 2).alias("avg_yearly"),
+            _ratio_round(
+                F.round(F.sum("l_extendedprice") * 100, 0).cast("long"), F.lit(7), 2
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -391,7 +408,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -424,9 +441,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(cond).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
