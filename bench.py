@@ -75,6 +75,21 @@ def main() -> None:
         materialize(load(spark, sf_dir, t))
     materialize(QUERIES["q1_pricing_summary"](spark, sf_dir))
 
+    # warm the Python worker pool: the first Arrow/pandas stage pays
+    # a numpy+pandas import in every one of the N reused workers
+    # (~seconds of CPU-contended startup) — pay it here, with the JVM
+    # warm-up, not inside a measured query
+    def _touch(it):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from it
+
+    n_workers = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    materialize(
+        spark.range(0, n_workers, 1, n_workers).mapInPandas(_touch, "id long")
+    )
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

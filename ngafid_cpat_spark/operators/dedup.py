@@ -138,30 +138,39 @@ def minhash_lsh_pairs(
     # signature via exploded shingles + one partial-aggregated groupBy:
     # computing 32 array_min(transform(...)) expressions inline blows
     # up codegen (9+ MB task binaries, ~100x slower) — the explode
-    # form is one pass and map-side combines before the shuffle
+    # form is one pass and map-side combines before the shuffle.
+    # collect_set rides the SAME groupBy, so the verification step
+    # below needs no second tokenize/shingle pass — every consumer of
+    # `sig` shares one shingle pipeline (and one ReusedExchange).
     sh = _shingle_sets(df, id_col, text_col, k)
+    # F.expr strings, not Column-op chains: every Column operator is
+    # a py4j round-trip, and 32x4 of them cost whole seconds of
+    # driver time per query construction (see functions/vector.py)
     sig = sh.groupBy("id").agg(
         *[
-            F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}")
+            F.expr(f"min(xxhash64(sh, {i})) AS h{i}")
             for i in range(num_hashes)
-        ]
+        ],
+        F.collect_set("sh").alias("s"),
+    ).localCheckpoint(eager=False)
+    # lazy localCheckpoint: the signature table materializes once and
+    # every consumer (both band-join sides + verification sets) reads
+    # the cached copy — without it, column pruning specializes the
+    # aggregate per branch and the shingle pipeline runs twice. Same
+    # shape as at 100 TB, where the signature table is persisted
+    # before LSH banding.
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"cast(h{b * rows_per_band + r} as string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
     )
     banded = sig.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", *[
-                            F.col(f"h{b * rows_per_band + r}").cast("string")
-                            for r in range(rows_per_band)
-                        ])
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
+        "id", F.expr(f"explode(array({band_structs})) AS bb")
     ).select("id", "bb.band", "bb.bucket")
     cands = (
         banded.alias("a")
@@ -170,9 +179,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    # exact verification on candidates only
-    sh = _shingle_sets(df, id_col, text_col, k)
-    sets = sh.groupBy("id").agg(F.collect_set("sh").alias("s"))
+    # exact verification on candidates only; sets come from the same
+    # signature aggregate, not a fresh shingle pass
+    sets = sig.select("id", "s")
     out = (
         cands.join(sets.withColumnRenamed("id", "id1").withColumnRenamed("s", "s1"), "id1")
         .join(sets.withColumnRenamed("id", "id2").withColumnRenamed("s", "s2"), "id2")
@@ -230,20 +239,20 @@ def simhash_pairs(
     # majority vote of the shingle-hash bits, assembled into one long
     sh = _shingle_sets(df, id_col, text_col, k)
     hashed = sh.select("id", F.xxhash64("sh").alias("h"))
+    # F.expr strings, not Column-op chains — 64x5 Column operators are
+    # 64x5 py4j round-trips (~seconds of driver time per construction)
     votes = hashed.groupBy("id").agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)).cast("int")).alias(f"b{b}")
+            F.expr(f"sum(cast(shiftrightunsigned(h, {b}) & 1L as int)) AS b{b}")
             for b in range(64)
         ],
     )
-    sh64 = F.lit(0).cast("long")
-    for b in range(64):
-        sh64 = sh64.bitwiseOR(
-            F.when(F.col(f"b{b}") * 2 >= F.col("n"), F.shiftleft(F.lit(1).cast("long"), b))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    sig = votes.select("id", sh64.alias("sh64"))
+    sh64_sql = " | ".join(
+        f"(CASE WHEN b{b} * 2 >= n THEN shiftleft(1L, {b}) ELSE 0L END)"
+        for b in range(64)
+    )
+    sig = votes.select("id", F.expr(f"({sh64_sql}) AS sh64"))
     blocks = sig.select(
         "id",
         "sh64",
