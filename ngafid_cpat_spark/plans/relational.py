@@ -71,8 +71,12 @@ def CENTS_SUM_SQL(expr: str) -> str:
 def _ratio_round(num, den, digits: int):
     """round-half-away-from-zero(num/den) / 10^digits for integer
     Columns num, den — num pre-scaled so num/den is the value at
-    10^digits scale."""
-    mag = F.floor((2 * F.abs(num) + den) / (2 * den)).cast("long")
+    10^digits scale. Integer division (Spark DIV / DuckDB //), not
+    floor of a double quotient: a double carries 53 bits, so once
+    |num| grows past ~2^52 (a few $10^13 in scaled cents — reachable
+    by a global sum at 100 TB) the float path can misround near
+    integer boundaries. DIV is exact for the full BIGINT range."""
+    mag = F.call_function("div", 2 * F.abs(num) + den, 2 * den)
     signed = F.when(num < 0, -mag).otherwise(mag)
     return signed.cast("double") / (10 ** digits)
 
@@ -80,7 +84,7 @@ def _ratio_round(num, den, digits: int):
 def _RATIO_ROUND_SQL(num: str, den: str, digits: int) -> str:
     return (
         f"(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END) * "
-        f"CAST(FLOOR((2 * ABS({num}) + ({den})) / (2.0 * ({den}))) AS BIGINT)"
+        f"((2 * ABS({num}) + ({den})) // (2 * ({den})))"
         f" / {10 ** digits}.0"
     )
 
@@ -739,6 +743,44 @@ def window_running_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ntile_distribution_orders",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER w AS price_quartile,
+           LAST_VALUE(o_orderkey) OVER wf AS cheapest_in_priority,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+    WINDOW w  AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey),
+           wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def ntile_distribution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/ranking window family the §2.5 inventory declares
+    beyond the reference's needs: ntile bucketing, last_value over the
+    full frame, percent_rank, cume_dist. Total order (price, key) so
+    every function is deterministic cross-engine."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.last("o_orderkey").over(wf).alias("cheapest_in_priority"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
     "rolling5_events",
     f"""
     SELECT event_id, user_id, ts, value,
@@ -1349,6 +1391,67 @@ def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.k").alias("top_orderkey"),
             F.col("b.p").alias("top_price"),
         )
+    )
+
+
+@register(
+    "date_arith_events",
+    """
+    SELECT event_id,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS unix_sec,
+           CAST(ts AS DATE) AS day,
+           CAST(CAST(ts AS DATE) + INTERVAL 7 DAY AS DATE) AS next_week,
+           datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since
+    FROM events WHERE event_id < 2000
+    """,
+)
+def date_arith_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time arithmetic scalars the §2.8 inventory declares
+    (reference time is an integer tick): epoch seconds, date
+    truncation to day, interval add, day difference."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("unix_sec"),
+        F.to_date("ts").alias("day"),
+        F.date_add(F.to_date("ts"), 7).alias("next_week"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+    )
+
+
+@register(
+    "string_functions_customers",
+    """
+    SELECT c_custkey,
+           printf('C-%07d/%s', c_custkey, lower(c_mktsegment)) AS tag,
+           upper(substring(c_name, 10, 9)) AS name_digits,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           replace(c_name, 'Customer#', '') AS bare_name,
+           length(c_name) AS name_len
+    FROM customer
+    WHERE c_custkey < 200
+    """,
+)
+def string_functions_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar library incl. F11's formatting (the reference's
+    toString, LatLon.py:42-49 — here F.format_string, printf-style on
+    both engines): padding, case, substring, concat_ws, replace."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.select(
+        "c_custkey",
+        F.format_string(
+            "C-%07d/%s", "c_custkey", F.lower("c_mktsegment")
+        ).alias("tag"),
+        F.upper(F.substring("c_name", 10, 9)).alias("name_digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.concat_ws(
+            "|", "c_mktsegment", F.col("c_nationkey").cast("string")
+        ).alias("seg_nation"),
+        F.regexp_replace("c_name", "Customer#", "").alias("bare_name"),
+        F.length("c_name").cast("long").alias("name_len"),
     )
 
 

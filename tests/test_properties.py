@@ -118,3 +118,69 @@ def test_exact_dedup_partitions_rows(spark, texts):
     assert sum(r["n_copies"] for r in out) == len(texts)
     assert len(out) == len(set(texts))
     assert all(0 <= r["keeper_id"] < len(texts) for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine-exact decimal arithmetic (plans/relational.py helpers)
+# ---------------------------------------------------------------------------
+
+cents2 = st.integers(min_value=-10_000_00, max_value=10_000_00)
+
+
+@given(st.lists(cents2, min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_stable_avg_matches_decimal_half_up(spark, cents):
+    """stable_avg == Decimal ROUND_HALF_UP of (exact cents sum / n) at
+    4 digits — including exact .xxxx5 ties, where float AVG+ROUND is
+    engine-dependent."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ngafid_cpat_spark.plans.relational import stable_avg
+
+    df = spark.createDataFrame(
+        [{"g": 1, "v": c / 100.0} for c in cents]
+    )
+    got = df.groupBy("g").agg(stable_avg("v").alias("a")).first()["a"]
+    want = float(
+        (Decimal(sum(cents)) / (100 * len(cents))).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert got == want, (cents, got, want)
+
+
+@given(st.lists(cents2, min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_cents_sum_is_exact(spark, cents):
+    """cents_sum recovers the exact 2-decimal sum regardless of
+    summation order (float SUM drifts by ulps; BIGINT cents cannot)."""
+    from ngafid_cpat_spark.plans.relational import cents_sum
+
+    df = spark.createDataFrame([{"g": 1, "v": c / 100.0} for c in cents])
+    got = df.groupBy("g").agg(cents_sum("v").alias("s")).first()["s"]
+    assert got == sum(cents) / 100.0, (cents, got)
+
+
+@given(
+    st.integers(min_value=-(10**18), max_value=10**18),
+    st.integers(min_value=1, max_value=10**6),
+)
+@settings(**SETTINGS)
+def test_ratio_round_half_away_from_zero(spark, num, den):
+    """_ratio_round(num, den, 4) == round-half-away-from-zero of
+    num/den at scale 10^4, computed with pure integers — including
+    |num| past 2^53, where a floor-of-double-quotient misrounds."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ngafid_cpat_spark.plans.relational import _ratio_round
+
+    df = spark.createDataFrame([{"num": num, "den": den}])
+    got = df.select(
+        _ratio_round(F.col("num"), F.col("den"), 4).alias("r")
+    ).first()["r"]
+    want = float(
+        (Decimal(num) / Decimal(den) / Decimal(10_000)).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert got == want, (num, den, got, want)
