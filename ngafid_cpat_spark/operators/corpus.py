@@ -1,0 +1,156 @@
+"""Corpus-preparation operators for training-data pipelines.
+
+Beyond the dedup/similarity family (operators/dedup.py,
+operators/similarity.py), a large-scale pretraining pipeline needs:
+
+  * stratified_sample   deterministic per-stratum downsampling
+                        (domain mixing weights) — pure map-side
+                        arithmetic, no RNG state, reproducible and
+                        engine-portable.
+  * pack_sequences      concatenate-then-chunk sequence packing:
+                        documents laid head-to-tail on a per-group
+                        token tape, chunk boundaries every `budget`
+                        tokens — one window per group, the standard
+                        LLM pretraining packing shape.
+  * contamination       benchmark-contamination check: per train doc,
+                        the count/ratio of its k-shingles that appear
+                        anywhere in a (small) eval set — inverted-
+                        index join against a broadcast eval shingle
+                        set, never a cross product.
+
+All three are expression-only (no Python in the hot path) and shuffle
+at most once per group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from .dedup import _shingle_sets
+
+# Multiplicative-hash constants for stratified_sample. The id is
+# reduced mod a prime < 1e6 BEFORE multiplying so the product stays
+# < 2.7e15 — inside exact BIGINT range on every engine (DuckDB
+# errors on 64-bit overflow; Spark silently wraps — neither is
+# acceptable for a portable sampler at 1e12-row scale).
+_SAMPLE_PRIME = 999_983
+_SAMPLE_MULT = 2_654_435_761
+_SAMPLE_OFFSET = 12_345
+
+
+def sample_hash(id_col) -> Column:
+    """Deterministic permille bucket 0-999 of an integer id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(
+        F.pmod(c, _SAMPLE_PRIME) * _SAMPLE_MULT + _SAMPLE_OFFSET, 1000
+    )
+
+
+def SAMPLE_HASH_SQL(id_expr: str) -> str:
+    return (
+        f"((({id_expr}) % {_SAMPLE_PRIME}) * {_SAMPLE_MULT}"
+        f" + {_SAMPLE_OFFSET}) % 1000"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_permille: dict[str, int],
+    default_permille: int = 0,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a row iff its deterministic permille bucket falls under
+    its stratum's rate — the domain-mixing sampler. Map-side only
+    (no shuffle, no RNG, no seed plumbing); rerunning yields the
+    identical subset, and upstream/downstream engines agree on it."""
+    rate = F.lit(default_permille)
+    for stratum, permille in sorted(rates_permille.items()):
+        rate = F.when(F.col(stratum_col) == stratum, permille).otherwise(rate)
+    return df.filter(sample_hash(id_col) < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concatenate-then-chunk packing: within each group, documents
+    ordered by id are laid head-to-tail on a token tape; training
+    chunks are the tape sliced every ``budget`` tokens. Emits each
+    document's tape offset and first/last chunk ids.
+
+    One window (one shuffle on the group key); groups pack
+    independently, so at 100 TB each group's tape is built by its own
+    executor chain. Chunk ids use exact integer division — tape
+    offsets exceed 2^53 long before a global corpus stops fitting,
+    so floor-of-double is not an option (see plans/relational.py
+    _ratio_round notes)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_tok = T.token_count(text_col)
+    with_cum = (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            n_tok.cast("long").alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("tape_end", F.sum("n_tok").over(w))
+    )
+    start = F.col("tape_end") - F.col("n_tok")
+    b = F.lit(budget).cast("long")
+    return with_cum.select(
+        id_col,
+        group_col,
+        "n_tok",
+        start.alias("start_off"),
+        F.call_function("div", start, b).alias("chunk_first"),
+        F.call_function("div", F.col("tape_end") - 1, b).alias("chunk_last"),
+    )
+
+
+def contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per train document: how many of its distinct k-shingles occur
+    anywhere in ``eval_df`` (the held-out benchmark), and the
+    contaminated fraction. The eval shingle set is broadcast
+    (benchmark sets are small by nature); the train side streams
+    through one inverted-index join + one groupBy — linear shuffle,
+    no pairwise comparison, no flag column threaded through the
+    corpus."""
+    train = _shingle_sets(train_df, id_col, text_col, k)
+    eval_sh = (
+        _shingle_sets(eval_df, id_col, text_col, k).select("sh").distinct()
+    )
+    sizes = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(eval_sh), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        sizes.join(hits, "id", "left_outer")
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0))
+                / F.col("n_shingles")
+            ).alias("contamination"),
+        )
+        .filter(F.col("n_overlap") > 0)
+    )

@@ -675,3 +675,102 @@ def skew_salted_event_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
     )
     return out.select("event_type", "n", "sum_value", "max_value")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-preparation pipeline (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+from ..operators import corpus as C  # noqa: E402
+from ..operators.corpus import SAMPLE_HASH_SQL  # noqa: E402
+
+SAMPLE_RATES = {"src0": 500, "src1": 250, "src2": 125}
+_RATE_SQL = (
+    "CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 250 "
+    "WHEN 'src2' THEN 125 ELSE 50 END"
+)
+
+
+@register(
+    "stratified_sample_docs",
+    f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE {SAMPLE_HASH_SQL('doc_id')} < {_RATE_SQL}
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sampler: per-source keep rates applied through a
+    deterministic multiplicative hash of doc_id — map-side only, no
+    RNG state, identical subset on every engine and every rerun (the
+    property a resumable 100 TB pipeline actually needs)."""
+    docs = load(spark, sf_dir, "documents")
+    out = C.stratified_sample(docs, SAMPLE_RATES, default_permille=50)
+    return out.select("doc_id", "source", "n_chars")
+
+
+@register(
+    "pack_sequences_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split({NORM_SQL}, ' ')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tape_end
+      FROM t WHERE n_tok > 0
+    )
+    SELECT doc_id, source, n_tok,
+           tape_end - n_tok AS start_off,
+           (tape_end - n_tok) // 256 AS chunk_first,
+           (tape_end - 1) // 256 AS chunk_last
+    FROM c
+    """,
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: per-source token tape,
+    256-token chunks; emits each doc's tape offset and chunk span.
+    One window shuffle; exact integer division for chunk ids (tape
+    offsets pass 2^53 long before 100 TB does)."""
+    docs = load(spark, sf_dir, "documents")
+    return C.pack_sequences(docs, budget=256)
+
+
+@register(
+    "contamination_check_docs",
+    f"""
+    WITH {_SHINGLE_SQL},
+    eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0),
+    train AS (SELECT doc_id, s FROM sh WHERE doc_id % 23 <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_overlap
+      FROM train t JOIN eval_sh e ON t.s = e.s GROUP BY 1
+    )
+    SELECT s.doc_id, s.n_shingles,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           ROUND(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / s.n_shingles, 4)
+             AS contamination
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    WHERE COALESCE(h.n_overlap, 0) > 0
+    """,
+)
+def contamination_check_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: every 23rd document plays the
+    held-out eval set; per train doc, the count and fraction of its
+    distinct 3-shingles that appear anywhere in the eval set —
+    broadcast inverted-index join, no pairwise comparison."""
+    docs = load(spark, sf_dir, "documents")
+    out = C.contamination(
+        docs.filter(F.pmod("doc_id", F.lit(23)) != 0),
+        docs.filter(F.pmod("doc_id", F.lit(23)) == 0),
+        k=SHINGLE_K,
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round("contamination", 4).alias("contamination"),
+    )

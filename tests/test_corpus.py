@@ -1,0 +1,94 @@
+"""Corpus-pipeline operator tests (operators/corpus.py): the
+training-data preparation layer beyond dedup/similarity — stratified
+sampling, sequence packing, contamination checks."""
+
+from pyspark.sql import functions as F
+
+from ngafid_cpat_spark.operators import corpus as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows)
+
+
+def test_stratified_sample_deterministic_subset(spark):
+    rows = [
+        {"doc_id": i, "source": f"src{i % 3}", "text": "x"} for i in range(300)
+    ]
+    df = _docs(spark, rows)
+    rates = {"src0": 1000, "src1": 500, "src2": 0}
+    a = {r["doc_id"] for r in C.stratified_sample(df, rates).collect()}
+    b = {r["doc_id"] for r in C.stratified_sample(df, rates).collect()}
+    assert a == b  # rerun-identical, no RNG state
+    # rate 1000 keeps everything, rate 0 keeps nothing
+    assert all(i in a for i in range(300) if i % 3 == 0)
+    assert all(i not in a for i in range(300) if i % 3 == 2)
+    # rate 500 keeps a nontrivial strict subset
+    kept1 = [i for i in a if i % 3 == 1]
+    assert 0 < len(kept1) < 100
+
+
+def test_stratified_sample_default_rate(spark):
+    df = _docs(
+        spark, [{"doc_id": i, "source": "other", "text": "x"} for i in range(200)]
+    )
+    none = C.stratified_sample(df, {"src0": 500}, default_permille=0)
+    assert none.count() == 0
+    every = C.stratified_sample(df, {"src0": 0}, default_permille=1000)
+    assert every.count() == 200
+
+
+def test_pack_sequences_tape_layout(spark):
+    # 5 docs of 100 tokens each in one group, budget 256:
+    # offsets 0,100,200,300,400; chunk spans by exact division
+    rows = [
+        {"doc_id": i, "source": "a", "text": " ".join(["w"] * 100)}
+        for i in range(5)
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in C.pack_sequences(_docs(spark, rows), budget=256).collect()
+    }
+    assert [out[i]["start_off"] for i in range(5)] == [0, 100, 200, 300, 400]
+    for i in range(5):
+        start, end = 100 * i, 100 * (i + 1)
+        assert out[i]["n_tok"] == 100
+        assert out[i]["chunk_first"] == start // 256
+        assert out[i]["chunk_last"] == (end - 1) // 256
+    # doc 2 (tokens 200-299) straddles the 256 boundary
+    assert (out[2]["chunk_first"], out[2]["chunk_last"]) == (0, 1)
+
+
+def test_pack_sequences_groups_independent(spark):
+    rows = [
+        {"doc_id": i, "source": "a", "text": "t1 t2 t3"} for i in range(3)
+    ] + [{"doc_id": 10 + i, "source": "b", "text": "t1 t2"} for i in range(2)]
+    out = C.pack_sequences(_docs(spark, rows), budget=4)
+    by_group = {
+        g: sorted((r["doc_id"], r["start_off"]) for r in grp)
+        for g, grp in [
+            (g, [r for r in out.collect() if r["source"] == g])
+            for g in ("a", "b")
+        ]
+    }
+    # each group's tape starts at 0 independently
+    assert by_group["a"] == [(0, 0), (1, 3), (2, 6)]
+    assert by_group["b"] == [(10, 0), (11, 2)]
+
+
+def test_contamination_counts_shared_shingles(spark):
+    # eval doc: shingles {a b c, b c d}; train doc 1 shares exactly
+    # "a b c"; train doc 2 shares nothing
+    eval_df = _docs(spark, [{"doc_id": 100, "text": "a b c d"}])
+    train_df = _docs(
+        spark,
+        [
+            {"doc_id": 1, "text": "a b c x y"},  # shingles: abc bcx cxy
+            {"doc_id": 2, "text": "p q r s"},
+        ],
+    )
+    out = {r["doc_id"]: r for r in C.contamination(train_df, eval_df).collect()}
+    assert set(out) == {1}  # doc 2 has zero overlap -> filtered
+    assert out[1]["n_shingles"] == 3
+    assert out[1]["n_overlap"] == 1
+    assert abs(out[1]["contamination"] - 1 / 3) < 1e-12
