@@ -117,6 +117,142 @@ def pack_sequences(
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    IDF is computed in INTEGER permille — ``n_docs * 1000 DIV df`` —
+    instead of ``ln(N/df)``: libm's log is not guaranteed bit-equal
+    across engines, and the ranking (the actual product of this
+    operator) is order-isomorphic either way for df <= N. The score
+    is then exact BIGINT arithmetic that every engine reproduces.
+
+    Shape at scale: one explode + (doc, term) partial-aggregated
+    count; the document-frequency table is vocabulary-sized (small
+    relative to the corpus) and broadcast back onto the term counts;
+    top-k is a per-doc window over doc-partitioned data. Shuffles:
+    one on (doc, term), one on term (vocab-sized), one on doc."""
+    toks = df.select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = toks.select(id_col).distinct().count()
+    idf_milli = F.call_function(
+        "div", F.lit(int(n_docs) * 1000).cast("long"), F.col("df")
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * idf_milli).cast("long").alias("score_milli"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_milli").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "df", "score_milli", "rn")
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality
+    filters): duplicate-token fraction, top-token dominance, and
+    duplicate-bigram fraction. One explode + two-level aggregation;
+    ratios are quotients of small integers rounded at 4 decimals
+    (exact-rational distance from decimal ties >= 1/(2*n_tokens) —
+    far beyond double error, so the rounding is engine-portable)."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(T.tokens(text_col)).alias("pos", "term")
+    ).filter(F.col("term") != "")
+    per_term = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    uni = per_term.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("tf").alias("max_tf"),
+    )
+    # bigrams from the same exploded stream: join-free via lead()
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = (
+        toks.withColumn("nxt", F.lead("term").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(id_col, F.concat_ws(" ", "term", "nxt").alias("bigram"))
+    )
+    bi = (
+        big.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("bf"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("bf").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+    )
+    out = uni.join(bi, id_col, "left_outer")
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            1.0 - F.col("n_distinct") / F.col("n_tokens"), 4
+        ).alias("dup_token_ratio"),
+        F.round(F.col("max_tf") / F.col("n_tokens"), 4).alias(
+            "top_token_ratio"
+        ),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.when(
+            F.col("n_bigrams").isNull(), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                1.0 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 4
+            )
+        )
+        .alias("dup_bigram_ratio"),
+    )
+
+
+def keep_best_per_duplicate_group(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Dedup survivorship: among exact duplicates (same normalized-
+    text fingerprint), keep the row with the highest quality metric
+    (ties to the lowest id). The realistic dedup step — you keep the
+    best copy, not an arbitrary one. Integer quality column keeps
+    the argmax engine-portable; one shuffle on the 16-byte
+    fingerprint, never on the text body."""
+    fp = df.withColumn("fp", T.fingerprint_md5(text_col))
+    w = Window.partitionBy("fp").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_copies", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "fp",
+            F.col(id_col).alias("keeper_id"),
+            F.col(quality_col).alias("keeper_quality"),
+            "n_copies",
+        )
+    )
+
+
 def contamination(
     train_df: DataFrame,
     eval_df: DataFrame,

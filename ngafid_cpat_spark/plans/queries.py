@@ -8,6 +8,7 @@ defines the registry, extensions appends to it.
 from __future__ import annotations
 
 from . import extensions as _extensions  # noqa: F401  (registers)
+from . import pipeline as _pipeline  # noqa: F401  (registers)
 from . import relational as _relational  # noqa: F401  (registers)
 from . import tpch_extra as _tpch_extra  # noqa: F401  (registers)
 from .relational import ORACLES, QUERIES

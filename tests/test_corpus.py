@@ -92,3 +92,66 @@ def test_contamination_counts_shared_shingles(spark):
     assert out[1]["n_shingles"] == 3
     assert out[1]["n_overlap"] == 1
     assert abs(out[1]["contamination"] - 1 / 3) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Second-wave corpus/behavioral operators
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_topk_ranks_rare_terms_highest(spark):
+    rows = [
+        {"doc_id": 1, "text": "common common rare"},
+        {"doc_id": 2, "text": "common stuff here"},
+        {"doc_id": 3, "text": "common words only"},
+    ]
+    out = C.tfidf_topk(_docs(spark, rows), k=1).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    # 'common' appears in all 3 docs (idf_milli = 1000); doc 1's top
+    # term must be 'rare' (df=1, idf_milli=3000) despite tf 1 vs 2
+    assert by_doc[1]["term"] == "rare"
+    assert by_doc[1]["score_milli"] == 3000
+    assert by_doc[1]["df"] == 1
+
+
+def test_tfidf_tie_breaks_lexicographic(spark):
+    rows = [{"doc_id": 1, "text": "zeta alpha"}, {"doc_id": 2, "text": "x y"}]
+    out = C.tfidf_topk(_docs(spark, rows), k=2).collect()
+    d1 = sorted([r for r in out if r["doc_id"] == 1], key=lambda r: r["rn"])
+    # equal scores -> rn order is term-ascending
+    assert [r["term"] for r in d1] == ["alpha", "zeta"]
+
+
+def test_repetition_stats_exact_ratios(spark):
+    rows = [
+        {"doc_id": 1, "text": "a a a b"},      # 4 tokens, 2 distinct
+        {"doc_id": 2, "text": "u v w x"},      # no repetition
+        {"doc_id": 3, "text": "solo"},         # single token: no bigrams
+    ]
+    out = {r["doc_id"]: r for r in C.repetition_stats(_docs(spark, rows)).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_distinct"] == 2
+    assert out[1]["dup_token_ratio"] == 0.5
+    assert out[1]["top_token_ratio"] == 0.75
+    # bigrams of doc 1: "a a","a a","a b" -> 3 total, 2 distinct
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["dup_bigram_ratio"] - round(1 - 2 / 3, 4)) < 1e-9
+    assert out[2]["dup_token_ratio"] == 0.0
+    assert out[2]["dup_bigram_ratio"] == 0.0
+    assert out[3]["n_bigrams"] == 0 and out[3]["dup_bigram_ratio"] is None
+
+
+def test_keep_best_prefers_quality_then_lowest_id(spark):
+    rows = [
+        {"doc_id": 10, "text": "Same  Text", "q": 5},
+        {"doc_id": 11, "text": "same text", "q": 9},   # best copy
+        {"doc_id": 12, "text": "same text", "q": 9},   # tie -> lower id wins
+        {"doc_id": 13, "text": "unique", "q": 1},
+    ]
+    out = C.keep_best_per_duplicate_group(
+        _docs(spark, rows), quality_col="q"
+    ).collect()
+    groups = {r["keeper_id"]: r for r in out}
+    assert len(out) == 2
+    assert 11 in groups and groups[11]["n_copies"] == 3
+    assert groups[11]["keeper_quality"] == 9
+    assert 13 in groups and groups[13]["n_copies"] == 1
