@@ -218,6 +218,107 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Statistical moments (engine-exact stddev / covariance / correlation)
+# ---------------------------------------------------------------------------
+#
+# Built-in corr()/stddev() accumulate doubles in partition order, so
+# their low bits differ run to run and engine to engine. The exact
+# twin: single-pass INTEGER moment sums (value in cents, k raw), then
+# one closed-form double expression evaluated on identical BIGINT
+# inputs — IEEE ops on identical operands are bit-identical, so even
+# the truncation is portable (floor, not round: no decimal-shortest-
+# representation ambiguity). Also the right shape at 100 TB: integer
+# partial aggregates, one shuffle, no second pass for the mean.
+
+_MOM_FINAL = {
+    "stddev_value": (
+        "FLOOR(SQRT((nd * sxxd - sxd * sxd) / (nd * (nd - 1.0)))"
+        " / 100.0 * 10000) / 10000"
+    ),
+    "covar_value_k": (
+        "FLOOR((nd * sxyd - sxd * syd) / (nd * (nd - 1.0))"
+        " / 100.0 * 10000) / 10000"
+    ),
+    "corr_value_k": (
+        "FLOOR((nd * sxyd - sxd * syd)"
+        " / SQRT((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))"
+        " * 10000) / 10000"
+    ),
+}
+
+_MOM_SUMS_SQL = """
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(vc) AS sx, SUM(vc * vc) AS sxx,
+             SUM(k) AS sy, SUM(k * k) AS syy,
+             SUM(vc * k) AS sxy
+      FROM (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS vc,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+      ) GROUP BY event_type
+"""
+
+
+@register(
+    "stats_moments_events",
+    f"""
+    WITH sums AS ({_MOM_SUMS_SQL}),
+    d AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(syy AS DOUBLE) AS syyd,
+             CAST(sxy AS DOUBLE) AS sxyd
+      FROM sums
+    )
+    SELECT event_type, n,
+           {_MOM_FINAL['stddev_value']} AS stddev_value,
+           {_MOM_FINAL['covar_value_k']} AS covar_value_k,
+           {_MOM_FINAL['corr_value_k']} AS corr_value_k
+    FROM d
+    """,
+)
+def stats_moments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev of value plus covariance/correlation between
+    value and the JSON prop k, per event type — from exact integer
+    moment sums (see module notes above)."""
+    ev = load(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    k = F.get_json_object("props", "$.k").cast("long")
+    sums = (
+        ev.select("event_type", vc.alias("vc"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vc").alias("sx"),
+            F.sum(F.col("vc") * F.col("vc")).alias("sxx"),
+            F.sum("k").alias("sy"),
+            F.sum(F.col("k") * F.col("k")).alias("syy"),
+            F.sum(F.col("vc") * F.col("k")).alias("sxy"),
+        )
+    )
+    d = sums.select(
+        "event_type",
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sxx").cast("double").alias("sxxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("syy").cast("double").alias("syyd"),
+        F.col("sxy").cast("double").alias("sxyd"),
+    )
+    return d.select(
+        "event_type",
+        "n",
+        F.expr(_MOM_FINAL["stddev_value"]).alias("stddev_value"),
+        F.expr(_MOM_FINAL["covar_value_k"]).alias("covar_value_k"),
+        F.expr(_MOM_FINAL["corr_value_k"]).alias("corr_value_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Percentile length band (discrete-quantile filter, all-integer)
 # ---------------------------------------------------------------------------
 

@@ -87,3 +87,36 @@ def test_retention_counts_user_once_per_week(spark):
     rows = [(1, "view", 1, 0), (1, "view", 1, 5), (1, "click", 3, 0)]
     out = B.retention(_ev(spark, rows)).collect()
     assert len(out) == 1 and out[0]["n_users"] == 1
+
+
+def test_stats_moments_match_builtins(spark):
+    """The integer-moment stddev/corr/covar must agree with Spark's
+    built-in estimators to float tolerance (the builtins are the
+    semantic reference; the moment form exists for cross-engine bit
+    stability)."""
+    from ngafid_cpat_spark.plans.pipeline import stats_moments_events
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r for r in stats_moments_events(spark, sf).collect()}
+
+    from ngafid_cpat_spark.sources import load
+
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        (F.round(F.col("value") * 100, 0) / 100).alias("v"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    ref = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.stddev_samp("v").alias("sd"),
+            F.covar_samp("v", "k").alias("cv"),
+            F.corr("v", "k").alias("cr"),
+        )
+        .collect()
+    }
+    for et, r in got.items():
+        assert abs(r["stddev_value"] - ref[et]["sd"]) < 2e-4
+        assert abs(r["covar_value_k"] - ref[et]["cv"]) < 2e-4
+        assert abs(r["corr_value_k"] - ref[et]["cr"]) < 2e-4
