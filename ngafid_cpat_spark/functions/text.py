@@ -205,3 +205,24 @@ def rolling_hashes(text, window: int = 8, base: int = 257, mod: int = (1 << 61) 
             lambda acc, ch: F.pmod(acc * F.lit(base) + F.ascii(ch), F.lit(mod)),
         ),
     )
+
+
+# Scrub patterns kept inside the (RE2 ∩ java.util.regex) common
+# dialect — no backrefs, no lookaround — so the DuckDB oracle's
+# regexp_replace(..., 'g') computes the identical result.
+SCRUB_DIGITS = "[0-9]+"
+SCRUB_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+def scrub(text, pattern: str = SCRUB_DIGITS, replacement: str = "#") -> Column:
+    """PII-style masking: collapse every match of ``pattern`` to
+    ``replacement``. Spark's regexp_replace is global by default
+    (matches DuckDB's 'g' flag). Pure codegen expression."""
+    return F.regexp_replace(_col(text), pattern, replacement)
+
+
+def scrub_count(text, pattern: str = SCRUB_DIGITS) -> Column:
+    """How many pattern matches were masked — cheap audit metric:
+    count = size(split by pattern) - 1, which equals the number of
+    non-overlapping matches for patterns that can't match empty."""
+    return F.size(F.split(_col(text), pattern)) - 1

@@ -290,3 +290,65 @@ def contamination(
         )
         .filter(F.col("n_overlap") > 0)
     )
+
+
+_SHARD_MULT = 1_103_515_245
+_SHARD_OFFSET = 54_321
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training-shard layout: every
+    row gets a shard id from a multiplicative hash of its integer id
+    (NOT round-robin or monotonically_increasing_id — both depend on
+    partition layout and change across runs/engines). Map-side only;
+    the subsequent write is `partitionBy(shard_id)` and each shard's
+    reader sees a pseudo-random, reproducible slice of the corpus.
+
+    Within a shard, `shard_ord` gives a reproducible read order
+    (second multiplicative mix, different constants) — the "global
+    shuffle" a training loader needs, without ever sorting the whole
+    corpus globally: ordering is only ever materialized per shard.
+    """
+    c = F.col(id_col)
+    shard = F.pmod(F.pmod(c, _SAMPLE_PRIME) * _SAMPLE_MULT + _SAMPLE_OFFSET, n_shards)
+    ordk = F.pmod(F.pmod(c, _SAMPLE_PRIME) * _SHARD_MULT + _SHARD_OFFSET, 1_000_003)
+    return df.withColumn("shard_id", shard).withColumn("shard_ord", ordk)
+
+
+def SHARD_ASSIGN_SQL(id_expr: str, n_shards: int = 16) -> str:
+    return (
+        f"((({id_expr}) % {_SAMPLE_PRIME}) * {_SAMPLE_MULT}"
+        f" + {_SAMPLE_OFFSET}) % {n_shards}"
+    )
+
+
+def SHARD_ORD_SQL(id_expr: str) -> str:
+    return (
+        f"((({id_expr}) % {_SAMPLE_PRIME}) * {_SHARD_MULT}"
+        f" + {_SHARD_OFFSET}) % 1000003"
+    )
+
+
+def corpus_mix(
+    df: DataFrame,
+    factors_by_stratum: dict[str, int],
+    default_factor: int = 1,
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Integer-factor domain upsampling (the other half of corpus
+    mixing — stratified_sample handles factors < 1). Each row is
+    replicated `factor` times via sequence+explode with a `copy`
+    ordinal, so downstream shuffling/sharding spreads the copies.
+    Expression-only and map-side: no shuffle, and the explode output
+    is streamed — a 3x upsample never materializes 3x rows on one
+    executor beyond the scan batch."""
+    factor = F.lit(default_factor)
+    for stratum, k in sorted(factors_by_stratum.items()):
+        factor = F.when(F.col(stratum_col) == stratum, k).otherwise(factor)
+    return df.withColumn(
+        "copy", F.explode(F.sequence(F.lit(1), factor.cast("int")))
+    )

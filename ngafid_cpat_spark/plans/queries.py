@@ -7,6 +7,7 @@ defines the registry, extensions appends to it.
 
 from __future__ import annotations
 
+from . import breadth as _breadth  # noqa: F401  (registers)
 from . import extensions as _extensions  # noqa: F401  (registers)
 from . import pipeline as _pipeline  # noqa: F401  (registers)
 from . import relational as _relational  # noqa: F401  (registers)

@@ -1,0 +1,137 @@
+"""Unit tests for the breadth batch: shard assignment, corpus mixing,
+PII scrubbing, unpivot, interval join, map-type round-trip."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ngafid_cpat_spark.functions import text as T
+from ngafid_cpat_spark.operators.corpus import (
+    SHARD_ASSIGN_SQL,
+    corpus_mix,
+    shard_assign,
+)
+
+
+def test_shard_assign_deterministic_and_total(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = shard_assign(df, n_shards=16).select("doc_id", "shard_id", "shard_ord")
+    b = shard_assign(df, n_shards=16).select("doc_id", "shard_id", "shard_ord")
+    assert a.exceptAll(b).count() == 0  # rerun-identical
+    rows = a.groupBy("shard_id").count().collect()
+    assert len(rows) == 16
+    assert sum(r["count"] for r in rows) == 5000
+    # balanced within 3x of uniform (multiplicative hash, not modulo-of-id)
+    counts = [r["count"] for r in rows]
+    assert max(counts) < 3 * (5000 / 16)
+
+
+def test_shard_assign_matches_duckdb_hash(spark):
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in shard_assign(df, 16).select("doc_id", "shard_id").collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"SELECT doc_id, {SHARD_ASSIGN_SQL('doc_id')} FROM range(200) t(doc_id)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_corpus_mix_factors(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "source"]
+    )
+    out = corpus_mix(df, {"a": 3, "b": 2}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    assert sorted(by_doc[1]) == [1, 2, 3]
+    assert sorted(by_doc[2]) == [1, 2]
+    assert sorted(by_doc[3]) == [1]
+
+
+@pytest.mark.parametrize(
+    "s",
+    ["a1b22c", "1abc", "abc9", "", "12345", "no digits", '{"k": 69, "j": 7}'],
+)
+def test_scrub_matches_duckdb(spark, s):
+    """Edge alignment (leading/trailing/all/empty matches) between
+    Spark regexp_replace/split and the DuckDB oracle expressions."""
+    row = (
+        spark.createDataFrame([(s,)], ["x"])
+        .select(
+            T.scrub("x").alias("scrubbed"),
+            T.scrub_count("x").alias("n"),
+        )
+        .first()
+    )
+    want = duckdb.sql(
+        "SELECT regexp_replace(?, '[0-9]+', '#', 'g'),"
+        " len(string_split_regex(?, '[0-9]+')) - 1",
+        params=[s, s],
+    ).fetchone()
+    assert row["scrubbed"] == want[0]
+    assert row["n"] == want[1]
+
+
+def test_unpivot_is_rowcount_preserving_melt(spark):
+    df = spark.createDataFrame([(1, 10.0, 20.0), (2, 30.0, 40.0)], ["k", "a", "b"])
+    long = df.unpivot(["k"], ["a", "b"], "measure", "val")
+    assert long.count() == 4
+    assert set(long.columns) == {"k", "measure", "val"}
+    got = {(r["k"], r["measure"]): r["val"] for r in long.collect()}
+    assert got[(1, "a")] == 10.0 and got[(2, "b")] == 40.0
+
+
+def test_interval_join_bounds(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-10 00:00:00", 7, "purchase"),
+            (2, "2024-01-09 23:00:00", 7, "click"),    # inside 3d
+            (3, "2024-01-07 00:00:00", 7, "click"),    # on boundary: inclusive
+            (4, "2024-01-03 00:00:00", 7, "click"),    # too old
+            (5, "2024-01-10 00:00:01", 7, "click"),    # after purchase
+            (6, "2024-01-09 12:00:00", 8, "click"),    # other user
+        ],
+        ["event_id", "ts", "user_id", "event_type"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    purch = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    n = (
+        purch.join(
+            clicks,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 3 DAYS"))
+            & (F.col("click_ts") < F.col("ts")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.count("click_ts").alias("n_clicks"))
+        .first()["n_clicks"]
+    )
+    assert n == 2
+
+
+def test_map_round_trip(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 3), (1, "y", 2), (2, "x", 5)], ["uid", "k", "cnt"]
+    )
+    m = df.groupBy("uid").agg(
+        F.map_from_entries(F.collect_list(F.struct("k", "cnt"))).alias("m")
+    )
+    out = {
+        r["uid"]: (r["nx"], r["ny"], r["sz"])
+        for r in m.select(
+            "uid",
+            F.coalesce(F.element_at("m", F.lit("x")), F.lit(0)).alias("nx"),
+            F.coalesce(F.element_at("m", F.lit("y")), F.lit(0)).alias("ny"),
+            F.size(F.map_keys("m")).alias("sz"),
+        ).collect()
+    }
+    assert out[1] == (3, 2, 2)
+    assert out[2] == (5, 0, 1)
