@@ -208,6 +208,42 @@ def hof_value_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_purchase_history",
+    """
+    SELECT user_id, event_id, ts AS valid_from,
+           lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: each purchase opens
+    a version valid until the user's next purchase; the open-ended
+    row is flagged current. This is the versioned generalization of
+    latest_snapshot_events (that query keeps only the last version;
+    this one keeps the full validity-interval history — the table an
+    as-of join probes). One shuffle on user_id; deterministic
+    tie-break on event_id. At scale the history table partitions on
+    the business key and valid_from orders within partitions, so an
+    as-of probe prunes to one partition and binary-searches the
+    sorted run."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+    )
+
+
+@register(
     "regexp_extract_all_events",
     """
     SELECT event_id,

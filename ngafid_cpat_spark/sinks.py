@@ -78,6 +78,42 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop(BUCKET_COL)
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Small-file compaction: rewrite the bucketed table so each
+    bucket directory holds ~1 file (bounded by max_records_per_file).
+    Many incremental upserts leave a trail of small files per bucket
+    (every MERGE writes at least one file into each touched bucket);
+    at 100 TB that shreds scan throughput — open/seek cost dominates
+    and footer reads swamp the NameNode/object store. Compaction is
+    the standard copy-on-write maintenance pass: one shuffle keyed on
+    the bucket column, one file per (bucket, shuffle-partition) out.
+
+    Content-preserving by construction (same rows, same layout, same
+    schema); localCheckpoint breaks lineage so the path can be
+    overwritten in place — Delta/Iceberg OPTIMIZE would make this a
+    snapshot-isolated transaction on a production cluster."""
+    df = spark.read.parquet(path)
+    n_buckets = df.select(BUCKET_COL).distinct().count()
+    compacted = df.repartition(max(n_buckets, 1), F.col(BUCKET_COL)).localCheckpoint(
+        eager=True
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        (
+            compacted.write.partitionBy(BUCKET_COL)
+            .option("maxRecordsPerFile", max_records_per_file)
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
 def mark_analyzed(
     spark: SparkSession,
     status_path: str,

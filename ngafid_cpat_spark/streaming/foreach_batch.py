@@ -1,0 +1,76 @@
+"""foreachBatch incremental-upsert sink (SURVEY §7 step 8).
+
+The reference's sink is an ``INSERT ... ON DUPLICATE KEY UPDATE``
+batch plus a status flip inside one transaction per flight
+(FlightAnalysis.py:22-30, 428-433). The streaming analog: an
+update-mode windowed aggregation whose changed rows are MERGEd into
+the bucketed parquet table (sinks.upsert) once per micro-batch —
+each trigger rewrites only the buckets its keys touch, and replaying
+a micro-batch is idempotent (same keys -> same replacement), which is
+exactly the restart contract the reference's work-queue flag gives it.
+
+Update mode (not append) is what makes the sink incremental: a window
+is re-emitted every time a late event revises it, and the upsert
+replaces the stale row — the final table converges to the batch
+answer without waiting for watermark closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import sinks
+
+
+def windowed_counts_update(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per (window_start, event_type) counts/sums for update-mode
+    output. The watermark bounds aggregation state; in update mode it
+    only controls state eviction, not emission."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def stream_upsert(
+    agg: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    query_name: str = "stream_upsert",
+    n_buckets: int = 8,
+):
+    """Run an update-mode aggregation to completion (availableNow),
+    MERGE-ing each micro-batch into the bucketed table at ``path``.
+
+    At cluster scale the same shape runs continuously: checkpointed
+    state + idempotent per-batch MERGE = exactly-once table contents
+    even across driver restarts (a replayed epoch upserts identical
+    rows). batchdf.sparkSession is the micro-batch-local session, as
+    required inside foreachBatch."""
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        sinks.upsert(
+            batch_df.sparkSession, batch_df, path, keys=keys, n_buckets=n_buckets
+        )
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .foreachBatch(_apply)
+        .start()
+    )
+    q.awaitTermination()
+    return q
