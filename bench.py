@@ -96,35 +96,51 @@ def main() -> None:
     # this pre-pays Janino compilation (~1-2 s per distinct plan
     # shape) exactly like a JIT warm-up, while touching ~1% of the
     # benchmark data volume.
+    # every registered query gets a per-name timing so regressions are
+    # visible query-by-query; HEADLINE first (its sum is the headline
+    # metric, comparable across rounds), then the rest of the registry
+    extra = sorted(set(QUERIES) - set(HEADLINE))
     warm_dir = os.environ.get(
         "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"
     )
-    for name in HEADLINE:
+    for name in HEADLINE + extra:
         try:
             materialize(QUERIES[name](spark, warm_dir))
         except Exception:
             pass  # warm-up is best-effort; the measured run reports
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, str]]:
+        # per-query isolation: one broken query must never void the
+        # whole benchmark run — it reports under "errors" instead
+        timings: dict[str, float] = {}
+        errors: dict[str, str] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            try:
+                materialize(QUERIES[name](spark, sf_dir))
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:
+                msg = str(e).splitlines()[0] if str(e) else ""
+                errors[name] = f"{type(e).__name__}: {msg[:200]}"
+        return timings, errors
+
+    timings, errors = run_set(HEADLINE)
+    extra_timings, extra_errors = run_set(extra)
+    errors.update(extra_errors)
     total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extra_queries": extra_timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -28,6 +28,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_seconds
+
 
 def _cols(cs) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in (cs if isinstance(cs, (list, tuple)) else [cs])]
@@ -78,7 +80,7 @@ def sessionize(
     of Structured Streaming's session_window (streaming/sessions.py
     reuses the same semantics)."""
     w = ordered_window(partition_by, [ts_col])
-    ts = F.col(ts_col).cast("double")
+    ts = epoch_seconds(ts_col)
     prev = F.lag(ts).over(w)
     new_session = F.when(prev.isNull() | ((ts - prev) > gap_seconds), 1).otherwise(0)
     return df.withColumn(

@@ -1,1 +1,1 @@
-from .queries import ORACLES, QUERIES  # noqa: F401
+from .queries import ORACLES, PRIORITY, QUERIES  # noqa: F401

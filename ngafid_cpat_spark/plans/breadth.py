@@ -155,8 +155,8 @@ def latest_snapshot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_functions_events",
     """
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)    AS n_click,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)    AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
            COUNT(DISTINCT event_type) AS n_types
     FROM events
     GROUP BY user_id

@@ -2,7 +2,14 @@
 plus the DuckDB oracle SQL for every SQL-expressible entry.
 
 Import order matters only for registration side effects; relational
-defines the registry, extensions appends to it.
+defines the registry, the other modules append to it. After all
+registrations the registry is REORDERED: the driver's correctness
+gate checks the first 50 entries in insertion order, so that window
+is curated to hold one proven sentinel per SURVEY.md §2 operator
+family plus every operator class that has not yet earned a driver
+oracle row (the LLM-pipeline extensions, the approach pipeline, and
+a TPC-H-sweep sample). Everything else keeps its local oracle
+coverage via tools/check_oracle.py.
 """
 
 from __future__ import annotations
@@ -11,8 +18,79 @@ from . import breadth as _breadth  # noqa: F401  (registers)
 from . import extensions as _extensions  # noqa: F401  (registers)
 from . import pipeline as _pipeline  # noqa: F401  (registers)
 from . import relational as _relational  # noqa: F401
-from . import timeseries as _timeseries  # noqa: F401  (registers)  (registers)
+from . import timeseries as _timeseries  # noqa: F401  (registers)
 from . import tpch_extra as _tpch_extra  # noqa: F401  (registers)
-from .relational import ORACLES, QUERIES
 
-__all__ = ["QUERIES", "ORACLES"]
+# First 50 slots = the driver's correctness window.
+PRIORITY = [
+    # --- §2 family sentinels (proven green in r01/r02) ---
+    "scan_filter_project",        # S1/P4 scan+filter+project
+    "q1_pricing_summary",         # A1/A4 hash agg
+    "q3_shipping_priority",       # J1 broadcast join flagship
+    "agg_rollup_orders",          # rollup/cube/grouping-sets family
+    "conditional_agg_events",     # A2 CASE-WHEN agg
+    "join_semi_customers",        # semi join
+    "join_outer_nation_counts",   # outer join
+    "nn_join_acctbal",            # J2 nearest-neighbor join
+    "asof_click_before_purchase", # as-of join
+    "q18_big_orders",             # correlated subquery
+    "topk_customers_per_nation",  # O2 ranking/top-k
+    "window_running_orders",      # W9 lag/running windows
+    "range_window_events",        # rangeBetween frame (r02 regression, fixed)
+    "sessionize_events",          # W2 sessionization (r02 regression, fixed)
+    "session_event_ids",          # J4 array agg (r02 regression, fixed)
+    "map_functions_events",       # map functions (r02 hash-fail, fixed)
+    "rolling5_events",            # A5/W8 rolling frame
+    "episode_detect_events",      # W2/W5 gaps-and-islands + label
+    "unstable_subintervals",      # W4 nested islands
+    "set_ops_nations",            # §2.7 set ops
+    "validity_probe_users",       # P3/A3/O3
+    "geo_haversine_customers",    # F4 geodesy
+    "json_extract_events",        # JSON functions
+    "events_tumbling_window",     # event-time windows
+    # --- previously outside the window: LLM-pipeline extensions ---
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",          # rows-only by design
+    "dedup_simhash",              # rows-only by design
+    "dedup_clusters",
+    "dedup_keep_best",
+    "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "text_stats",
+    "text_quality",
+    "lang_id_docs",
+    "token_count_bpe",
+    "tfidf_topk_terms",
+    "vocab_topk",
+    "funnel_events",
+    "retention_cohorts",
+    "stats_moments_events",
+    "gapfill_locf_daily",
+    "rollup_hourly_daily",
+    "quantile_events",
+    # --- the reference's core capability, oracle-paired ---
+    "approach_pipeline_demo",
+    # --- TPC-H sweep sample ---
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q21_sole_failing_supplier",
+]
+
+
+def _reorder(d: dict) -> dict:
+    out = {n: d[n] for n in PRIORITY if n in d}
+    out.update((n, v) for n, v in d.items() if n not in out)
+    return out
+
+
+_missing = [n for n in PRIORITY if n not in _relational.QUERIES]
+assert not _missing, f"PRIORITY names not registered: {_missing}"
+
+QUERIES = _reorder(_relational.QUERIES)
+ORACLES = _reorder(_relational.ORACLES)
+assert set(QUERIES) == set(_relational.QUERIES)
+
+__all__ = ["QUERIES", "ORACLES", "PRIORITY"]

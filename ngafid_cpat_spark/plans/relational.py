@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_seconds
 from ..operators import joins as OJ
 from ..operators import windows as OW
 from ..sources import load
@@ -829,7 +830,7 @@ def range_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows approximate."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("double"))
+        .orderBy(epoch_seconds("ts"))
         .rangeBetween(-3600, 0)
     )
     return load(spark, sf_dir, "events").select(

@@ -39,20 +39,42 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
+def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Single choke point for event-time encoding (the reference has
+    exactly one ordered ``time`` column, main.py:36 — one
+    normalization site, not N hand-casts downstream).
+
+    The driver testdata's parquet writer has shipped ``events.ts`` as
+    TIMESTAMP(NANOS) (read as bigint under ``nanosAsLong``), as
+    TIMESTAMP_NTZ (timestamp[us], no tz) and as plain TIMESTAMP
+    across generations; all become one UTC TIMESTAMP column here so
+    every downstream operator sees a stable dtype."""
+    t = dict(df.dtypes).get(ts_col)
+    if t == "bigint":  # legacy TIMESTAMP(NANOS) via nanosAsLong
+        return df.withColumn(
+            ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)")
+        )
+    if t == "timestamp_ntz":  # wall clock reinterpreted as UTC instant
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Lazy: filters/projections compose into
     the scan (PushedFilters / ReadSchema in .explain()).
 
-    events.parquet stores TIMESTAMP(NANOS) which the Spark parquet
-    reader rejects; read it as raw nanos and floor-truncate to a
-    microsecond timestamp (bit-identical to DuckDB's ns->us read)."""
+    events.ts is normalized to a UTC TIMESTAMP whatever the parquet
+    logical type (see normalize_event_time); the session timezone is
+    pinned to UTC here so the NTZ reinterpretation is wall-clock
+    preserving even under a caller-built session."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_event_time(df)
     return df
 
 

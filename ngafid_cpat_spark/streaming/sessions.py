@@ -27,30 +27,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
-EVENTS_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),  # raw nanos (nanosAsLong)
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+from ..sources.tables import normalize_event_time
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """Streaming source over a directory of events parquet files
-    (nanos ts -> microsecond timestamp, like sources.load)."""
+    """Streaming source over a directory of events parquet files.
+
+    The stream schema is derived from a batch read of the same
+    directory (one driver-side footer read — no data scan), then the
+    ts column goes through the same normalize_event_time choke point
+    as the batch path, so whatever the parquet logical type
+    (TIMESTAMP(NANOS)-as-bigint, TIMESTAMP_NTZ, TIMESTAMP) the
+    stream sees one UTC TIMESTAMP column — a hard-coded schema here
+    silently mis-decoded micros as nanos when the writer changed."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch_schema = spark.read.parquet(events_dir).schema
+    df = spark.readStream.schema(batch_schema).parquet(events_dir)
+    return normalize_event_time(df)
 
 
 def windowed_counts(

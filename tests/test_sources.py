@@ -21,10 +21,45 @@ def test_load_registry_rejects_unknown(spark):
         sources.load(spark, SF_DIR, "bogus")
 
 
-def test_events_nanos_become_timestamps(spark):
+def test_events_ts_normalized_to_timestamp(spark):
+    """Whatever the parquet logical type of events.ts, load() yields
+    one UTC TIMESTAMP column (normalize_event_time choke point)."""
     ev = sources.load(spark, SF_DIR, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_normalize_event_time_all_encodings(spark, tmp_path):
+    """The same instant written as TIMESTAMP(NANOS), TIMESTAMP_NTZ
+    and TIMESTAMP must normalize to identical UTC timestamps."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ngafid_cpat_spark.sources.tables import normalize_event_time
+
+    instants = [
+        datetime.datetime(2024, 3, 1, 12, 30, 15, 250000),
+        datetime.datetime(2024, 3, 2, 0, 0, 0, 0),
+    ]
+    micros = [int(d.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000) for d in instants]
+
+    encodings = {
+        "nanos": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
+        "ntz": pa.array(micros, pa.timestamp("us")),
+        "ltz": pa.array(micros, pa.timestamp("us", tz="UTC")),
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = {}
+    for name, arr in encodings.items():
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(pa.table({"ts": arr}), p)
+        df = normalize_event_time(spark.read.parquet(p))
+        assert dict(df.dtypes)["ts"] == "timestamp", name
+        got[name] = sorted(r["ts"] for r in df.collect())
+    assert got["nanos"] == got["ntz"] == got["ltz"] == sorted(instants)
 
 
 def test_read_csv_explicit_schema(spark, tmp_path):
