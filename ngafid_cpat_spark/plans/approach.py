@@ -56,6 +56,21 @@ TELEMETRY_COLS = (
 )
 
 
+def _avg_milli(cond, col) -> F.Column:
+    """Deterministic conditional mean: per-row half-up to 1/1000 of a
+    unit, exact BIGINT sum, then one double division — byte-stable
+    across partition counts, shuffle orders and engines (float
+    summation order can never flip a bit), the same integer-first
+    pattern as relational.cents_sum. Quantization error <= 5e-4 of a
+    unit (ft/kt/fpm/deg) — far below sensor noise; the reference's
+    float ``sum(xs)/len(xs)`` (FlightAnalysis.py:413-420) is
+    order-dependent instead."""
+    x = F.when(cond, col)
+    s = F.sum(F.round(x * 1000, 0).cast("long"))
+    n = F.count(x)
+    return F.when(n > 0, s / n / 1000.0)
+
+
 @dataclass(frozen=True)
 class Thresholds:
     """Reference constants, FlightAnalysis.py:4-18."""
@@ -276,14 +291,14 @@ def analyze(
         (F.min(F.when(fin, F.col("time"))) - 1).alias("approach_start"),
         F.max(F.when(fin, F.col("time"))).alias("approach_end"),
         F.max(F.when(fin & F.col("is_unstable"), 1).otherwise(0)).alias("unstable"),
-        F.avg(F.when(fin, F.col("heading_err"))).alias("all_heading"),
-        F.avg(F.when(fin & ~F.col("cond_f1"), F.col("heading_err"))).alias("f1_heading"),
-        F.avg(F.when(fin, F.col("xtrack_ft"))).alias("all_crosstrack"),
-        F.avg(F.when(fin & ~F.col("cond_f2"), F.col("xtrack_ft"))).alias("f2_crosstrack"),
-        F.avg(F.when(fin, F.col("indicated_airspeed"))).alias("all_ias"),
-        F.avg(F.when(fin & ~F.col("cond_a"), F.col("indicated_airspeed"))).alias("a_ias"),
-        F.avg(F.when(fin, F.col("vertical_airspeed"))).alias("all_vsi"),
-        F.avg(F.when(fin & ~F.col("cond_s"), F.col("vertical_airspeed"))).alias("s_vsi"),
+        _avg_milli(fin, F.col("heading_err")).alias("all_heading"),
+        _avg_milli(fin & ~F.col("cond_f1"), F.col("heading_err")).alias("f1_heading"),
+        _avg_milli(fin, F.col("xtrack_ft")).alias("all_crosstrack"),
+        _avg_milli(fin & ~F.col("cond_f2"), F.col("xtrack_ft")).alias("f2_crosstrack"),
+        _avg_milli(fin, F.col("indicated_airspeed")).alias("all_ias"),
+        _avg_milli(fin & ~F.col("cond_a"), F.col("indicated_airspeed")).alias("a_ias"),
+        _avg_milli(fin, F.col("vertical_airspeed")).alias("all_vsi"),
+        _avg_milli(fin & ~F.col("cond_s"), F.col("vertical_airspeed")).alias("s_vsi"),
     ).withColumn("airport_id", F.col("__ap0.airport_code")).drop("__ap0")
 
     # 9. landing window: the run of AGL<500 ticks after approach_end,
@@ -300,7 +315,15 @@ def analyze(
     low = OW.rolling(
         low, ["flight", "low_id"], ["time"], F.col("agl"),
         agg="avg", window_rows=5, out_col="agl_roll5", require_full=True,
-    ).select("flight", "time", "low_id", "agl", "agl_roll5", "indicated_airspeed")
+    )
+    # quantize the rolling mean to 1e-6 ft before the touch-and-go
+    # threshold compare: frame summation order (incremental here,
+    # segment-tree in other engines) perturbs the last bits, and a
+    # decimal-exact mean sitting at exactly touch_go_agl must classify
+    # identically everywhere
+    low = low.withColumn("agl_roll5", F.round("agl_roll5", 6)).select(
+        "flight", "time", "low_id", "agl", "agl_roll5", "indicated_airspeed"
+    )
 
     ep_bounds = ep_agg.select(
         F.col("flight").alias("ep_flight"),

@@ -113,7 +113,15 @@ def _crosstrack(lat, lon, slat, slon, brg, radius=_R_FT) -> float:
 
 
 def _mean(xs: list[float]) -> float | None:
-    return sum(xs) / len(xs) if xs else None
+    """Canonical deterministic mean (approach._avg_milli twin):
+    per-value half-away-from-zero to integer millis, exact int sum,
+    one float division — engine- and order-independent."""
+    if not xs:
+        return None
+    millis = sum(
+        int(math.copysign(math.floor(abs(v) * 1000.0 + 0.5), v)) for v in xs
+    )
+    return millis / len(xs) / 1000.0
 
 
 def _analyze_one_flight(
@@ -285,7 +293,8 @@ def _analyze_one_flight(
                         frame.append(rows[jj]["agl"])
                         jj -= 1
                     if len(frame) == 5:
-                        roll5_vals.append(sum(frame) / 5.0)
+                        # 1e-6 quantized like approach.analyze's roll5
+                        roll5_vals.append(round(sum(frame) / 5.0, 6))
                 if min_ias <= th.full_stop_ias:
                     landing_type = "stop-and-go"
                 elif roll5_vals and min(roll5_vals) <= th.touch_go_agl:

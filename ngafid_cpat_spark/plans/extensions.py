@@ -500,7 +500,230 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Flight-domain flagship (rows-only: the full approach pipeline)
 # ---------------------------------------------------------------------------
 
-@register("approach_pipeline_demo", None)  # windowed pipeline => rows-only
+# Full DuckDB twin of the approach/landing pipeline on the synthetic
+# telemetry below — every stage of plans/approach.analyze() replayed
+# as standard SQL (windows, gaps-and-islands, theta-join, FILTER
+# aggs). Float-sensitive outputs are deterministic by construction on
+# both sides: means are exact-integer milli sums (approach._avg_milli)
+# and the rolling-5 AGL mean is 1e-6-quantized before its threshold
+# compare, so only measure-zero predicate boundaries could diverge.
+_APPROACH_ORACLE = """
+WITH raw AS (
+  SELECT user_id AS flight,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS time,
+         800.0 + value * 10 AS msl_altitude,
+         value / 2 AS indicated_airspeed,
+         -value AS vertical_airspeed,
+         90.0 AS heading,
+         40.0 + value / 5000 AS latitude,
+         -85.0 + value / 5000 AS longitude
+  FROM events
+), t AS (
+  SELECT * FROM raw
+  WHERE flight IS NOT NULL AND msl_altitude IS NOT NULL
+    AND indicated_airspeed IS NOT NULL AND vertical_airspeed IS NOT NULL
+    AND heading IS NOT NULL AND latitude IS NOT NULL AND longitude IS NOT NULL
+), near AS (
+  SELECT *,
+    abs(latitude - 40.0) + abs(longitude - (-85.0)) AS d_a,
+    abs(latitude - 40.02) + abs(longitude - (-84.98)) AS d_b
+  FROM t
+), ap AS (
+  SELECT * EXCLUDE (d_a, d_b),
+    CASE WHEN d_b < d_a THEN 'KBBB' ELSE 'KAAA' END AS airport_code,
+    CASE WHEN d_b < d_a THEN 40.02 ELSE 40.0 END AS airport_lat,
+    CASE WHEN d_b < d_a THEN -84.98 ELSE -85.0 END AS airport_lon,
+    CASE WHEN d_b < d_a THEN 820.0 ELSE 800.0 END AS airport_elev
+  FROM near
+), pv AS (
+  SELECT *,
+    cos(radians(latitude)) * cos(radians(longitude)) AS px,
+    cos(radians(latitude)) * sin(radians(longitude)) AS py,
+    sin(radians(latitude)) AS pz,
+    cos(radians(airport_lat)) * cos(radians(airport_lon)) AS bx,
+    cos(radians(airport_lat)) * sin(radians(airport_lon)) AS by,
+    sin(radians(airport_lat)) AS bz
+  FROM ap
+), dd AS (
+  SELECT *,
+    atan2(sqrt((py*bz-pz*by)*(py*bz-pz*by) + (pz*bx-px*bz)*(pz*bx-px*bz)
+               + (px*by-py*bx)*(px*by-py*bx)),
+          px*bx + py*by + pz*bz) * 3959.0 AS dist_mi,
+    msl_altitude - airport_elev AS agl
+  FROM pv
+), tk AS (
+  SELECT *, FIRST_VALUE(airport_elev)
+              OVER (PARTITION BY flight ORDER BY time) AS first_elev
+  FROM dd
+), tk2 AS (
+  SELECT *, MIN(CASE WHEN msl_altitude - first_elev >= 500.0 THEN time END)
+              OVER (PARTITION BY flight) AS takeoff_time
+  FROM tk
+), post AS (
+  SELECT * FROM tk2 WHERE time >= takeoff_time
+), flagged AS (
+  SELECT *, (dist_mi < 1.0 AND agl < 500.0) AS in_approach,
+            (agl < 500.0) AS is_low
+  FROM post
+), edges AS (
+  SELECT *,
+    CASE WHEN in_approach AND NOT COALESCE(
+          LAG(in_approach) OVER (PARTITION BY flight ORDER BY time), FALSE)
+        THEN 1 ELSE 0 END AS ap_edge,
+    CASE WHEN is_low AND NOT COALESCE(
+          LAG(is_low) OVER (PARTITION BY flight ORDER BY time), FALSE)
+        THEN 1 ELSE 0 END AS low_edge
+  FROM flagged
+), isl AS (
+  SELECT *,
+    SUM(ap_edge) OVER (PARTITION BY flight ORDER BY time
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS approach_id,
+    SUM(low_edge) OVER (PARTITION BY flight ORDER BY time
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS low_id
+  FROM edges
+), eps AS (
+  SELECT *, (agl BETWEEN 50.0 AND 150.0) AS in_final
+  FROM isl WHERE in_approach
+), ep_entry AS (
+  SELECT flight, approach_id, arg_min(airport_code, time) AS ff_airport
+  FROM eps GROUP BY flight, approach_id
+), first_final AS (
+  SELECT flight, approach_id,
+         arg_min(heading, time) AS ff_heading,
+         arg_min(latitude, time) AS ff_lat,
+         arg_min(longitude, time) AS ff_lon
+  FROM eps WHERE in_final GROUP BY flight, approach_id
+), ff AS (
+  SELECT f.*, en.ff_airport
+  FROM first_final f JOIN ep_entry en USING (flight, approach_id)
+), rwys(airport_code, runway_code, magnetic_rwy_hdg, true_rwy_hdg,
+        center_lat, center_long) AS (
+  VALUES ('KAAA', '09', 90.0, 90.0, 40.0, -85.0),
+         ('KBBB', '08', 85.0, 85.0, 40.02, -84.98)
+), rw_cand AS (
+  SELECT ff.flight, ff.approach_id, r.*,
+         abs(ff.ff_lat - r.center_lat) + abs(ff.ff_lon - r.center_long) AS d
+  FROM ff LEFT JOIN rwys r ON r.airport_code = ff.ff_airport
+  WHERE r.airport_code IS NULL
+     OR 180.0 - abs(abs(r.magnetic_rwy_hdg - ff.ff_heading) - 180.0) <= 20.0
+), rw_rank AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY flight, approach_id
+                               ORDER BY d, runway_code) AS rn
+  FROM rw_cand
+), rw_match AS (
+  SELECT flight, approach_id, runway_code AS runway_id,
+         true_rwy_hdg AS rw_true_hdg, magnetic_rwy_hdg AS rw_mag_hdg,
+         center_lat AS rw_lat, center_long AS rw_lon
+  FROM rw_rank WHERE rn = 1
+), epd AS (
+  SELECT e.*, m.runway_id, m.rw_true_hdg, m.rw_mag_hdg, m.rw_lat, m.rw_lon
+  FROM eps e LEFT JOIN rw_match m USING (flight, approach_id)
+), gcn AS (
+  SELECT *,
+    sin(radians(rw_lon))*cos(radians(rw_true_hdg))
+      - sin(radians(rw_lat))*cos(radians(rw_lon))*sin(radians(rw_true_hdg)) AS gx,
+    -cos(radians(rw_lon))*cos(radians(rw_true_hdg))
+      - sin(radians(rw_lat))*sin(radians(rw_lon))*sin(radians(rw_true_hdg)) AS gy,
+    cos(radians(rw_lat))*sin(radians(rw_true_hdg)) AS gz
+  FROM epd
+), pred AS (
+  SELECT *,
+    CASE WHEN runway_id IS NOT NULL
+         THEN 180.0 - abs(abs(heading - rw_mag_hdg) - 180.0) END AS heading_err,
+    CASE WHEN runway_id IS NOT NULL THEN
+      (atan2(sqrt((gy*pz-gz*py)*(gy*pz-gz*py) + (gz*px-gx*pz)*(gz*px-gx*pz)
+                  + (gx*py-gy*px)*(gx*py-gy*px)),
+             gx*px + gy*py + gz*pz) - 1.5707963267948966) * 20902000.0
+    END AS xtrack_ft
+  FROM gcn
+), pp AS (
+  SELECT *,
+    CASE WHEN runway_id IS NULL THEN TRUE ELSE heading_err <= 10.0 END AS cond_f1,
+    CASE WHEN runway_id IS NULL THEN TRUE ELSE abs(xtrack_ft) <= 50.0 END AS cond_f2,
+    indicated_airspeed BETWEEN 55.0 AND 75.0 AS cond_a,
+    vertical_airspeed >= -1000.0 AS cond_s
+  FROM pred
+), pp2 AS (
+  SELECT *, in_final AND NOT (cond_f1 AND cond_f2 AND cond_a AND cond_s)
+            AS is_unstable
+  FROM pp
+), ep_agg AS (
+  SELECT flight, approach_id,
+    arg_min(airport_code, time) AS airport_id,
+    MIN(runway_id) AS runway_id,
+    MIN(time) FILTER (WHERE in_final) - 1 AS approach_start,
+    MAX(time) FILTER (WHERE in_final) AS approach_end,
+    MAX(CASE WHEN in_final AND is_unstable THEN 1 ELSE 0 END) AS unstable,
+    CASE WHEN COUNT(heading_err) FILTER (WHERE in_final) > 0 THEN
+      CAST(SUM(CAST(ROUND(heading_err * 1000.0, 0) AS BIGINT)) FILTER (WHERE in_final) AS DOUBLE)
+        / COUNT(heading_err) FILTER (WHERE in_final) / 1000.0 END AS all_heading,
+    CASE WHEN COUNT(heading_err) FILTER (WHERE in_final AND NOT cond_f1) > 0 THEN
+      CAST(SUM(CAST(ROUND(heading_err * 1000.0, 0) AS BIGINT)) FILTER (WHERE in_final AND NOT cond_f1) AS DOUBLE)
+        / COUNT(heading_err) FILTER (WHERE in_final AND NOT cond_f1) / 1000.0 END AS f1_heading,
+    CASE WHEN COUNT(xtrack_ft) FILTER (WHERE in_final) > 0 THEN
+      CAST(SUM(CAST(ROUND(xtrack_ft * 1000.0, 0) AS BIGINT)) FILTER (WHERE in_final) AS DOUBLE)
+        / COUNT(xtrack_ft) FILTER (WHERE in_final) / 1000.0 END AS all_crosstrack,
+    CASE WHEN COUNT(xtrack_ft) FILTER (WHERE in_final AND NOT cond_f2) > 0 THEN
+      CAST(SUM(CAST(ROUND(xtrack_ft * 1000.0, 0) AS BIGINT)) FILTER (WHERE in_final AND NOT cond_f2) AS DOUBLE)
+        / COUNT(xtrack_ft) FILTER (WHERE in_final AND NOT cond_f2) / 1000.0 END AS f2_crosstrack,
+    CASE WHEN COUNT(indicated_airspeed) FILTER (WHERE in_final) > 0 THEN
+      CAST(SUM(CAST(ROUND(indicated_airspeed * 1000.0, 0) AS BIGINT)) FILTER (WHERE in_final) AS DOUBLE)
+        / COUNT(indicated_airspeed) FILTER (WHERE in_final) / 1000.0 END AS all_ias,
+    CASE WHEN COUNT(indicated_airspeed) FILTER (WHERE in_final AND NOT cond_a) > 0 THEN
+      CAST(SUM(CAST(ROUND(indicated_airspeed * 1000.0, 0) AS BIGINT)) FILTER (WHERE in_final AND NOT cond_a) AS DOUBLE)
+        / COUNT(indicated_airspeed) FILTER (WHERE in_final AND NOT cond_a) / 1000.0 END AS a_ias,
+    CASE WHEN COUNT(vertical_airspeed) FILTER (WHERE in_final) > 0 THEN
+      CAST(SUM(CAST(ROUND(vertical_airspeed * 1000.0, 0) AS BIGINT)) FILTER (WHERE in_final) AS DOUBLE)
+        / COUNT(vertical_airspeed) FILTER (WHERE in_final) / 1000.0 END AS all_vsi,
+    CASE WHEN COUNT(vertical_airspeed) FILTER (WHERE in_final AND NOT cond_s) > 0 THEN
+      CAST(SUM(CAST(ROUND(vertical_airspeed * 1000.0, 0) AS BIGINT)) FILTER (WHERE in_final AND NOT cond_s) AS DOUBLE)
+        / COUNT(vertical_airspeed) FILTER (WHERE in_final AND NOT cond_s) / 1000.0 END AS s_vsi
+  FROM pp2 GROUP BY flight, approach_id
+), low AS (
+  SELECT flight, time, low_id, agl, indicated_airspeed,
+    CASE WHEN COUNT(agl) OVER w5 >= 5
+         THEN ROUND(AVG(agl) OVER w5, 6) END AS agl_roll5
+  FROM isl WHERE is_low
+  WINDOW w5 AS (PARTITION BY flight, low_id ORDER BY time
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+), ep_bounds AS (
+  SELECT flight, approach_id, approach_end,
+         LEAD(approach_start) OVER (PARTITION BY flight ORDER BY approach_id)
+           AS next_approach_start
+  FROM ep_agg
+), ep_island AS (
+  SELECT l.flight, b.approach_id, l.low_id, b.approach_end,
+         b.next_approach_start
+  FROM low l JOIN ep_bounds b
+    ON l.flight = b.flight AND l.time = b.approach_end
+), landing_rows AS (
+  SELECT l.flight, i.approach_id, l.time, l.indicated_airspeed, l.agl_roll5
+  FROM low l JOIN ep_island i
+    ON l.flight = i.flight AND l.low_id = i.low_id
+  WHERE l.time > i.approach_end
+    AND (i.next_approach_start IS NULL OR l.time < i.next_approach_start)
+), landing AS (
+  SELECT flight, approach_id,
+    MIN(time) AS landing_start, MAX(time) AS landing_end,
+    MIN(indicated_airspeed) AS landing_min_ias,
+    MIN(agl_roll5) AS landing_min_roll5
+  FROM landing_rows GROUP BY flight, approach_id
+)
+SELECT a.flight AS flight_id,
+  CAST(a.approach_id AS INTEGER) AS approach_id,
+  a.airport_id, a.runway_id, a.approach_start, a.approach_end,
+  l.landing_start, l.landing_end,
+  CASE WHEN l.landing_min_ias <= 35.0 THEN 'stop-and-go'
+       WHEN l.landing_min_roll5 <= 5.0 THEN 'touch-and-go'
+       ELSE 'go-around' END AS landing_type,
+  CAST(a.unstable AS INTEGER) AS unstable,
+  a.all_heading, a.f1_heading, a.all_crosstrack, a.f2_crosstrack,
+  a.all_ias, a.a_ias, a.all_vsi, a.s_vsi
+FROM ep_agg a LEFT JOIN landing l USING (flight, approach_id)
+"""
+
+
+@register("approach_pipeline_demo", _APPROACH_ORACLE)
 def approach_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full approach/landing analysis
     (FlightAnalysis.py:46-330 re-expressed in plans/approach.py), run
@@ -508,7 +731,8 @@ def approach_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id -> flight, per-user row_number -> tick, value -> altitude
     profile. Exercises nearest-airport argmin, takeoff detection,
     episode islands, final-band predicates, runway theta-join and
-    landing classification end-to-end at SF scale."""
+    landing classification end-to-end at SF scale, oracle-checked
+    stage-for-stage against the SQL twin above."""
     from pyspark.sql import Window as W
 
     from . import approach as AP
@@ -517,7 +741,7 @@ def approach_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id"))
     telemetry = ev.select(
         F.col("user_id").alias("flight"),
-        rn.alias("time"),
+        rn.cast("long").alias("time"),
         (F.lit(800.0) + F.col("value") * 10).alias("msl_altitude"),
         (F.col("value") / 2).alias("indicated_airspeed"),
         (-F.col("value")).alias("vertical_airspeed"),
