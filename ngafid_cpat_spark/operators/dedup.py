@@ -83,16 +83,47 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.05,
+    max_doc_freq: int | None = 10_000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard over candidate pairs sharing >=1
     shingle. Inverted-index self-join: shuffle on shingle, then on
     the (id1, id2) pair — no cross product. Output columns:
-    id1, id2, jaccard."""
+    id1, id2, jaccard.
+
+    ``max_doc_freq`` caps posting-list length: a shingle appearing in
+    more than that many documents (a stop-phrase) is dropped from the
+    INDEX before the self-join — without the cap one ubiquitous
+    shingle makes the join quadratic in corpus size. Set sizes keep
+    counting every shingle, so reported jaccard is a lower bound when
+    the cap fires (standard inverted-index df-cut; candidate recall
+    is lost only for pairs whose overlap is exclusively stop-phrase).
+    ``log_dropped=True`` eagerly counts and logs the dropped shingles
+    (one extra tiny aggregate — leave off in the hot path)."""
     sh = _shingle_sets(df, id_col, text_col, k)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sh_idx = sh
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        if log_dropped:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "jaccard_pairs: dropping %d shingles with df > %d",
+                hot.count(),
+                max_doc_freq,
+            )
+        # hot set is tiny by construction (few shingles can exceed the
+        # cap) -> broadcast anti-join, no extra shuffle of the index
+        sh_idx = sh.join(F.broadcast(hot), "sh", "left_anti")
     common = (
-        sh.alias("a")
-        .join(sh.alias("b"), on="sh")
+        sh_idx.alias("a")
+        .join(sh_idx.alias("b"), on="sh")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .agg(F.count(F.lit(1)).alias("c"))

@@ -407,25 +407,34 @@ def analyze_fleet(
     one row per aircraft_type with Thresholds field names as columns
     (missing columns fall back to the reference constants).
 
-    Implementation: the config is driver-side tiny, so the fleet is
-    analyzed as a union of per-type plans, each with its thresholds
-    CONSTANT-FOLDED into the predicates (better than threading
-    threshold columns through every expression — Catalyst folds the
-    literals and codegen sees constants)."""
-    type_rows = {r["id"]: r["aircraft_type"] for r in aircraft.collect()}
+    Implementation: one plan per aircraft TYPE (thresholds
+    CONSTANT-FOLDED into the predicates — Catalyst folds the literals
+    and codegen sees constants), unioned. Only type-cardinality-sized
+    state ever reaches the driver: the distinct type list and the
+    thresholds config rows. The flight->type membership itself never
+    leaves the cluster — each per-type slice is a broadcast LEFT SEMI
+    join of the telemetry against that type's aircraft ids (reference
+    J7, FlightAnalysis.py:67-83), not a collected id list baked into
+    the plan, so the plan size is independent of fleet size."""
     th_by_type: dict = {}
     if thresholds_df is not None:
         valid = {f.name for f in Thresholds.__dataclass_fields__.values()}
-        for r in thresholds_df.collect():
+        for r in thresholds_df.collect():  # config-table-sized
             d = {k: v for k, v in r.asDict().items() if k in valid and v is not None}
             th_by_type[r["aircraft_id"]] = Thresholds(**d)
 
+    types = sorted(
+        (r["aircraft_type"] for r in aircraft.select("aircraft_type").distinct().collect()),
+        key=str,
+    )
     out = None
-    types = sorted(set(type_rows.values()), key=str)
     for t in types:
-        flights = [fid for fid, ft in type_rows.items() if ft == t]
+        ids = (
+            aircraft.filter(F.col("aircraft_type") == t)
+            .select(F.col("id").alias("flight"))
+        )
         part = analyze(
-            flight_df.filter(F.col("flight").isin(flights)),
+            flight_df.join(F.broadcast(ids), "flight", "left_semi"),
             airports,
             runways,
             th=th_by_type.get(t, Thresholds()),

@@ -49,6 +49,38 @@ def test_jaccard_pairs_finds_neardup(spark, docs):
     assert not any(5 in p for p in pairs)  # OTHER shares no shingle run
 
 
+def test_jaccard_df_cut_drops_hot_shingles(spark):
+    """A stop-phrase shingle shared by EVERY doc must not square the
+    join: with max_doc_freq it is dropped from the index, so docs
+    related only through it produce no pair, while genuinely similar
+    docs still match through their other shingles."""
+    stop = "click here to subscribe"
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": f"alpha beta gamma delta epsilon {stop}"},
+            {"doc_id": 2, "text": f"alpha beta gamma delta zeta {stop}"},
+            {"doc_id": 3, "text": f"one two three four five {stop}"},
+            {"doc_id": 4, "text": f"six seven eight nine ten {stop}"},
+        ]
+    )
+    capped = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, k=3, threshold=0.0, max_doc_freq=3).collect()
+    }
+    # 1-2 share real content shingles -> still found
+    assert (1, 2) in capped
+    # 3-4 (and 1-3 etc.) overlap ONLY via the stop phrase -> gone
+    assert (3, 4) not in capped and (1, 3) not in capped
+    uncapped = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, k=3, threshold=0.0, max_doc_freq=None).collect()
+    }
+    assert (3, 4) in uncapped  # without the cap the stop phrase links them
+    # capped jaccard is a lower bound of the uncapped exact value
+    for p, j in capped.items():
+        assert j <= uncapped[p] + 1e-12
+
+
 def test_minhash_lsh_recall(spark, docs):
     exact = {
         (r["id1"], r["id2"])
