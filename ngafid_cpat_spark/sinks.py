@@ -126,3 +126,78 @@ def mark_analyzed(
         F.col("flight_id"), F.lit(1).alias("approach_analysis")
     )
     upsert(spark, done, status_path, keys=["flight_id"], n_buckets=n_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Coupled S6+S7 commit (the reference's single transaction,
+# FlightAnalysis.py:428-433: executemany upsert + status UPDATE +
+# one db.commit()).
+# ---------------------------------------------------------------------------
+
+
+def batch_fingerprint(approaches: DataFrame) -> str:
+    """Deterministic, order-independent id for a result batch: XOR of
+    per-row key hashes. Computed distributed (one tiny aggregate);
+    the same logical batch always maps to the same transaction id."""
+    row = approaches.select(
+        F.expr("bit_xor(xxhash64(flight_id, approach_id))").alias("fp"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return f"{(row['fp'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}_{row['n']}"
+
+
+def is_committed(txn_dir: str, txn_id: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(txn_dir, f"{txn_id}.committed"))
+
+
+def commit_analysis(
+    spark: SparkSession,
+    approaches: DataFrame,
+    results_path: str,
+    status_path: str,
+    txn_dir: str,
+    keys: list[str] | None = None,
+    n_buckets: int = 16,
+) -> str:
+    """Atomically-recoverable S6+S7 commit over plain parquet.
+
+    Without Delta's multi-table transaction, atomicity comes from
+    ordering + idempotence + a commit manifest:
+
+      1. upsert the approach rows (S6) — idempotent MERGE;
+      2. flip approach_analysis=1 for the batch's flights (S7) —
+         idempotent MERGE;
+      3. atomically create ``<txn_dir>/<fingerprint>.committed``
+         (os.rename of a temp file; on an object store this is the
+         atomic PUT of the manifest key).
+
+    Crash before (3): the status flip may be missing for some
+    flights, so the work queue re-emits them and the whole batch
+    replays — both upserts are idempotent, so replay converges to
+    exactly the committed state (at-least-once execution,
+    exactly-once effect: the reference relies on the same property
+    when its transaction rolls back, FlightAnalysis.py:434-437).
+    A batch whose manifest exists is skipped entirely on re-run.
+    Returns the transaction id."""
+    import os
+    import tempfile
+
+    if keys is None:
+        keys = ["flight_id", "approach_id"]
+    os.makedirs(txn_dir, exist_ok=True)
+    txn_id = batch_fingerprint(approaches)
+    if is_committed(txn_dir, txn_id):
+        return txn_id
+    upsert(spark, approaches, results_path, keys=keys, n_buckets=n_buckets)
+    mark_analyzed(
+        spark,
+        status_path,
+        approaches.select("flight_id").distinct(),
+        n_buckets=n_buckets,
+    )
+    fd, tmp = tempfile.mkstemp(dir=txn_dir, suffix=".tmp")
+    os.close(fd)
+    os.rename(tmp, os.path.join(txn_dir, f"{txn_id}.committed"))
+    return txn_id

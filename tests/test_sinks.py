@@ -68,3 +68,50 @@ def test_mark_analyzed_status_flip(spark, tmp_path):
         for r in sinks.read_table(spark, path).collect()
     }
     assert got == {1: 1, 2: 0}
+
+
+def test_commit_analysis_crash_recovery(spark, tmp_path):
+    """Coupled S6+S7 commit: a crash between the results upsert and
+    the status flip must replay to exactly the committed state, and a
+    committed batch must be skipped on re-run."""
+    results = str(tmp_path / "approaches")
+    status = str(tmp_path / "flight_analyses")
+    txn = str(tmp_path / "txn")
+    sinks.create_table(
+        spark.createDataFrame(
+            [{"flight_id": 0, "approach_id": 0, "landing_type": "seed"}]
+        ),
+        results, keys=["flight_id", "approach_id"], n_buckets=4,
+    )
+    sinks.create_table(
+        spark.createDataFrame(
+            [{"flight_id": f, "approach_analysis": 0} for f in (0, 1, 2)]
+        ),
+        status, keys=["flight_id"], n_buckets=4,
+    )
+    batch = spark.createDataFrame(
+        [
+            {"flight_id": 1, "approach_id": 1, "landing_type": "go-around"},
+            {"flight_id": 2, "approach_id": 1, "landing_type": "stop-and-go"},
+        ]
+    )
+    # simulate a crash AFTER S6 but BEFORE S7: only the upsert ran
+    sinks.upsert(spark, batch, results, keys=["flight_id", "approach_id"], n_buckets=4)
+    st = {r["flight_id"]: r["approach_analysis"]
+          for r in sinks.read_table(spark, status).collect()}
+    assert st == {0: 0, 1: 0, 2: 0}  # status not flipped yet -> re-queued
+
+    # the work queue re-emits flights 1,2; the replayed batch commits
+    txn_id = sinks.commit_analysis(spark, batch, results, status, txn)
+    assert sinks.is_committed(txn, txn_id)
+    rows = {(r["flight_id"], r["approach_id"]): r["landing_type"]
+            for r in sinks.read_table(spark, results).collect()}
+    assert rows == {(0, 0): "seed", (1, 1): "go-around", (2, 1): "stop-and-go"}
+    st = {r["flight_id"]: r["approach_analysis"]
+          for r in sinks.read_table(spark, status).collect()}
+    assert st == {0: 0, 1: 1, 2: 1}
+
+    # committed batch: re-run is a pure no-op (manifest short-circuit)
+    assert sinks.commit_analysis(spark, batch, results, status, txn) == txn_id
+    assert {(r["flight_id"], r["approach_id"]): r["landing_type"]
+            for r in sinks.read_table(spark, results).collect()} == rows
