@@ -2,11 +2,13 @@
 
 Treats image/audio/video payloads as opaque ``binary`` columns with a
 typed metadata struct, processed by Arrow-batched ``mapInPandas``
-UDFs. The decode step itself is STUBBED (no image/audio libs in this
-container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder produces
-stable feature rows so the Spark-side plumbing — schema, batch shape,
-partitioning — is fully real and tested.
+UDFs. ``decode_image`` is a real, dependency-free decoder for the two
+uncompressed formats parseable from raw bytes — binary PPM (P6) and
+24-bit uncompressed BMP — returning dimensions and per-channel means;
+payloads in any other format decode to NULL features (the hook where
+PIL/libav would slot in per Arrow batch). ``fake=True`` keeps the
+deterministic hash-based pseudo-decoder for payloads that are not
+images at all (e.g. text bytes in the testdata).
 
 Scale notes: binary payloads ride the scan; mapInPandas streams Arrow
 batches so a 100 MB image row never materializes twice; feature
@@ -71,30 +73,104 @@ def assemble_media(df: DataFrame, id_col: str, payload_expr, media_type: str, so
 
 def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic fake 'decoder': sha256 bytes -> dim floats in
-    [0,1). Stands in for image/audio decoding; same signature and
-    batch shape as a real decoder would have."""
+    [0,1). Stands in for decoding payloads that are not images (the
+    testdata's text bytes); same signature and batch shape as the
+    real decoder."""
     h = hashlib.sha256(payload or b"").digest()
     return [h[i] / 255.0 for i in range(dim)]
+
+
+def _ppm_decode(raw: bytes):
+    """Binary PPM (P6): ASCII header ``P6 <w> <h> <maxval>`` with
+    #-comments, one whitespace byte, then w*h*3 raw RGB bytes."""
+    i, fields = 2, []
+    while len(fields) < 3 and i < len(raw):
+        c = raw[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            nl = raw.find(b"\n", i)
+            i = nl + 1 if nl != -1 else len(raw)
+        else:
+            j = i
+            while j < len(raw) and not raw[j : j + 1].isspace():
+                j += 1
+            fields.append(int(raw[i:j]))
+            i = j
+    if len(fields) < 3:
+        return None
+    w, h, maxval = fields
+    data = raw[i + 1 : i + 1 + w * h * 3]
+    if w <= 0 or h <= 0 or maxval <= 0 or len(data) < w * h * 3:
+        return None
+    import numpy as np
+
+    px = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
+    means = px.mean(axis=0) / maxval
+    return w, h, float(means[0]), float(means[1]), float(means[2])
+
+
+def _bmp_decode(raw: bytes):
+    """24-bit uncompressed BMP: BITMAPINFOHEADER, 4-byte-padded
+    bottom-up BGR rows (orientation irrelevant for channel means)."""
+    if len(raw) < 54:
+        return None
+    off = int.from_bytes(raw[10:14], "little")
+    w = int.from_bytes(raw[18:22], "little", signed=True)
+    h = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    compression = int.from_bytes(raw[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    import numpy as np
+
+    height = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    data = raw[off : off + stride * height]
+    if len(data) < stride * height:
+        return None
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(height, stride)
+    px = rows[:, : w * 3].reshape(-1, 3).astype(np.float64)  # B,G,R
+    means = px.mean(axis=0) / 255.0
+    return w, h, float(means[2]), float(means[1]), float(means[0])
+
+
+def decode_image(raw: bytes | None):
+    """Decode a supported image payload to
+    ``(width, height, mean_r, mean_g, mean_b)`` (means in [0,1]), or
+    None for unsupported/corrupt payloads. Pure byte parsing + numpy
+    — no imaging libraries required."""
+    if not raw:
+        return None
+    raw = bytes(raw)
+    if raw[:2] == b"P6":
+        return _ppm_decode(raw)
+    if raw[:2] == b"BM":
+        return _bmp_decode(raw)
+    return None
 
 
 def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    With ``fake=False`` this is where a real decoder (PIL/libav/
-    torchaudio) would run per Arrow batch; not available in this
-    container, so it raises NotImplementedError — the surrounding
-    plumbing (Arrow batching, schema, partition preservation) is the
-    deliverable and is exercised with fake=True.
+    ``fake=False`` runs the real decoder per Arrow batch: feature =
+    [width, height, mean_r, mean_g, mean_b] for PPM/BMP payloads,
+    NULL for undecodable ones. ``fake=True`` emits the deterministic
+    hash features instead (for non-image payloads). Either way the
+    plumbing is identical: Arrow batching, one pass, no shuffle.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real media decoding requires image/audio libraries not present "
-            "in this environment; use fake=True for the deterministic stub"
-        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            if fake:
+                feats = payloads.map(lambda b: _fake_decode(bytes(b or b""), dim))
+            else:
+                feats = payloads.map(
+                    lambda b: (lambda d: list(map(float, d)) if d else None)(
+                        decode_image(b)
+                    )
+                )
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
@@ -102,7 +178,7 @@ def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataF
                 "sha256": payloads.map(
                     lambda b: hashlib.sha256(b or b"").hexdigest()
                 ),
-                "feature": payloads.map(lambda b: _fake_decode(bytes(b or b""), dim)),
+                "feature": feats,
             })
 
     return media.mapInPandas(gen, schema=FEATURE_SCHEMA)

@@ -1,4 +1,5 @@
-"""Multimodal binary-column plumbing tests (decode stubbed)."""
+"""Multimodal binary-column plumbing tests: real PPM/BMP decode +
+the deterministic fake decoder for non-image payloads."""
 
 import hashlib
 
@@ -39,9 +40,70 @@ def test_extract_features_fake(media):
     assert list(again["feature"]) == list(r["feature"])
 
 
-def test_extract_features_real_decode_is_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        M.extract_features(media, fake=False)
+def _ppm(w, h, pixels):
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+
+def _bmp_24(w, h, rows_bgr):
+    """Minimal bottom-up 24-bit BMP from per-row BGR byte lists."""
+    stride = ((w * 3 + 3) // 4) * 4
+    body = b"".join(
+        bytes(row) + b"\x00" * (stride - len(row)) for row in reversed(rows_bgr)
+    )
+    header = (
+        b"BM"
+        + (54 + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + body
+
+
+def test_decode_image_ppm_and_bmp():
+    # 2x2 PPM: red, green, blue, white
+    ppm = _ppm(2, 2, [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    assert M.decode_image(ppm) == (2, 2, pytest.approx(0.5), pytest.approx(0.5), pytest.approx(0.5))
+    # 2x1 BMP, pixels (BGR on disk): pure red, pure blue
+    bmp = _bmp_24(2, 1, [[0, 0, 255, 255, 0, 0]])
+    w, h, r, g, b = M.decode_image(bmp)
+    assert (w, h) == (2, 1)
+    assert (r, g, b) == (pytest.approx(0.5), pytest.approx(0.0), pytest.approx(0.5))
+    # unsupported / corrupt payloads decode to None, never raise
+    assert M.decode_image(b"hello world") is None
+    assert M.decode_image(b"") is None
+    assert M.decode_image(b"P6\n2 2\n255\n\x00") is None  # truncated
+    assert M.decode_image(None) is None
+
+
+def test_extract_features_real_decode(spark):
+    """fake=False runs the real decoder inside mapInPandas: image
+    payloads get [w, h, mean_r, mean_g, mean_b], others NULL."""
+    ppm = _ppm(2, 2, [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    media = spark.createDataFrame(
+        [
+            {"media_id": 1, "media_type": "image", "payload": bytearray(ppm),
+             "meta": {"source": "s", "n_bytes": len(ppm), "mime": "image/x-portable-pixmap"}},
+            {"media_id": 2, "media_type": "text", "payload": bytearray(b"not an image"),
+             "meta": {"source": "s", "n_bytes": 12, "mime": "text/plain"}},
+        ],
+        schema=M.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in M.extract_features(media, fake=False).collect()}
+    assert out[1]["feature"] == [
+        pytest.approx(2.0), pytest.approx(2.0),
+        pytest.approx(0.5), pytest.approx(0.5), pytest.approx(0.5),
+    ]
+    assert out[1]["sha256"] == hashlib.sha256(ppm).hexdigest()
+    assert out[2]["feature"] is None  # undecodable -> NULL, row kept
+    assert out[2]["n_bytes"] == 12
 
 
 def test_frame_sample(media):
