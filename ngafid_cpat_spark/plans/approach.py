@@ -92,7 +92,13 @@ class Thresholds:
 def with_nearest_airport(flight_df: DataFrame, airports: DataFrame) -> DataFrame:
     """Per-tick nearest airport by Manhattan |dlat|+|dlon| degrees
     (FlightAnalysis.py:356-366): broadcast cross join + min(struct)
-    argmin, deterministic tie-break on airport_code."""
+    argmin, deterministic tie-break on airport_code.
+
+    Single-shuffle shape: the telemetry columns ride the argmin
+    groupBy as first() aggregates (identical across the airport
+    copies of a tick), so there is no join-back of the argmin result
+    onto the telemetry — map-side partial aggregation collapses the
+    |airports| copies of each tick before anything shuffles."""
     d = geo.manhattan_deg("latitude", "longitude", "ap_lat", "ap_lon")
     ap = airports.select(
         F.col("airport_code"),
@@ -100,24 +106,31 @@ def with_nearest_airport(flight_df: DataFrame, airports: DataFrame) -> DataFrame
         F.col("longitude").alias("ap_lon"),
         F.col("elevation_ft").alias("ap_elev"),
     )
+    passthrough = [c for c in flight_df.columns if c not in ("flight", "time")]
     joined = flight_df.join(F.broadcast(ap), how="cross")
-    best = joined.groupBy("flight", "time").agg(
-        F.min(
-            F.struct(
-                d.alias("d"),
-                F.col("airport_code").alias("code"),
-                F.col("ap_lat").alias("lat"),
-                F.col("ap_lon").alias("lon"),
-                F.col("ap_elev").alias("elev"),
-            )
-        ).alias("b")
-    )
-    return flight_df.join(best, ["flight", "time"]).select(
-        flight_df["*"],
-        F.col("b.code").alias("airport_code"),
-        F.col("b.lat").alias("airport_lat"),
-        F.col("b.lon").alias("airport_lon"),
-        F.col("b.elev").alias("airport_elev"),
+    return (
+        joined.groupBy("flight", "time")
+        .agg(
+            *[F.first(c).alias(c) for c in passthrough],
+            F.min(
+                F.struct(
+                    d.alias("d"),
+                    F.col("airport_code").alias("code"),
+                    F.col("ap_lat").alias("lat"),
+                    F.col("ap_lon").alias("lon"),
+                    F.col("ap_elev").alias("elev"),
+                )
+            ).alias("b"),
+        )
+        .select(
+            "flight",
+            "time",
+            *passthrough,
+            F.col("b.code").alias("airport_code"),
+            F.col("b.lat").alias("airport_lat"),
+            F.col("b.lon").alias("airport_lon"),
+            F.col("b.elev").alias("airport_elev"),
+        )
     )
 
 
