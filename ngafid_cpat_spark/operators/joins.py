@@ -28,6 +28,26 @@ from pyspark.sql import functions as F
 
 from ..functions import geo
 
+# Hard ceiling on rows broadcast as an argmin build side. Spark's own
+# failure mode for an oversized broadcast is an executor OOM deep in
+# the job; this fails fast at plan-build time instead.
+MAX_BROADCAST_DIM_ROWS = 2_000_000
+
+
+def assert_dim_bounded(dims: DataFrame, max_rows: int | None = MAX_BROADCAST_DIM_ROWS) -> None:
+    """Guard that a 'dimension' really is dimension-sized before we
+    broadcast it. limit(n+1).count() stops scanning at n+1 rows, so
+    the probe costs O(max_rows) regardless of the true table size."""
+    if max_rows is None:
+        return
+    n = dims.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"broadcast dim side exceeds {max_rows} rows; use the "
+            "gridded/banded scale path with a repartitioned (non-"
+            "broadcast) dim side instead"
+        )
+
 
 def nearest(
     facts: DataFrame,
@@ -91,6 +111,7 @@ def nearest_banded_1d(
     Output: (fact_key, fact_val, nearest key, distance). Ties break
     on (distance, dim_key) like `nearest`.
     """
+    assert_dim_bounded(dims)
     w = float(band_width)
     dims3 = (
         dims.select(F.col(dim_key), F.col(dim_val))

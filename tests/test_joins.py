@@ -112,3 +112,17 @@ def test_nearest_banded_1d_tie_breaks_on_key(spark):
         facts, dims, "fk", "fv", "dk", "dv", band_width=100.0
     ).first()
     assert (r["nearest_key"], r["nearest_dist"]) == (3, 50.0)
+
+
+def test_broadcast_dim_guard(spark):
+    """The argmin broadcast path must fail fast when the 'dim' side is
+    not dimension-sized (instead of OOMing mid-job at scale)."""
+    import pytest
+
+    from ngafid_cpat_spark.operators import joins as OJ
+
+    big = spark.range(0, 50)
+    with pytest.raises(ValueError, match="broadcast dim side"):
+        OJ.assert_dim_bounded(big, max_rows=10)
+    OJ.assert_dim_bounded(big, max_rows=100)  # within bound: no-op
+    OJ.assert_dim_bounded(big, max_rows=None)  # disabled: no-op
