@@ -500,6 +500,85 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Flight-domain flagship (rows-only: the full approach pipeline)
 # ---------------------------------------------------------------------------
 
+@register(
+    "streaming_sessions_events",
+    """
+    WITH e AS (
+      SELECT user_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 3600
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM e
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 1 HOUR AS session_end,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run inside the correctness gate: the
+    events table consumed as a file-source stream, session_window gap
+    sessions (gap = 1 h) aggregated with an availableNow trigger in
+    complete mode into a memory sink, returned as the finished batch
+    result. Oracle: batch gap-sessionization SQL (lag + cumsum; an
+    event at exactly prev + gap MERGES — session ranges are
+    [start, last + gap) — so a new session needs diff > gap).
+    Money-style integer-cent sums keep the hash stable across
+    engines and stream/batch execution orders.
+
+    The engine-managed session state is keyed (user, window) and at a
+    real stream's scale is evicted by the watermark; complete mode
+    here is what makes the bounded replay comparable to batch."""
+    import hashlib
+    import os
+
+    from ..streaming.sessions import read_events_stream
+
+    # the file stream source requires a DIRECTORY; expose the single
+    # events.parquet through a per-sf_dir symlink dir (no data copy)
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stream_dir = os.path.join(
+        "/tmp", f"spark_graft_events_stream_{hashlib.md5(src.encode()).hexdigest()[:12]}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = read_events_stream(spark, stream_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "1 hour").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("__cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            (F.col("__cents") / 100.0).alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("streaming_sessions_events_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_sessions_events_mem")
+
+
 # Full DuckDB twin of the approach/landing pipeline on the synthetic
 # telemetry below — every stage of plans/approach.analyze() replayed
 # as standard SQL (windows, gaps-and-islands, theta-join, FILTER

@@ -69,8 +69,9 @@ PRIORITY = [
     "retention_cohorts",
     "stats_moments_events",
     "gapfill_locf_daily",
-    "rollup_hourly_daily",
     "quantile_events",
+    # --- §2.9: a REAL Structured Streaming run in the gate ---
+    "streaming_sessions_events",
     # --- the reference's core capability, oracle-paired ---
     "approach_pipeline_demo",
     # --- TPC-H sweep sample ---
