@@ -71,6 +71,44 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         telemetry = telemetry.filter(F.col("flight").isin(args.flight_ids))
     airports = _read(spark, args.airports, AIRPORTS_CSV_SCHEMA)
     runways = _read(spark, args.runways, RUNWAYS_CSV_SCHEMA)
+
+    if args.status:
+        # entry point 1 — the reference's work-queue loop (main.py:27,
+        # 128-132): analyze only flights with approach_analysis=0,
+        # then upsert results + flip status under one manifest commit
+        # (FlightAnalysis.py:428-433's transaction)
+        from . import sinks
+
+        status_df = sinks.read_table(spark, args.status)
+        pending = approach.pending_flights(status_df)
+        if pending.limit(1).count() == 0:
+            print("work queue empty; nothing to commit")
+            return 0
+        telemetry = telemetry.join(
+            F.broadcast(pending.withColumnRenamed("flight_id", "flight")),
+            "flight",
+            "left_semi",
+        )
+        result = approach.analyze(telemetry, airports, runways)
+        if args.no_write:
+            result.show(50, truncate=False)
+            return 0
+        n = result.count()
+        txn_dir = args.txn_dir or f"{args.output}_txn"
+        # status flips for EVERY pending flight, episodes or not
+        # (reference FlightAnalysis.py:432) — an episode-free flight
+        # must not re-queue forever
+        txn = sinks.commit_analysis(
+            spark,
+            result,
+            args.output,
+            args.status,
+            txn_dir,
+            analyzed_flights=pending,
+        )
+        print(f"committed {n} approach rows (txn {txn}) -> {args.output}")
+        return 0
+
     result = approach.analyze(telemetry, airports, runways)
     if args.no_write:
         result.show(50, truncate=False)
@@ -113,6 +151,12 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--runways", required=True, help="runways parquet/CSV")
     a.add_argument("--output", default="approaches_out", help="result parquet dir")
     a.add_argument("--no-write", action="store_true", help="print instead of sink")
+    a.add_argument(
+        "--status",
+        help="flight_analyses status table: work-queue mode — analyze only "
+        "pending flights, upsert + flip status in one manifest commit",
+    )
+    a.add_argument("--txn-dir", help="commit-manifest dir (default <output>_txn)")
     a.set_defaults(fn=cmd_analyze)
 
     q = sub.add_parser("query", help="run one catalog query")

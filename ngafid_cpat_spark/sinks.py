@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BUCKET_COL = "__bucket"
+SPEC_FILE = "_bucket_spec.json"
 
 
 def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
@@ -33,14 +34,54 @@ def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
     )
 
 
+def _write_spec(path: str, keys: list[str], n_buckets: int) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, SPEC_FILE), "w") as f:
+        json.dump({"keys": list(keys), "n_buckets": n_buckets}, f)
+
+
+def _read_spec(path: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(path, SPEC_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _resolve_layout(path: str, keys: list[str], n_buckets: int) -> tuple[list[str], int]:
+    """The table's PERSISTED bucket layout always wins over caller
+    arguments: an upsert bucketed with a different modulus writes
+    matching keys into different partition directories and silently
+    DUPLICATES rows (dynamic overwrite only replaces the partitions
+    it writes). The spec file (underscore-prefixed: invisible to the
+    parquet reader; the metadata-object analog on an object store)
+    makes the layout a property of the table, not of each call."""
+    spec = _read_spec(path)
+    if spec is None:
+        return keys, n_buckets
+    if list(keys) != list(spec["keys"]):
+        raise ValueError(
+            f"table at {path} is keyed on {spec['keys']}, not {list(keys)}"
+        )
+    return spec["keys"], int(spec["n_buckets"])
+
+
 def create_table(df: DataFrame, path: str, keys: list[str], n_buckets: int = 16) -> None:
-    """Initialize an upsert-able parquet table."""
+    """Initialize an upsert-able parquet table (layout recorded in a
+    spec file so later upserts can never mis-bucket)."""
     (
         _with_bucket(df, keys, n_buckets)
         .write.partitionBy(BUCKET_COL)
         .mode("overwrite")
         .parquet(path)
     )
+    _write_spec(path, keys, n_buckets)
 
 
 def upsert(
@@ -51,7 +92,9 @@ def upsert(
     n_buckets: int = 16,
 ) -> None:
     """MERGE: replace rows whose key appears in ``updates``, keep the
-    rest, rewrite only affected buckets."""
+    rest, rewrite only affected buckets. The table's persisted bucket
+    spec overrides ``keys``/``n_buckets`` (see _resolve_layout)."""
+    keys, n_buckets = _resolve_layout(path, keys, n_buckets)
     updates = _with_bucket(updates, keys, n_buckets).cache()
     touched = [r[BUCKET_COL] for r in updates.select(BUCKET_COL).distinct().collect()]
     if not touched:
@@ -71,6 +114,8 @@ def upsert(
     merged = merged.localCheckpoint(eager=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     merged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+    if _read_spec(path) is None:  # first write created the table
+        _write_spec(path, keys, n_buckets)
     updates.unpersist()
 
 
@@ -96,6 +141,7 @@ def compact(
     schema); localCheckpoint breaks lineage so the path can be
     overwritten in place — Delta/Iceberg OPTIMIZE would make this a
     snapshot-isolated transaction on a production cluster."""
+    spec = _read_spec(path)  # static overwrite deletes it; restore after
     df = spark.read.parquet(path)
     n_buckets = df.select(BUCKET_COL).distinct().count()
     compacted = df.repartition(max(n_buckets, 1), F.col(BUCKET_COL)).localCheckpoint(
@@ -112,6 +158,8 @@ def compact(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    if spec is not None:
+        _write_spec(path, spec["keys"], spec["n_buckets"])
 
 
 def mark_analyzed(
@@ -135,15 +183,26 @@ def mark_analyzed(
 # ---------------------------------------------------------------------------
 
 
-def batch_fingerprint(approaches: DataFrame) -> str:
+def batch_fingerprint(
+    approaches: DataFrame, analyzed_flights: DataFrame | None = None
+) -> str:
     """Deterministic, order-independent id for a result batch: XOR of
-    per-row key hashes. Computed distributed (one tiny aggregate);
+    per-row key hashes (plus the analyzed-flight set when it is wider
+    than the result set — a batch of episode-free flights must not
+    collide with another). Computed distributed (tiny aggregates);
     the same logical batch always maps to the same transaction id."""
     row = approaches.select(
         F.expr("bit_xor(xxhash64(flight_id, approach_id))").alias("fp"),
         F.count(F.lit(1)).alias("n"),
     ).first()
-    return f"{(row['fp'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}_{row['n']}"
+    base = f"{(row['fp'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}_{row['n']}"
+    if analyzed_flights is None:
+        return base
+    row2 = analyzed_flights.select(
+        F.expr("bit_xor(xxhash64(flight_id))").alias("fp"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return f"{base}_{(row2['fp'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}_{row2['n']}"
 
 
 def is_committed(txn_dir: str, txn_id: str) -> bool:
@@ -160,6 +219,7 @@ def commit_analysis(
     txn_dir: str,
     keys: list[str] | None = None,
     n_buckets: int = 16,
+    analyzed_flights: DataFrame | None = None,
 ) -> str:
     """Atomically-recoverable S6+S7 commit over plain parquet.
 
@@ -180,21 +240,29 @@ def commit_analysis(
     exactly-once effect: the reference relies on the same property
     when its transaction rolls back, FlightAnalysis.py:434-437).
     A batch whose manifest exists is skipped entirely on re-run.
-    Returns the transaction id."""
+
+    ``analyzed_flights`` is the set of flights whose status flips —
+    pass the full work set when it is wider than the flights that
+    produced approach rows (the reference flips the flag for every
+    analyzed flight, episodes or not, FlightAnalysis.py:432; without
+    this an episode-free flight would re-queue forever). Defaults to
+    the flights present in ``approaches``. Returns the txn id."""
     import os
     import tempfile
 
     if keys is None:
         keys = ["flight_id", "approach_id"]
+    if analyzed_flights is None:
+        analyzed_flights = approaches.select("flight_id").distinct()
     os.makedirs(txn_dir, exist_ok=True)
-    txn_id = batch_fingerprint(approaches)
+    txn_id = batch_fingerprint(approaches, analyzed_flights)
     if is_committed(txn_dir, txn_id):
         return txn_id
     upsert(spark, approaches, results_path, keys=keys, n_buckets=n_buckets)
     mark_analyzed(
         spark,
         status_path,
-        approaches.select("flight_id").distinct(),
+        analyzed_flights.select("flight_id").distinct(),
         n_buckets=n_buckets,
     )
     fd, tmp = tempfile.mkstemp(dir=txn_dir, suffix=".tmp")

@@ -50,3 +50,44 @@ def test_cli_analyze_writes_and_filters(spark, telemetry, dims, tmp_path):
 
 def test_cli_query_unknown_errors(capsys):
     assert main(["query", "nope"]) == 2
+
+
+def test_cli_analyze_work_queue_mode(spark, telemetry, dims, tmp_path, capsys):
+    """Entry point 1: pending scan -> analyze -> manifest commit; the
+    second invocation finds an empty queue."""
+    from ngafid_cpat_spark import sinks
+
+    airports, runways = dims
+    tpath = str(tmp_path / "telemetry")
+    apath = str(tmp_path / "airports")
+    rpath = str(tmp_path / "runways")
+    out = str(tmp_path / "approaches")
+    status = str(tmp_path / "flight_analyses")
+    telemetry.write.parquet(tpath)
+    airports.write.parquet(apath)
+    runways.write.parquet(rpath)
+    flights = [r["flight"] for r in telemetry.select("flight").distinct().collect()]
+    sinks.create_table(
+        spark.createDataFrame(
+            [{"flight_id": f, "approach_analysis": 0} for f in flights]
+        ),
+        status, keys=["flight_id"], n_buckets=4,
+    )
+    rc = main(
+        ["analyze", "--telemetry", tpath, "--airports", apath, "--runways", rpath,
+         "--output", out, "--status", status]
+    )
+    assert rc == 0
+    assert "committed" in capsys.readouterr().out
+    # every flight flipped to analyzed; results landed in the table
+    st = {r["flight_id"]: r["approach_analysis"]
+          for r in sinks.read_table(spark, status).collect()}
+    assert set(st.values()) == {1}
+    assert sinks.read_table(spark, out).count() > 0
+    # re-run: queue is empty
+    rc = main(
+        ["analyze", "--telemetry", tpath, "--airports", apath, "--runways", rpath,
+         "--output", out, "--status", status]
+    )
+    assert rc == 0
+    assert "work queue empty" in capsys.readouterr().out

@@ -104,14 +104,16 @@ def test_commit_analysis_crash_recovery(spark, tmp_path):
     # the work queue re-emits flights 1,2; the replayed batch commits
     txn_id = sinks.commit_analysis(spark, batch, results, status, txn)
     assert sinks.is_committed(txn, txn_id)
-    rows = {(r["flight_id"], r["approach_id"]): r["landing_type"]
-            for r in sinks.read_table(spark, results).collect()}
-    assert rows == {(0, 0): "seed", (1, 1): "go-around", (2, 1): "stop-and-go"}
-    st = {r["flight_id"]: r["approach_analysis"]
-          for r in sinks.read_table(spark, status).collect()}
-    assert st == {0: 0, 1: 1, 2: 1}
+    # multiset compare: a mis-bucketed upsert DUPLICATES rows, which a
+    # dict comprehension would silently collapse
+    rows = sorted((r["flight_id"], r["approach_id"], r["landing_type"])
+                  for r in sinks.read_table(spark, results).collect())
+    assert rows == [(0, 0, "seed"), (1, 1, "go-around"), (2, 1, "stop-and-go")]
+    st = sorted((r["flight_id"], r["approach_analysis"])
+                for r in sinks.read_table(spark, status).collect())
+    assert st == [(0, 0), (1, 1), (2, 1)]
 
     # committed batch: re-run is a pure no-op (manifest short-circuit)
     assert sinks.commit_analysis(spark, batch, results, status, txn) == txn_id
-    assert {(r["flight_id"], r["approach_id"]): r["landing_type"]
-            for r in sinks.read_table(spark, results).collect()} == rows
+    assert sorted((r["flight_id"], r["approach_id"], r["landing_type"])
+                  for r in sinks.read_table(spark, results).collect()) == rows
