@@ -2,13 +2,14 @@
 
 Treats image/audio/video payloads as opaque ``binary`` columns with a
 typed metadata struct, processed by Arrow-batched ``mapInPandas``
-UDFs. ``decode_image`` is a real, dependency-free decoder for the two
+UDFs. ``decode_media`` is a real, dependency-free decoder for the
 uncompressed formats parseable from raw bytes — binary PPM (P6) and
-24-bit uncompressed BMP — returning dimensions and per-channel means;
-payloads in any other format decode to NULL features (the hook where
-PIL/libav would slot in per Arrow batch). ``fake=True`` keeps the
-deterministic hash-based pseudo-decoder for payloads that are not
-images at all (e.g. text bytes in the testdata).
+24-bit BMP images (dimensions + per-channel means) and PCM WAV audio
+(sample rate, channels, duration, RMS); payloads in any other format
+decode to NULL features (the hook where PIL/libav would slot in per
+Arrow batch). ``fake=True`` keeps the deterministic hash-based
+pseudo-decoder for payloads that are not media at all (e.g. text
+bytes in the testdata).
 
 Scale notes: binary payloads ride the scan; mapInPandas streams Arrow
 batches so a 100 MB image row never materializes twice; feature
@@ -150,6 +151,63 @@ def decode_image(raw: bytes | None):
     return None
 
 
+def decode_audio(raw: bytes | None):
+    """Decode a PCM WAV payload (RIFF/WAVE, 8- or 16-bit integer
+    samples) to ``(sample_rate, n_channels, duration_s, rms)`` with
+    rms normalized to [0,1]. Chunk-walks the RIFF structure, so extra
+    chunks (LIST, fact, ...) are fine. None for unsupported/corrupt
+    payloads. Pure byte parsing + numpy."""
+    if not raw:
+        return None
+    raw = bytes(raw)
+    if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    import numpy as np
+
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or n_channels < 1 or sample_rate <= 0:
+        return None  # PCM only
+    if bits == 16:
+        x = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+        norm = x.astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = np.frombuffer(data, dtype=np.uint8)
+        norm = (x.astype(np.float64) - 128.0) / 128.0
+    else:
+        return None
+    if norm.size == 0:
+        return None
+    n_frames = norm.size // n_channels
+    duration = n_frames / sample_rate
+    rms = float(np.sqrt(np.mean(norm * norm)))
+    return sample_rate, n_channels, float(duration), rms
+
+
+def decode_media(raw: bytes | None):
+    """Route a binary payload to its decoder by magic bytes: images
+    -> [w, h, mean_r, mean_g, mean_b]; WAV audio -> [sample_rate,
+    n_channels, duration_s, rms]; anything else -> None."""
+    d = decode_image(raw)
+    if d is None:
+        d = decode_audio(raw)
+    return d
+
+
 def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
@@ -168,7 +226,7 @@ def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataF
             else:
                 feats = payloads.map(
                     lambda b: (lambda d: list(map(float, d)) if d else None)(
-                        decode_image(b)
+                        decode_media(b)
                     )
                 )
             yield pd.DataFrame({

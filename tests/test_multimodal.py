@@ -131,3 +131,29 @@ def test_resize_downsamples_deterministically(spark):
     # deterministic: second run bit-identical
     again = {r["media_id"]: r for r in M.resize(media, target_bytes=64).collect()}
     assert bytes(again[1]["resized"]) == bytes(out[1]["resized"])
+
+
+def _wav_pcm16(sample_rate, samples):
+    """Minimal RIFF/WAVE with one fmt + data chunk, 16-bit mono PCM."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def test_decode_audio_wav():
+    # 4 samples at 8 kHz: +/- half scale -> rms = 0.5
+    wav = _wav_pcm16(8000, [16384, -16384, 16384, -16384])
+    sr, ch, dur, rms = M.decode_audio(wav)
+    assert (sr, ch) == (8000, 1)
+    assert dur == pytest.approx(4 / 8000)
+    assert rms == pytest.approx(0.5)
+    # routed through decode_media too
+    assert M.decode_media(wav) == (8000, 1, pytest.approx(4 / 8000), pytest.approx(0.5))
+    # corrupt / non-audio payloads: None, never raise
+    assert M.decode_audio(b"RIFFxxxxWAVE") is None
+    assert M.decode_audio(b"not audio") is None
+    assert M.decode_media(b"neither image nor audio") is None
