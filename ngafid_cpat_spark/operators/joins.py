@@ -180,6 +180,7 @@ def nearest_gridded(
     points and never materializes a cross product. Falls back to
     Manhattan-degree metric like the reference (FlightAnalysis.py:356).
     """
+    assert_dim_bounded(dims)  # 9x-replicated build side must stay dim-sized
     dim_cols = dim_cols or [c for c in dims.columns]
     offsets = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
