@@ -89,6 +89,56 @@ def sessionize(
     )
 
 
+def sessionize_chunked(
+    df: DataFrame,
+    partition_by: str | list[str],
+    ts_col: str,
+    gap_seconds: float,
+    session_col: str = "session_id",
+    chunk_seconds: float = 86400.0,
+) -> DataFrame:
+    """Skew-robust two-phase sessionization, result-identical to
+    ``sessionize`` (same 1-based ids in first-appearance order).
+
+    AQE's skew handling covers joins, NOT window functions: plain
+    sessionize puts a hot key's entire history in one task. Phase 1
+    here sessionizes within (key, fixed time chunk) so no task sees
+    more than one chunk of one key; phase 2 sessionizes the per-chunk
+    session SUMMARIES (one row per local session — cardinality
+    reduced by the mean session size) to merge sessions that span
+    chunk boundaries, then the global id joins back on the
+    co-partitioned (key, chunk, local id). Pick ``chunk_seconds``
+    well above ``gap_seconds`` (default: 1 day).
+
+    ``partition_by`` must be column NAMES here (they key the
+    join-back)."""
+    part = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    ts = epoch_seconds(ts_col)
+    local = sessionize(
+        df.withColumn("__chunk", F.floor(ts / F.lit(float(chunk_seconds)))),
+        [*part, "__chunk"],
+        ts_col,
+        gap_seconds,
+        "__local_sid",
+    )
+    summ = local.groupBy(*part, "__chunk", "__local_sid").agg(
+        F.min(ts).alias("__smin"), F.max(ts).alias("__smax")
+    )
+    w = ordered_window(part, ["__smin", "__smax"])
+    prev_max = F.lag("__smax").over(w)
+    new_s = F.when(
+        prev_max.isNull() | ((F.col("__smin") - prev_max) > gap_seconds), 1
+    ).otherwise(0)
+    summ = summ.withColumn(
+        session_col,
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return local.join(
+        summ.select(*part, "__chunk", "__local_sid", session_col),
+        [*part, "__chunk", "__local_sid"],
+    ).drop("__chunk", "__local_sid")
+
+
 def rolling(
     df: DataFrame,
     partition_by,

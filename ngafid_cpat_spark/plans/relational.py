@@ -1010,6 +1010,27 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sessionize_chunked_events",
+    ORACLES["sessionize_events"],
+)
+def sessionize_chunked_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-robust two-phase sessionization
+    (operators/windows.sessionize_chunked) against the SAME oracle as
+    sessionize_events — result-identical by construction, but no task
+    ever holds more than one time chunk of one hot key (window
+    functions get no AQE skew splitting, so the single-window form
+    caps at the hottest key's full history)."""
+    ev = load(spark, sf_dir, "events")
+    sess = OW.sessionize_chunked(ev, "user_id", "ts", SESSION_GAP_S)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 EPISODE_THRESHOLD = 50.0
 FULLSTOP_MIN = 5.0
 TOUCHGO_AVG = 20.0

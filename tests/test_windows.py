@@ -72,3 +72,25 @@ def test_boundaries(spark):
     out = OW.boundaries(df, ["g"], "t", aggs=[F.sum("v").alias("s")])
     got = {r["g"]: (r["t_start"], r["t_end"], r["n_rows"], r["s"]) for r in out.collect()}
     assert got == {1: (3, 5, 3, 3.0), 2: (10, 11, 2, 4.0)}
+
+
+def test_sessionize_chunked_equals_sessionize(spark):
+    """Two-phase skew-robust sessionization must be result-identical
+    to the single-window form on real data — including sessions that
+    span chunk boundaries."""
+    from ngafid_cpat_spark.operators import windows as OW
+    from ngafid_cpat_spark.sources import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    plain = {
+        (r["event_id"]): r["session_id"]
+        for r in OW.sessionize(ev, "user_id", "ts", 3600.0).collect()
+    }
+    # tiny chunks (2h vs 1h gap) force MANY cross-chunk merges
+    chunked = {
+        (r["event_id"]): r["session_id"]
+        for r in OW.sessionize_chunked(
+            ev, "user_id", "ts", 3600.0, chunk_seconds=7200.0
+        ).collect()
+    }
+    assert chunked == plain
