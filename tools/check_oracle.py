@@ -85,6 +85,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--window",
+        action="store_true",
+        help="check exactly the driver's 50-slot correctness window "
+        "(the first 50 registry entries) instead of the full catalog",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -103,7 +109,7 @@ def main():
 
     qs = queries()
     oracles = oracle_sql()
-    names = args.names or list(qs)
+    names = args.names or (list(qs)[:50] if args.window else list(qs))
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         t0 = time.time()
