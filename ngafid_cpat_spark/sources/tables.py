@@ -75,6 +75,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_time(df)
+    if name == "embeddings" and dict(df.dtypes).get("embedding") not in (
+        None,
+        "array<float>",
+    ):
+        # same drift insurance as normalize_event_time: the ANN/near-dup
+        # operators' Arrow schemas assume array<float>; a writer flip to
+        # array<double> must not break every embedding query
+        df = df.withColumn("embedding", F.col("embedding").cast("array<float>"))
     return df
 
 
