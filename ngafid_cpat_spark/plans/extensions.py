@@ -537,22 +537,9 @@ def streaming_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The engine-managed session state is keyed (user, window) and at a
     real stream's scale is evicted by the watermark; complete mode
     here is what makes the bounded replay comparable to batch."""
-    import hashlib
-    import os
-
     from ..streaming.sessions import read_events_stream
 
-    # the file stream source requires a DIRECTORY; expose the single
-    # events.parquet through a per-sf_dir symlink dir (no data copy)
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
-    stream_dir = os.path.join(
-        "/tmp", f"spark_graft_events_stream_{hashlib.md5(src.encode()).hexdigest()[:12]}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    stream = read_events_stream(spark, stream_dir)
+    stream = read_events_stream(spark, _events_stream_dir(sf_dir))
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "1 hour").alias("w"), F.col("user_id"))
@@ -577,6 +564,69 @@ def streaming_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("streaming_sessions_events_mem")
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a DIRECTORY; expose the single
+    events.parquet through a per-sf_dir symlink dir (no data copy)."""
+    import hashlib
+    import os
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stream_dir = os.path.join(
+        "/tmp",
+        f"spark_graft_events_stream_{hashlib.md5(src.encode()).hexdigest()[:12]}",
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return stream_dir
+
+
+@register(
+    "streaming_windowed_counts_events",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def streaming_windowed_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows executed as a REAL stream
+    (availableNow, complete mode, memory sink) — the streaming twin
+    of events_tumbling_window, checked against the same batch SQL.
+    Integer-cent sums keep the hash independent of micro-batch
+    arrival order."""
+    from ..streaming.sessions import read_events_stream
+
+    stream = read_events_stream(spark, _events_stream_dir(sf_dir))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("__cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            (F.col("__cents") / 100.0).alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("streaming_windowed_counts_events_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_windowed_counts_events_mem")
 
 
 # Full DuckDB twin of the approach/landing pipeline on the synthetic
