@@ -87,8 +87,17 @@ def _reorder(d: dict) -> dict:
     return out
 
 
+# A stale PRIORITY name must not take down the whole registry (every
+# query, entry() and the driver smoke import through this module): warn
+# loudly and let the window fill from the remaining catalog order.
 _missing = [n for n in PRIORITY if n not in _relational.QUERIES]
-assert not _missing, f"PRIORITY names not registered: {_missing}"
+if _missing:
+    import warnings
+
+    warnings.warn(
+        f"PRIORITY names not registered (window fills from catalog order): {_missing}",
+        stacklevel=1,
+    )
 
 QUERIES = _reorder(_relational.QUERIES)
 ORACLES = _reorder(_relational.ORACLES)

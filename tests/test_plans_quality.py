@@ -60,3 +60,15 @@ def test_no_python_eval_in_relational_hot_paths(spark):
                  "dedup_jaccard_pairs", "ann_cosine_topk", "text_stats"):
         p = plan(spark, name)
         assert not re.search(r"BatchEvalPython|ArrowEvalPython", p), (name, p)
+
+
+def test_priority_window_complete():
+    """Every curated correctness-window name must be registered (a
+    stale name only warns at import — this test is where it FAILS, so
+    the driver contract itself never collapses)."""
+    from ngafid_cpat_spark.plans import PRIORITY, QUERIES
+
+    missing = [n for n in PRIORITY if n not in QUERIES]
+    assert missing == []
+    assert list(QUERIES)[: len(PRIORITY)] == PRIORITY
+    assert len(PRIORITY) == 50
