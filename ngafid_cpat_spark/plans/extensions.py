@@ -566,6 +566,55 @@ def streaming_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("streaming_sessions_events_mem")
 
 
+@register(
+    "unigram_logprob_docs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS ct FROM tok GROUP BY token
+    ), tot AS (
+      SELECT SUM(ct) AS total FROM counts
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(CAST(ROUND(log10(CAST(ct AS DOUBLE) / total) * 1000000, 0) AS BIGINT))
+             / COUNT(*) / 1000000.0 AS avg_logprob
+    FROM tok JOIN counts USING (token), tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model fluency score: per-document mean log10
+    probability of its tokens under the corpus's own unigram model —
+    the classic cheap quality proxy for training-data filtering (low
+    scores = rare-token soup; high = common fluent text).
+
+    Shape: one explode pass feeds both the model (token counts, a
+    broadcastable vocab dim) and the scoring join; the corpus total
+    rides along as a broadcast scalar. Per-token scores quantize to
+    integer micro-log units before the exact BIGINT sum, so the mean
+    is byte-stable across engines and partition orders (same pattern
+    as the money/milli aggregates)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("ct"))
+    tot = counts.agg(F.sum("ct").alias("total"))
+    micro = F.round(
+        F.log10(F.col("ct") / F.col("total")) * 1000000, 0
+    ).cast("long")
+    return (
+        tok.join(F.broadcast(counts), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum(micro) / F.count(F.lit(1)) / 1000000.0).alias("avg_logprob"),
+        )
+    )
+
+
 def _events_stream_dir(sf_dir: str) -> str:
     """The file stream source requires a DIRECTORY; expose the single
     events.parquet through a per-sf_dir symlink dir (no data copy)."""

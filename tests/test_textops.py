@@ -104,3 +104,25 @@ def test_rolling_hashes_window_count_and_determinism(spark):
     df2 = one(spark, "xabcdefghij")
     h3 = df2.select(T.rolling_hashes("text", window=4).alias("h")).first()["h"]
     assert set(h1) <= set(h3)
+
+
+def test_unigram_logprob_ordering(spark):
+    """Common-token docs must outscore rare-token soup; scores are
+    negative log10 probabilities so all <= 0."""
+    from ngafid_cpat_spark.plans.extensions import unigram_logprob_docs
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": "the the the the the", "lang": "en",
+             "source": "s", "n_chars": 19},
+            {"doc_id": 2, "text": "zyzzyva qwerty xylyl grault plugh", "lang": "en",
+             "source": "s", "n_chars": 33},
+        ]
+    )
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in unigram_logprob_docs(spark, d).collect()}
+    assert out[1]["n_tokens"] == 5 and out[2]["n_tokens"] == 5
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+    assert all(r["avg_logprob"] <= 0 for r in out.values())
