@@ -140,9 +140,13 @@ def main() -> None:
         return timings, errors
 
     timings, errors = run_set(HEADLINE, runs=2)
+    headline_errors = dict(errors)
     extra_timings, extra_errors = run_set(extra)
     errors.update(extra_errors)
-    total = round(sum(timings.values()), 3)
+    # a failing headline query must INFLATE the metric, never deflate
+    # it (a regression-into-exception would otherwise read as a
+    # speedup): each error adds a 1000 s penalty to the total
+    total = round(sum(timings.values()) + 1000.0 * len(headline_errors), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -93,18 +93,27 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         if args.no_write:
             result.show(50, truncate=False)
             return 0
+        # one materialization feeds the count, the fingerprint and the
+        # upsert — analyze() is a many-stage plan and would otherwise
+        # recompute per action
+        result = result.localCheckpoint(eager=True)
         n = result.count()
         txn_dir = args.txn_dir or f"{args.output}_txn"
-        # status flips for EVERY pending flight, episodes or not
-        # (reference FlightAnalysis.py:432) — an episode-free flight
-        # must not re-queue forever
+        # status flips for every flight that was ACTUALLY analyzed this
+        # run — pending AND present in the (possibly flight-id-filtered
+        # or partial) telemetry — episodes or not (reference
+        # FlightAnalysis.py:432: per analyzed flight). Pending flights
+        # excluded from this run's input must stay queued.
+        analyzed = telemetry.select(
+            F.col("flight").alias("flight_id")
+        ).distinct()
         txn = sinks.commit_analysis(
             spark,
             result,
             args.output,
             args.status,
             txn_dir,
-            analyzed_flights=pending,
+            analyzed_flights=analyzed,
         )
         print(f"committed {n} approach rows (txn {txn}) -> {args.output}")
         return 0

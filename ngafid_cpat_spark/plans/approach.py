@@ -98,7 +98,12 @@ def with_nearest_airport(flight_df: DataFrame, airports: DataFrame) -> DataFrame
     groupBy as first() aggregates (identical across the airport
     copies of a tick), so there is no join-back of the argmin result
     onto the telemetry — map-side partial aggregation collapses the
-    |airports| copies of each tick before anything shuffles."""
+    |airports| copies of each tick before anything shuffles.
+
+    PRECONDITION: (flight, time) uniquely identifies a telemetry row
+    (the reference's ordered scan implies the same, main.py:36);
+    duplicate ticks would collapse to one arbitrary row here —
+    deduplicate upstream if a feed can double-report."""
     d = geo.manhattan_deg("latitude", "longitude", "ap_lat", "ap_lon")
     ap = airports.select(
         F.col("airport_code"),

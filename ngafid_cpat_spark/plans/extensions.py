@@ -26,6 +26,7 @@ from .relational import register
 NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.04
+MAX_DOC_FREQ = 10_000  # jaccard posting-list df-cut (operators/dedup.py)
 
 # Deterministic pseudo-random hyperplanes for embedding LSH (no RNG
 # state to seed; shared by the Spark plan and its DuckDB oracle).
@@ -83,6 +84,14 @@ _SHINGLE_SQL = f"""
     sh AS (
       SELECT DISTINCT doc_id, array_to_string(toks[i:i+{SHINGLE_K - 1}], ' ') AS s
       FROM idx
+    ),
+    -- the df-cut index the Spark plan actually joins on: shingles in
+    -- more than MAX_DOC_FREQ docs (stop phrases) are dropped from the
+    -- join side; set sizes still count every shingle (lower-bound
+    -- jaccard semantics, matching operators/dedup.jaccard_pairs)
+    sh_cut AS (
+      SELECT doc_id, s FROM sh
+      WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {MAX_DOC_FREQ})
     )
 """
 
@@ -94,7 +103,7 @@ _SHINGLE_SQL = f"""
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     common AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM sh_cut a JOIN sh_cut b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id1, id2,
@@ -123,7 +132,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     common AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM sh_cut a JOIN sh_cut b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     pairs AS (
@@ -504,14 +513,14 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_sessions_events",
     """
     WITH e AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       FROM events
     ), s AS (
       SELECT user_id, ts, value,
              SUM(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 3600
                  THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts, value
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM e
     )
@@ -628,8 +637,15 @@ def _events_stream_dir(sf_dir: str) -> str:
     )
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # lexists: a DANGLING link (testdata regenerated under the same
+    # /tmp dir) must be replaced, not tripped over
+    if os.path.lexists(link) and os.path.realpath(link) != src:
+        os.remove(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(src, link)
+        except FileExistsError:  # concurrent creation
+            pass
     return stream_dir
 
 

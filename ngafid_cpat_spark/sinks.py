@@ -62,8 +62,24 @@ def _resolve_layout(path: str, keys: list[str], n_buckets: int) -> tuple[list[st
     it writes). The spec file (underscore-prefixed: invisible to the
     parquet reader; the metadata-object analog on an object store)
     makes the layout a property of the table, not of each call."""
+    import os
+
     spec = _read_spec(path)
     if spec is None:
+        if os.path.isdir(path):
+            # pre-spec table: best-effort inference from the bucket
+            # directory names (an empty top bucket under-counts, but
+            # trusting a mismatched caller modulus is strictly worse —
+            # it silently duplicates rows)
+            dirs = [
+                d for d in os.listdir(path) if d.startswith(f"{BUCKET_COL}=")
+            ]
+            if dirs:
+                # dir indices never exceed the true modulus, so the
+                # true n_buckets >= inferred; take the larger of the
+                # two candidates
+                inferred = max(int(d.split("=", 1)[1]) for d in dirs) + 1
+                return keys, max(inferred, n_buckets)
         return keys, n_buckets
     if list(keys) != list(spec["keys"]):
         raise ValueError(

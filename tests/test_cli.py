@@ -67,9 +67,11 @@ def test_cli_analyze_work_queue_mode(spark, telemetry, dims, tmp_path, capsys):
     airports.write.parquet(apath)
     runways.write.parquet(rpath)
     flights = [r["flight"] for r in telemetry.select("flight").distinct().collect()]
+    # flight 99 is pending but has NO telemetry in this run's input —
+    # it must stay queued, not be marked analyzed
     sinks.create_table(
         spark.createDataFrame(
-            [{"flight_id": f, "approach_analysis": 0} for f in flights]
+            [{"flight_id": f, "approach_analysis": 0} for f in [*flights, 99]]
         ),
         status, keys=["flight_id"], n_buckets=4,
     )
@@ -82,12 +84,13 @@ def test_cli_analyze_work_queue_mode(spark, telemetry, dims, tmp_path, capsys):
     # every flight flipped to analyzed; results landed in the table
     st = {r["flight_id"]: r["approach_analysis"]
           for r in sinks.read_table(spark, status).collect()}
-    assert set(st.values()) == {1}
+    assert st[99] == 0              # absent from telemetry -> still queued
+    assert all(v == 1 for f, v in st.items() if f != 99)
     assert sinks.read_table(spark, out).count() > 0
-    # re-run: queue is empty
+    # re-run: only the telemetry-less flight remains; its (empty)
+    # batch commits and nothing changes for the others
     rc = main(
         ["analyze", "--telemetry", tpath, "--airports", apath, "--runways", rpath,
          "--output", out, "--status", status]
     )
     assert rc == 0
-    assert "work queue empty" in capsys.readouterr().out
