@@ -48,11 +48,15 @@ def sample_hash(id_col) -> Column:
     )
 
 
+def _pm(x: str, m: int) -> str:
+    """SQL non-negative modulus (pmod twin): SQL % follows the sign
+    of the dividend, so negative ids would pick different buckets
+    than Spark's pmod without this."""
+    return f"((({x}) % {m} + {m}) % {m})"
+
+
 def SAMPLE_HASH_SQL(id_expr: str) -> str:
-    return (
-        f"((({id_expr}) % {_SAMPLE_PRIME}) * {_SAMPLE_MULT}"
-        f" + {_SAMPLE_OFFSET}) % 1000"
-    )
+    return _pm(f"{_pm(id_expr, _SAMPLE_PRIME)} * {_SAMPLE_MULT} + {_SAMPLE_OFFSET}", 1000)
 
 
 def stratified_sample(
@@ -125,11 +129,13 @@ def tfidf_topk(
 ) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF.
 
-    IDF is computed in INTEGER permille — ``n_docs * 1000 DIV df`` —
-    instead of ``ln(N/df)``: libm's log is not guaranteed bit-equal
-    across engines, and the ranking (the actual product of this
-    operator) is order-isomorphic either way for df <= N. The score
-    is then exact BIGINT arithmetic that every engine reproduces.
+    IDF is computed in INTEGER permille — ``n_docs * 1000 DIV df
+    - 1000`` — instead of ``ln(N/df)``: libm's log is not guaranteed
+    bit-equal across engines; exact BIGINT arithmetic is. The -1000
+    keeps ln's zero-at-df=N property, so a term present in EVERY
+    document scores 0 and can never outrank a genuinely
+    characteristic term (without it, stopwords with high tf dominate
+    the top-k).
 
     Shape at scale: one explode + (doc, term) partial-aggregated
     count; the document-frequency table is vocabulary-sized (small
@@ -141,11 +147,16 @@ def tfidf_topk(
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = toks.select(id_col).distinct().count()
-    idf_milli = F.call_function(
-        "div", F.lit(int(n_docs) * 1000).cast("long"), F.col("df")
+    # n_docs as a lazy 1-row broadcast, NOT an eager .count() action
+    # (which would tokenize the whole corpus once at plan-build time
+    # and again at execution)
+    nd = toks.select(id_col).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__n_docs")
     )
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    idf_milli = F.call_function(
+        "div", F.col("__n_docs") * 1000, F.col("df")
+    ) - 1000
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(nd)).select(
         id_col,
         "term",
         "tf",
@@ -294,6 +305,11 @@ def contamination(
 
 _SHARD_MULT = 1_103_515_245
 _SHARD_OFFSET = 54_321
+# shard_id uses its OWN mixing constants: sharing sample_hash's mix
+# makes shard_id a function of the sample bucket (gcd(n_shards, 1000)
+# classes), so sampling then sharding would leave most shards empty
+_SHARD_ID_MULT = 2_246_822_519
+_SHARD_ID_OFFSET = 98_765
 
 
 def shard_assign(
@@ -314,22 +330,23 @@ def shard_assign(
     corpus globally: ordering is only ever materialized per shard.
     """
     c = F.col(id_col)
-    shard = F.pmod(F.pmod(c, _SAMPLE_PRIME) * _SAMPLE_MULT + _SAMPLE_OFFSET, n_shards)
+    shard = F.pmod(
+        F.pmod(c, _SAMPLE_PRIME) * _SHARD_ID_MULT + _SHARD_ID_OFFSET, n_shards
+    )
     ordk = F.pmod(F.pmod(c, _SAMPLE_PRIME) * _SHARD_MULT + _SHARD_OFFSET, 1_000_003)
     return df.withColumn("shard_id", shard).withColumn("shard_ord", ordk)
 
 
 def SHARD_ASSIGN_SQL(id_expr: str, n_shards: int = 16) -> str:
-    return (
-        f"((({id_expr}) % {_SAMPLE_PRIME}) * {_SAMPLE_MULT}"
-        f" + {_SAMPLE_OFFSET}) % {n_shards}"
+    return _pm(
+        f"{_pm(id_expr, _SAMPLE_PRIME)} * {_SHARD_ID_MULT} + {_SHARD_ID_OFFSET}",
+        n_shards,
     )
 
 
 def SHARD_ORD_SQL(id_expr: str) -> str:
-    return (
-        f"((({id_expr}) % {_SAMPLE_PRIME}) * {_SHARD_MULT}"
-        f" + {_SHARD_OFFSET}) % 1000003"
+    return _pm(
+        f"{_pm(id_expr, _SAMPLE_PRIME)} * {_SHARD_MULT} + {_SHARD_OFFSET}", 1000003
     )
 
 
@@ -345,10 +362,14 @@ def corpus_mix(
     ordinal, so downstream shuffling/sharding spreads the copies.
     Expression-only and map-side: no shuffle, and the explode output
     is streamed — a 3x upsample never materializes 3x rows on one
-    executor beyond the scan batch."""
+    executor beyond the scan batch. A factor <= 0 DROPS the stratum
+    (explode of an empty array emits nothing) — without the guard,
+    Spark's sequence(1, 0) would count DOWN and duplicate rows."""
     factor = F.lit(default_factor)
     for stratum, k in sorted(factors_by_stratum.items()):
         factor = F.when(F.col(stratum_col) == stratum, k).otherwise(factor)
-    return df.withColumn(
-        "copy", F.explode(F.sequence(F.lit(1), factor.cast("int")))
+    f = factor.cast("int")
+    copies = F.when(f >= 1, F.sequence(F.lit(1), f)).otherwise(
+        F.array().cast("array<int>")
     )
+    return df.withColumn("copy", F.explode(copies))

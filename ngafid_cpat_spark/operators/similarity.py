@@ -27,7 +27,14 @@ def cosine_topk(
     product folds to a codegen'd expression (no UDF, no broadcast
     needed for a single vector); global top-k via orderBy+limit is a
     TakeOrdered — no full sort at scale."""
-    scored = emb.select(
+    # zero-norm guard: cosine of a zero vector is 0/0 = NaN, and Spark
+    # ORDERS NaN above every real double — an all-zero embedding would
+    # otherwise rank #1 and displace a true neighbor out of the k
+    # (the pandas pair path masks zero norms the same way)
+    self_dot = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+    )
+    scored = emb.filter(self_dot > 0).select(
         F.col(id_col),
         F.round(V.cosine_literal(vec_col, query), 6).alias("cosine"),
     )

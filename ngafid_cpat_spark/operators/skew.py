@@ -66,6 +66,13 @@ def salted_join(
     """Skew-safe equi-join: facts get a deterministic salt, the dim is
     replicated n_salts times, and the join key becomes (on, salt) —
     a hot key's rows land on n_salts different reducers."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join does not preserve {how!r} semantics: the "
+            "n_salts-replicated dim side emits spurious null-padded / "
+            "duplicate rows under right/full outer joins"
+        )
     salted_facts = with_salt(facts, salt_from, n_salts)
     salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     salted_dim = dim.withColumn(SALT_COL, salts)

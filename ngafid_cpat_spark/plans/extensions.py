@@ -233,7 +233,8 @@ def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[flo
     "ann_cosine_topk",
     """
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id <> 0 AND list_dot_product(embedding, embedding) > 0)
     SELECT vec_id,
            ROUND(list_dot_product(v, qv) /
                  (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(qv, qv))), 4) AS cosine

@@ -49,7 +49,7 @@ _TOKS_SQL = f"list_filter(string_split({NORM_SQL}, ' '), x -> x <> '')"
       SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok
     ), scored AS (
       SELECT doc_id, term, tf, df,
-             CAST(tf * ((n_docs * 1000) // df) AS BIGINT) AS score_milli
+             CAST(tf * ((n_docs * 1000) // df - 1000) AS BIGINT) AS score_milli
       FROM tf JOIN dfreq USING (term), nd
     )
     SELECT doc_id, term, tf, df, score_milli, rn FROM (

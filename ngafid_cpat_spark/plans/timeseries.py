@@ -270,8 +270,11 @@ def regexp_extract_all_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.size(nums).cast("long").alias("n_nums"),
-        F.aggregate(
-            F.transform(nums, lambda x: x.cast("long")), zero, lambda a, v: a + v
+        F.coalesce(
+            F.aggregate(
+                F.transform(nums, lambda x: x.cast("long")), zero, lambda a, v: a + v
+            ),
+            zero,  # NULL props -> NULL array -> 0, like the oracle's COALESCE
         ).alias("sum_nums"),
         F.get(nums, 0).cast("long").alias("first_num"),
     )

@@ -107,10 +107,11 @@ def test_tfidf_topk_ranks_rare_terms_highest(spark):
     ]
     out = C.tfidf_topk(_docs(spark, rows), k=1).collect()
     by_doc = {r["doc_id"]: r for r in out}
-    # 'common' appears in all 3 docs (idf_milli = 1000); doc 1's top
-    # term must be 'rare' (df=1, idf_milli=3000) despite tf 1 vs 2
+    # 'common' appears in all 3 docs -> idf_milli = 3000//3 - 1000 = 0
+    # (ln's zero-at-df=N property), so it can NEVER outrank a real
+    # term; doc 1's top term must be 'rare' (df=1, idf = 2000)
     assert by_doc[1]["term"] == "rare"
-    assert by_doc[1]["score_milli"] == 3000
+    assert by_doc[1]["score_milli"] == 2000
     assert by_doc[1]["df"] == 1
 
 
@@ -155,3 +156,34 @@ def test_keep_best_prefers_quality_then_lowest_id(spark):
     assert 11 in groups and groups[11]["n_copies"] == 3
     assert groups[11]["keeper_quality"] == 9
     assert 13 in groups and groups[13]["n_copies"] == 1
+
+
+def test_corpus_mix_factor_zero_drops(spark):
+    """factor 0 must DROP the stratum, not duplicate it (Spark's
+    sequence(1, 0) counts DOWN without the guard)."""
+    docs = _docs(spark, [
+        {"doc_id": 1, "text": "keep me"},
+        {"doc_id": 2, "text": "drop me"},
+    ])
+    docs = docs.withColumn(
+        "source", F.when(F.col("doc_id") == 1, "good").otherwise("junk")
+    )
+    out = C.corpus_mix(docs, {"good": 2, "junk": 0}).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 1]  # good doubled, junk gone
+
+
+def test_shard_id_independent_of_sample_bucket(spark):
+    """Sampling then sharding must still populate (nearly) all shards:
+    shard_id uses its own mixing constants, not sample_hash's."""
+    docs = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("t").alias("text"),
+        F.lit("s").alias("source"),
+    )
+    kept = docs.filter(C.sample_hash("doc_id") < 8)  # 8 permille
+    shards = {
+        r["shard_id"]
+        for r in C.shard_assign(kept, n_shards=16).select("shard_id").distinct().collect()
+    }
+    assert len(shards) >= 14  # was exactly 2 with the correlated mix
