@@ -76,35 +76,43 @@ def _ratio_round(num, den, digits: int):
     floor of a double quotient: a double carries 53 bits, so once
     |num| grows past ~2^52 (a few $10^13 in scaled cents — reachable
     by a global sum at 100 TB) the float path can misround near
-    integer boundaries. DIV is exact for the full BIGINT range."""
-    mag = F.call_function("div", 2 * F.abs(num) + den, 2 * den)
+    integer boundaries. The arithmetic runs in DECIMAL(38,0) (oracle:
+    HUGEINT) because the pre-scaling (e.g. q14's cents * 10^6) pushes
+    a 100 TB global sum past BIGINT — ~1e21 vs the 9.2e18 limit —
+    where Spark's ANSI mode would error out mid-query."""
+    n = num.cast("decimal(38,0)")
+    d = den.cast("decimal(38,0)")
+    mag = F.call_function("div", 2 * F.abs(n) + d, 2 * d)
     signed = F.when(num < 0, -mag).otherwise(mag)
     return signed.cast("double") / (10 ** digits)
 
 
 def _RATIO_ROUND_SQL(num: str, den: str, digits: int) -> str:
+    # HUGEINT: the pre-scaled numerator exceeds BIGINT at 100 TB sums
+    n = f"CAST(({num}) AS HUGEINT)"
+    d = f"CAST(({den}) AS HUGEINT)"
     return (
         f"(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END) * "
-        f"((2 * ABS({num}) + ({den})) // (2 * ({den})))"
+        f"((2 * ABS({n}) + ({d})) // (2 * ({d})))"
         f" / {10 ** digits}.0"
     )
 
 
-def _sum_cents(col):
-    return F.round(F.sum(col) * 100, 0).cast("long")
-
-
 def stable_avg(col, digits: int = 4):
     """Cross-engine-exact average of 2-decimal values, rounded
-    half-up to ``digits``: integer cents / integer count via
-    ratio_round. NULL on empty groups (A1 semantics)."""
-    num = _sum_cents(col) * (10 ** (digits - 2))
+    half-up to ``digits``: PER-ROW half-up to integer cents, exact
+    BIGINT sum, integer count, ratio_round — no float sum anywhere,
+    so summation order can't shift the rounding at any group size
+    (rounding a float SUM to cents instead would drift past 0.5
+    cents on ~1e7-row groups). NULL on empty groups (A1)."""
+    num = cents_sum_long(col) * (10 ** (digits - 2))
     return _ratio_round(num, F.count(col), digits)
 
 
 def STABLE_AVG_SQL(expr: str, digits: int = 4) -> str:
     num = (
-        f"CAST(ROUND(SUM({expr}) * 100, 0) AS BIGINT) * {10 ** (digits - 2)}"
+        f"SUM(CAST(ROUND(({expr}) * 100, 0) AS BIGINT))"
+        f" * {10 ** (digits - 2)}"
     )
     return _RATIO_ROUND_SQL(num, f"COUNT({expr})", digits)
 
@@ -566,8 +574,13 @@ def nn_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id, ts, last_click_ts FROM (
       SELECT event_id, user_id, ts, event_type,
+             -- at equal ts, purchases sort BEFORE clicks so the
+             -- preceding frame never sees a same-instant click:
+             -- the join is STRICTLY click-before-purchase, matching
+             -- asof_join(strict=True)'s left-before-right tie order
              MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id
+               ORDER BY ts, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ) AS last_click_ts
       FROM events
@@ -1472,7 +1485,9 @@ def string_functions_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             "|", "c_mktsegment", F.col("c_nationkey").cast("string")
         ).alias("seg_nation"),
-        F.regexp_replace("c_name", "Customer#", "").alias("bare_name"),
+        # F.replace = LITERAL substring replace like the oracle's
+        # replace(); regexp_replace would treat metacharacters as regex
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("")).alias("bare_name"),
         F.length("c_name").cast("long").alias("name_len"),
     )
 
