@@ -133,7 +133,17 @@ def winnow(text, window: int = 8, select: int = 4) -> Column:
     over slices."""
     hashes = rolling_hashes(text, window)
     n = F.size(hashes)
-    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(select) + 1, F.lit(1)), F.lit(select))
+    # band starts step by `select`; the final full-window start is
+    # appended so the tail hashes always contribute (without it the
+    # last (n-1) % select hashes were invisible to the fingerprint
+    # and tail-only edits went undetected)
+    last_start = F.greatest(n - F.lit(select) + 1, F.lit(1))
+    starts = F.array_distinct(
+        F.concat(
+            F.sequence(F.lit(1), last_start, F.lit(select)),
+            F.array(last_start),
+        )
+    )
     return F.when(n <= 0, F.array().cast("array<long>")).otherwise(
         F.array_distinct(
             F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, select)))
@@ -195,15 +205,20 @@ def rolling_hashes(text, window: int = 8, base: int = 257, mod: int = (1 << 61) 
     Expression-only via transform over substring windows."""
     norm = normalize(text)
     n = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window) + 1, F.lit(0)))
-    # hash each window substring with a polynomial fold over its chars
-    return F.transform(
-        idx,
-        lambda i: F.aggregate(
-            F.split(F.substr(norm, i, F.lit(window)), ""),
-            F.lit(0).cast("long"),
-            lambda acc, ch: F.pmod(acc * F.lit(base) + F.ascii(ch), F.lit(mod)),
-        ),
+    idx = F.sequence(F.lit(1), n - F.lit(window) + 1)
+    # hash each window substring with a polynomial fold over its chars.
+    # Texts shorter than the window yield an EMPTY array: without the
+    # guard, sequence(1, n-window+1<=0) counts DOWN and emits bogus
+    # truncated-window hashes (all short docs would collide)
+    return F.when(n < window, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.aggregate(
+                F.split(F.substr(norm, i, F.lit(window)), ""),
+                F.lit(0).cast("long"),
+                lambda acc, ch: F.pmod(acc * F.lit(base) + F.ascii(ch), F.lit(mod)),
+            ),
+        )
     )
 
 

@@ -221,9 +221,9 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT {SHARD_ASSIGN_SQL('doc_id')} AS shard_id,
            COUNT(*)                     AS n_docs,
-           SUM(n_chars)                 AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            COUNT(DISTINCT source)       AS n_sources,
-           SUM({SHARD_ORD_SQL('doc_id')}) AS sum_ord
+           CAST(SUM({SHARD_ORD_SQL('doc_id')}) AS BIGINT) AS sum_ord
     FROM documents
     GROUP BY shard_id
     """,

@@ -240,7 +240,7 @@ def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[flo
                  (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(qv, qv))), 4) AS cosine
     FROM e, q
     ORDER BY ROUND(list_dot_product(v, qv) /
-                 (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(qv, qv))), 4) DESC,
+                 (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(qv, qv))), 6) DESC,
              vec_id
     LIMIT 10
     """,
@@ -290,9 +290,11 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (
       SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id < 10
+      FROM embeddings
+      WHERE vec_id < 10 AND list_dot_product(embedding, embedding) > 0
     ), e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE list_dot_product(embedding, embedding) > 0
     ), scored AS (
       SELECT qid, vec_id,
              ROUND(list_dot_product(v, qv) /
@@ -311,7 +313,13 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     first 10 query vectors in one plan — broadcast the query block,
     score all pairs, windowed top-k per query. The realistic
     many-query ANN shape (one scan serves the whole query batch)."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    # zero-norm guard on BOTH sides (cosine_topk's NaN/ANSI rationale)
+    nonzero = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x,
+    ) > 0
+    emb = load(spark, sf_dir, "embeddings").filter(nonzero).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = emb.filter(F.col("vec_id") < 10).select(
@@ -547,7 +555,7 @@ def streaming_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The engine-managed session state is keyed (user, window) and at a
     real stream's scale is evicted by the watermark; complete mode
     here is what makes the bounded replay comparable to batch."""
-    from ..streaming.sessions import read_events_stream
+    from ..streaming.sessions import read_events_stream, run_to_memory
 
     stream = read_events_stream(spark, _events_stream_dir(sf_dir))
     agg = (
@@ -565,14 +573,7 @@ def streaming_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__cents") / 100.0).alias("sum_value"),
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("streaming_sessions_events_mem")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_to_memory(agg, "streaming_sessions_events_mem", mode="complete")
     return spark.table("streaming_sessions_events_mem")
 
 
@@ -631,7 +632,7 @@ def _events_stream_dir(sf_dir: str) -> str:
     import hashlib
     import os
 
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
     stream_dir = os.path.join(
         "/tmp",
         f"spark_graft_events_stream_{hashlib.md5(src.encode()).hexdigest()[:12]}",
@@ -641,7 +642,10 @@ def _events_stream_dir(sf_dir: str) -> str:
     # lexists: a DANGLING link (testdata regenerated under the same
     # /tmp dir) must be replaced, not tripped over
     if os.path.lexists(link) and os.path.realpath(link) != src:
-        os.remove(link)
+        try:
+            os.remove(link)
+        except FileNotFoundError:  # concurrent refresh
+            pass
     if not os.path.lexists(link):
         try:
             os.symlink(src, link)
@@ -666,7 +670,7 @@ def streaming_windowed_counts_events(spark: SparkSession, sf_dir: str) -> DataFr
     of events_tumbling_window, checked against the same batch SQL.
     Integer-cent sums keep the hash independent of micro-batch
     arrival order."""
-    from ..streaming.sessions import read_events_stream
+    from ..streaming.sessions import read_events_stream, run_to_memory
 
     stream = read_events_stream(spark, _events_stream_dir(sf_dir))
     agg = (
@@ -684,14 +688,7 @@ def streaming_windowed_counts_events(spark: SparkSession, sf_dir: str) -> DataFr
             (F.col("__cents") / 100.0).alias("sum_value"),
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("streaming_windowed_counts_events_mem")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_to_memory(agg, "streaming_windowed_counts_events_mem", mode="complete")
     return spark.table("streaming_windowed_counts_events_mem")
 
 

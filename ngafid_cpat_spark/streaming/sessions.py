@@ -62,14 +62,17 @@ def windowed_counts(
         .groupBy(w.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # integer cents, not round(float sum): micro-batch
+            # accumulation order must never flip a .005 rounding
+            # boundary vs the batch twin (relational.py cents doctrine)
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("__c"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "event_type",
             "n",
-            "sum_value",
+            (F.col("__c") / 100.0).alias("sum_value"),
         )
     )
 
@@ -87,22 +90,27 @@ def session_aggregates(
         .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("__c"),
         )
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "user_id",
             "n_events",
-            "sum_value",
+            (F.col("__c") / 100.0).alias("sum_value"),
         )
     )
 
 
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Watermarked exact dedup by event_id (late duplicates beyond the
-    watermark age out of state)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """Exact dedup by event_id with WATERMARK-EVICTED state:
+    dropDuplicatesWithinWatermark keeps an id in state only for the
+    watermark delay after first sight. Plain dropDuplicates([id])
+    would never clean state (the event-time column is not in the
+    subset), growing without bound on a continuous stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def run_to_memory(df: DataFrame, query_name: str, mode: str = "append"):

@@ -76,7 +76,15 @@ def _close_sessions(gap_seconds: float, use_timeout: bool):
                 closed.append((user_id, s0, last, n, sv))
                 s0, last, n, sv = ts_s, ts_s, 1, float(value)
             else:
-                last = ts_s
+                # rows are sorted within a batch only; an out-of-order
+                # event ARRIVING in a later micro-batch must extend the
+                # open session's bounds monotonically — a bare
+                # last = ts_s would rewind the session end, inverting
+                # bounds and mis-splitting subsequent events (the event
+                # merges into the open session: at-least-once session
+                # semantics for arrivals inside the gap)
+                s0 = min(s0, ts_s)
+                last = max(last, ts_s)
                 n += 1
                 sv += float(value)
         state.update((s0, last, n, sv))

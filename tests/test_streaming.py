@@ -32,7 +32,10 @@ def test_windowed_counts_matches_batch(spark, stream):
         for r in batch.groupBy(
             F.window("ts", "1 hour").alias("w"), "event_type"
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias("sum_value"),
+        )
         .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
         .collect()
     }
