@@ -222,8 +222,31 @@ def nearest_gridded(
         ).alias("__best"),
         F.min(d).alias("__dist"),
     )
+    # exactness guarantee (mirrors nearest_banded_1d): any dim within
+    # cell_deg of a point is provably inside the 3x3 window, so a
+    # windowed winner at distance <= cell_deg IS the global argmin;
+    # a farther winner only bounds it — a just-outside-the-window dim
+    # could be nearer. Those points (and empty-neighborhood points)
+    # fall back to the exact broadcast argmin over the raw dims.
+    resolved = best.filter(F.col("__dist") <= cell_deg)
+    rest_keys = pts.select(point_key, lat_col, lon_col).join(
+        resolved.select(point_key), on=point_key, how="left_anti"
+    )
+    d_raw = geo.manhattan_deg(lat_col, lon_col, "__d_lat", "__d_lon")
+    rest_best = (
+        rest_keys.join(F.broadcast(dims_sel), how="cross")
+        .groupBy(point_key)
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(f"__v_{c}") for c in dim_cols]),
+                F.struct(d_raw.alias("__d"), *[F.col(f"__v_{c}") for c in dim_cols]),
+            ).alias("__best"),
+            F.min(d_raw).alias("__dist"),
+        )
+    )
+    all_best = resolved.unionByName(rest_best)
     return points.join(
-        best.select(
+        all_best.select(
             point_key,
             F.col("__dist").alias("nearest_dist"),
             *[F.col(f"__best.__v_{c}").alias(f"nearest_{c}") for c in dim_cols],
@@ -240,6 +263,7 @@ def asof_join(
     ts_col: str,
     right_cols: list[str],
     strict: bool = True,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right.ts <= left.ts`` (``<`` when strict) per ``on`` key.
@@ -250,7 +274,22 @@ def asof_join(
 
     ``right`` must expose exactly [on, ts_col] + right_cols; matched
     right values land on the left rows as ``asof_<col>`` columns.
+    ``right_cols`` must not collide with left columns (alias first).
+    The matched payload travels as ONE nullable struct, so a right
+    row whose payload VALUE is NULL still advances the as-of pointer
+    (per-column last(ignorenulls) would skip it and resurrect an
+    older value). ``tiebreak_cols`` (subset of right_cols) make the
+    winner among duplicate (key, ts) right rows deterministic.
     """
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right_cols collide with left columns: {sorted(clash)}; "
+            "alias the right side before the as-of join"
+        )
+    tiebreak_cols = list(tiebreak_cols or [])
+    if not set(tiebreak_cols) <= set(right_cols):
+        raise ValueError("tiebreak_cols must be a subset of right_cols")
     lt = left.withColumn("__side", F.lit(1))
     for c in right_cols:
         lt = lt.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
@@ -265,12 +304,20 @@ def asof_join(
     side_order = F.col("__side").desc() if strict else F.col("__side").asc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), side_order)
+        .orderBy(
+            F.col(ts_col).asc(),
+            side_order,
+            *[F.col(c).asc() for c in tiebreak_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = unioned
+    payload = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(c) for c in right_cols])
+    )
+    out = (
+        unioned.withColumn("__p", F.last(payload, ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
     for c in right_cols:
-        src = F.when(F.col("__side") == 0, F.col(c))
-        out = out.withColumn(f"asof_{c}", F.last(src, ignorenulls=True).over(w))
-    out = out.filter(F.col("__side") == 1).drop("__side", *right_cols)
-    return out
+        out = out.withColumn(f"asof_{c}", F.col(f"__p.{c}"))
+    return out.drop("__side", "__p", *right_cols)

@@ -448,7 +448,10 @@ def analyze_fleet(
     out = None
     for t in types:
         ids = (
-            aircraft.filter(F.col("aircraft_type") == t)
+            # eqNullSafe: a NULL aircraft_type is a real group (it
+            # analyzes under the default thresholds) — a bare == would
+            # silently drop those flights from the fleet output
+            aircraft.filter(F.col("aircraft_type").eqNullSafe(F.lit(t)))
             .select(F.col("id").alias("flight"))
         )
         part = analyze(
@@ -456,6 +459,9 @@ def analyze_fleet(
             airports,
             runways,
             th=th_by_type.get(t, Thresholds()),
+            # per-type slices must not each leave a cached frame
+            # behind for the session lifetime (one leak per type)
+            persist=False,
         )
         out = part if out is None else out.unionByName(part)
     if out is None:

@@ -145,6 +145,11 @@ def _analyze_one_flight(
     if not rows:
         return []
 
+    if not airports:
+        # the windowed plan yields zero rows on an empty airports dim;
+        # the twin must degrade identically, not crash in the UDF
+        return []
+
     def nearest_airport(lat, lon):
         best = None
         for a in airports:

@@ -230,28 +230,44 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # representation ambiguity). Also the right shape at 100 TB: integer
 # partial aggregates, one shuffle, no second pass for the mean.
 
+# Guards make degenerate groups NULL on BOTH engines identically:
+# n=1 groups hit 0/0 (Spark non-ANSI NULL vs DuckDB IEEE NaN — a
+# cross-engine hash mismatch), and zero variance makes corr 0/0.
+# Pair-moment sums (p-prefixed) cover only rows where BOTH variables
+# are present, with their own pair count — mixing an all-rows n with
+# null-skipping sums is not the covariance of any population.
 _MOM_FINAL = {
     "stddev_value": (
-        "FLOOR(SQRT((nd * sxxd - sxd * sxd) / (nd * (nd - 1.0)))"
-        " / 100.0 * 10000) / 10000"
+        "CASE WHEN nxd > 1.0 THEN"
+        " FLOOR(SQRT((nxd * sxxd - sxd * sxd) / (nxd * (nxd - 1.0)))"
+        " / 100.0 * 10000) / 10000 END"
     ),
     "covar_value_k": (
-        "FLOOR((nd * sxyd - sxd * syd) / (nd * (nd - 1.0))"
-        " / 100.0 * 10000) / 10000"
+        "CASE WHEN npd > 1.0 THEN"
+        " FLOOR((npd * spxyd - spxd * spyd) / (npd * (npd - 1.0))"
+        " / 100.0 * 10000) / 10000 END"
     ),
     "corr_value_k": (
-        "FLOOR((nd * sxyd - sxd * syd)"
-        " / SQRT((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))"
-        " * 10000) / 10000"
+        "CASE WHEN npd > 1.0"
+        " AND (npd * spxxd - spxd * spxd) > 0"
+        " AND (npd * spyyd - spyd * spyd) > 0 THEN"
+        " FLOOR((npd * spxyd - spxd * spyd)"
+        " / SQRT((npd * spxxd - spxd * spxd) * (npd * spyyd - spyd * spyd))"
+        " * 10000) / 10000 END"
     ),
 }
 
 _MOM_SUMS_SQL = """
       SELECT event_type,
              COUNT(*) AS n,
+             COUNT(vc) AS nx,
              SUM(vc) AS sx, SUM(vc * vc) AS sxx,
-             SUM(k) AS sy, SUM(k * k) AS syy,
-             SUM(vc * k) AS sxy
+             COUNT(CASE WHEN vc IS NOT NULL AND k IS NOT NULL THEN 1 END) AS np,
+             SUM(CASE WHEN k IS NOT NULL THEN vc END) AS spx,
+             SUM(CASE WHEN k IS NOT NULL THEN vc * vc END) AS spxx,
+             SUM(CASE WHEN vc IS NOT NULL THEN k END) AS spy,
+             SUM(CASE WHEN vc IS NOT NULL THEN k * k END) AS spyy,
+             SUM(vc * k) AS spxy
       FROM (
         SELECT event_type,
                CAST(ROUND(value * 100, 0) AS BIGINT) AS vc,
@@ -267,10 +283,12 @@ _MOM_SUMS_SQL = """
     WITH sums AS ({_MOM_SUMS_SQL}),
     d AS (
       SELECT event_type, n,
-             CAST(n AS DOUBLE) AS nd,
+             CAST(nx AS DOUBLE) AS nxd,
              CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd,
-             CAST(sy AS DOUBLE) AS syd, CAST(syy AS DOUBLE) AS syyd,
-             CAST(sxy AS DOUBLE) AS sxyd
+             CAST(np AS DOUBLE) AS npd,
+             CAST(spx AS DOUBLE) AS spxd, CAST(spxx AS DOUBLE) AS spxxd,
+             CAST(spy AS DOUBLE) AS spyd, CAST(spyy AS DOUBLE) AS spyyd,
+             CAST(spxy AS DOUBLE) AS spxyd
       FROM sums
     )
     SELECT event_type, n,
@@ -287,27 +305,35 @@ def stats_moments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     vc = F.round(F.col("value") * 100, 0).cast("long")
     k = F.get_json_object("props", "$.k").cast("long")
+    both = F.col("vc").isNotNull() & F.col("k").isNotNull()
     sums = (
         ev.select("event_type", vc.alias("vc"), k.alias("k"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.count("vc").alias("nx"),
             F.sum("vc").alias("sx"),
             F.sum(F.col("vc") * F.col("vc")).alias("sxx"),
-            F.sum("k").alias("sy"),
-            F.sum(F.col("k") * F.col("k")).alias("syy"),
-            F.sum(F.col("vc") * F.col("k")).alias("sxy"),
+            F.count(F.when(both, 1)).alias("np"),
+            F.sum(F.when(F.col("k").isNotNull(), F.col("vc"))).alias("spx"),
+            F.sum(F.when(F.col("k").isNotNull(), F.col("vc") * F.col("vc"))).alias("spxx"),
+            F.sum(F.when(F.col("vc").isNotNull(), F.col("k"))).alias("spy"),
+            F.sum(F.when(F.col("vc").isNotNull(), F.col("k") * F.col("k"))).alias("spyy"),
+            F.sum(F.col("vc") * F.col("k")).alias("spxy"),
         )
     )
     d = sums.select(
         "event_type",
         "n",
-        F.col("n").cast("double").alias("nd"),
+        F.col("nx").cast("double").alias("nxd"),
         F.col("sx").cast("double").alias("sxd"),
         F.col("sxx").cast("double").alias("sxxd"),
-        F.col("sy").cast("double").alias("syd"),
-        F.col("syy").cast("double").alias("syyd"),
-        F.col("sxy").cast("double").alias("sxyd"),
+        F.col("np").cast("double").alias("npd"),
+        F.col("spx").cast("double").alias("spxd"),
+        F.col("spxx").cast("double").alias("spxxd"),
+        F.col("spy").cast("double").alias("spyd"),
+        F.col("spyy").cast("double").alias("spyyd"),
+        F.col("spxy").cast("double").alias("spxyd"),
     )
     return d.select(
         "event_type",
