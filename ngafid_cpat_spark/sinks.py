@@ -75,11 +75,14 @@ def _resolve_layout(path: str, keys: list[str], n_buckets: int) -> tuple[list[st
                 d for d in os.listdir(path) if d.startswith(f"{BUCKET_COL}=")
             ]
             if dirs:
-                # dir indices never exceed the true modulus, so the
-                # true n_buckets >= inferred; take the larger of the
-                # two candidates
+                # existing bucket dirs are ground truth: preferring a
+                # larger caller modulus would hash matching keys into
+                # DIFFERENT dirs than the stored rows — the silent
+                # duplication this resolver exists to prevent. (A
+                # sparse table can under-count its top dirs; the spec
+                # file written by create_table makes this path rare.)
                 inferred = max(int(d.split("=", 1)[1]) for d in dirs) + 1
-                return keys, max(inferred, n_buckets)
+                return keys, inferred
         return keys, n_buckets
     if list(keys) != list(spec["keys"]):
         raise ValueError(
@@ -109,30 +112,81 @@ def upsert(
 ) -> None:
     """MERGE: replace rows whose key appears in ``updates``, keep the
     rest, rewrite only affected buckets. The table's persisted bucket
-    spec overrides ``keys``/``n_buckets`` (see _resolve_layout)."""
+    spec overrides ``keys``/``n_buckets`` (see _resolve_layout).
+    ``updates`` must be key-unique (a MERGE with duplicate source keys
+    has no single answer — raises instead of picking rows
+    arbitrarily); NULL key values match null-safely."""
+    import os
+
+    table_was_absent = not os.path.isdir(path)
     keys, n_buckets = _resolve_layout(path, keys, n_buckets)
     updates = _with_bucket(updates, keys, n_buckets).cache()
-    touched = [r[BUCKET_COL] for r in updates.select(BUCKET_COL).distinct().collect()]
-    if not touched:
-        return
     try:
-        existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
-    except Exception:
-        # table absent or empty (a create_table with zero rows writes
-        # no files): the upsert degenerates to an insert
-        existing = updates.limit(0)
-    merged = existing.join(
-        updates.select(*keys).distinct(), on=keys, how="left_anti"
-    ).unionByName(updates)
-    # break lineage from `path` before overwriting it (Spark refuses
-    # to overwrite a path it is reading from); Delta MERGE would make
-    # this a real transaction on a production cluster
-    merged = merged.localCheckpoint(eager=True)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
-    if _read_spec(path) is None:  # first write created the table
-        _write_spec(path, keys, n_buckets)
-    updates.unpersist()
+        n_rows, n_keys = updates.select(
+            F.count(F.lit(1)), F.count_distinct(*[F.col(k) for k in keys])
+        ).first()
+        touched = [
+            r[BUCKET_COL] for r in updates.select(BUCKET_COL).distinct().collect()
+        ]
+        if not touched:
+            return
+        # count_distinct skips all-NULL keys; recheck with a null-safe
+        # distinct only when the fast count disagrees
+        if n_keys != n_rows and updates.select(*keys).distinct().count() != n_rows:
+            raise ValueError(
+                "updates contain duplicate merge keys; dedupe upstream "
+                "(a MERGE with duplicate source rows has no single answer)"
+            )
+        try:
+            existing = spark.read.parquet(path).filter(
+                F.col(BUCKET_COL).isin(touched)
+            )
+        except Exception as e:
+            # ONLY path-absent and empty-table (create_table with zero
+            # rows writes no data files -> schema inference fails)
+            # degenerate to an insert; any other read failure must
+            # abort — swallowing it would replace every touched bucket
+            # with just the incoming rows
+            benign = (
+                "PATH_NOT_FOUND" in str(e)
+                or "Path does not exist" in str(e)
+                or "UNABLE_TO_INFER_SCHEMA" in str(e)
+            )
+            if not benign:
+                raise
+            existing = updates.limit(0)
+        anti = [
+            existing[k].eqNullSafe(F.col(f"__u_{k}")) for k in keys
+        ]
+        key_set = updates.select(
+            *[F.col(k).alias(f"__u_{k}") for k in keys]
+        ).distinct()
+        merged = existing.join(
+            key_set, on=reduce_and(anti), how="left_anti"
+        ).unionByName(updates)
+        # break lineage from `path` before overwriting it (Spark refuses
+        # to overwrite a path it is reading from); Delta MERGE would make
+        # this a real transaction on a production cluster
+        merged = merged.localCheckpoint(eager=True)
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        if table_was_absent and _read_spec(path) is None:
+            _write_spec(path, keys, n_buckets)
+    finally:
+        updates.unpersist()
+
+
+def reduce_and(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -174,8 +228,11 @@ def compact(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    if spec is not None:
-        _write_spec(path, spec["keys"], spec["n_buckets"])
+        # inside finally: a crash after the static overwrite (which
+        # deletes the spec along with the old files) but before the
+        # restore must not strip the table's layout record
+        if spec is not None:
+            _write_spec(path, spec["keys"], spec["n_buckets"])
 
 
 def mark_analyzed(
@@ -203,12 +260,13 @@ def batch_fingerprint(
     approaches: DataFrame, analyzed_flights: DataFrame | None = None
 ) -> str:
     """Deterministic, order-independent id for a result batch: XOR of
-    per-row key hashes (plus the analyzed-flight set when it is wider
-    than the result set — a batch of episode-free flights must not
-    collide with another). Computed distributed (tiny aggregates);
-    the same logical batch always maps to the same transaction id."""
+    FULL-ROW hashes (keys AND values — a re-queued batch with the same
+    keys but corrected values must map to a NEW transaction, or the
+    committed-manifest check would skip the re-analysis forever), plus
+    the analyzed-flight set when it is wider than the result set.
+    Computed distributed (tiny aggregates)."""
     row = approaches.select(
-        F.expr("bit_xor(xxhash64(flight_id, approach_id))").alias("fp"),
+        F.expr("bit_xor(xxhash64(struct(*)))").alias("fp"),
         F.count(F.lit(1)).alias("n"),
     ).first()
     base = f"{(row['fp'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}_{row['n']}"

@@ -70,6 +70,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
+        # DELIBERATELY session-wide (not set/restore): the scan's
+        # conversion and the ntz->ltz cast consult these at job
+        # execution, which outlives this call for a lazy DataFrame —
+        # restoring on return could flip semantics mid-plan. Every
+        # read in this engine goes through load(), so the pin is the
+        # engine's contract, not a leak.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -90,10 +96,14 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
 
-def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, header: bool = True
+) -> DataFrame:
     """Explicit-schema CSV reader (vs reference's split(',')+float()
-    positional parse, main.py:171-181)."""
-    return spark.read.option("header", True).schema(schema).csv(path)
+    positional parse, main.py:171-181). Pass header=False for
+    headerless reference-style files — with an explicit schema Spark
+    would otherwise silently consume the first DATA row as a header."""
+    return spark.read.option("header", header).schema(schema).csv(path)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
