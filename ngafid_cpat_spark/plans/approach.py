@@ -200,6 +200,12 @@ def analyze(
         "in_final",
         F.col("agl").between(th.final_min_agl, th.final_max_agl),
     )
+    if persist:
+        # eps fans out to three consumers (episode-entry airport,
+        # first-final-tick runway probe, and the per-tick predicate
+        # frame) — without a persist each one re-runs the island
+        # windows over the telemetry
+        eps = eps.persist()
 
     # 6. runway detection at the first final-band tick: the episode
     #    airport's runways within the 20-degree heading band, argmin
@@ -318,6 +324,11 @@ def analyze(
         _avg_milli(fin, F.col("vertical_airspeed")).alias("all_vsi"),
         _avg_milli(fin & ~F.col("cond_s"), F.col("vertical_airspeed")).alias("s_vsi"),
     ).withColumn("airport_id", F.col("__ap0.airport_code")).drop("__ap0")
+    if persist:
+        # ep_agg is read twice (episode bounds for the landing window,
+        # and the final join) — one row per episode, so caching is
+        # cheap and saves a full re-aggregation of the tick frame
+        ep_agg = ep_agg.persist()
 
     # 9. landing window: the run of AGL<500 ticks after approach_end,
     #    ending at climb-out (AGL >= 500), next approach, or data end
