@@ -215,6 +215,71 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id1", "id2", F.round("cosine", 4).alias("cosine"))
 
 
+SPAN_K = 8  # tokens per repeated-span gram
+
+
+@register(
+    "substring_dup_spans",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({NORM_SQL}, ' ') AS toks FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - {SPAN_K - 2})) AS i
+      FROM docs WHERE len(toks) >= {SPAN_K}
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+{SPAN_K - 1}], ' ') AS gram
+      FROM idx
+    )
+    SELECT gram, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM g GROUP BY gram HAVING COUNT(*) >= 2
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication: {SPAN_K}-token spans that
+    occur verbatim in 2+ documents — the signal behind substring
+    (span-level) training-data dedup, where repeated boilerplate
+    passages are cut even when whole documents differ.
+
+    Scale shape: one token explode + ordered window assembles the
+    grams (the same single-pass shape as the shingle pipeline), then
+    ONE groupBy(gram) with map-side partial counts; the >=2-docs
+    filter runs post-aggregate, so nothing pairwise ever forms. At
+    100 TB the group key would be xxhash64(gram) — 8-byte shuffle
+    keys, with gram text resolved only for the surviving report rows
+    (identical to the hashed-shingle trick in operators/dedup) —
+    here the gram string itself is grouped so the DuckDB oracle can
+    reproduce values exactly."""
+    from pyspark.sql import Window as W
+
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "t0")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [
+        F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, SPAN_K)
+    ]
+    grams = (
+        toks.select("doc_id", "t0", *lead_cols)
+        .filter(F.col(f"t{SPAN_K - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[f"t{i}" for i in range(SPAN_K)]).alias("gram"),
+        )
+        .distinct()
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

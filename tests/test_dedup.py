@@ -169,3 +169,29 @@ def test_connected_components_long_chain(spark):
     out = D.connected_components(pairs, ids, id_col="id").collect()
     assert all(r["cluster_id"] == 1 for r in out)
     assert len(out) == 10
+
+
+def test_substring_dup_spans(spark, tmp_path):
+    # two docs share one verbatim 8-token span inside different text;
+    # a third doc has no 8-token overlap with either
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        {"doc_id": 1, "text": "intro words here " + span + " tail one",
+         "source": "s", "lang": "en", "n_chars": 1},
+        {"doc_id": 2, "text": "other opening " + span + " closing words two",
+         "source": "s", "lang": "en", "n_chars": 1},
+        {"doc_id": 3, "text": "no overlap with anything else at all in this document text",
+         "source": "s", "lang": "en", "n_chars": 1},
+    ]
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows).write.parquet(p)
+    from ngafid_cpat_spark.plans.extensions import substring_dup_spans
+
+    out = substring_dup_spans(spark, str(tmp_path)).collect()
+    grams = {r["gram"]: (r["n_docs"], r["min_doc"], r["max_doc"]) for r in out}
+    assert span in grams and grams[span] == (2, 1, 2)
+    # every reported gram is shared by docs 1 and 2 only (the span and
+    # its window shifts never reach 2 docs beyond the shared run)
+    assert all(v == (2, 1, 2) for v in grams.values())
+    # the shared run is exactly 8 tokens -> exactly one shared gram
+    assert len(grams) == 1
