@@ -59,28 +59,56 @@ def nearest(
 ) -> DataFrame:
     """Argmin join: for every fact row, the dim row minimizing
     ``distance`` (a Column over the joined row). Dims are broadcast;
-    ties break on the first dim_col for determinism.
+    ties break lexicographically on dim_cols for determinism.
 
     Generalizes the reference's nearest-airport scan
-    (FlightAnalysis.py:347-367) — same semantics, but one broadcast
-    hash join + partial aggregation instead of a Python loop per row.
+    (FlightAnalysis.py:347-367) — same semantics, but broadcast hash
+    joins + partial aggregation instead of a Python loop per row.
 
-    The fact side is repartitioned on the group key first: the argmin
-    then needs no post-aggregation exchange, and the dim fan-out is
-    spread across all cores even when the fact scan is a single small
-    file (`min(struct)` falls back to a single-threaded SortAggregate
-    otherwise). `min_by` + `min` aggregate without a sort.
+    Two-phase shape, chosen because it is the only formulation whose
+    aggregation HASH-aggregates: ``min_by`` / ``min(struct)`` carry a
+    struct buffer, which HashAggregateExec cannot hold, so Spark
+    silently plans a SortAggregate — and the sort runs over the FULL
+    |facts| x |dims| fan-out (measured 33x slowdown at 10x rows in
+    tools/scale_smoke.py: the fan-out sort spills). Here phase 1
+    computes min(distance) per fact — a primitive double buffer, so
+    the fan-out collapses in a map-side hash aggregate and, with the
+    fact side pre-partitioned on the key, without any exchange.
+    Phase 2 re-fans the dims and keeps only rows achieving the min
+    (the same deterministic expression both times, so exact equality
+    holds), then resolves ties with min(struct(dim_cols)) over the
+    surviving ~1 row per fact — that aggregate does sort, but over
+    |facts| rows, not |facts| x |dims|. Net: 2x the (codegen-cheap)
+    distance evaluations, zero superlinear sorts.
+
+    NULL/NaN distances never win: phase 1's min skips NULLs and a
+    NULL/NaN can't equal the finite minimum (the previous min(struct)
+    ordering sorted a NULL distance FIRST, letting a null-distance
+    dim beat real candidates). A fact with no finite distance gets
+    NULL nearest_* columns via the left join.
     """
     # explicit partition count: AQE would coalesce the (small) pre-join
     # shuffle to one partition, blind to the |dims|x fan-out behind it
     n_part = facts.sparkSession.sparkContext.defaultParallelism
-    joined = facts.repartition(n_part, fact_key).join(F.broadcast(dims), how="cross")
-    ordering = F.struct(distance.alias("__d"), *[F.col(c) for c in dim_cols])
-    agg = joined.groupBy(fact_key).agg(
-        F.min_by(F.struct(*[F.col(c) for c in dim_cols]), ordering).alias("__best"),
-        F.min(distance).alias("__dist"),
+    # no manual projection: Catalyst prunes the fan-out down to the
+    # key + the distance expression's inputs on its own
+    f = facts.repartition(n_part, fact_key)
+    bdims = F.broadcast(dims)
+    dmin = (
+        f.join(bdims, how="cross")
+        .groupBy(fact_key)
+        .agg(F.min(distance).alias("__dist"))
     )
-    out = agg.select(
+    cand = (
+        f.join(dmin, on=fact_key)
+        .join(bdims, how="cross")
+        .filter(distance == F.col("__dist"))
+    )
+    best = cand.groupBy(fact_key).agg(
+        F.min(F.struct(*[F.col(c) for c in dim_cols])).alias("__best"),
+        F.min("__dist").alias("__dist"),
+    )
+    out = best.select(
         fact_key,
         F.col("__dist").alias(f"{out_prefix}dist"),
         *[F.col(f"__best.{c}").alias(f"{out_prefix}{c}") for c in dim_cols],

@@ -91,51 +91,62 @@ class Thresholds:
 
 def with_nearest_airport(flight_df: DataFrame, airports: DataFrame) -> DataFrame:
     """Per-tick nearest airport by Manhattan |dlat|+|dlon| degrees
-    (FlightAnalysis.py:356-366): broadcast cross join + min(struct)
+    (FlightAnalysis.py:356-366): broadcast cross join + two-phase
     argmin, deterministic tie-break on airport_code.
 
-    Single-shuffle shape: the telemetry columns ride the argmin
-    groupBy as first() aggregates (identical across the airport
-    copies of a tick), so there is no join-back of the argmin result
-    onto the telemetry — map-side partial aggregation collapses the
-    |airports| copies of each tick before anything shuffles.
+    Two-phase shape (same rationale as operators/joins.nearest):
+    min(struct) carries a struct buffer that HashAggregateExec cannot
+    hold, so the single-pass form silently plans a SortAggregate —
+    and the sort runs over the |ticks| x |airports| fan-out, which at
+    the reference's 15,165 airports (BASELINE.md) is superlinear
+    spill territory. Phase 1's min(distance) is a primitive double
+    buffer: the fan-out collapses in a map-side HASH aggregate.
+    Phase 2 re-fans only to keep the rows achieving the min (exact
+    equality — same deterministic expression both times) and breaks
+    ties on airport_code over ~1 row per tick. The telemetry
+    passthrough columns rejoin on (flight, time).
 
     PRECONDITION: (flight, time) uniquely identifies a telemetry row
     (the reference's ordered scan implies the same, main.py:36);
-    duplicate ticks would collapse to one arbitrary row here —
-    deduplicate upstream if a feed can double-report."""
+    duplicate ticks would break the join-back — deduplicate upstream
+    if a feed can double-report."""
     d = geo.manhattan_deg("latitude", "longitude", "ap_lat", "ap_lon")
-    ap = airports.select(
-        F.col("airport_code"),
-        F.col("latitude").alias("ap_lat"),
-        F.col("longitude").alias("ap_lon"),
-        F.col("elevation_ft").alias("ap_elev"),
+    ap = F.broadcast(
+        airports.select(
+            F.col("airport_code"),
+            F.col("latitude").alias("ap_lat"),
+            F.col("longitude").alias("ap_lon"),
+            F.col("elevation_ft").alias("ap_elev"),
+        )
     )
-    passthrough = [c for c in flight_df.columns if c not in ("flight", "time")]
-    joined = flight_df.join(F.broadcast(ap), how="cross")
-    return (
-        joined.groupBy("flight", "time")
+    pos = flight_df.select("flight", "time", "latitude", "longitude")
+    dmin = (
+        pos.join(ap, how="cross")
+        .groupBy("flight", "time")
+        .agg(F.min(d).alias("__d"))
+    )
+    best = (
+        pos.join(dmin, on=["flight", "time"])
+        .join(ap, how="cross")
+        .filter(d == F.col("__d"))
+        .groupBy("flight", "time")
         .agg(
-            *[F.first(c).alias(c) for c in passthrough],
             F.min(
                 F.struct(
-                    d.alias("d"),
                     F.col("airport_code").alias("code"),
                     F.col("ap_lat").alias("lat"),
                     F.col("ap_lon").alias("lon"),
                     F.col("ap_elev").alias("elev"),
                 )
-            ).alias("b"),
+            ).alias("b")
         )
-        .select(
-            "flight",
-            "time",
-            *passthrough,
-            F.col("b.code").alias("airport_code"),
-            F.col("b.lat").alias("airport_lat"),
-            F.col("b.lon").alias("airport_lon"),
-            F.col("b.elev").alias("airport_elev"),
-        )
+    )
+    return flight_df.join(best, on=["flight", "time"]).select(
+        *flight_df.columns,
+        F.col("b.code").alias("airport_code"),
+        F.col("b.lat").alias("airport_lat"),
+        F.col("b.lon").alias("airport_lon"),
+        F.col("b.elev").alias("airport_elev"),
     )
 
 

@@ -1,0 +1,181 @@
+"""Scale smoke: do the heavy operators scale linearly in rows?
+
+Synthesizes events/documents-shaped data at two sizes (default 1x =
+sf0.1-equivalent row counts, and SCALE x that) entirely from
+spark.range — no files — and times the operator families whose
+100 TB behavior the engine's design notes claim is linear:
+
+  * sessionize (skew-robust two-phase variant)
+  * range-frame window aggregation
+  * gaps-and-islands episode detection
+  * exact dedup (hash groupBy)
+  * shingle-Jaccard near-dup pairs (inverted-index join)
+  * nearest-neighbor argmin join vs a broadcast dim
+
+Prints one JSON line per operator with rows, seconds at each size,
+and the time ratio; a ratio near the size ratio (or below, while
+fixed overheads amortize) is the linear-scaling evidence. A
+superlinear ratio flags a shuffle or skew problem BEFORE it ships to
+a real cluster.
+
+Usage: python tools/scale_smoke.py [--scale 10] [--base-events 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def synth_events(spark, n_rows: int, n_users: int):
+    """Events-shaped frame from spark.range: deterministic hash-mixed
+    timestamps/values, zipf-ish hot user to exercise skew handling."""
+    mix = (F.col("id") * 2654435761 + 40503) % 1_000_000_007
+    return spark.range(n_rows).select(
+        F.col("id").alias("event_id"),
+        # 10% of events land on user 0 (hot key); rest uniform
+        F.when(mix % 10 == 0, F.lit(0))
+        .otherwise(mix % n_users)
+        .alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (mix % 5_000_000)
+        ).alias("ts"),
+        (mix % 1000 / 10.0).alias("value"),
+    )
+
+
+def synth_docs(spark, n_docs: int, dup_rate: int = 10):
+    """Documents-shaped frame: ~60-token texts from a hash-mixed word
+    sequence; every dup_rate-th doc repeats the previous doc's seed
+    (guaranteed exact+near duplicates)."""
+    seed = F.when(
+        F.col("id") % dup_rate == 0, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    word = lambda i: F.concat(  # noqa: E731
+        F.lit("w"),
+        ((seed * 48271 + i * 16807) % 9973).cast("string"),
+    )
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[word(i) for i in range(60)]).alias("text"),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=10)
+    ap.add_argument("--base-events", type=int, default=1_000_000)
+    ap.add_argument("--base-docs", type=int, default=5_000)
+    args = ap.parse_args()
+
+    from ngafid_cpat_spark.operators import dedup as D
+    from ngafid_cpat_spark.operators import joins as J
+    from ngafid_cpat_spark.operators import windows as OW
+    from ngafid_cpat_spark.session import get_spark
+
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def mat(df) -> int:
+        df.write.format("noop").mode("overwrite").save()
+        return -1
+
+    def sessionize(ev):
+        return OW.sessionize_chunked(ev, "user_id", "ts", gap_seconds=600)
+
+    def range_window(ev):
+        from pyspark.sql import Window as W
+
+        from ngafid_cpat_spark.functions.timeutil import epoch_seconds
+
+        w = (
+            W.partitionBy("user_id")
+            .orderBy(epoch_seconds(F.col("ts")))
+            .rangeBetween(-3600, 0)
+        )
+        return ev.select(
+            "event_id", F.sum("value").over(w).alias("hour_sum")
+        )
+
+    def islands(ev):
+        return OW.islands(
+            ev, "user_id", ["ts", "event_id"],
+            flag=F.col("value") > 50, island_col="ep", in_island_only=True,
+        )
+
+    def dedup_exact(docs):
+        return D.exact_dedup(docs)
+
+    def jaccard(docs):
+        return D.jaccard_pairs(docs, k=3, threshold=0.5)
+
+    def nn_join(ev):
+        dim = spark.range(500).select(
+            F.col("id").alias("site_id"),
+            (F.col("id") % 997 / 10.0).alias("center"),
+        )
+        return J.nearest(
+            ev, dim,
+            distance=F.abs(F.col("value") - F.col("center")),
+            fact_key="event_id", dim_cols=["site_id"],
+        )
+
+    ops = {
+        "sessionize_chunked": ("events", sessionize),
+        "range_window": ("events", range_window),
+        "episode_islands": ("events", islands),
+        "dedup_exact": ("docs", dedup_exact),
+        "jaccard_pairs": ("docs", jaccard),
+        "nearest_join": ("events", nn_join),
+    }
+
+    sizes = {
+        "events": (args.base_events, args.base_events * args.scale),
+        "docs": (args.base_docs, args.base_docs * args.scale),
+    }
+    frames = {
+        ("events", 0): synth_events(spark, sizes["events"][0], 10_000),
+        ("events", 1): synth_events(
+            spark, sizes["events"][1], 10_000 * args.scale
+        ),
+        ("docs", 0): synth_docs(spark, sizes["docs"][0]),
+        ("docs", 1): synth_docs(spark, sizes["docs"][1]),
+    }
+
+    # warm: codegen + python worker pool on the small size
+    for name, (tbl, fn) in ops.items():
+        try:
+            mat(fn(frames[(tbl, 0)]))
+        except Exception:
+            pass
+
+    results = {}
+    for name, (tbl, fn) in ops.items():
+        out = {"rows_base": sizes[tbl][0], "rows_scaled": sizes[tbl][1]}
+        for i, key in ((0, "sec_base"), (1, "sec_scaled")):
+            t0 = time.perf_counter()
+            try:
+                mat(fn(frames[(tbl, i)]))
+                out[key] = round(time.perf_counter() - t0, 2)
+            except Exception as e:  # noqa: BLE001
+                out[key] = None
+                out["err"] = f"{type(e).__name__}: {str(e)[:160]}"
+                break
+        if out.get("sec_base") and out.get("sec_scaled"):
+            out["ratio"] = round(out["sec_scaled"] / out["sec_base"], 2)
+            out["linear_ok"] = out["ratio"] <= args.scale * 1.5
+        print(json.dumps({"op": name, **out}))
+        results[name] = out
+
+    bad = [n for n, r in results.items() if not r.get("linear_ok")]
+    print(json.dumps({"scale": args.scale, "superlinear_or_err": bad}))
+
+
+if __name__ == "__main__":
+    main()
