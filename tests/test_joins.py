@@ -70,6 +70,24 @@ def test_nearest_argmin_deterministic_ties(spark):
     assert out.first()["nearest_code"] == "A"
 
 
+def test_nearest_null_distance_never_wins(spark):
+    # a dim with NULL coordinates must not beat real candidates (the
+    # old min(struct) ordering sorted NULL distance first), and a fact
+    # with NO finite distance gets NULL nearest_* columns
+    facts = spark.createDataFrame([{"fid": 1, "x": 5.0}, {"fid": 2, "x": None}])
+    dims = spark.createDataFrame(
+        [{"code": "REAL", "y": 4.0}, {"code": "NULLY", "y": None}]
+    )
+    out = OJ.nearest(
+        facts, dims,
+        distance=F.abs(F.col("x") - F.col("y")),
+        fact_key="fid", dim_cols=["code"],
+    )
+    rows = {r["fid"]: r for r in out.collect()}
+    assert rows[1]["nearest_code"] == "REAL"
+    assert rows[2]["nearest_code"] is None and rows[2]["nearest_dist"] is None
+
+
 def test_nearest_banded_1d_exact_with_sparse_tail(spark):
     """Banded NN == brute force, including facts whose nearest dim is
     beyond one band (the fallback pass) and distance ties (key
