@@ -49,6 +49,41 @@ def assert_dim_bounded(dims: DataFrame, max_rows: int | None = MAX_BROADCAST_DIM
         )
 
 
+def _argmin_two_phase(
+    left: DataFrame,
+    fan,
+    keys: list[str],
+    distance: Column,
+    payload_cols: list[str],
+) -> DataFrame:
+    """HASH-aggregable argmin over a fan-out join.
+
+    ``fan(frame)`` appends candidate (dim) columns to ``frame`` via a
+    broadcast equi- or cross-join; it is invoked twice. Phase 1
+    aggregates min(distance) per key — a primitive double buffer, so
+    the amplified fan-out collapses in a map-side HashAggregate
+    (min_by / min(struct) carry a struct buffer HashAggregateExec
+    cannot hold, and the resulting SortAggregate sorts the FULL
+    fan-out: measured 33x slowdown at 10x rows, tools/scale_smoke.py
+    and SCALE.md). Phase 2 re-fans only to keep rows achieving the
+    min (the same deterministic expression both times, so exact
+    equality holds) and breaks ties with min(struct(payload)) over
+    the ~1 surviving row per key.
+
+    NULL/NaN distances never win: min skips NULLs and a NULL/NaN
+    can't equal the finite minimum. Keys with no finite-distance
+    candidate are ABSENT from the result (callers left-join or
+    fall back). Returns one row per key: keys + __best
+    struct(payload_cols) + __dist.
+    """
+    dmin = fan(left).groupBy(*keys).agg(F.min(distance).alias("__dist"))
+    cand = fan(left.join(dmin, on=keys)).filter(distance == F.col("__dist"))
+    return cand.groupBy(*keys).agg(
+        F.min(F.struct(*[F.col(c) for c in payload_cols])).alias("__best"),
+        F.min("__dist").alias("__dist"),
+    )
+
+
 def nearest(
     facts: DataFrame,
     dims: DataFrame,
@@ -94,19 +129,9 @@ def nearest(
     # key + the distance expression's inputs on its own
     f = facts.repartition(n_part, fact_key)
     bdims = F.broadcast(dims)
-    dmin = (
-        f.join(bdims, how="cross")
-        .groupBy(fact_key)
-        .agg(F.min(distance).alias("__dist"))
-    )
-    cand = (
-        f.join(dmin, on=fact_key)
-        .join(bdims, how="cross")
-        .filter(distance == F.col("__dist"))
-    )
-    best = cand.groupBy(fact_key).agg(
-        F.min(F.struct(*[F.col(c) for c in dim_cols])).alias("__best"),
-        F.min("__dist").alias("__dist"),
+    best = _argmin_two_phase(
+        f, lambda df: df.join(bdims, how="cross"),
+        [fact_key], distance, dim_cols,
     )
     out = best.select(
         fact_key,
@@ -153,34 +178,27 @@ def nearest_banded_1d(
         "__band", F.floor(F.col(fact_val) / w).cast("long")
     )
     d = F.abs(F.col(fact_val) - F.col(dim_val))
-    banded_best = (
-        f.join(F.broadcast(dims3), on="__band")
-        .groupBy(fact_key)
-        .agg(
-            F.min_by(F.col(dim_key), F.struct(d.alias("__d"), F.col(dim_key))).alias(
-                "__best_key"
-            ),
-            F.min(d).alias("__dist"),
-        )
+    banded_best = _argmin_two_phase(
+        f, lambda df: df.join(F.broadcast(dims3), on="__band"),
+        [fact_key], d, [dim_key],
     )
     resolved = banded_best.filter(F.col("__dist") <= w)
-    # facts with no in-window winner: exact broadcast argmin (tail)
+    # facts with no in-window winner: exact broadcast argmin (tail) —
+    # also two-phase, so a large dim-sparse tail never sorts its
+    # |tail| x |dims| cross product
     rest = f.join(resolved.select(fact_key), on=fact_key, how="left_anti")
-    rest_best = (
-        rest.join(F.broadcast(dims.select(F.col(dim_key), F.col(dim_val))), how="cross")
-        .groupBy(fact_key)
-        .agg(
-            F.min_by(F.col(dim_key), F.struct(d.alias("__d"), F.col(dim_key))).alias(
-                "__best_key"
-            ),
-            F.min(d).alias("__dist"),
-        )
+    rest_best = _argmin_two_phase(
+        rest,
+        lambda df: df.join(
+            F.broadcast(dims.select(F.col(dim_key), F.col(dim_val))), how="cross"
+        ),
+        [fact_key], d, [dim_key],
     )
     best = resolved.unionByName(rest_best)
     return facts.select(fact_key, fact_val).join(best, on=fact_key).select(
         fact_key,
         fact_val,
-        F.col("__best_key").alias("nearest_key"),
+        F.col(f"__best.{dim_key}").alias("nearest_key"),
         F.col("__dist").alias("nearest_dist"),
     )
 
@@ -241,14 +259,11 @@ def nearest_gridded(
             F.floor(F.col(lon_col) / cell_deg).cast("long"),
         ),
     )
-    joined = pts.join(F.broadcast(dims_cells), on="__cell", how="left")
     d = geo.manhattan_deg(lat_col, lon_col, "__d_lat", "__d_lon")
-    ordering = F.struct(d.alias("__d"), *[F.col(f"__v_{c}") for c in dim_cols])
-    best = joined.groupBy(point_key).agg(
-        F.min_by(
-            F.struct(*[F.col(f"__v_{c}") for c in dim_cols]), ordering
-        ).alias("__best"),
-        F.min(d).alias("__dist"),
+    best = _argmin_two_phase(
+        pts.select(point_key, lat_col, lon_col, "__cell"),
+        lambda df: df.join(F.broadcast(dims_cells), on="__cell", how="left"),
+        [point_key], d, [f"__v_{c}" for c in dim_cols],
     )
     # exactness guarantee (mirrors nearest_banded_1d): any dim within
     # cell_deg of a point is provably inside the 3x3 window, so a
@@ -261,16 +276,10 @@ def nearest_gridded(
         resolved.select(point_key), on=point_key, how="left_anti"
     )
     d_raw = geo.manhattan_deg(lat_col, lon_col, "__d_lat", "__d_lon")
-    rest_best = (
-        rest_keys.join(F.broadcast(dims_sel), how="cross")
-        .groupBy(point_key)
-        .agg(
-            F.min_by(
-                F.struct(*[F.col(f"__v_{c}") for c in dim_cols]),
-                F.struct(d_raw.alias("__d"), *[F.col(f"__v_{c}") for c in dim_cols]),
-            ).alias("__best"),
-            F.min(d_raw).alias("__dist"),
-        )
+    rest_best = _argmin_two_phase(
+        rest_keys,
+        lambda df: df.join(F.broadcast(dims_sel), how="cross"),
+        [point_key], d_raw, [f"__v_{c}" for c in dim_cols],
     )
     all_best = resolved.unionByName(rest_best)
     return points.join(
