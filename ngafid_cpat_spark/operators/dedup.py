@@ -49,18 +49,27 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, shingle) distinct pairs. The shingle is kept as its
-    xxhash64 — 8-byte shuffle keys instead of multi-word strings
-    (identical set semantics; a 64-bit collision across a corpus's
-    distinct-shingle count is ~n^2/2^64, negligible).
+def _shingle_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    as_string: bool = False,
+) -> DataFrame:
+    """(id, shingle) distinct pairs. By default the shingle is kept
+    as its xxhash64 — 8-byte shuffle keys instead of multi-word
+    strings (identical set semantics; a 64-bit collision across a
+    corpus's distinct-shingle count is ~n^2/2^64, negligible).
+    ``as_string=True`` keeps the space-joined gram text instead, for
+    consumers whose output must be oracle-reproducible values
+    (substring_dup_spans) — tokens never contain the separator, so
+    the two encodings are distinctness-equivalent.
 
     Shape: posexplode the token array, window-lead the next k-1
-    tokens, hash the k-tuple. Tokens never contain the separator, so
-    hashing the tuple is distinctness-equivalent to hashing the
-    joined string — and every step stays in whole-stage codegen (the
-    transform/slice/array_join shingle expression was an interpreted
-    lambda per position and dominated every dedup query)."""
+    tokens, hash (or join) the k-tuple — every step stays in
+    whole-stage codegen (the transform/slice/array_join shingle
+    expression was an interpreted lambda per position and dominated
+    every dedup query)."""
     from pyspark.sql import Window
 
     toks = df.select(
@@ -72,9 +81,9 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
     sh = toks.select("id", "t0", *lead_cols).filter(
         F.col(f"t{k - 1}").isNotNull()
     )
-    return sh.select(
-        "id", F.xxhash64(*[f"t{i}" for i in range(k)]).alias("sh")
-    ).distinct()
+    parts = [f"t{i}" for i in range(k)]
+    gram = F.concat_ws(" ", *parts) if as_string else F.xxhash64(*parts)
+    return sh.select("id", gram.alias("sh")).distinct()
 
 
 def jaccard_pairs(

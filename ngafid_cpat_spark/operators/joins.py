@@ -70,14 +70,20 @@ def _argmin_two_phase(
     equality holds) and breaks ties with min(struct(payload)) over
     the ~1 surviving row per key.
 
-    NULL/NaN distances never win: min skips NULLs and a NULL/NaN
-    can't equal the finite minimum. Keys with no finite-distance
-    candidate are ABSENT from the result (callers left-join or
-    fall back). Returns one row per key: keys + __best
+    NULL/NaN distances never win: min skips NULLs, a NULL can't
+    equal the finite minimum, and the explicit isnan guard covers the
+    all-NaN group (Spark evaluates NaN = NaN as TRUE and sorts NaN
+    LAST, so min only returns NaN when every candidate is NaN — the
+    guard turns that bogus winner into absence). Keys with no
+    finite-distance candidate are ABSENT from the result (callers
+    left-join or fall back). Returns one row per key: keys + __best
     struct(payload_cols) + __dist.
     """
     dmin = fan(left).groupBy(*keys).agg(F.min(distance).alias("__dist"))
-    cand = fan(left.join(dmin, on=keys)).filter(distance == F.col("__dist"))
+    cand = fan(left.join(dmin, on=keys)).filter(
+        (distance == F.col("__dist"))
+        & ~F.isnan(F.col("__dist").cast("double"))
+    )
     return cand.groupBy(*keys).agg(
         F.min(F.struct(*[F.col(c) for c in payload_cols])).alias("__best"),
         F.min("__dist").alias("__dist"),
@@ -195,7 +201,11 @@ def nearest_banded_1d(
         [fact_key], d, [dim_key],
     )
     best = resolved.unionByName(rest_best)
-    return facts.select(fact_key, fact_val).join(best, on=fact_key).select(
+    # LEFT join-back: a fact with no finite-distance candidate (NULL
+    # fact_val, empty dims) keeps its row with NULL nearest columns —
+    # matching `nearest` and the per-fact-row oracle shape — instead
+    # of silently vanishing
+    return facts.select(fact_key, fact_val).join(best, on=fact_key, how="left").select(
         fact_key,
         fact_val,
         F.col(f"__best.{dim_key}").alias("nearest_key"),

@@ -92,24 +92,21 @@ class Thresholds:
 def with_nearest_airport(flight_df: DataFrame, airports: DataFrame) -> DataFrame:
     """Per-tick nearest airport by Manhattan |dlat|+|dlon| degrees
     (FlightAnalysis.py:356-366): broadcast cross join + two-phase
-    argmin, deterministic tie-break on airport_code.
-
-    Two-phase shape (same rationale as operators/joins.nearest):
-    min(struct) carries a struct buffer that HashAggregateExec cannot
-    hold, so the single-pass form silently plans a SortAggregate —
-    and the sort runs over the |ticks| x |airports| fan-out, which at
-    the reference's 15,165 airports (BASELINE.md) is superlinear
-    spill territory. Phase 1's min(distance) is a primitive double
-    buffer: the fan-out collapses in a map-side HASH aggregate.
-    Phase 2 re-fans only to keep the rows achieving the min (exact
-    equality — same deterministic expression both times) and breaks
-    ties on airport_code over ~1 row per tick. The telemetry
-    passthrough columns rejoin on (flight, time).
+    hash-aggregable argmin (operators/joins._argmin_two_phase — the
+    single-pass min(struct) form plans a SortAggregate whose sort
+    runs over the |ticks| x |airports| fan-out, superlinear spill at
+    the reference's 15,165 airports; see SCALE.md), deterministic
+    tie-break on airport_code. The telemetry passthrough columns
+    LEFT-rejoin on (flight, time): a tick with no finite-distance
+    airport (empty/NULL-coordinate dim) keeps its row with NULL
+    airport columns rather than silently disappearing.
 
     PRECONDITION: (flight, time) uniquely identifies a telemetry row
     (the reference's ordered scan implies the same, main.py:36);
     duplicate ticks would break the join-back — deduplicate upstream
     if a feed can double-report."""
+    from ..operators.joins import _argmin_two_phase
+
     d = geo.manhattan_deg("latitude", "longitude", "ap_lat", "ap_lon")
     ap = F.broadcast(
         airports.select(
@@ -119,34 +116,19 @@ def with_nearest_airport(flight_df: DataFrame, airports: DataFrame) -> DataFrame
             F.col("elevation_ft").alias("ap_elev"),
         )
     )
-    pos = flight_df.select("flight", "time", "latitude", "longitude")
-    dmin = (
-        pos.join(ap, how="cross")
-        .groupBy("flight", "time")
-        .agg(F.min(d).alias("__d"))
+    best = _argmin_two_phase(
+        flight_df.select("flight", "time", "latitude", "longitude"),
+        lambda df: df.join(ap, how="cross"),
+        ["flight", "time"],
+        d,
+        ["airport_code", "ap_lat", "ap_lon", "ap_elev"],
     )
-    best = (
-        pos.join(dmin, on=["flight", "time"])
-        .join(ap, how="cross")
-        .filter(d == F.col("__d"))
-        .groupBy("flight", "time")
-        .agg(
-            F.min(
-                F.struct(
-                    F.col("airport_code").alias("code"),
-                    F.col("ap_lat").alias("lat"),
-                    F.col("ap_lon").alias("lon"),
-                    F.col("ap_elev").alias("elev"),
-                )
-            ).alias("b")
-        )
-    )
-    return flight_df.join(best, on=["flight", "time"]).select(
+    return flight_df.join(best, on=["flight", "time"], how="left").select(
         *flight_df.columns,
-        F.col("b.code").alias("airport_code"),
-        F.col("b.lat").alias("airport_lat"),
-        F.col("b.lon").alias("airport_lon"),
-        F.col("b.elev").alias("airport_elev"),
+        F.col("__best.airport_code").alias("airport_code"),
+        F.col("__best.ap_lat").alias("airport_lat"),
+        F.col("__best.ap_lon").alias("airport_lon"),
+        F.col("__best.ap_elev").alias("airport_elev"),
     )
 
 
@@ -159,7 +141,14 @@ def analyze(
 ) -> DataFrame:
     """Full fleet analysis -> one row per (flight_id, approach_id),
     schema matching the reference's approaches table (FIXTURES.md §7;
-    insert list FlightAnalysis.py:22-26)."""
+    insert list FlightAnalysis.py:22-26).
+
+    ``persist=True`` caches three intermediate frames (post-takeoff
+    ticks, episode frame, per-episode aggregate) for the plan's
+    internal fan-out; they stay cached for the session. A long-lived
+    session calling analyze() repeatedly should pass persist=False or
+    call spark.catalog.clearCache() between calls (analyze_fleet
+    already passes persist=False per type for this reason)."""
     wf = Window.partitionBy("flight").orderBy("time")
     wflight = Window.partitionBy("flight")
 

@@ -237,44 +237,32 @@ SPAN_K = 8  # tokens per repeated-span gram
     """,
 )
 def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact substring-level duplication: {SPAN_K}-token spans that
+    """Exact substring-level duplication: SPAN_K-token (8) spans that
     occur verbatim in 2+ documents — the signal behind substring
     (span-level) training-data dedup, where repeated boilerplate
     passages are cut even when whole documents differ.
 
-    Scale shape: one token explode + ordered window assembles the
-    grams (the same single-pass shape as the shingle pipeline), then
-    ONE groupBy(gram) with map-side partial counts; the >=2-docs
-    filter runs post-aggregate, so nothing pairwise ever forms. At
-    100 TB the group key would be xxhash64(gram) — 8-byte shuffle
-    keys, with gram text resolved only for the surviving report rows
-    (identical to the hashed-shingle trick in operators/dedup) —
-    here the gram string itself is grouped so the DuckDB oracle can
-    reproduce values exactly."""
-    from pyspark.sql import Window as W
-
-    toks = load(spark, sf_dir, "documents").select(
-        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "t0")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    lead_cols = [
-        F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, SPAN_K)
-    ]
-    grams = (
-        toks.select("doc_id", "t0", *lead_cols)
-        .filter(F.col(f"t{SPAN_K - 1}").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", *[f"t{i}" for i in range(SPAN_K)]).alias("gram"),
-        )
-        .distinct()
+    Scale shape: the shared shingle pipeline (dedup._shingle_sets,
+    string mode) assembles the grams in one explode + ordered-window
+    pass, then ONE groupBy(gram) with map-side partial counts; the
+    >=2-docs filter runs post-aggregate, so nothing pairwise ever
+    forms. At 100 TB the group key would be the default xxhash64
+    encoding — 8-byte shuffle keys, with gram text resolved only for
+    the surviving report rows — here the gram string itself is
+    grouped so the DuckDB oracle can reproduce values exactly."""
+    grams = D._shingle_sets(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=SPAN_K,
+        as_string=True,
     )
     return (
-        grams.groupBy("gram")
+        grams.groupBy(F.col("sh").alias("gram"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("min_doc"),
-            F.max("doc_id").alias("max_doc"),
+            F.min("id").alias("min_doc"),
+            F.max("id").alias("max_doc"),
         )
         .filter(F.col("n_docs") >= 2)
     )

@@ -144,3 +144,32 @@ def test_broadcast_dim_guard(spark):
         OJ.assert_dim_bounded(big, max_rows=10)
     OJ.assert_dim_bounded(big, max_rows=100)  # within bound: no-op
     OJ.assert_dim_bounded(big, max_rows=None)  # disabled: no-op
+
+
+def test_nearest_banded_1d_null_fact_value_kept(spark):
+    # a fact whose value is NULL has no finite distance to any dim —
+    # it must still appear in the output (NULL nearest columns), not
+    # silently vanish from the per-fact result
+    facts = spark.createDataFrame([{"fk": 1, "fv": 5.0}, {"fk": 2, "fv": None}])
+    dims = spark.createDataFrame([{"dk": 1, "dv": 4.0}, {"dk": 2, "dv": 9.0}])
+    out = {
+        r["fk"]: (r["nearest_key"], r["nearest_dist"])
+        for r in OJ.nearest_banded_1d(
+            facts, dims, "fk", "fv", "dk", "dv", band_width=10.0
+        ).collect()
+    }
+    assert out[1] == (1, 1.0)
+    assert out[2] == (None, None)
+
+
+def test_nearest_all_nan_distance_absent(spark):
+    # Spark evaluates NaN = NaN as true; the argmin must still treat
+    # an all-NaN group as "no match", not emit a NaN winner
+    facts = spark.createDataFrame([{"fid": 1, "x": float("nan")}])
+    dims = spark.createDataFrame([{"code": "A", "y": 1.0}])
+    r = OJ.nearest(
+        facts, dims,
+        distance=F.abs(F.col("x") - F.col("y")),
+        fact_key="fid", dim_cols=["code"],
+    ).first()
+    assert r["nearest_code"] is None and r["nearest_dist"] is None

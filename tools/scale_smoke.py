@@ -167,8 +167,10 @@ def main() -> None:
                 out[key] = None
                 out["err"] = f"{type(e).__name__}: {str(e)[:160]}"
                 break
-        if out.get("sec_base") and out.get("sec_scaled"):
-            out["ratio"] = round(out["sec_scaled"] / out["sec_base"], 2)
+        if out.get("sec_base") is not None and out.get("sec_scaled") is not None:
+            # guard the sub-10ms base case: rounding can make it 0.0
+            base = max(out["sec_base"], 0.01)
+            out["ratio"] = round(out["sec_scaled"] / base, 2)
             out["linear_ok"] = out["ratio"] <= args.scale * 1.5
         print(json.dumps({"op": name, **out}))
         results[name] = out
