@@ -139,6 +139,115 @@ def sessionize_chunked(
     ).drop("__chunk", "__local_sid")
 
 
+def range_window_chunked(
+    df: DataFrame,
+    partition_by: str | list[str],
+    ts_col: str,
+    value,
+    window_seconds: float,
+    sum_col: str = "range_sum",
+    count_col: str = "range_n",
+) -> DataFrame:
+    """Skew-robust two-phase trailing range-frame aggregate,
+    result-identical to
+    ``sum(value) / count(*) OVER (PARTITION BY key ORDER BY ts
+    RANGE BETWEEN window_seconds PRECEDING AND CURRENT ROW)``.
+
+    AQE's skew handling covers joins, NOT window functions: the plain
+    range frame puts a hot key's entire history in one task
+    (sessionize_chunked's rationale, applied to sliding aggregates).
+    Here the chunk width EQUALS the frame width W, which yields the
+    invariant that every row's frame [t-W, t] splits into exactly
+    two pieces: [chunk_start, t] (the intra-chunk running sum — one
+    window over (key, chunk)) and a TAIL of the previous chunk
+    [t-W, chunk_start), computed as the previous chunk's total minus
+    its running prefix just below t-W. The prefix lookup is an
+    as-of: each row is also projected as a PROBE row into the
+    previous chunk at time t-W, and one union + ordered window
+    (probes sort before tying base rows, so the subtracted prefix is
+    strictly < t-W — frame boundaries are inclusive) resolves every
+    probe in the same pass that window-totals the chunk. No task
+    ever sees more than TWO chunks' rows of one key; both shuffles
+    hash on (key, chunk).
+    """
+    part = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    val = F.col(value) if isinstance(value, str) else value
+    w = float(window_seconds)
+    base0 = df.withColumn("__e", epoch_seconds(F.col(ts_col))).withColumn(
+        "__chunk", F.floor(F.col("__e") / F.lit(w)).cast("long")
+    )
+    wrun = (
+        Window.partitionBy(*part, "__chunk")
+        .orderBy("__e")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    # running aggregates within the chunk, ts-peers included (range
+    # frame semantics) — for base rows this IS the <=t prefix
+    cur = base0.withColumn("__cs", F.sum(val).over(wrun)).withColumn(
+        "__cn", F.count(F.lit(1)).over(wrun)
+    )
+    orig_cols = df.columns
+    leq_t = F.struct(F.col("__cs").alias("s"), F.col("__cn").alias("n"))
+    base = cur.select(
+        *[F.lit(None).cast(df.schema[c].dataType).alias(c) for c in orig_cols
+          if c not in part],
+        *part,
+        "__chunk",
+        F.col("__e").alias("__t"),
+        F.lit(0).alias("__side"),
+        leq_t.alias("__leq"),
+        val.cast("double").alias("__v"),
+        F.lit(None).cast("double").alias("__cs2"),
+        F.lit(None).cast("long").alias("__cn2"),
+    )
+    probe = cur.select(
+        *[c for c in orig_cols if c not in part],
+        *part,
+        (F.col("__chunk") - 1).alias("__chunk"),
+        (F.col("__e") - w).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(base.schema["__leq"].dataType).alias("__leq"),
+        F.lit(None).cast("double").alias("__v"),
+        F.col("__cs").cast("double").alias("__cs2"),
+        F.col("__cn").alias("__cn2"),
+    )
+    unioned = base.unionByName(probe.select(*base.columns))
+    # probes (__side=1) sort BEFORE base rows tying at __t: the frame
+    # boundary t-W is inclusive, so the subtracted prefix must be
+    # strictly below it
+    wasof = (
+        Window.partitionBy(*part, "__chunk")
+        .orderBy(F.col("__t").asc(), F.col("__side").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(*part, "__chunk")
+    res = (
+        unioned.withColumn(
+            "__p",
+            F.last(
+                F.when(F.col("__side") == 0, F.col("__leq")), ignorenulls=True
+            ).over(wasof),
+        )
+        .withColumn("__tot_s", F.sum("__v").over(wtot))
+        .withColumn(
+            "__tot_n",
+            F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).over(wtot),
+        )
+        .filter(F.col("__side") == 1)
+    )
+    prev_s = F.coalesce(
+        F.col("__tot_s") - F.coalesce(F.col("__p.s"), F.lit(0.0)), F.lit(0.0)
+    )
+    prev_n = F.coalesce(
+        F.col("__tot_n") - F.coalesce(F.col("__p.n"), F.lit(0)), F.lit(0)
+    )
+    return res.select(
+        *orig_cols,
+        (F.col("__cs2") + prev_s).alias(sum_col),
+        (F.col("__cn2") + prev_n).alias(count_col),
+    )
+
+
 def rolling(
     df: DataFrame,
     partition_by,

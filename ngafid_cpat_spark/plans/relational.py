@@ -1044,6 +1044,35 @@ def sessionize_chunked_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "range_window_chunked_events",
+    ORACLES["range_window_events"],
+)
+def range_window_chunked_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-robust two-phase trailing range-frame aggregate
+    (operators/windows.range_window_chunked) against the SAME oracle
+    as range_window_events — result-identical by construction, but no
+    task ever holds more than two frame-width chunks of one hot key
+    (window functions get no AQE skew splitting, so the single-window
+    form caps at the hottest key's full history)."""
+    out = OW.range_window_chunked(
+        load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value"),
+        "user_id",
+        "ts",
+        "value",
+        3600.0,
+        sum_col="__s",
+        count_col="hour_n",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("__s", 2).alias("hour_sum"),
+        "hour_n",
+    )
+
+
 EPISODE_THRESHOLD = 50.0
 FULLSTOP_MIN = 5.0
 TOUCHGO_AVG = 20.0

@@ -2,6 +2,7 @@
 
 from datetime import datetime
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ngafid_cpat_spark.operators import windows as OW
@@ -94,3 +95,46 @@ def test_sessionize_chunked_equals_sessionize(spark):
         ).collect()
     }
     assert chunked == plain
+
+
+def test_range_window_chunked_equals_plain(spark):
+    # ties, exact chunk-boundary gaps (3599/3600/3601 s), negative
+    # values, and a hot key — the chunked two-phase form must be
+    # result-identical to the plain range frame
+    import random
+
+    from ngafid_cpat_spark.functions.timeutil import epoch_seconds
+    from ngafid_cpat_spark.operators.windows import range_window_chunked
+
+    random.seed(7)
+    rows, rid = [], 0
+    for u in range(3):
+        t = 0
+        for _ in range(60 if u else 300):  # u=0 hot
+            t += random.choice([0, 1, 7, 3600, 3599, 3601, 100])
+            rows.append(
+                {"event_id": rid, "user_id": u, "ts_s": t,
+                 "value": round(random.uniform(-5, 10), 1)}
+            )
+            rid += 1
+    df = (
+        spark.createDataFrame(rows)
+        .withColumn("ts", F.timestamp_seconds("ts_s"))
+        .drop("ts_s")
+    )
+    plain_w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_seconds(F.col("ts")))
+        .rangeBetween(-3600, 0)
+    )
+    plain = df.select(
+        "event_id",
+        F.sum("value").over(plain_w).alias("s"),
+        F.count(F.lit(1)).over(plain_w).alias("n"),
+    )
+    chunked = range_window_chunked(
+        df, "user_id", "ts", "value", 3600.0, "s", "n"
+    ).select("event_id", "s", "n")
+    a = {r["event_id"]: (round(r["s"], 6), r["n"]) for r in plain.collect()}
+    b = {r["event_id"]: (round(r["s"], 6), r["n"]) for r in chunked.collect()}
+    assert a == b
