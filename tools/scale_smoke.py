@@ -103,6 +103,9 @@ def main() -> None:
             "event_id", F.sum("value").over(w).alias("hour_sum")
         )
 
+    def range_window_chunked(ev):
+        return OW.range_window_chunked(ev, "user_id", "ts", "value", 3600.0)
+
     def islands(ev):
         return OW.islands(
             ev, "user_id", ["ts", "event_id"],
@@ -129,6 +132,7 @@ def main() -> None:
     ops = {
         "sessionize_chunked": ("events", sessionize),
         "range_window": ("events", range_window),
+        "range_window_chunked": ("events", range_window_chunked),
         "episode_islands": ("events", islands),
         "dedup_exact": ("docs", dedup_exact),
         "jaccard_pairs": ("docs", jaccard),
