@@ -303,6 +303,59 @@ def contamination(
     )
 
 
+def contamination_bloom(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """`contamination` with a bloom-filter pre-filter on the train
+    shingle stream — the shape that survives an eval side too big to
+    broadcast. Plain `contamination` relies on a broadcast hash join
+    (map-side, no train shuffle); once the eval shingle set outgrows
+    the broadcast threshold the join degrades to sort-merge and the
+    FULL train shingle stream (the 100 TB side) shuffles. Here the
+    eval set is compressed to a bloom bit-literal (operators/bloom),
+    non-members drop inside the train scan's codegen stage, and only
+    probable hits — true overlaps plus a ~0.1% false-positive tail —
+    reach the exact join, which removes the false positives. Results
+    are bit-identical to `contamination` by construction; only the
+    shuffle volume changes, so the two share one oracle.
+
+    The exact join deliberately carries no broadcast hint: at test
+    scale AQE will broadcast it anyway, at 100 TB it becomes a
+    sort-merge over the ~0.1%-selectivity survivor stream instead of
+    the full corpus.
+    """
+    from .bloom import bloom_prefilter
+
+    train = _shingle_sets(train_df, id_col, text_col, k)
+    eval_sh = (
+        _shingle_sets(eval_df, id_col, text_col, k).select("sh").distinct()
+    )
+    sizes = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    probable = bloom_prefilter(train, "sh", eval_sh, "sh")
+    hits = (
+        probable.join(eval_sh, "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        sizes.join(hits, "id", "left_outer")
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0))
+                / F.col("n_shingles")
+            ).alias("contamination"),
+        )
+        .filter(F.col("n_overlap") > 0)
+    )
+
+
 _SHARD_MULT = 1_103_515_245
 _SHARD_OFFSET = 54_321
 # shard_id uses its OWN mixing constants: sharing sample_hash's mix

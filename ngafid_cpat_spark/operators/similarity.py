@@ -59,6 +59,66 @@ def lsh_bucket_assignments(
     return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def knn_graph_lsh(
+    emb: DataFrame,
+    planes: list[list[float]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN graph: for EVERY vector, its top-k cosine
+    neighbors among vectors sharing its hyperplane-LSH bucket — the
+    all-queries generalization of ann_topk_batch (whose broadcast
+    query block stops working when the query set IS the corpus).
+
+    Scale shape: one bucket self-join (shuffle linear in |vectors|,
+    bucket width controlled by |planes|) + one per-vector top-k
+    window. No cross join, no broadcast of the corpus. Deterministic
+    and oracle-pairable because the planes are literals: both engines
+    compute identical sign-bit buckets, and ties break on
+    (round-4 cosine desc, neighbor id asc).
+
+    Vectors alone in their bucket yield no rows (standard LSH recall
+    trade-off; more bands/planes is the recall knob)."""
+    self_dot = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+    )
+    b = lsh_bucket_assignments(
+        emb.filter(self_dot > 0), planes, id_col=id_col, vec_col=vec_col
+    )
+    a = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+    )
+    c = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+    )
+    from ..functions import vector as V
+
+    scored = (
+        a.join(c, "bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                V.dot("qv", "nv") / (V.norm("qv") * V.norm("nv")), 4
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", "cosine")
+    )
+
+
 def cosine_pairs_in_groups(
     grouped: DataFrame,
     group_cols: list[str],

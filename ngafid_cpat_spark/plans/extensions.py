@@ -1243,3 +1243,79 @@ def contamination_check_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.round("contamination", 4).alias("contamination"),
     )
+
+
+@register(
+    "contamination_bloom_docs",
+    f"""
+    WITH {_SHINGLE_SQL},
+    eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0),
+    train AS (SELECT doc_id, s FROM sh WHERE doc_id % 23 <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_overlap
+      FROM train t JOIN eval_sh e ON t.s = e.s GROUP BY 1
+    )
+    SELECT s.doc_id, s.n_shingles,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           ROUND(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / s.n_shingles, 4)
+             AS contamination
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    WHERE COALESCE(h.n_overlap, 0) > 0
+    """,
+)
+def contamination_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contamination_check_docs through the bloom-prefilter scale
+    path (operators/bloom): the eval shingle set is compressed to a
+    bit-literal tested inside the train scan's codegen stage, so at
+    an eval set too big to broadcast only the ~0.1%-selectivity
+    survivor stream shuffles into the exact verify join. The bloom
+    admits no false negatives and the verify join removes its false
+    positives, so this query shares contamination_check_docs' oracle
+    verbatim — the driver gate proves the pre-filter changes nothing
+    but the shuffle volume."""
+    docs = load(spark, sf_dir, "documents")
+    out = C.contamination_bloom(
+        docs.filter(F.pmod("doc_id", F.lit(23)) != 0),
+        docs.filter(F.pmod("doc_id", F.lit(23)) == 0),
+        k=SHINGLE_K,
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round("contamination", 4).alias("contamination"),
+    )
+
+
+@register(
+    "knn_graph_embeddings",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE list_dot_product(embedding, embedding) > 0
+    ), b AS (
+      SELECT vec_id, v, ({_plane_bucket_sql('v')}) AS bucket FROM e
+    ), scored AS (
+      SELECT a.vec_id AS qid, c.vec_id AS nid,
+             ROUND({_COS_SQL.format(a='a.v', b='c.v')}, 4) AS cosine
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    )
+    SELECT qid, nid, cosine FROM (
+      SELECT qid, nid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph over the whole embedding corpus (top-3 neighbors
+    per vector within its LSH bucket) — the all-queries shape where
+    ann_topk_batch's broadcast query block stops scaling. Bucket
+    self-join is linear in |vectors|; the literal hyperplanes make
+    even this approximate path fully oracle-paired (the DuckDB twin
+    recomputes identical sign-bit buckets)."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.knn_graph_lsh(emb, LSH_PLANES, k=3)

@@ -104,3 +104,33 @@ def test_ivf_indexed_matches_unindexed(spark, tmp_path):
         indexed.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters: [" in plan and "centroid_id" in plan
+
+
+def test_knn_graph_lsh_matches_numpy_within_buckets(emb):
+    """Every (qid, nid, cosine) row matches a numpy reconstruction:
+    neighbors come only from qid's bucket, ranked by (round-4 cosine
+    desc, nid asc), at most k per query."""
+    planes = [
+        [(((i * 31 + d * 17) % 11) - 5) / 5.0 for d in range(DIM)]
+        for i in range(4)
+    ]
+    got = {}
+    for r in S.knn_graph_lsh(emb, planes, k=3).collect():
+        got.setdefault(r["qid"], []).append((r["nid"], r["cosine"]))
+
+    P = np.array(planes)
+    buckets = ((VECS @ P.T) > 0).astype(int) @ (2 ** np.arange(4))
+    nrm = np.linalg.norm(VECS, axis=1)
+    for q in range(N):
+        cand = [i for i in range(N) if i != q and buckets[i] == buckets[q]]
+        sims = sorted(
+            (
+                (
+                    -round(float(VECS[q] @ VECS[i] / (nrm[q] * nrm[i])), 4),
+                    i,
+                )
+                for i in cand
+            ),
+        )[:3]
+        want = [(i, -s) for s, i in sims]
+        assert got.get(q, []) == want, f"qid {q}"
