@@ -171,6 +171,29 @@ def test_connected_components_long_chain(spark):
     assert len(out) == 10
 
 
+def test_connected_components_distributed_path_matches_fast_path(spark):
+    # force the iterative loop (small_graph_edges=0) and assert it
+    # returns exactly what the driver union-find fast path returns —
+    # two paths, one semantics
+    pairs = spark.createDataFrame(
+        [{"id1": i, "id2": i + 1} for i in range(1, 10)]
+        + [{"id1": 20, "id2": 21}, {"id1": 21, "id2": 22}]
+    )
+    ids = spark.createDataFrame([{"id": i} for i in range(1, 25)])
+    loop = {
+        r["id"]: r["cluster_id"]
+        for r in D.connected_components(
+            pairs, ids, id_col="id", small_graph_edges=0
+        ).collect()
+    }
+    fast = {
+        r["id"]: r["cluster_id"]
+        for r in D.connected_components(pairs, ids, id_col="id").collect()
+    }
+    assert loop == fast
+    assert loop[9] == 1 and loop[22] == 20 and loop[23] == 23
+
+
 def test_substring_dup_spans(spark, tmp_path):
     # two docs share one verbatim 8-token span inside different text;
     # a third doc has no 8-token overlap with either
