@@ -149,8 +149,11 @@ def tfidf_topk(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # n_docs as a lazy 1-row broadcast, NOT an eager .count() action
     # (which would tokenize the whole corpus once at plan-build time
-    # and again at execution)
-    nd = toks.select(id_col).distinct().agg(
+    # and again at execution). Derived from tf, not toks: a doc
+    # counts iff it has >= 1 token either way, and hanging the
+    # distinct off the aggregated frame keeps the corpus tokenize to
+    # ONE lineage branch instead of re-exploding per consumer.
+    nd = tf.select(id_col).distinct().agg(
         F.count(F.lit(1)).cast("long").alias("__n_docs")
     )
     idf_milli = F.call_function(

@@ -129,6 +129,50 @@ def main() -> None:
             fact_key="event_id", dim_cols=["site_id"],
         )
 
+    def bloom_semi(ev):
+        from ngafid_cpat_spark.operators import bloom as B
+
+        # key universe 100x the key set => ~1% selectivity, the
+        # shape where the prefilter pays
+        keys = spark.range(1_000).select(
+            F.concat(F.lit("k"), F.col("id")).alias("k")
+        )
+        facts = ev.select(
+            F.concat(F.lit("k"), (F.col("value") * 7919).cast("long") % 100_000).alias("k"),
+            F.col("value"),
+        )
+        pre = B.bloom_prefilter(facts, "k", keys, "k")
+        return pre.join(keys, "k").groupBy("k").agg(F.sum("value"))
+
+    def cc_distributed(ev):
+        # chain graph: ~n/10 components of diameter 9, forced through
+        # the iterative loop (small_graph_edges=0) — the scale path a
+        # >500k-edge dup graph takes
+        edges = ev.select(F.col("event_id").alias("id1"),
+                          (F.col("event_id") + 1).alias("id2")).filter(
+            F.col("id1") % 10 != 9
+        )
+        ids = ev.select(F.col("event_id").alias("id"))
+        return D.connected_components(
+            edges, ids, id_col="id", small_graph_edges=0
+        )
+
+    def knn_graph(emb):
+        from ngafid_cpat_spark.operators import similarity as S
+
+        # LSH contract: bucket OCCUPANCY, not bucket count, is the
+        # cost knob — planes grow with log2(n) so candidates/vector
+        # stay constant as the corpus scales (fixed planes would make
+        # the bucket self-join quadratic in occupancy)
+        n = emb.count()
+        n_planes = max(8, (n // 2_500).bit_length() + 7)
+        planes = [
+            [(((i * 2654435761 + d * 40503) % 1000) - 500) / 500.0
+             for d in range(16)]
+            for i in range(n_planes)
+        ]
+        return S.knn_graph_lsh(emb, planes, k=3)
+
     ops = {
         "sessionize_chunked": ("events", sessionize),
         "range_window": ("events", range_window),
@@ -137,11 +181,24 @@ def main() -> None:
         "dedup_exact": ("docs", dedup_exact),
         "jaccard_pairs": ("docs", jaccard),
         "nearest_join": ("events", nn_join),
+        "bloom_semi_join": ("events", bloom_semi),
+        "connected_components": ("events", cc_distributed),
+        "knn_graph_lsh": ("emb", knn_graph),
     }
+
+    def synth_emb(n: int):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[
+                (((F.col("id") * 69069 + d * 40503) % 1000) - 500) / 500.0
+                for d in range(16)
+            ]).alias("embedding"),
+        )
 
     sizes = {
         "events": (args.base_events, args.base_events * args.scale),
         "docs": (args.base_docs, args.base_docs * args.scale),
+        "emb": (args.base_docs, args.base_docs * args.scale),
     }
     frames = {
         ("events", 0): synth_events(spark, sizes["events"][0], 10_000),
@@ -150,6 +207,8 @@ def main() -> None:
         ),
         ("docs", 0): synth_docs(spark, sizes["docs"][0]),
         ("docs", 1): synth_docs(spark, sizes["docs"][1]),
+        ("emb", 0): synth_emb(sizes["emb"][0]),
+        ("emb", 1): synth_emb(sizes["emb"][1]),
     }
 
     # warm: codegen + python worker pool on the small size
