@@ -79,7 +79,16 @@ def knn_graph_lsh(
     (round-4 cosine desc, neighbor id asc).
 
     Vectors alone in their bucket yield no rows (standard LSH recall
-    trade-off; more bands/planes is the recall knob)."""
+    trade-off; more bands/planes is the recall knob).
+
+    Two scale contracts, both measured by tools/scale_smoke.py:
+    (1) plane count must grow with log2(|corpus|) to hold bucket
+    OCCUPANCY constant — fixed planes make the self-join quadratic
+    in occupancy; (2) near-identical vectors always share a bucket
+    no matter how many planes, so a duplicate-heavy corpus must be
+    deduplicated (operators/dedup) BEFORE graph construction — the
+    standard pipeline order, since duplicate neighbors are
+    worthless in a k-NN graph anyway."""
     self_dot = F.aggregate(
         F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
     )

@@ -70,14 +70,16 @@ PRIORITY = [
     "stats_moments_events",
     "gapfill_locf_daily",
     "quantile_events",
+    # --- round-3 additions: bloom semi-join + corpus k-NN graph ---
+    "contamination_bloom_docs",
+    "knn_graph_embeddings",
     # --- §2.9: a REAL Structured Streaming run in the gate ---
     "streaming_sessions_events",
     # --- the reference's core capability, oracle-paired ---
     "approach_pipeline_demo",
-    # --- TPC-H sweep sample ---
+    # --- TPC-H sweep sample (q13/q21 shapes covered by the outer/
+    # semi/anti sentinels above; full sweep via tools/check_oracle) ---
     "q8_market_share",
-    "q13_customer_distribution",
-    "q21_sole_failing_supplier",
 ]
 
 

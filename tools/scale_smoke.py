@@ -187,10 +187,15 @@ def main() -> None:
     }
 
     def synth_emb(n: int):
+        # prime modulus: a composite like 1000 makes the mix a
+        # function of id % 1000 only — 1000 distinct vectors whose
+        # copies all collide into the same LSH bucket, and the
+        # bucket self-join goes quadratic no matter how many planes
         return spark.range(n).select(
             F.col("id").alias("vec_id"),
             F.array(*[
-                (((F.col("id") * 69069 + d * 40503) % 1000) - 500) / 500.0
+                (((F.col("id") * 2654435761 + d * 40503) % 999983)
+                 - 499991) / 499991.0
                 for d in range(16)
             ]).alias("embedding"),
         )
