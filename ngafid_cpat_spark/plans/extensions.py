@@ -30,10 +30,25 @@ MAX_DOC_FREQ = 10_000  # jaccard posting-list df-cut (operators/dedup.py)
 
 # Deterministic pseudo-random hyperplanes for embedding LSH (no RNG
 # state to seed; shared by the Spark plan and its DuckDB oracle).
-LSH_PLANES = [
-    [(((i * 2654435761 + d * 40503) % 1000) - 500) / 500.0 for d in range(64)]
-    for i in range(8)
-]
+# md5 mixing per (plane, dim): the earlier linear-congruential form
+# (((i*M + d*K) % 1000) ...) put every plane on ONE linear family
+# mod 1000 — correlated sign bits, so vectors piled into a few
+# buckets and the bucket self-join went quadratic at scale
+# (tools/scale_smoke.py caught it: ratio 25 at 10x). Hash-mixed
+# planes are ~orthogonal in expectation and bucket occupancy follows
+# n / 2^planes as the LSH contract assumes.
+
+
+def _plane_component(i: int, d: int) -> float:
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.md5(f"plane:{i}:{d}".encode()).digest()[:4], "big"
+    )
+    return ((h % 2001) - 1000) / 1000.0
+
+
+LSH_PLANES = [[_plane_component(i, d) for d in range(64)] for i in range(8)]
 
 _COS_SQL = (
     "list_dot_product({a}, {b}) / "

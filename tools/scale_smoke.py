@@ -164,11 +164,12 @@ def main() -> None:
         # cost knob — planes grow with log2(n) so candidates/vector
         # stay constant as the corpus scales (fixed planes would make
         # the bucket self-join quadratic in occupancy)
+        from ngafid_cpat_spark.plans.extensions import _plane_component
+
         n = emb.count()
         n_planes = max(8, (n // 2_500).bit_length() + 7)
         planes = [
-            [(((i * 2654435761 + d * 40503) % 1000) - 500) / 500.0
-             for d in range(16)]
+            [_plane_component(i, d) for d in range(16)]
             for i in range(n_planes)
         ]
         return S.knn_graph_lsh(emb, planes, k=3)
@@ -187,15 +188,19 @@ def main() -> None:
     }
 
     def synth_emb(n: int):
-        # prime modulus: a composite like 1000 makes the mix a
-        # function of id % 1000 only — 1000 distinct vectors whose
-        # copies all collide into the same LSH bucket, and the
-        # bucket self-join goes quadratic no matter how many planes
+        # per-component xxhash64 mixing. Two failed shortcuts, kept
+        # as a warning: (id*M + d*K) % 1000 collapses the corpus to
+        # 1000 distinct vectors (copies bucket-collide => quadratic
+        # join); (id*M + d*K) % prime gives every dimension the SAME
+        # id-coefficient, so vectors lie on a 1-parameter curve and
+        # pile into a few buckets — the smoke needs genuinely
+        # scattered directions to measure the operator, not the
+        # degeneracy of the generator.
         return spark.range(n).select(
             F.col("id").alias("vec_id"),
             F.array(*[
-                (((F.col("id") * 2654435761 + d * 40503) % 999983)
-                 - 499991) / 499991.0
+                (F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(2001))
+                 - 1000) / 1000.0
                 for d in range(16)
             ]).alias("embedding"),
         )
