@@ -760,6 +760,54 @@ def streaming_windowed_counts_events(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.table("streaming_windowed_counts_events_mem")
 
 
+@register(
+    "streaming_enriched_counts_events",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_enriched_counts_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static enrichment — the most common production
+    streaming shape: the events stream broadcast-joined to a static
+    customer dimension (stateless per micro-batch, no watermark
+    needed for the join itself), then aggregated per (segment,
+    event_type) in complete mode. The static side is planned as a
+    broadcast hash join inside every micro-batch, so the stream
+    never shuffles for the join; at a 100 TB/day stream the dim
+    refresh cadence is a re-broadcast, not a repartition. Oracle:
+    the same join+rollup as batch SQL; integer-cent sums keep the
+    hash independent of micro-batch arrival order."""
+    from ..streaming.sessions import read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, _events_stream_dir(sf_dir))
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("__cents"),
+        )
+        .select(
+            "segment",
+            "event_type",
+            "n",
+            (F.col("__cents") / 100.0).alias("sum_value"),
+        )
+    )
+    run_to_memory(agg, "streaming_enriched_counts_events_mem", mode="complete")
+    return spark.table("streaming_enriched_counts_events_mem")
+
+
 # Full DuckDB twin of the approach/landing pipeline on the synthetic
 # telemetry below — every stage of plans/approach.analyze() replayed
 # as standard SQL (windows, gaps-and-islands, theta-join, FILTER

@@ -147,3 +147,31 @@ def test_stream_stream_join_matches_batch(spark, stream):
     assert got.issubset(want)
     # append mode withholds rows near the final watermark only
     assert len(got) >= 0.8 * len(want)
+
+
+def test_stream_static_join_matches_batch(spark, stream):
+    """Stream-static broadcast enrichment returns exactly the batch
+    join: the static dim is joined per micro-batch, statelessly."""
+    dim = load(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ST.run_to_memory(agg, "ss_join_test", mode="complete")
+    got = {
+        r["segment"]: r["n"]
+        for r in spark.sql("SELECT * FROM ss_join_test").collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    want = {
+        r["segment"]: r["n"]
+        for r in ev.join(dim, "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 1
