@@ -193,6 +193,41 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop(BUCKET_COL)
 
 
+def write_layout(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Data-layout writer for scan-heavy tables: directory
+    partitioning on the coarse filter columns (planning-time
+    PartitionFilters — zero I/O outside matching directories, the
+    same mechanism write_ivf_index uses for ANN probes) plus
+    sortWithinPartitions on the fine filter columns, which clusters
+    values so parquet row-group min/max statistics actually prune
+    (an unsorted write scatters every value range across every row
+    group and the stats filter nothing). The one-level
+    repartition(partition_cols) before the write keeps file count =
+    O(partitions), not O(partitions x shuffle-width) — at 100 TB the
+    difference between thousands and millions of files.
+
+    This is the declarative half of Z-ordering: for ONE sort
+    dimension it is exactly linear clustering; multi-dimensional
+    skipping needs an interleaved key (add a computed z-key column
+    to sort_cols if two fine dimensions genuinely co-filter)."""
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    (
+        out.write.partitionBy(*partition_cols)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .mode(mode)
+        .parquet(path)
+    )
+
+
 def compact(
     spark: SparkSession,
     path: str,

@@ -117,3 +117,47 @@ def test_commit_analysis_crash_recovery(spark, tmp_path):
     assert sinks.commit_analysis(spark, batch, results, status, txn) == txn_id
     assert sorted((r["flight_id"], r["approach_id"], r["landing_type"])
                   for r in sinks.read_table(spark, results).collect()) == rows
+
+
+def test_write_layout_prunes_partitions_and_pushes_sort_col(spark, tmp_path):
+    """write_layout: the partition column prunes at planning time
+    (PartitionFilters) and the sorted fine column reaches the scan as
+    a pushed filter over clustered row groups."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from ngafid_cpat_spark import sinks
+    from ngafid_cpat_spark.sources import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "layout")
+    sinks.write_layout(ev, path, ["event_type"], ["ts"])
+
+    back = spark.read.parquet(path)
+    probe = back.filter(
+        (F.col("event_type") == "click")
+        & (F.col("value") > 50)
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan and "event_type" in plan
+    assert "PushedFilters: [" in plan and "value" in plan
+
+    # content-preserving: same rows per type as the source
+    want = dict(
+        ev.groupBy("event_type").count().collect()
+    )
+    got = dict(back.groupBy("event_type").count().collect())
+    assert {r[0]: r[1] for r in want.items()} == {r[0]: r[1] for r in got.items()}
+
+    # one file per partition directory at this size (the repartition
+    # keeps file count O(partitions))
+    import glob
+
+    for d in glob.glob(f"{path}/event_type=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, d
