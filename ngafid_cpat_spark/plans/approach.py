@@ -222,33 +222,39 @@ def analyze(
     #    Manhattan distance (FlightAnalysis.py:369-391)
     # the episode's airport is the one detected at episode ENTRY
     # (FlightAnalysis.py:252) — runways are searched at that airport
-    # even if a later final-band tick drifts nearer another field
-    ep_entry = (
-        eps.groupBy("flight", "approach_id")
-        .agg(F.min(F.struct(F.col("time"), F.col("airport_code"))).alias("e0"))
-        .select("flight", "approach_id", F.col("e0.airport_code").alias("ff_airport"))
-    )
+    # even if a later final-band tick drifts nearer another field.
+    # Entry airport and first-final-tick probe aggregate the SAME
+    # frame on the SAME keys, so they fuse into one groupBy — one
+    # shuffle and no entry↔final join (a conditional min(struct) is
+    # NULL for episodes that never reach the final band; the filter
+    # below reproduces first_final's inner-join row set exactly)
     first_final = (
-        eps.filter("in_final")
-        .groupBy("flight", "approach_id")
+        eps.groupBy("flight", "approach_id")
         .agg(
             F.min(
-                F.struct(
-                    F.col("time").alias("t"),
-                    F.col("heading").alias("hdg"),
-                    F.col("latitude").alias("lat"),
-                    F.col("longitude").alias("lon"),
+                F.struct(F.col("time"), F.col("airport_code"))
+            ).alias("e0"),
+            F.min(
+                F.when(
+                    F.col("in_final"),
+                    F.struct(
+                        F.col("time").alias("t"),
+                        F.col("heading").alias("hdg"),
+                        F.col("latitude").alias("lat"),
+                        F.col("longitude").alias("lon"),
+                    ),
                 )
-            ).alias("ff")
+            ).alias("ff"),
         )
+        .filter(F.col("ff").isNotNull())
         .select(
             "flight",
             "approach_id",
             F.col("ff.hdg").alias("ff_heading"),
             F.col("ff.lat").alias("ff_lat"),
             F.col("ff.lon").alias("ff_lon"),
+            F.col("e0.airport_code").alias("ff_airport"),
         )
-        .join(ep_entry, ["flight", "approach_id"])
     )
     rw = runways.select(
         F.col("airport_code").alias("ff_airport"),
