@@ -306,6 +306,57 @@ def contamination(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split every document into fixed-size token chunks with
+    overlap — the context-window prep step between cleaning and
+    packing (pack_sequences concatenates SHORT docs; this splits
+    LONG ones). Chunk starts advance by ``chunk_tokens - overlap``;
+    the final chunk is the (possibly short) tail.
+
+    Map-side only: tokenize once, compute the chunk count with exact
+    integer arithmetic (no float ceil — bit-portable), explode a
+    0..n_chunks-1 sequence, slice the token array per chunk. No
+    shuffle at all; the explode's fan-out is bounded by
+    n_tok / stride per row, so partition sizes stay proportional to
+    input bytes at any scale."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = T.tokens(text_col)
+    d = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("n_tok"),
+    )
+    n_chunks = F.when(F.col("n_tok") <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.call_function(
+            "div",
+            F.col("n_tok") - chunk_tokens + stride - 1,
+            F.lit(stride),
+        )
+    ).cast("long")
+    d = d.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+    )
+    start = F.col("chunk_id") * stride
+    piece = F.slice(F.col("__toks"), start + 1, F.lit(chunk_tokens))
+    return d.select(
+        F.col(id_col),
+        "n_tok",
+        "chunk_id",
+        start.alias("start_tok"),
+        F.size(piece).alias("chunk_len"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
 def contamination_bloom(
     train_df: DataFrame,
     eval_df: DataFrame,

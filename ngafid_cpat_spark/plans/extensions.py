@@ -1352,6 +1352,37 @@ def contamination_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({NORM_SQL}, ' ') AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks, len(toks) AS n_tok,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE 1 + (len(toks) - 64 + 47) // 48 END AS nc
+      FROM t
+    ), x AS (
+      SELECT doc_id, toks, n_tok, unnest(range(nc)) AS chunk_id FROM c
+    )
+    SELECT doc_id, n_tok, chunk_id,
+           chunk_id * 48 AS start_tok,
+           LEAST(64, n_tok - chunk_id * 48) AS chunk_len,
+           array_to_string(
+             list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' '
+           ) AS chunk_text
+    FROM x
+    """,
+)
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (64-token chunks,
+    16-token overlap => stride 48): the context-window prep step for
+    long documents, dual of pack_sequences for short ones. Pure
+    map-side explode — zero shuffle (PLANS.md shows xchg 0)."""
+    docs = load(spark, sf_dir, "documents")
+    return C.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@register(
     "knn_graph_embeddings",
     f"""
     WITH e AS (

@@ -187,3 +187,44 @@ def test_shard_id_independent_of_sample_bucket(spark):
         for r in C.shard_assign(kept, n_shards=16).select("shard_id").distinct().collect()
     }
     assert len(shards) >= 14  # was exactly 2 with the correlated mix
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from ngafid_cpat_spark.operators import corpus as C
+
+    rows = [
+        {"doc_id": 1, "text": " ".join(f"t{i}" for i in range(10))},   # short
+        {"doc_id": 2, "text": " ".join(f"t{i}" for i in range(64))},   # exact
+        {"doc_id": 3, "text": " ".join(f"t{i}" for i in range(112))},  # 2 full
+        {"doc_id": 4, "text": " ".join(f"t{i}" for i in range(113))},  # +tail
+    ]
+    df = spark.createDataFrame(rows)
+    out = C.chunk_documents(df, chunk_tokens=64, overlap=16)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    assert len(got[1]) == 1 and got[1][0]["chunk_len"] == 10
+    assert len(got[2]) == 1 and got[2][0]["chunk_len"] == 64
+    assert len(got[3]) == 2
+    assert len(got[4]) == 3
+    for doc_id, n in ((1, 10), (2, 64), (3, 112), (4, 113)):
+        chunks = sorted(got[doc_id], key=lambda r: r["chunk_id"])
+        covered = set()
+        for i, r in enumerate(chunks):
+            assert r["start_tok"] == i * 48
+            toks = r["chunk_text"].split(" ")
+            assert len(toks) == r["chunk_len"]
+            # chunk text is the right slice of the doc
+            assert toks == [f"t{j}" for j in range(r["start_tok"], r["start_tok"] + r["chunk_len"])]
+            covered |= set(range(r["start_tok"], r["start_tok"] + r["chunk_len"]))
+        assert covered == set(range(n)), doc_id
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from ngafid_cpat_spark.operators import corpus as C
+
+    df = spark.createDataFrame([{"doc_id": 1, "text": "a b"}])
+    with _pytest.raises(ValueError):
+        C.chunk_documents(df, chunk_tokens=16, overlap=16)
