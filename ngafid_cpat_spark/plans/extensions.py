@@ -1135,6 +1135,63 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_coverage_docs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS ct FROM tok GROUP BY token
+    ), vocab AS (
+      SELECT token FROM counts ORDER BY ct DESC, token LIMIT 100
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           -- BIGINT cast: DuckDB SUM(CASE) is HUGEINT, which
+           -- hash-mismatches Spark's bigint at the driver gate
+           CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_vocab,
+           ROUND(1.0 - CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)
+                            AS DOUBLE) / COUNT(*), 4) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (token)
+    GROUP BY doc_id
+    """,
+)
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-100 token vocabulary — the tokenizer-fit proxy used to flag
+    documents a fixed vocab would shred into rare pieces. The vocab
+    is a TakeOrdered top-k (never a full sort, deterministic
+    (count desc, token) tie-break) broadcast back onto the token
+    stream; the rate is a small-integer quotient rounded at 4
+    decimals, so the hash is engine-portable."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .orderBy(F.col("ct").desc(), F.col("token"))
+        .limit(100)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("__in_vocab", F.lit(0))).alias("n_in_vocab"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_in_vocab",
+            F.round(
+                1.0 - F.col("n_in_vocab") / F.col("n_tokens"), 4
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@register(
     "quantile_events",
     """
     SELECT event_type,
