@@ -109,7 +109,12 @@ def jaccard_pairs(
     is lost only for pairs whose overlap is exclusively stop-phrase).
     ``log_dropped=True`` eagerly counts and logs the dropped shingles
     (one extra tiny aggregate — leave off in the hot path)."""
-    sh = _shingle_sets(df, id_col, text_col, k)
+    # three consumers (set sizes, df-cut, index join) would each
+    # re-run the explode+lead+hash shingle pipeline; one lazy
+    # localCheckpoint materializes it once to executor storage and
+    # is GC-reclaimed with the frame (operator-internal, no session
+    # cache leak)
+    sh = _shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     sh_idx = sh
     if max_doc_freq is not None:
