@@ -281,7 +281,12 @@ def contamination(
     through one inverted-index join + one groupBy — linear shuffle,
     no pairwise comparison, no flag column threaded through the
     corpus."""
-    train = _shingle_sets(train_df, id_col, text_col, k)
+    # sizes and hits both consume the train shingles; one lazy
+    # localCheckpoint avoids re-running the shingle pipeline per
+    # consumer (same pattern as dedup.jaccard_pairs)
+    train = _shingle_sets(train_df, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
     eval_sh = (
         _shingle_sets(eval_df, id_col, text_col, k).select("sh").distinct()
     )
@@ -384,7 +389,12 @@ def contamination_bloom(
     """
     from .bloom import bloom_prefilter
 
-    train = _shingle_sets(train_df, id_col, text_col, k)
+    # sizes and hits both consume the train shingles; one lazy
+    # localCheckpoint avoids re-running the shingle pipeline per
+    # consumer (same pattern as dedup.jaccard_pairs)
+    train = _shingle_sets(train_df, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
     eval_sh = (
         _shingle_sets(eval_df, id_col, text_col, k).select("sh").distinct()
     )
