@@ -123,5 +123,17 @@ def bloom_prefilter(
     (bounded false-positive rate, zero false negatives), so any
     exact join downstream returns exactly what it would have without
     the prefilter — on (1-selectivity-fpp) fewer shuffled rows."""
+    # xxhash64 hashes by TYPE as well as value: an int fact column
+    # probed against a filter built from bigint keys would silently
+    # drop every true match (false negatives — the one thing a bloom
+    # filter must never do). Refuse mismatched dtypes instead.
+    ft = dict(facts.dtypes)[fact_col]
+    kt = dict(keys.dtypes)[key_col]
+    if ft != kt:
+        raise TypeError(
+            f"bloom_prefilter: fact column {fact_col!r} is {ft} but key "
+            f"column {key_col!r} is {kt}; xxhash64 probes are "
+            "type-sensitive — cast both sides to one type first"
+        )
     words, m, kk = bloom_build(keys, key_col, m_bits, k)
     return facts.filter(bloom_contains(F.col(fact_col), words, m, kk))

@@ -185,9 +185,16 @@ def repetition_stats(
     ratios are quotients of small integers rounded at 4 decimals
     (exact-rational distance from decimal ties >= 1/(2*n_tokens) —
     far beyond double error, so the rounding is engine-portable)."""
-    toks = df.select(
-        F.col(id_col), F.posexplode(T.tokens(text_col)).alias("pos", "term")
-    ).filter(F.col("term") != "")
+    # unigram and bigram branches both consume the exploded stream;
+    # one lazy localCheckpoint tokenizes once (jaccard_pairs pattern)
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(T.tokens(text_col)).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+        .localCheckpoint(eager=False)
+    )
     per_term = toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
     )

@@ -76,3 +76,10 @@ def test_contamination_bloom_matches_plain(docs):
         map(tuple, bloomed), key=lambda t: t[0]
     )
     assert len(plain) > 0  # the fixture must actually overlap
+
+
+def test_prefilter_rejects_mismatched_key_types(spark, keys):
+    # int facts probed against string keys would silently false-negative
+    facts = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(TypeError, match="type-sensitive"):
+        B.bloom_prefilter(facts, "k", keys, "k")
