@@ -402,8 +402,14 @@ def contamination_bloom(
     train = _shingle_sets(train_df, id_col, text_col, k).localCheckpoint(
         eager=False
     )
+    # THREE consumers — the bloom build's distinct count, its bit-pack
+    # collect, and the exact verify join — so the eval shingle
+    # derivation materializes once too
     eval_sh = (
-        _shingle_sets(eval_df, id_col, text_col, k).select("sh").distinct()
+        _shingle_sets(eval_df, id_col, text_col, k)
+        .select("sh")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     probable = bloom_prefilter(train, "sh", eval_sh, "sh")

@@ -92,9 +92,15 @@ def knn_graph_lsh(
     self_dot = F.aggregate(
         F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
     )
+    # lazy localCheckpoint: the bucket table feeds BOTH sides of the
+    # self-join; without it the |planes| x dim sign-bit expression
+    # (and the scan under it) evaluates once per side and re-inlines
+    # into every downstream operator — measured 16 s -> ~1 s at 2000
+    # vectors. Same materialize-the-signature-table shape as
+    # minhash_lsh_pairs, and what a 100 TB run would persist anyway.
     b = lsh_bucket_assignments(
         emb.filter(self_dot > 0), planes, id_col=id_col, vec_col=vec_col
-    )
+    ).localCheckpoint(eager=False)
     a = b.select(
         F.col("bucket"),
         F.col(id_col).alias("qid"),
