@@ -76,6 +76,31 @@ def stratified_sample(
     return df.filter(sample_hash(id_col) < rate)
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-K deterministic sample per group — the fixed-budget
+    dual of stratified_sample's rate-based filter ("give me 10k docs
+    per domain for the eval split", reproducibly). Rows rank by the
+    same multiplicative hash (uniform, engine-portable, no RNG
+    state), ties broken by id; rank <= k survives. One window
+    shuffle on the group key; Spark's rank-limit pushdown
+    (WindowGroupLimit) keeps only k rows per group per partition
+    before the final sort, so the shuffle never materializes whole
+    groups at the reducer."""
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(id_col), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -1299,6 +1299,29 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_k_per_source_docs",
+    f"""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {SAMPLE_HASH_SQL('doc_id')}, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 40
+    """,
+)
+def sample_k_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-40 deterministic docs per source — the fixed-budget
+    sampling dual of stratified_sample_docs, ranked by the shared
+    engine-portable multiplicative hash. WindowGroupLimit pushdown
+    caps per-group state before the reducer sort."""
+    docs = load(spark, sf_dir, "documents")
+    out = C.sample_k_per_group(docs, k=40)
+    return out.select("doc_id", "source", "n_chars")
+
+
+@register(
     "pack_sequences_docs",
     f"""
     WITH t AS (

@@ -228,3 +228,24 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([{"doc_id": 1, "text": "a b"}])
     with _pytest.raises(ValueError):
         C.chunk_documents(df, chunk_tokens=16, overlap=16)
+
+
+def test_sample_k_per_group_exact_and_deterministic(spark):
+    from ngafid_cpat_spark.operators import corpus as C
+
+    rows = [
+        {"doc_id": i, "source": f"s{i % 3}"} for i in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+    a = C.sample_k_per_group(df, k=10, group_col="source")
+    b = C.sample_k_per_group(df, k=10, group_col="source")
+    got_a = sorted((r["source"], r["doc_id"]) for r in a.collect())
+    got_b = sorted((r["source"], r["doc_id"]) for r in b.collect())
+    assert got_a == got_b  # rerun-identical, no RNG state
+    from collections import Counter
+
+    counts = Counter(s for s, _ in got_a)
+    assert counts == {"s0": 10, "s1": 10, "s2": 10}
+    # k larger than a group returns the whole group, not an error
+    small = spark.createDataFrame(rows[:4])
+    assert C.sample_k_per_group(small, k=10, group_col="source").count() == 4
