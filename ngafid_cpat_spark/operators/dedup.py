@@ -504,6 +504,59 @@ def _cc_small_graph(
     )
 
 
+def edit1_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "name",
+) -> DataFrame:
+    """All pairs within Levenshtein distance 1, by deletion-
+    neighborhood blocking (FastSS): every string explodes to itself
+    plus its |s| single-character deletions; two strings at edit
+    distance <= 1 ALWAYS share a variant (delete the edited position
+    — or nothing — on each side), so an equi-join on the variant
+    finds every true pair plus a distance-2 tail (one deletion from
+    each side), which the exact levenshtein verify removes.
+
+    Scale shape: data volume |corpus| x (len+1) — linear, one hash
+    shuffle on the variant key, never a quadratic block. This is the
+    classic approximate-string-join that an edit-predicate theta
+    join (a.name ~ b.name) cannot express scalably. Output:
+    id1 < id2, dist <= 1 exact."""
+    n = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("name")
+    )
+    v = n.select(
+        "id",
+        "name",
+        F.explode(F.sequence(F.lit(0), F.length("name"))).alias("i"),
+    ).select(
+        "id",
+        "name",
+        F.when(F.col("i") == 0, F.col("name"))
+        .otherwise(
+            F.expr("concat(substr(name, 1, i - 1), substr(name, i + 1))")
+        )
+        .alias("var"),
+    )
+    a = v.select(
+        F.col("id").alias("id1"), F.col("name").alias("n1"), "var"
+    )
+    b = v.select(
+        F.col("id").alias("id2"), F.col("name").alias("n2"), "var"
+    )
+    pairs = (
+        a.join(b, "var")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "n1", "id2", "n2")
+        .distinct()
+    )
+    return pairs.select(
+        "id1",
+        "id2",
+        F.levenshtein("n1", "n2").alias("dist"),
+    ).filter(F.col("dist") <= 1)
+
+
 def embedding_neardup_lsh(
     emb: DataFrame,
     planes: list[list[float]],

@@ -1135,6 +1135,40 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_name_pairs_customers",
+    """
+    WITH c AS (
+      SELECT c_custkey AS id, c_name AS name FROM customer
+    ), e AS (
+      SELECT id, name, unnest(range(0, length(name) + 1)) AS i FROM c
+    ), v AS (
+      SELECT id, name,
+             CASE WHEN i = 0 THEN name
+                  ELSE substr(name, 1, i - 1) || substr(name, i + 1)
+             END AS var
+      FROM e
+    ), pairs AS (
+      SELECT DISTINCT a.id AS id1, a.name AS n1, b.id AS id2, b.name AS n2
+      FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+    )
+    SELECT id1, id2, CAST(levenshtein(n1, n2) AS INT) AS dist
+    FROM pairs WHERE levenshtein(n1, n2) <= 1
+    """,
+)
+def fuzzy_name_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string join: customer-name pairs within edit
+    distance 1 via deletion-neighborhood blocking (operators/dedup.
+    edit1_pairs) — linear variant explode + one hash join + exact
+    levenshtein verify; the record-linkage primitive an edit-
+    predicate theta join cannot express scalably."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    out = D.edit1_pairs(cust, id_col="id", text_col="name")
+    return out.select("id1", "id2", F.col("dist").cast("int").alias("dist"))
+
+
+@register(
     "vocab_coverage_docs",
     f"""
     WITH tok AS (

@@ -218,3 +218,37 @@ def test_substring_dup_spans(spark, tmp_path):
     assert all(v == (2, 1, 2) for v in grams.values())
     # the shared run is exactly 8 tokens -> exactly one shared gram
     assert len(grams) == 1
+
+
+def test_edit1_pairs_exact_vs_bruteforce(spark):
+    """Deletion-neighborhood join finds EXACTLY the brute-force
+    distance<=1 pair set: no missed pair (completeness of the
+    variant blocking) and no false pair (the levenshtein verify)."""
+    names = [
+        "alpha", "alphb", "alpha1", "alphaa", "beta", "betta",
+        "gamma", "gamm", "delta", "completely-different",
+    ]
+    rows = [{"id": i, "name": n} for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["id1"], r["id2"], r["dist"])
+        for r in D.edit1_pairs(df, id_col="id", text_col="name").collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (i, j, lev(names[i], names[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == want and want  # the fixture must contain matches
