@@ -95,13 +95,21 @@ def bloom_build(
 
 
 def bloom_contains(
-    col: Column, words: list[int], m_bits: int, k: int
+    col: Column, words: list[int] | Column, m_bits: int, k: int
 ) -> Column:
     """Membership-test expression: True if every probe bit is set.
     False ⇒ the key is definitely absent; True ⇒ probably present
     (verify with the exact join). Pure codegen — an element_at into
-    a literal array plus shift/mask per probe."""
-    lit_words = F.lit(words)
+    the bit array plus bit_get per probe.
+
+    ``words`` may be a Column (an array<bigint> attached to every
+    row, e.g. from a broadcast single-row frame — what
+    bloom_prefilter does) or a Python list. CAUTION with the list
+    form beyond ~1k words: F.lit(list) expands to a CreateArray of
+    one Literal node per element, and Janino compiling a
+    10k-node expression tree costs SECONDS per plan — measured 13 s
+    vs 4 s for the same query when the bit array rode in as data."""
+    lit_words = words if isinstance(words, Column) else F.lit(words)
     tests = []
     for p in _probe_positions(col, m_bits, k):
         word = F.element_at(lit_words, F.floor(p / 64).cast("int") + 1)
@@ -136,4 +144,18 @@ def bloom_prefilter(
             "type-sensitive — cast both sides to one type first"
         )
     words, m, kk = bloom_build(keys, key_col, m_bits, k)
-    return facts.filter(bloom_contains(F.col(fact_col), words, m, kk))
+    # ship the bit array as DATA (broadcast single-row frame), not as
+    # a literal expression: F.lit(16k longs) is a 16k-node CreateArray
+    # that Janino compiles for seconds per plan shape
+    wdf = F.broadcast(
+        facts.sparkSession.createDataFrame(
+            [(words,)], "__bloom_words array<bigint>"
+        )
+    )
+    return (
+        facts.crossJoin(wdf)
+        .filter(
+            bloom_contains(F.col(fact_col), F.col("__bloom_words"), m, kk)
+        )
+        .drop("__bloom_words")
+    )
