@@ -525,18 +525,24 @@ def edit1_pairs(
     n = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("name")
     )
-    v = n.select(
-        "id",
-        "name",
-        F.explode(F.sequence(F.lit(0), F.length("name"))).alias("i"),
-    ).select(
-        "id",
-        "name",
-        F.when(F.col("i") == 0, F.col("name"))
-        .otherwise(
-            F.expr("concat(substr(name, 1, i - 1), substr(name, i + 1))")
+    # the variant table feeds both self-join sides: materialize once
+    # (the same two-consumer rule as the knn bucket table)
+    v = (
+        n.select(
+            "id",
+            "name",
+            F.explode(F.sequence(F.lit(0), F.length("name"))).alias("i"),
         )
-        .alias("var"),
+        .select(
+            "id",
+            "name",
+            F.when(F.col("i") == 0, F.col("name"))
+            .otherwise(
+                F.expr("concat(substr(name, 1, i - 1), substr(name, i + 1))")
+            )
+            .alias("var"),
+        )
+        .localCheckpoint(eager=False)
     )
     a = v.select(
         F.col("id").alias("id1"), F.col("name").alias("n1"), "var"
