@@ -139,6 +139,94 @@ def sessionize_chunked(
     ).drop("__chunk", "__local_sid")
 
 
+def islands_chunked(
+    df: DataFrame,
+    partition_by,
+    ts_col: str,
+    tiebreak_by,
+    flag: Column,
+    island_col: str = "island_id",
+    in_island_only: bool = True,
+    chunk_seconds: float = 86400.0,
+) -> DataFrame:
+    """Skew-robust two-phase gaps-and-islands, result-identical to
+    ``islands`` ordered by (ts, *tiebreak_by) — including the
+    unflagged-row ids of ``in_island_only=False``.
+
+    The 20x scale smoke put plain islands at ratio 26 (just under
+    the flag): like every window function it gets no AQE skew
+    splitting, so a hot key's whole history sorts in one task. Here
+    phase 1 numbers islands within (key, fixed time chunk); phase 2
+    runs over per-chunk SUMMARIES (one row per chunk): two islands
+    merge across a boundary iff the earlier chunk's last row and the
+    later chunk's first row are both flagged (the rows are adjacent
+    — empty chunk indices between non-empty ones don't matter, the
+    summary window's lag is the previous NON-EMPTY chunk). The
+    global id is base(chunk) + local_id - merged, where base is the
+    summary-window running total of (islands - merges). No task sees
+    more than one chunk of one key; the summary window per key holds
+    #chunks rows, not #rows.
+
+    Cost contract, measured honestly: while the hot key still FITS a
+    task (2M rows on local[32]) the plain single window wins on wall
+    clock (8.2 s vs 15.8 s at 20M rows — the chunked form pays an
+    extra shuffle for the summary join-back). Reach for this variant
+    when one key's history is too large for a single task's sort
+    (spill/OOM territory) — the same trade sessionize_chunked makes,
+    with the per-task bound as the product, not local speed."""
+    part = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    tbs = (
+        [tiebreak_by]
+        if isinstance(tiebreak_by, str)
+        else list(tiebreak_by or [])
+    )
+    ts = epoch_seconds(ts_col)
+    local = islands(
+        df.withColumn("__e", ts).withColumn(
+            "__chunk", F.floor(F.col("__e") / F.lit(float(chunk_seconds))).cast("long")
+        ),
+        [*part, "__chunk"],
+        ["__e", *tbs],
+        flag,
+        "__lid",
+        in_island_only=False,
+    ).withColumn("__f", flag.cast("int"))
+    # first/last ROW of the chunk (flagged or not) via struct min/max
+    # over the total order (__e, *tiebreaks)
+    okey = F.struct(F.col("__e"), *[F.col(c) for c in tbs], F.col("__f").alias("__f"))
+    summ = local.groupBy(*part, "__chunk").agg(
+        F.min(okey)["__f"].alias("__first_f"),
+        F.max(okey)["__f"].alias("__last_f"),
+        F.max("__lid").alias("__n_isl"),
+    )
+    w = ordered_window(part, ["__chunk"])
+    merged = (
+        (F.lag("__last_f").over(w) == 1) & (F.col("__first_f") == 1)
+    ).cast("long")
+    summ = summ.withColumn("__merged", F.coalesce(merged, F.lit(0))).withColumn(
+        "__base",
+        F.coalesce(
+            F.sum(F.col("__n_isl") - F.col("__merged")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    out = (
+        local.join(
+            summ.select(*part, "__chunk", "__base", "__merged"),
+            [*part, "__chunk"],
+        )
+        .withColumn(
+            island_col,
+            F.col("__base") - F.col("__merged") + F.col("__lid"),
+        )
+    )
+    if in_island_only:
+        out = out.filter(F.col("__f") == 1)
+    return out.drop("__e", "__chunk", "__lid", "__f", "__base", "__merged")
+
+
 def range_window_chunked(
     df: DataFrame,
     partition_by: str | list[str],

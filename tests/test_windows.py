@@ -138,3 +138,50 @@ def test_range_window_chunked_equals_plain(spark):
     a = {r["event_id"]: (round(r["s"], 6), r["n"]) for r in plain.collect()}
     b = {r["event_id"]: (round(r["s"], 6), r["n"]) for r in chunked.collect()}
     assert a == b
+
+
+def test_islands_chunked_matches_plain(spark):
+    """Two-phase islands == single-window islands, both modes,
+    with chunks small enough that runs cross chunk boundaries and
+    with all-unflagged chunks separating runs."""
+    import datetime
+
+    from ngafid_cpat_spark.operators import windows as OW
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: long alternating runs crossing 1h chunk boundaries
+    pattern = [1]*90 + [0]*30 + [1]*200 + [0]*1 + [1]*50
+    for i, f in enumerate(pattern):
+        rows.append({"user_id": 1, "event_id": i,
+                     "ts": base + datetime.timedelta(minutes=2*i),
+                     "value": 100.0 if f else 0.0})
+    # user 2: flagged only at the very last row of the data
+    for i in range(10):
+        rows.append({"user_id": 2, "event_id": i,
+                     "ts": base + datetime.timedelta(hours=i),
+                     "value": 100.0 if i == 9 else 0.0})
+    df = spark.createDataFrame(rows)
+    flag = F.col("value") > 50
+    for mode in (True, False):
+        plain = {
+            (r["user_id"], r["event_id"]): r["island_id"]
+            for r in OW.islands(
+                df, "user_id", [OW.epoch_seconds("ts"), "event_id"],
+                flag=flag, in_island_only=mode,
+            ).collect()
+        }
+        chunked = {
+            (r["user_id"], r["event_id"]): r["island_id"]
+            for r in OW.islands_chunked(
+                df, "user_id", "ts", ["event_id"], flag=flag,
+                in_island_only=mode, chunk_seconds=3600.0,
+            ).collect()
+        }
+        assert plain == chunked, mode
+    # sanity on the run structure itself
+    only = OW.islands(
+        df, "user_id", [OW.epoch_seconds("ts"), "event_id"], flag=flag
+    )
+    n = only.filter("user_id = 1").select("island_id").distinct().count()
+    assert n == 3

@@ -112,6 +112,13 @@ def main() -> None:
             flag=F.col("value") > 50, island_col="ep", in_island_only=True,
         )
 
+    def islands_chunked(ev):
+        return OW.islands_chunked(
+            ev, "user_id", "ts", ["event_id"],
+            flag=F.col("value") > 50, island_col="ep", in_island_only=True,
+            chunk_seconds=3600.0,
+        )
+
     def dedup_exact(docs):
         return D.exact_dedup(docs)
 
@@ -179,6 +186,7 @@ def main() -> None:
         "range_window": ("events", range_window),
         "range_window_chunked": ("events", range_window_chunked),
         "episode_islands": ("events", islands),
+        "episode_islands_chunked": ("events", islands_chunked),
         "dedup_exact": ("docs", dedup_exact),
         "jaccard_pairs": ("docs", jaccard),
         "nearest_join": ("events", nn_join),
