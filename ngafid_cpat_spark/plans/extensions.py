@@ -695,6 +695,78 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bigram_logprob_docs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, pos, token FROM (
+        SELECT doc_id,
+               unnest(string_split({NORM_SQL}, ' ')) AS token,
+               unnest(range(len(string_split({NORM_SQL}, ' ')))) AS pos
+        FROM documents
+      )
+    ), big AS (
+      SELECT doc_id, token AS prev,
+             LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+      FROM tok
+    ), bg AS (
+      SELECT doc_id, prev, cur FROM big WHERE cur IS NOT NULL
+    ), bmodel AS (
+      SELECT prev, cur, COUNT(*) AS bc FROM bg GROUP BY prev, cur
+    ), umodel AS (
+      SELECT prev, SUM(bc) AS uc FROM bmodel GROUP BY prev
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_bigrams,
+           SUM(CAST(ROUND(log10(CAST(b.bc AS DOUBLE) / u.uc) * 1000000, 0)
+                    AS BIGINT)) / COUNT(*) / 1000000.0 AS avg_logprob
+    FROM bg g
+    JOIN bmodel b ON g.prev = b.prev AND g.cur = b.cur
+    JOIN umodel u ON g.prev = u.prev
+    GROUP BY g.doc_id
+    """,
+)
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score: per-document mean log10
+    P(w_i | w_{i-1}) under the corpus's own bigram model — the
+    conditional upgrade of unigram_logprob_docs (catches
+    plausible-words-in-implausible-order text the unigram model
+    scores as fluent). The bigram context totals are derived FROM
+    the bigram counts (not a separate unigram pass), so the
+    conditional distribution sums to 1 per context by construction.
+    One posexplode+lead pass feeds both the model and the scoring
+    join; per-bigram scores quantize to integer micro-log units
+    before the exact BIGINT sum (the unigram query's portability
+    pattern)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("cur", F.lead("token").over(w))
+        .filter(F.col("cur").isNotNull())
+        .select("doc_id", F.col("token").alias("prev"), "cur")
+        .localCheckpoint(eager=False)  # feeds the model AND the scorer
+    )
+    bmodel = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bc"))
+    umodel = bmodel.groupBy("prev").agg(F.sum("bc").alias("uc"))
+    micro = F.round(
+        F.log10(F.col("bc") / F.col("uc")) * 1000000, 0
+    ).cast("long")
+    return (
+        bg.join(F.broadcast(bmodel), ["prev", "cur"])
+        .join(F.broadcast(umodel), "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(micro) / F.count(F.lit(1)) / 1000000.0).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 def _events_stream_dir(sf_dir: str) -> str:
     """The file stream source requires a DIRECTORY; expose the single
     events.parquet through a per-sf_dir symlink dir (no data copy)."""

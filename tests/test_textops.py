@@ -126,3 +126,34 @@ def test_unigram_logprob_ordering(spark):
     assert out[1]["n_tokens"] == 5 and out[2]["n_tokens"] == 5
     assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
     assert all(r["avg_logprob"] <= 0 for r in out.values())
+
+
+def test_bigram_logprob_semantics(spark, tmp_path):
+    """Hand-checkable corpus: P(b|a)=1 contexts score 0; a 50/50
+    context scores log10(0.5)."""
+    import math
+
+    from ngafid_cpat_spark.plans import QUERIES
+
+    rows = [
+        {"doc_id": 1, "text": "a b a b", "lang": "en", "source": "s",
+         "n_chars": 7},
+        {"doc_id": 2, "text": "a c", "lang": "en", "source": "s",
+         "n_chars": 3},
+    ]
+    # corpus bigrams: doc1 -> (a,b) (b,a) (a,b); doc2 -> (a,c)
+    # model: context a has {b: 2, c: 1} -> P(b|a)=2/3, P(c|a)=1/3;
+    # context b has {a: 1} -> P(a|b)=1
+    path = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{path}/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in QUERIES["bigram_logprob_docs"](spark, path).collect()
+    }
+    q = lambda x: round(x * 1e6) / 1e6  # the query's micro-quantization
+    d1 = (2 * q(math.log10(2 / 3)) + q(math.log10(1.0))) / 3
+    d2 = q(math.log10(1 / 3))
+    assert got[1][0] == 3 and got[1][1] == pytest.approx(d1, abs=1e-6)
+    assert got[2][0] == 1 and got[2][1] == pytest.approx(d2, abs=1e-6)
