@@ -70,6 +70,12 @@ def bloom_build(
         m_bits = MIN_BITS
         while m_bits < 16 * max(n, 1) and m_bits < MAX_BITS:
             m_bits *= 2
+    else:
+        # a non-multiple-of-64 m_bits would truncate n_words, so a key
+        # hashing into the final partial word indexes past the array —
+        # round up and keep bloom_contains' view of m_bits consistent
+        # via the returned value
+        m_bits = ((m_bits + 63) // 64) * 64
     n_words = m_bits // 64
     pos = F.explode(
         F.array(*_probe_positions(F.col(key_col), m_bits, k))
@@ -109,6 +115,12 @@ def bloom_contains(
     one Literal node per element, and Janino compiling a
     10k-node expression tree costs SECONDS per plan — measured 13 s
     vs 4 s for the same query when the bit array rode in as data."""
+    if m_bits % 64 != 0:
+        # a probe into the truncated final word would make element_at
+        # return NULL and silently drop TRUE matches — the false
+        # negatives this module promises never happen (bloom_build
+        # rounds up, so this only trips hand-assembled parameters)
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
     lit_words = words if isinstance(words, Column) else F.lit(words)
     tests = []
     for p in _probe_positions(col, m_bits, k):

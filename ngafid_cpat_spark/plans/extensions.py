@@ -754,9 +754,14 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro = F.round(
         F.log10(F.col("bc") / F.col("uc")) * 1000000, 0
     ).cast("long")
+    # no broadcast hints: the bigram model grows with corpus size
+    # (distinct bigram types), so a forced broadcast OOMs at the scale
+    # this docstring targets — let AQE pick BHJ when the model is
+    # genuinely small and degrade to sort-merge when it isn't (the
+    # contamination_bloom pattern)
     return (
-        bg.join(F.broadcast(bmodel), ["prev", "cur"])
-        .join(F.broadcast(umodel), "prev")
+        bg.join(bmodel, ["prev", "cur"])
+        .join(umodel, "prev")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -1272,7 +1277,12 @@ def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream; the rate is a small-integer quotient rounded at 4
     decimals, so the hash is engine-portable."""
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    # two consumers (vocab build + scoring join) would each re-run
+    # the tokenize+explode pipeline — materialize once, same rule as
+    # jaccard_pairs/contamination/repetition_stats
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("token")
+    ).localCheckpoint(eager=False)
     vocab = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("ct"))

@@ -219,7 +219,13 @@ def write_layout(
     to sort_cols if two fine dimensions genuinely co-filter)."""
     out = df.repartition(*[F.col(c) for c in partition_cols])
     if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
+        # the dynamic-partition writer requires ordering on
+        # partition_cols and inserts its own per-task sort if the
+        # incoming order lacks that prefix — sorting once with the
+        # writer's required prefix keeps ONE sort and makes the fine-
+        # column clustering explicit instead of relying on the
+        # inserted sort being stable
+        out = out.sortWithinPartitions(*partition_cols, *sort_cols)
     (
         out.write.partitionBy(*partition_cols)
         .option("maxRecordsPerFile", max_records_per_file)

@@ -83,3 +83,18 @@ def test_prefilter_rejects_mismatched_key_types(spark, keys):
     facts = spark.range(5).select(F.col("id").alias("k"))
     with pytest.raises(TypeError, match="type-sensitive"):
         B.bloom_prefilter(facts, "k", keys, "k")
+
+
+def test_explicit_m_bits_rounds_up_to_word_multiple(spark, keys):
+    # an explicit m_bits that isn't a multiple of 64 used to truncate
+    # the word array, so keys probing the final partial word crashed
+    # the build (IndexError) — now it rounds up and stays correct
+    words, m, k = B.bloom_build(keys, "k", m_bits=1000)
+    assert m == 1024 and len(words) == 16
+    kept = keys.filter(B.bloom_contains(F.col("k"), words, m, k)).count()
+    assert kept == 500
+
+
+def test_bloom_contains_rejects_partial_word_m_bits(spark):
+    with pytest.raises(ValueError, match="multiple of 64"):
+        B.bloom_contains(F.col("k"), [0] * 16, 1000, 5)
