@@ -508,6 +508,8 @@ def edit1_pairs(
     df: DataFrame,
     id_col: str = "id",
     text_col: str = "name",
+    max_variant_freq: int | None = 1_000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """All pairs within Levenshtein distance 1, by deletion-
     neighborhood blocking (FastSS): every string explodes to itself
@@ -521,7 +523,19 @@ def edit1_pairs(
     shuffle on the variant key, never a quadratic block. This is the
     classic approximate-string-join that an edit-predicate theta
     join (a.name ~ b.name) cannot express scalably. Output:
-    id1 < id2, dist <= 1 exact."""
+    id1 < id2, dist <= 1 exact.
+
+    ``max_variant_freq`` caps posting-list length, the same df-cut
+    jaccard_pairs applies to its shingle index: a variant shared by
+    more than that many rows (thousands of records with one hot name,
+    or one-character names whose deletion neighborhood collapses to
+    "") would make the variant self-join quadratic in that key's
+    frequency. Such variants are dropped from BOTH join sides before
+    the join; output completeness is lost only for pairs whose every
+    shared variant is that hot — i.e. the cut trades the enumeration
+    of O(freq^2) hot-name pairs (an output-size problem no algorithm
+    avoids) for a linear bound. ``log_dropped=True`` eagerly counts
+    and logs the dropped variants."""
     n = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("name")
     )
@@ -536,6 +550,7 @@ def edit1_pairs(
         .select(
             "id",
             "name",
+            "i",
             F.when(F.col("i") == 0, F.col("name"))
             .otherwise(
                 F.expr("concat(substr(name, 1, i - 1), substr(name, i + 1))")
@@ -544,15 +559,54 @@ def edit1_pairs(
         )
         .localCheckpoint(eager=False)
     )
+    if max_variant_freq is not None:
+        hot = (
+            v.groupBy("var")
+            .agg(F.count(F.lit(1)).alias("vf"))
+            .filter(F.col("vf") > max_variant_freq)
+            .select("var")
+        )
+        if log_dropped:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "edit1_pairs: dropping %d variants with freq > %d",
+                hot.count(),
+                max_variant_freq,
+            )
+        # hot set is tiny by construction -> broadcast anti-join, no
+        # extra shuffle of the variant table
+        v = v.join(F.broadcast(hot), "var", "left_anti")
     a = v.select(
-        F.col("id").alias("id1"), F.col("name").alias("n1"), "var"
+        F.col("id").alias("id1"),
+        F.col("name").alias("n1"),
+        F.col("i").alias("i1"),
+        "var",
     )
     b = v.select(
-        F.col("id").alias("id2"), F.col("name").alias("n2"), "var"
+        F.col("id").alias("id2"),
+        F.col("name").alias("n2"),
+        F.col("i").alias("i2"),
+        "var",
     )
+    # position-aware refinement (PassJoin-style): a true dist<=1 pair
+    # always shares a variant with ALIGNED deletions — identical names
+    # share the identity (0,0); a substitution at p shares the
+    # (p, p) deletions; an insert/delete shares (0, p). Conversely any
+    # aligned-share IS a true pair, so the i-condition (streamed
+    # through the hash join, nothing materialized) deletes the entire
+    # distance-2 candidate tail before the pair shuffle — the verify
+    # below is then a guarantee, not a workload.
     pairs = (
         a.join(b, "var")
-        .filter(F.col("id1") < F.col("id2"))
+        .filter(
+            (F.col("id1") < F.col("id2"))
+            & (
+                (F.col("i1") == F.col("i2"))
+                | (F.col("i1") == 0)
+                | (F.col("i2") == 0)
+            )
+        )
         .select("id1", "n1", "id2", "n2")
         .distinct()
     )

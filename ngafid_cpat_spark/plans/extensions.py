@@ -1225,9 +1225,16 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE substr(name, 1, i - 1) || substr(name, i + 1)
              END AS var
       FROM e
+    ), v_cut AS (
+      -- the hot-variant df-cut the Spark plan applies
+      -- (operators/dedup.edit1_pairs max_variant_freq)
+      SELECT id, name, var FROM v
+      WHERE var NOT IN (
+        SELECT var FROM v GROUP BY var HAVING COUNT(*) > 1000
+      )
     ), pairs AS (
       SELECT DISTINCT a.id AS id1, a.name AS n1, b.id AS id2, b.name AS n2
-      FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+      FROM v_cut a JOIN v_cut b ON a.var = b.var AND a.id < b.id
     )
     SELECT id1, id2, CAST(levenshtein(n1, n2) AS INT) AS dist
     FROM pairs WHERE levenshtein(n1, n2) <= 1
@@ -1237,8 +1244,9 @@ def fuzzy_name_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate string join: customer-name pairs within edit
     distance 1 via deletion-neighborhood blocking (operators/dedup.
     edit1_pairs) — linear variant explode + one hash join + exact
-    levenshtein verify; the record-linkage primitive an edit-
-    predicate theta join cannot express scalably."""
+    levenshtein verify, hot variants cut at freq 1000 on both sides;
+    the record-linkage primitive an edit-predicate theta join cannot
+    express scalably."""
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )

@@ -252,3 +252,31 @@ def test_edit1_pairs_exact_vs_bruteforce(spark):
         if lev(names[i], names[j]) <= 1
     }
     assert got == want and want  # the fixture must contain matches
+
+
+def test_edit1_pairs_hot_variant_cap(spark):
+    """A hot name (thousands of identical rows) used to make the
+    variant self-join quadratic in that name's frequency. The
+    max_variant_freq cut drops hot variants from both join sides:
+    hot-name pairs vanish (the O(freq^2) output no cap can avoid),
+    while pairs among cold names are untouched."""
+    rows = [{"id": i, "name": "hotname"} for i in range(200)]
+    rows += [
+        {"id": 1000, "name": "coldname"},
+        {"id": 1001, "name": "coldnames"},
+        {"id": 1002, "name": "unrelated"},
+    ]
+    df = spark.createDataFrame(rows)
+    capped = {
+        (r["id1"], r["id2"])
+        for r in D.edit1_pairs(
+            df, id_col="id", text_col="name", max_variant_freq=50
+        ).collect()
+    }
+    # every hotname variant has freq 200 > 50 -> all 200*199/2 hot
+    # pairs cut; the cold pair survives (its variants have freq <= 2)
+    assert capped == {(1000, 1001)}
+    uncapped = D.edit1_pairs(
+        df, id_col="id", text_col="name", max_variant_freq=None
+    ).count()
+    assert uncapped == 200 * 199 // 2 + 1
