@@ -170,6 +170,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     verify_threshold: float = 0.05,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection, verified by exact
     Jaccard on candidates only.
@@ -178,6 +179,18 @@ def minhash_lsh_pairs(
     only shuffles are (band_hash -> bucket grouping) and the candidate
     pair verification join. With b bands of r rows, a pair with true
     Jaccard j collides with prob 1-(1-j^r)^b.
+
+    ``hash_family``:
+      * ``"xxhash64"`` (default, hot path): seeded xxhash64 per
+        shingle per function — JVM-native, 8-byte shingle keys.
+      * ``"md5km"``: Kirsch-Mitzenmeier double hashing h_i = a + i*b
+        where (a, b) are the first 56 + next 52 bits of md5(shingle
+        text) — one md5 per shingle, then pure integer arithmetic.
+        Every engine with md5 + hex parsing reproduces the EXACT
+        candidate set, so this family is what the DuckDB driver
+        oracle pairs against (the literal-folded-seed trick that made
+        knn_graph_embeddings exactly checkable). The bit budgets keep
+        a + 31*b < 2^58, far from bigint overflow on either engine.
     """
     rows_per_band = num_hashes // bands
     # signature via exploded shingles + one partial-aggregated groupBy:
@@ -187,17 +200,42 @@ def minhash_lsh_pairs(
     # collect_set rides the SAME groupBy, so the verification step
     # below needs no second tokenize/shingle pass — every consumer of
     # `sig` shares one shingle pipeline (and one ReusedExchange).
-    sh = _shingle_sets(df, id_col, text_col, k)
     # F.expr strings, not Column-op chains: every Column operator is
     # a py4j round-trip, and 32x4 of them cost whole seconds of
     # driver time per query construction (see functions/vector.py)
-    sig = sh.groupBy("id").agg(
-        *[
-            F.expr(f"min(xxhash64(sh, {i})) AS h{i}")
-            for i in range(num_hashes)
-        ],
-        F.collect_set("sh").alias("s"),
-    ).localCheckpoint(eager=False)
+    if hash_family == "md5km":
+        sh = _shingle_sets(df, id_col, text_col, k, as_string=True)
+        # one md5 per distinct (id, shingle); set membership still
+        # rides 8-byte xxhash64 keys (intersection sizes are
+        # identical on the text sets — distinctness-equivalent)
+        shab = sh.select(
+            "id",
+            F.expr(
+                "cast(conv(substr(md5(sh), 1, 14), 16, 10) as bigint)"
+            ).alias("ha"),
+            F.expr(
+                "cast(conv(substr(md5(sh), 15, 13), 16, 10) as bigint)"
+            ).alias("hb"),
+            F.xxhash64("sh").alias("shh"),
+        )
+        sig = shab.groupBy("id").agg(
+            *[
+                F.expr(f"min(ha + {i}L * hb) AS h{i}")
+                for i in range(num_hashes)
+            ],
+            F.collect_set("shh").alias("s"),
+        ).localCheckpoint(eager=False)
+    elif hash_family == "xxhash64":
+        sh = _shingle_sets(df, id_col, text_col, k)
+        sig = sh.groupBy("id").agg(
+            *[
+                F.expr(f"min(xxhash64(sh, {i})) AS h{i}")
+                for i in range(num_hashes)
+            ],
+            F.collect_set("sh").alias("s"),
+        ).localCheckpoint(eager=False)
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     # lazy localCheckpoint: the signature table materializes once and
     # every consumer (both band-join sides + verification sets) reads
     # the cached copy — without it, column pruning specializes the

@@ -183,17 +183,70 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", None)  # hash-function-specific => rows-only
+_MINHASH_N = 32
+_MINHASH_BANDS = 16
+_MINHASH_R = _MINHASH_N // _MINHASH_BANDS
+_MINHASH_SIG_SQL = ", ".join(
+    f"MIN(a + {i} * b) AS h{i}" for i in range(_MINHASH_N)
+)
+_MINHASH_BAND_SQL = " OR ".join(
+    "("
+    + " AND ".join(
+        f"x.h{bb * _MINHASH_R + r} = y.h{bb * _MINHASH_R + r}"
+        for r in range(_MINHASH_R)
+    )
+    + ")"
+    for bb in range(_MINHASH_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLE_SQL},
+    hh AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT) AS a,
+             CAST(concat('0x', substr(md5(s), 15, 13)) AS BIGINT) AS b
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL} FROM hh GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT x.doc_id AS id1, y.doc_id AS id2
+      FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+      WHERE {_MINHASH_BAND_SQL}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT cand.id1, cand.id2,
+           ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4) AS jaccard
+    FROM cand
+      JOIN common ON cand.id1 = common.id1 AND cand.id2 = common.id2
+      JOIN sizes s1 ON cand.id1 = s1.doc_id
+      JOIN sizes s2 ON cand.id2 = s2.doc_id
+    WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {JACCARD_THRESHOLD}
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidates, exact-Jaccard verified: the
-    100 TB near-dedup path. Verified output equals an exact-Jaccard
-    subset, so recall is unit-tested against dedup_jaccard_pairs."""
+    100 TB near-dedup path. Registered with the md5km hash family
+    (Kirsch-Mitzenmeier h_i = a + i*b from one md5 per shingle), so
+    the DuckDB oracle reproduces the EXACT candidate set and the
+    driver records a hash match, not rows-only; the xxhash64 family
+    is the hot path and is equivalence-tested in tests/test_dedup."""
     out = D.minhash_lsh_pairs(
         load(spark, sf_dir, "documents"),
         k=SHINGLE_K,
-        num_hashes=32,
-        bands=16,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
         verify_threshold=JACCARD_THRESHOLD,
+        hash_family="md5km",
     )
     return out.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
 

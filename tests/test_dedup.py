@@ -81,7 +81,8 @@ def test_jaccard_df_cut_drops_hot_shingles(spark):
         assert j <= uncapped[p] + 1e-12
 
 
-def test_minhash_lsh_recall(spark, docs):
+@pytest.mark.parametrize("family", ["xxhash64", "md5km"])
+def test_minhash_lsh_recall(spark, docs, family):
     exact = {
         (r["id1"], r["id2"])
         for r in D.jaccard_pairs(docs, k=3, threshold=0.3).collect()
@@ -89,7 +90,12 @@ def test_minhash_lsh_recall(spark, docs):
     lsh = {
         (r["id1"], r["id2"])
         for r in D.minhash_lsh_pairs(
-            docs, k=3, num_hashes=32, bands=16, verify_threshold=0.3
+            docs,
+            k=3,
+            num_hashes=32,
+            bands=16,
+            verify_threshold=0.3,
+            hash_family=family,
         ).collect()
     }
     # banded LSH with b=16, r=2 catches j>=0.3 pairs with prob ~1-(1-j^2)^16
@@ -97,6 +103,59 @@ def test_minhash_lsh_recall(spark, docs):
     high = {(1, 2), (1, 3)}
     assert high <= lsh
     assert lsh <= exact  # verification step guarantees precision
+
+
+def test_minhash_md5km_matches_python_reimplementation(spark, docs):
+    """The md5km family is the cross-engine contract (the DuckDB
+    driver oracle recomputes it): assert the verified pair set AND
+    jaccard values match an independent pure-Python reimplementation
+    of signature -> banding -> exact verify."""
+    import hashlib
+    import re
+
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def shingles(text, k=3):
+        toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    def sig(sh_set, n=32):
+        abs_ = []
+        for s in sh_set:
+            h = hashlib.md5(s.encode()).hexdigest()
+            abs_.append((int(h[:14], 16), int(h[14:27], 16)))
+        return [min(a + i * b for a, b in abs_) for i in range(n)]
+
+    sets = {d: shingles(t) for d, t in rows.items() if shingles(t)}
+    sigs = {d: sig(s) for d, s in sets.items()}
+    want = {}
+    ids = sorted(sigs)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            shared_band = any(
+                sigs[x][b * 2 : b * 2 + 2] == sigs[y][b * 2 : b * 2 + 2]
+                for b in range(16)
+            )
+            if not shared_band:
+                continue
+            inter = len(sets[x] & sets[y])
+            j = inter / (len(sets[x]) + len(sets[y]) - inter)
+            if j >= 0.3:
+                want[(x, y)] = round(j, 6)
+    got = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 6)
+        for r in D.minhash_lsh_pairs(
+            docs,
+            k=3,
+            num_hashes=32,
+            bands=16,
+            verify_threshold=0.3,
+            hash_family="md5km",
+        ).collect()
+    }
+    assert got == want and want
 
 
 def test_simhash_pairs(spark, docs):
