@@ -297,24 +297,58 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
     Candidate generation by 4x16-bit block keys (pigeonhole: any pair
     within hamming 3*blocks shares a block; wider radii verified
-    after the block join) — avoids the n^2 comparison."""
+    after the block join) — avoids the n^2 comparison.
+
+    ``hash_family="md5"`` votes the 64 signature bits from the two
+    32-bit halves of md5(shingle text) instead of seeded xxhash64 —
+    reproducible in any engine with md5 + hex parsing, which is what
+    lets the DuckDB driver oracle recompute the exact pair set (the
+    same cross-engine contract as minhash_lsh_pairs' md5km)."""
     # signature from exploded shingles (see minhash comment): per bit,
     # majority vote of the shingle-hash bits, assembled into one long
-    sh = _shingle_sets(df, id_col, text_col, k)
-    hashed = sh.select("id", F.xxhash64("sh").alias("h"))
     # F.expr strings, not Column-op chains — 64x5 Column operators are
     # 64x5 py4j round-trips (~seconds of driver time per construction)
-    votes = hashed.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.expr(f"sum(cast(shiftrightunsigned(h, {b}) & 1L as int)) AS b{b}")
-            for b in range(64)
-        ],
-    )
+    if hash_family == "md5":
+        sh = _shingle_sets(df, id_col, text_col, k, as_string=True)
+        hashed = sh.select(
+            "id",
+            F.expr(
+                "cast(conv(substr(md5(sh), 1, 8), 16, 10) as bigint)"
+            ).alias("hhi"),
+            F.expr(
+                "cast(conv(substr(md5(sh), 9, 8), 16, 10) as bigint)"
+            ).alias("hlo"),
+        )
+        votes = hashed.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.expr(f"sum(cast(shiftrightunsigned(hlo, {b}) & 1L as int)) AS b{b}")
+                for b in range(32)
+            ],
+            *[
+                F.expr(
+                    f"sum(cast(shiftrightunsigned(hhi, {b - 32}) & 1L as int)) AS b{b}"
+                )
+                for b in range(32, 64)
+            ],
+        )
+    elif hash_family == "xxhash64":
+        sh = _shingle_sets(df, id_col, text_col, k)
+        hashed = sh.select("id", F.xxhash64("sh").alias("h"))
+        votes = hashed.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.expr(f"sum(cast(shiftrightunsigned(h, {b}) & 1L as int)) AS b{b}")
+                for b in range(64)
+            ],
+        )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     sh64_sql = " | ".join(
         f"(CASE WHEN b{b} * 2 >= n THEN shiftleft(1L, {b}) ELSE 0L END)"
         for b in range(64)

@@ -251,13 +251,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
 
 
-@register("dedup_simhash", None)  # hash-function-specific => rows-only
+_SIMHASH_MAXH = 12
+_SIMHASH_VOTE_SQL = ", ".join(
+    [f"SUM((hlo >> {b}) & 1) AS b{b}" for b in range(32)]
+    + [f"SUM((hhi >> {b - 32}) & 1) AS b{b}" for b in range(32, 64)]
+)
+_SIMHASH_SIG_SQL = ", ".join(
+    f"CASE WHEN b{b} * 2 >= n THEN 1 ELSE 0 END AS s{b}" for b in range(64)
+)
+_SIMHASH_BLOCK_SQL = " OR ".join(
+    "("
+    + " AND ".join(f"x.s{blk * 16 + j} = y.s{blk * 16 + j}" for j in range(16))
+    + ")"
+    for blk in range(4)
+)
+_SIMHASH_HAMMING_SQL = " + ".join(
+    f"CASE WHEN x.s{b} <> y.s{b} THEN 1 ELSE 0 END" for b in range(64)
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH {_SHINGLE_SQL},
+    hh AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS hhi,
+             CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT) AS hlo
+      FROM sh
+    ),
+    votes AS (
+      SELECT doc_id, COUNT(*) AS n, {_SIMHASH_VOTE_SQL}
+      FROM hh GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {_SIMHASH_SIG_SQL} FROM votes)
+    SELECT x.doc_id AS id1, y.doc_id AS id2,
+           CAST({_SIMHASH_HAMMING_SQL} AS INT) AS hamming
+    FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+    WHERE ({_SIMHASH_BLOCK_SQL})
+      AND ({_SIMHASH_HAMMING_SQL}) <= {_SIMHASH_MAXH}
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance 12 of the
-    64-bit signature, candidates from 16-bit block collisions."""
-    return D.simhash_pairs(
-        load(spark, sf_dir, "documents"), max_hamming=12, k=SHINGLE_K
+    64-bit signature, candidates from 16-bit block collisions.
+    Registered with the md5 hash family so the DuckDB oracle
+    recomputes bit votes, majority signature, block candidates and
+    hamming verify exactly — hash-green, not rows-only; the xxhash64
+    family stays the JVM hot path (tests/test_dedup)."""
+    out = D.simhash_pairs(
+        load(spark, sf_dir, "documents"),
+        max_hamming=_SIMHASH_MAXH,
+        k=SHINGLE_K,
+        hash_family="md5",
     )
+    return out.select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
 
 
 @register(
@@ -1491,12 +1539,34 @@ def outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("approx_quantile_events", None)  # sketch-based => rows-only
 def approx_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate percentiles — the 100 TB path
-    where exact quantiles would sort every group."""
+    where exact quantiles would sort every group. rows-only at the
+    driver gate; tools/check_oracle.py asserts each approximate value
+    lies between the exact quantiles at q +/- 5x the sketch's rank
+    error (accuracy 1000 -> eps 0.001 -> bound 0.005)."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 1000).alias("median_approx"),
         F.percentile_approx("value", 0.9, 1000).alias("p90_approx"),
     )
+
+
+from .relational import TOLERANCE_ORACLES  # noqa: E402
+
+TOLERANCE_ORACLES["approx_quantile_events"] = {
+    # GK guarantees a value whose RANK is within eps*n of the target,
+    # so the principled value-space bound is the exact quantile pair
+    # at q -/+ bound — not a relative tolerance on the value itself
+    "sql": """
+    SELECT event_type,
+           quantile_cont(value, 0.495) AS median_approx_lo,
+           quantile_cont(value, 0.505) AS median_approx_hi,
+           quantile_cont(value, 0.895) AS p90_approx_lo,
+           quantile_cont(value, 0.905) AS p90_approx_hi
+    FROM events GROUP BY event_type
+    """,
+    "keys": ["event_type"],
+    "kind": "bounds",
+}
 
 
 @register(

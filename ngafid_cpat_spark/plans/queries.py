@@ -103,6 +103,9 @@ if _missing:
 
 QUERIES = _reorder(_relational.QUERIES)
 ORACLES = _reorder(_relational.ORACLES)
+# bounded-error oracles for sketch queries — check_oracle.py only,
+# never exposed through the driver contract (oracle_sql)
+TOLERANCE_ORACLES = _relational.TOLERANCE_ORACLES
 assert set(QUERIES) == set(_relational.QUERIES)
 
-__all__ = ["QUERIES", "ORACLES", "PRIORITY"]
+__all__ = ["QUERIES", "ORACLES", "PRIORITY", "TOLERANCE_ORACLES"]

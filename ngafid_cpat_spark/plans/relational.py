@@ -25,6 +25,18 @@ from ..sources import load
 QUERIES: dict = {}
 ORACLES: dict = {}
 
+# Bounded-error oracles for sketch-based queries whose values can
+# never hash-match an exact engine (HLL distinct counts, GK
+# quantiles). NOT part of the driver contract (oracle_sql omits them
+# => the driver records rows-only); tools/check_oracle.py consumes
+# these to assert each approximate value sits within the algorithm's
+# documented error of the exact DuckDB answer.
+#   name -> {"sql": ..., "keys": [join cols],
+#            "kind": "rel", "tol": float}       same-named exact cols
+#   name -> {"sql": ..., "keys": [join cols],
+#            "kind": "bounds"}                  <col>_lo / <col>_hi
+TOLERANCE_ORACLES: dict = {}
+
 
 # ---------------------------------------------------------------------------
 # Cross-engine-exact decimal arithmetic.
@@ -243,12 +255,26 @@ def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("approx_distinct_parts", None)  # approximate => no exact oracle
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — the scale path where exact distinct
-    would shuffle every key. rows-only driver check by design."""
+    would shuffle every key. rows-only at the driver gate, but
+    bounded-error-checked against the exact DuckDB distinct count by
+    tools/check_oracle.py (TOLERANCE_ORACLES, rsd 0.02 -> 4-sigma
+    tolerance 0.08)."""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
     )
+
+
+TOLERANCE_ORACLES["approx_distinct_parts"] = {
+    "sql": """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS approx_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "keys": ["l_returnflag"],
+    "kind": "rel",
+    "tol": 0.08,  # 4x the configured rsd — never flakes, still tight
+}
 
 
 @register(

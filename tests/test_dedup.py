@@ -158,8 +158,11 @@ def test_minhash_md5km_matches_python_reimplementation(spark, docs):
     assert got == want and want
 
 
-def test_simhash_pairs(spark, docs):
-    out = D.simhash_pairs(docs, max_hamming=16, k=3).collect()
+@pytest.mark.parametrize("family", ["xxhash64", "md5"])
+def test_simhash_pairs(spark, docs, family):
+    out = D.simhash_pairs(
+        docs, max_hamming=16, k=3, hash_family=family
+    ).collect()
     pairs = {(r["id1"], r["id2"]): r["hamming"] for r in out}
     # exact dups collide in every block at hamming 0
     assert pairs.get((1, 2)) == 0

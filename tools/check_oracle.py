@@ -81,6 +81,49 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
     return problems
 
 
+def check_tolerance(name, spark_rows, spark_cols, con, spec):
+    """Bounded-error comparison for sketch queries: join on key
+    columns, then assert each approximate value is within the spec's
+    tolerance of the exact answer ('rel') or between the exact
+    <col>_lo / <col>_hi bounds ('bounds'). Returns a problem list."""
+    res = con.execute(spec["sql"])
+    duck_cols = [d[0] for d in res.description]
+    duck = {}
+    for row in res.fetchall():
+        d = dict(zip(duck_cols, row))
+        duck[tuple(normalize_cell(d[k]) for k in spec["keys"])] = d
+    problems = []
+    if len(spark_rows) != len(duck):
+        problems.append(f"row count: spark={len(spark_rows)} duck={len(duck)}")
+        return problems
+    val_cols = [c for c in spark_cols if c not in spec["keys"]]
+    for r in spark_rows:
+        s = dict(zip(spark_cols, r))
+        key = tuple(normalize_cell(s[k]) for k in spec["keys"])
+        if key not in duck:
+            problems.append(f"key {key} missing from oracle")
+            continue
+        d = duck[key]
+        for c in val_cols:
+            v = s[c]
+            if spec["kind"] == "rel":
+                exact = d[c]
+                if abs(v - exact) > spec["tol"] * max(1.0, abs(exact)):
+                    problems.append(
+                        f"key {key} col {c}: {v} vs exact {exact} "
+                        f"(rel err {abs(v - exact) / max(1.0, abs(exact)):.4f} "
+                        f"> {spec['tol']})"
+                    )
+            else:
+                lo, hi = d[f"{c}_lo"], d[f"{c}_hi"]
+                if not (lo - 1e-9 <= v <= hi + 1e-9):
+                    problems.append(
+                        f"key {key} col {c}: {v} outside exact bounds "
+                        f"[{lo}, {hi}]"
+                    )
+    return problems
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
@@ -122,6 +165,28 @@ def main():
             n_fail += 1
             continue
         if name not in oracles:
+            from ngafid_cpat_spark.plans.queries import TOLERANCE_ORACLES
+
+            if name in TOLERANCE_ORACLES:
+                try:
+                    problems = check_tolerance(
+                        name, spark_rows, spark_cols, con,
+                        TOLERANCE_ORACLES[name],
+                    )
+                except Exception as e:
+                    problems = [f"tolerance oracle error: {e}"]
+                if problems:
+                    print(f"FAIL  {name}: (bounded-error) [{time.time()-t0:.1f}s]")
+                    for p in problems[:8]:
+                        print(f"      {p}")
+                    n_fail += 1
+                else:
+                    print(
+                        f"ok~   {name}: {len(spark_rows)} rows within "
+                        f"documented error bound [{time.time()-t0:.1f}s]"
+                    )
+                    n_pass += 1
+                continue
             print(f"rows  {name}: {len(spark_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1
             continue
