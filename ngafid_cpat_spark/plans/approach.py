@@ -132,12 +132,28 @@ def with_nearest_airport(flight_df: DataFrame, airports: DataFrame) -> DataFrame
     )
 
 
+class _ColumnThresholds:
+    """Thresholds whose values are per-row COLUMNS (th_<field>),
+    joined from a per-type config instead of constant-folded into
+    the plan — every predicate in analyze() reads them identically
+    because Column expressions compose the same as literals."""
+
+    def __getattr__(self, name: str):
+        if name in Thresholds.__dataclass_fields__:
+            return F.col(f"th_{name}")
+        raise AttributeError(name)
+
+
+_TH_FIELDS = list(Thresholds.__dataclass_fields__)
+
+
 def analyze(
     flight_df: DataFrame,
     airports: DataFrame,
     runways: DataFrame,
     th: Thresholds = Thresholds(),
     persist: bool = True,
+    th_cols: DataFrame | None = None,
 ) -> DataFrame:
     """Full fleet analysis -> one row per (flight_id, approach_id),
     schema matching the reference's approaches table (FIXTURES.md §7;
@@ -148,9 +164,22 @@ def analyze(
     internal fan-out; they stay cached for the session. A long-lived
     session calling analyze() repeatedly should pass persist=False or
     call spark.catalog.clearCache() between calls (analyze_fleet
-    already passes persist=False per type for this reason)."""
+    already passes persist=False per type for this reason).
+
+    ``th_cols``: a (flight, th_<field>...) frame. When given, ``th``
+    is ignored and every threshold is read as a per-row COLUMN — one
+    plan regardless of how many aircraft types carry distinct
+    thresholds (J7 at fleet scale; analyze_fleet's joined strategy).
+    Flights absent from ``th_cols`` are excluded, matching the
+    per-type path's semantics (a flight with no aircraft row belongs
+    to no type slice)."""
     wf = Window.partitionBy("flight").orderBy("time")
     wflight = Window.partitionBy("flight")
+
+    if th_cols is not None:
+        th = _ColumnThresholds()
+        # inner join: the thresholds frame defines fleet membership
+        flight_df = flight_df.join(th_cols, "flight")
 
     # 1. NULL-row filter (main.py:92-96)
     df = flight_df.na.drop(subset=list(TELEMETRY_COLS))
@@ -256,6 +285,14 @@ def analyze(
             F.col("e0.airport_code").alias("ff_airport"),
         )
     )
+    if th_cols is not None:
+        # the episode-level frame lost the tick-level th columns in
+        # its groupBy; re-attach just the one the runway filter reads
+        # (per-episode rows — dimension-sized relative to ticks)
+        first_final = first_final.join(
+            th_cols.select("flight", "th_runway_heading_band"),
+            "flight",
+        )
     rw = runways.select(
         F.col("airport_code").alias("ff_airport"),
         F.col("runway_code"),
@@ -407,14 +444,19 @@ def analyze(
         F.min("agl_roll5").alias("landing_min_roll5"),
     )
 
-    out = (
-        ep_agg.join(landing, ["flight", "approach_id"], "left")
-        .withColumn(
-            "landing_type",
-            F.when(F.col("landing_min_ias") <= th.full_stop_ias, "stop-and-go")
-            .when(F.col("landing_min_roll5") <= th.touch_go_agl, "touch-and-go")
-            .otherwise("go-around"),
+    out = ep_agg.join(landing, ["flight", "approach_id"], "left")
+    if th_cols is not None:
+        out = out.join(
+            th_cols.select(
+                "flight", "th_full_stop_ias", "th_touch_go_agl"
+            ),
+            "flight",
         )
+    out = out.withColumn(
+        "landing_type",
+        F.when(F.col("landing_min_ias") <= th.full_stop_ias, "stop-and-go")
+        .when(F.col("landing_min_roll5") <= th.touch_go_agl, "touch-and-go")
+        .otherwise("go-around"),
     )
     return out.select(
         F.col("flight").alias("flight_id"),
@@ -438,12 +480,65 @@ def analyze(
     )
 
 
+# Above this many distinct aircraft types, analyze_fleet(strategy=
+# "auto") switches from per-type constant-folded sub-plans to the
+# single column-parameterized plan: the per-type union replays the
+# telemetry scan once per type and its plan size grows linearly with
+# type cardinality, while the joined plan is O(1) in both.
+SMALL_FLEET_TYPES = 8
+
+
+def thresholds_per_flight(
+    aircraft: DataFrame, thresholds_df: DataFrame | None = None
+) -> DataFrame:
+    """(flight, th_<field>...) — per-flight threshold columns from
+    the per-type config, defaults filled from the reference
+    constants (FlightAnalysis.py:4-18). The config join is broadcast
+    (config-table-sized); the output is dimension-sized (one row per
+    aircraft), never collected."""
+    d = Thresholds()
+    ac = aircraft.select(F.col("id").alias("flight"), "aircraft_type")
+    if thresholds_df is None:
+        return ac.select(
+            "flight",
+            *[F.lit(getattr(d, f)).alias(f"th_{f}") for f in _TH_FIELDS],
+        )
+    cfg = thresholds_df.select(
+        F.col("aircraft_id").alias("aircraft_type"),
+        *[
+            (F.col(f) if f in thresholds_df.columns else F.lit(None)).alias(
+                f"cfg_{f}"
+            )
+            for f in _TH_FIELDS
+        ],
+    )
+    # eqNullSafe join condition: a NULL aircraft_type is a real group
+    # and may carry its own config row, matching the per-type path
+    return (
+        ac.join(
+            F.broadcast(cfg),
+            ac["aircraft_type"].eqNullSafe(cfg["aircraft_type"]),
+            "left",
+        )
+        .select(
+            "flight",
+            *[
+                F.coalesce(F.col(f"cfg_{f}"), F.lit(getattr(d, f))).alias(
+                    f"th_{f}"
+                )
+                for f in _TH_FIELDS
+            ],
+        )
+    )
+
+
 def analyze_fleet(
     flight_df: DataFrame,
     airports: DataFrame,
     runways: DataFrame,
     aircraft: DataFrame,
     thresholds_df: DataFrame | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Per-aircraft-type thresholds (J7): the reference fetches an
     exceedance_thresholds row per aircraft (FlightAnalysis.py:20,
@@ -452,15 +547,40 @@ def analyze_fleet(
     one row per aircraft_type with Thresholds field names as columns
     (missing columns fall back to the reference constants).
 
-    Implementation: one plan per aircraft TYPE (thresholds
-    CONSTANT-FOLDED into the predicates — Catalyst folds the literals
-    and codegen sees constants), unioned. Only type-cardinality-sized
-    state ever reaches the driver: the distinct type list and the
-    thresholds config rows. The flight->type membership itself never
-    leaves the cluster — each per-type slice is a broadcast LEFT SEMI
-    join of the telemetry against that type's aircraft ids (reference
-    J7, FlightAnalysis.py:67-83), not a collected id list baked into
-    the plan, so the plan size is independent of fleet size."""
+    Two result-identical strategies (tests/test_approach equivalence):
+
+    * ``"per_type"`` — one plan per aircraft TYPE (thresholds
+      CONSTANT-FOLDED into the predicates — Catalyst folds the
+      literals and codegen sees constants), unioned. Only
+      type-cardinality-sized state ever reaches the driver: the
+      distinct type list and the thresholds config rows. The
+      flight->type membership never leaves the cluster — each slice
+      is a broadcast LEFT SEMI join of the telemetry against that
+      type's aircraft ids, so the plan size is independent of FLEET
+      size, but linear in TYPE count, and the telemetry is scanned
+      once per type. The small-fleet fast path.
+    * ``"joined"`` — ONE plan: thresholds_per_flight joins the
+      thresholds as per-row columns (broadcast on aircraft_type) and
+      analyze() reads column thresholds instead of folded literals.
+      Plan size and scan count are O(1) in type cardinality — the
+      fleet-scale path (a hundred types would otherwise mean a
+      hundred-branch union and a hundred passes over the telemetry).
+    * ``"auto"`` — joined when the fleet has more than
+      SMALL_FLEET_TYPES distinct types, else per_type."""
+    if strategy == "auto":
+        n_types = aircraft.select("aircraft_type").distinct().count()
+        strategy = "per_type" if n_types <= SMALL_FLEET_TYPES else "joined"
+    if strategy == "joined":
+        return analyze(
+            flight_df,
+            airports,
+            runways,
+            th_cols=thresholds_per_flight(aircraft, thresholds_df),
+            persist=False,
+        )
+    if strategy != "per_type":
+        raise ValueError(f"unknown strategy: {strategy!r}")
+
     th_by_type: dict = {}
     if thresholds_df is not None:
         valid = {f.name for f in Thresholds.__dataclass_fields__.values()}

@@ -66,10 +66,13 @@ def test_idempotent_rerun(spark, telemetry, dims, result):
     assert sorted(map(tuple, again)) == sorted(map(tuple, result))
 
 
-def test_analyze_fleet_per_type_thresholds(spark, telemetry, dims):
+@pytest.mark.parametrize("strategy", ["per_type", "joined"])
+def test_analyze_fleet_per_type_thresholds(spark, telemetry, dims, strategy):
     """J7: flight 1's IAS-80 tick is unstable under the default A-band
     [55,75] but stable for an aircraft type configured with
-    max_ias=85 (exceedance_thresholds semantics)."""
+    max_ias=85 (exceedance_thresholds semantics). Both strategies —
+    per-type constant-folded union and the single column-
+    parameterized plan — must agree."""
     airports, runways = dims
     aircraft = spark.createDataFrame(
         [
@@ -84,7 +87,8 @@ def test_analyze_fleet_per_type_thresholds(spark, telemetry, dims):
     out = {
         (r["flight_id"], r["approach_id"]): r
         for r in AP.analyze_fleet(
-            telemetry, airports, runways, aircraft, thresholds
+            telemetry, airports, runways, aircraft, thresholds,
+            strategy=strategy,
         ).collect()
     }
     assert out[(1, 1)]["unstable"] == 0          # 80 <= 85: stable now
@@ -93,9 +97,60 @@ def test_analyze_fleet_per_type_thresholds(spark, telemetry, dims):
     # same fleet with no config = default thresholds -> unstable again
     out2 = {
         (r["flight_id"], r["approach_id"]): r
-        for r in AP.analyze_fleet(telemetry, airports, runways, aircraft).collect()
+        for r in AP.analyze_fleet(
+            telemetry, airports, runways, aircraft, strategy=strategy
+        ).collect()
     }
     assert out2[(1, 1)]["unstable"] == 1
+
+
+def test_analyze_fleet_strategies_equivalent(spark, telemetry, dims):
+    """The joined (column-threshold) plan is row-identical to the
+    per-type constant-folded union on a mixed-config fleet."""
+    airports, runways = dims
+    aircraft = spark.createDataFrame(
+        [
+            {"id": 1, "aircraft_type": 7},
+            {"id": 2, "aircraft_type": 9},
+            {"id": 3, "aircraft_type": 9},
+        ]
+    )
+    thresholds = spark.createDataFrame(
+        [
+            {"aircraft_id": 7, "max_ias": 85.0},
+            {"aircraft_id": 9, "max_heading_error": 4.0},
+        ]
+    )
+    per_type = AP.analyze_fleet(
+        telemetry, airports, runways, aircraft, thresholds,
+        strategy="per_type",
+    )
+    joined = AP.analyze_fleet(
+        telemetry, airports, runways, aircraft, thresholds,
+        strategy="joined",
+    )
+    assert sorted(map(tuple, per_type.collect())) == sorted(
+        map(tuple, joined.collect())
+    )
+
+
+def test_analyze_fleet_joined_plan_is_type_count_independent(
+    spark, telemetry, dims
+):
+    """The joined strategy must produce ONE plan — no per-type union
+    branches and one telemetry scan — regardless of type count."""
+    airports, runways = dims
+    aircraft = spark.createDataFrame(
+        [{"id": i, "aircraft_type": i} for i in range(1, 4)]
+    )
+    thresholds = spark.createDataFrame(
+        [{"aircraft_id": i, "max_ias": 75.0 + i} for i in range(1, 4)]
+    )
+    plan = AP.analyze_fleet(
+        telemetry, airports, runways, aircraft, thresholds,
+        strategy="joined",
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
 
 
 def test_pending_flights(spark):
