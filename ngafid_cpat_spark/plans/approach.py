@@ -152,7 +152,7 @@ def analyze(
     airports: DataFrame,
     runways: DataFrame,
     th: Thresholds = Thresholds(),
-    persist: bool = True,
+    persist: bool = False,
     th_cols: DataFrame | None = None,
 ) -> DataFrame:
     """Full fleet analysis -> one row per (flight_id, approach_id),
@@ -160,11 +160,15 @@ def analyze(
     insert list FlightAnalysis.py:22-26).
 
     ``persist=True`` caches three intermediate frames (post-takeoff
-    ticks, episode frame, per-episode aggregate) for the plan's
-    internal fan-out; they stay cached for the session. A long-lived
-    session calling analyze() repeatedly should pass persist=False or
-    call spark.catalog.clearCache() between calls (analyze_fleet
-    already passes persist=False per type for this reason).
+    ticks, episode frame, per-episode aggregate); they stay cached
+    for the session (clearCache() between calls). Default OFF: for
+    the normal run-once-collect-once shape, AQE's ReusedExchange
+    already dedupes the plan's internal fan-out at every shuffle
+    boundary, and the caches only add materialization + cache-read
+    cost — measured 4.1 s cached vs 2.2 s uncached for the full
+    pipeline at sf0.1. Opt in only when the RESULT frame feeds
+    multiple separate actions (exchange reuse is per-executed-plan,
+    so each extra action would otherwise recompute the lineage).
 
     ``th_cols``: a (flight, th_<field>...) frame. When given, ``th``
     is ignored and every threshold is read as a per-row COLUMN — one

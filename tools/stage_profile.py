@@ -1,4 +1,5 @@
-"""Per-stage timing breakdown for the dedup family.
+"""Per-stage timing breakdown for the dedup family and the approach
+pipeline.
 
 The end-to-end bench times whole queries; before a 100x scale-up you
 want to know WHICH stage of a multi-stage operator dominates (shingle
@@ -8,6 +9,7 @@ previous stage, so a stage's number is its own cost, not its
 lineage's.
 
 Usage: python tools/stage_profile.py [--sf-dir /root/testdata/sf0.1]
+                                     [--approach]
 Appends nothing; prints a markdown table (paste into PLANS.md).
 """
 
@@ -20,10 +22,108 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def profile_approach(sf_dir: str) -> None:
+    """Stage breakdown of the approach pipeline over the demo's
+    synthetic telemetry (plans/extensions.approach_pipeline_demo):
+    synthesis window, nearest-airport argmin, takeoff filter,
+    islands + predicates, episode aggregate, landing join — plus the
+    end-to-end plan both with and without intermediate persists (the
+    round-4 finding: AQE ReusedExchange beats caching for the
+    run-once shape)."""
+    import time
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ngafid_cpat_spark.plans import approach as AP
+    from ngafid_cpat_spark.session import get_spark
+    from ngafid_cpat_spark.sources import load
+
+    spark = get_spark("stage-profile")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = load(spark, sf_dir, "events")
+    ev.write.format("noop").mode("overwrite").save()  # warm scan
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    tel = ev.select(
+        F.col("user_id").alias("flight"),
+        rn.cast("long").alias("time"),
+        (F.lit(800.0) + F.col("value") * 10).alias("msl_altitude"),
+        (F.col("value") / 2).alias("indicated_airspeed"),
+        (-F.col("value")).alias("vertical_airspeed"),
+        F.lit(90.0).alias("heading"),
+        (F.lit(40.0) + F.col("value") / 5000).alias("latitude"),
+        (F.lit(-85.0) + F.col("value") / 5000).alias("longitude"),
+    )
+    airports = spark.createDataFrame(
+        [
+            {"airport_code": "KAAA", "latitude": 40.0, "longitude": -85.0,
+             "elevation_ft": 800.0},
+            {"airport_code": "KBBB", "latitude": 40.02, "longitude": -84.98,
+             "elevation_ft": 820.0},
+        ]
+    )
+    runways = spark.createDataFrame(
+        [
+            {"airport_code": "KAAA", "runway_code": "09",
+             "magnetic_rwy_hdg": 90.0, "true_rwy_hdg": 90.0,
+             "center_lat": 40.0, "center_long": -85.0},
+            {"airport_code": "KBBB", "runway_code": "08",
+             "magnetic_rwy_hdg": 85.0, "true_rwy_hdg": 85.0,
+             "center_lat": 40.02, "center_long": -84.98},
+        ]
+    )
+    rows: list[tuple] = []
+
+    def timed(name, df):
+        t0 = time.perf_counter()
+        out = df.localCheckpoint(eager=True)
+        rows.append((name, round(time.perf_counter() - t0, 2), out.count()))
+        return out
+
+    print(f"## approach stage profile @ {sf_dir}\n")
+    t = timed("synthesize telemetry (row_number window)", tel)
+    d = t.na.drop(subset=list(AP.TELEMETRY_COLS)).repartition(
+        spark.sparkContext.defaultParallelism, "flight"
+    )
+    near = timed("nearest-airport two-phase argmin", AP.with_nearest_airport(d, airports))
+    wf = W.partitionBy("flight").orderBy("time")
+    wfl = W.partitionBy("flight")
+    near = near.withColumn("agl", F.col("msl_altitude") - F.col("airport_elev"))
+    first_elev = F.first("airport_elev").over(wf)
+    post = timed(
+        "takeoff detection + filter",
+        near.withColumn(
+            "takeoff_time",
+            F.min(
+                F.when((F.col("msl_altitude") - first_elev) >= 500.0, F.col("time"))
+            ).over(wfl),
+        ).filter(F.col("time") >= F.col("takeoff_time")),
+    )
+    # end-to-end, both persist modes (the caches each add a
+    # materialization; ReusedExchange already shares the fan-out)
+    AP.analyze(tel, airports, runways, persist=False).count()  # warm
+    for label, p in (("analyze end-to-end persist=False", False),
+                     ("analyze end-to-end persist=True", True)):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n = AP.analyze(tel, airports, runways, persist=p).count()
+        rows.append((label, round(time.perf_counter() - t0, 2), n))
+    print("| stage | sec | rows out |")
+    print("|---|---|---|")
+    for name, dt, n in rows:
+        print(f"| {name} | {dt} | {n} |")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--approach", action="store_true",
+                    help="profile the approach pipeline instead of dedup")
     args = ap.parse_args()
+
+    if args.approach:
+        profile_approach(args.sf_dir)
+        return
 
     from pyspark.sql import functions as F
 
