@@ -1,1 +1,1 @@
-from .tables import TABLES, load, load_all, read_csv  # noqa: F401
+from .tables import TABLES, jdbc_table, load, load_all, read_csv  # noqa: F401

@@ -117,6 +117,78 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+    predicates: list[str] | None = None,
+    fetchsize: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC source adapter — the literal mapping of the reference's
+    S1-S3 MySQL scans (reference main.py:27-37; requirements.txt:1
+    pins MySQLdb) onto ``spark.read.jdbc``.
+
+    Where the reference issues one point query per flight from a
+    per-process connection pool (main.py:47-68), a Spark JDBC scan is
+    declarative and parallel:
+
+    * **Pushdown**: ``.filter(...)``/``.select(...)`` on the result
+      compose into the generated SQL (PushedFilters in .explain());
+      the database evaluates predicates and prunes columns — the
+      reference's ``WHERE flight = .. ORDER BY time`` arrives at the
+      server exactly the same way.
+    * **Partitioned parallel read** (pick ONE):
+      - ``partition_column`` + bounds + ``num_partitions``: Spark
+        generates stride predicates over a NUMERIC/DATE/TIMESTAMP
+        column — one DB cursor per partition. Bounds only steer the
+        striding; rows outside them are still read (first/last
+        stripe is unbounded), so correctness never depends on a
+        stale min/max probe.
+      - ``predicates``: one explicit WHERE clause per partition —
+        the reference's work-queue slices (one slice per flight
+        batch) map 1:1 here; the slices must be DISJOINT and
+        COVERING or rows duplicate/vanish.
+      With neither, the whole table arrives through ONE connection —
+      fine for config tables (exceedance_thresholds), a bottleneck
+      for facts.
+    * ``fetchsize`` keeps the driver-side JDBC cursor streaming
+      (MySQL otherwise buffers entire result sets in memory).
+
+    The 100 TB shape: JDBC is the INGEST edge only — land the scan
+    into parquet/bucketed layout (sinks.write_layout) and run the
+    pipeline from the columnar copy; a relational server cannot serve
+    cluster-wide scan bandwidth."""
+    props = {"fetchsize": str(fetchsize), **(properties or {})}
+    reader = spark.read
+    if predicates is not None:
+        if partition_column is not None:
+            raise ValueError(
+                "pass either predicates or partition_column, not both"
+            )
+        return reader.jdbc(url, table, predicates=predicates, properties=props)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound and "
+                "num_partitions"
+            )
+        return reader.jdbc(
+            url,
+            table,
+            column=partition_column,
+            lowerBound=lower_bound,
+            upperBound=upper_bound,
+            numPartitions=num_partitions,
+            properties=props,
+        )
+    return reader.jdbc(url, table, properties=props)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same DataSource V2 pushdown/pruning surface as
     parquet (PushedFilters / ReadSchema in .explain())."""
