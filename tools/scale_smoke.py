@@ -72,6 +72,12 @@ def main() -> None:
     ap.add_argument("--scale", type=int, default=10)
     ap.add_argument("--base-events", type=int, default=1_000_000)
     ap.add_argument("--base-docs", type=int, default=5_000)
+    ap.add_argument(
+        "--ops",
+        default=None,
+        help="comma-separated op subset (e.g. the window family for a "
+        "50x run where the full suite would take too long)",
+    )
     args = ap.parse_args()
 
     from ngafid_cpat_spark.operators import dedup as D
@@ -212,6 +218,13 @@ def main() -> None:
                 for d in range(16)
             ]).alias("embedding"),
         )
+
+    if args.ops:
+        wanted = {s.strip() for s in args.ops.split(",")}
+        unknown = wanted - set(ops)
+        if unknown:
+            raise SystemExit(f"unknown ops: {sorted(unknown)}")
+        ops = {n: v for n, v in ops.items() if n in wanted}
 
     sizes = {
         "events": (args.base_events, args.base_events * args.scale),
