@@ -205,18 +205,18 @@ def minhash_lsh_pairs(
     # driver time per query construction (see functions/vector.py)
     if hash_family == "md5km":
         sh = _shingle_sets(df, id_col, text_col, k, as_string=True)
-        # one md5 per distinct (id, shingle); set membership still
-        # rides 8-byte xxhash64 keys (intersection sizes are
-        # identical on the text sets — distinctness-equivalent)
+        # one md5 per distinct (id, shingle) — the projection split
+        # guarantees single evaluation (expression-level CSE is not);
+        # set membership still rides 8-byte xxhash64 keys
+        # (intersection sizes are identical on the text sets —
+        # distinctness-equivalent)
         shab = sh.select(
+            "id", F.md5("sh").alias("m"), F.xxhash64("sh").alias("shh")
+        ).select(
             "id",
-            F.expr(
-                "cast(conv(substr(md5(sh), 1, 14), 16, 10) as bigint)"
-            ).alias("ha"),
-            F.expr(
-                "cast(conv(substr(md5(sh), 15, 13), 16, 10) as bigint)"
-            ).alias("hb"),
-            F.xxhash64("sh").alias("shh"),
+            F.expr("cast(conv(substr(m, 1, 14), 16, 10) as bigint)").alias("ha"),
+            F.expr("cast(conv(substr(m, 15, 13), 16, 10) as bigint)").alias("hb"),
+            "shh",
         )
         sig = shab.groupBy("id").agg(
             *[
@@ -315,14 +315,11 @@ def simhash_pairs(
     # 64x5 py4j round-trips (~seconds of driver time per construction)
     if hash_family == "md5":
         sh = _shingle_sets(df, id_col, text_col, k, as_string=True)
-        hashed = sh.select(
+        # projection split: one md5 per shingle (see minhash md5km)
+        hashed = sh.select("id", F.md5("sh").alias("m")).select(
             "id",
-            F.expr(
-                "cast(conv(substr(md5(sh), 1, 8), 16, 10) as bigint)"
-            ).alias("hhi"),
-            F.expr(
-                "cast(conv(substr(md5(sh), 9, 8), 16, 10) as bigint)"
-            ).alias("hlo"),
+            F.expr("cast(conv(substr(m, 1, 8), 16, 10) as bigint)").alias("hhi"),
+            F.expr("cast(conv(substr(m, 9, 8), 16, 10) as bigint)").alias("hlo"),
         )
         votes = hashed.groupBy("id").agg(
             F.count(F.lit(1)).alias("n"),

@@ -9,7 +9,10 @@ def test_cli_list(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "q1_pricing_summary\toracle" in out
-    assert "dedup_minhash_lsh\trows-only" in out
+    # r04: minhash/simhash became oracle-paired (md5 hash families);
+    # only the sketch queries remain rows-only at the driver gate
+    assert "dedup_minhash_lsh\toracle" in out
+    assert "approx_distinct_parts\trows-only" in out
 
 
 def test_cli_analyze_no_write(spark, telemetry, dims, tmp_path, capsys):
