@@ -5,9 +5,11 @@ queries()      every implemented operator from SURVEY.md §2 as
                (spark, sf_dir) -> DataFrame.
 oracle_sql()   DuckDB-equivalent ANSI SQL per query (same column
                aliases; computed doubles rounded identically on both
-               sides). Entries with engine-specific hashing or
-               approximation (minhash/simhash/IVF/HLL) are rows-only
-               by design.
+               sides). As of r04, 115 of 117 queries carry a strict
+               oracle (minhash/simhash use cross-engine md5 hash
+               families); only the two sketch queries (HLL distinct,
+               GK quantiles) are rows-only here — each carries a
+               bounded-error oracle in tools/check_oracle.py instead.
 """
 
 from __future__ import annotations

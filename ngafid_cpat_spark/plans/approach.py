@@ -89,23 +89,104 @@ class Thresholds:
     runway_heading_band: float = 20.0         # :18 (J3)
 
 
-def with_nearest_airport(flight_df: DataFrame, airports: DataFrame) -> DataFrame:
-    """Per-tick nearest airport by Manhattan |dlat|+|dlon| degrees
-    (FlightAnalysis.py:356-366): broadcast cross join + two-phase
-    hash-aggregable argmin (operators/joins._argmin_two_phase — the
-    single-pass min(struct) form plans a SortAggregate whose sort
-    runs over the |ticks| x |airports| fan-out, superlinear spill at
-    the reference's 15,165 airports; see SCALE.md), deterministic
-    tie-break on airport_code. The telemetry passthrough columns
-    LEFT-rejoin on (flight, time): a tick with no finite-distance
-    airport (empty/NULL-coordinate dim) keeps its row with NULL
-    airport columns rather than silently disappearing.
+# Below this many airport rows, with_nearest_airport folds the whole
+# argmin into one codegen'd least() over per-airport structs instead
+# of the shuffled two-phase join — the same bounded-config-collect
+# judgment as analyze_fleet's threshold table. 64 keeps the folded
+# expression tree well inside Janino limits.
+FOLD_MAX_AIRPORTS = 64
 
-    PRECONDITION: (flight, time) uniquely identifies a telemetry row
-    (the reference's ordered scan implies the same, main.py:36);
-    duplicate ticks would break the join-back — deduplicate upstream
-    if a feed can double-report."""
+
+def _nearest_airport_fold(flight_df: DataFrame, rows) -> DataFrame:
+    """Small-dim fast path: per tick, least() over one
+    struct(dist, code, lat, lon, elev) per airport — struct ordering
+    gives the argmin with the SAME deterministic tie-break as the
+    two-phase path (dist, then airport_code, ...). Pure whole-stage
+    codegen: zero shuffles, zero joins, zero extra AQE stage jobs
+    (the two-phase form spends ~6 jobs on broadcasts + double fan +
+    join-back, pure fixed latency at demo scale)."""
+    cands = []
+    for r in rows:
+        if (
+            r["airport_code"] is None
+            or r["latitude"] is None
+            or r["longitude"] is None
+        ):
+            continue  # NULL-coordinate dims can never win (two-phase: NULL dist)
+        d = F.abs(F.col("latitude") - F.lit(r["latitude"])) + F.abs(
+            F.col("longitude") - F.lit(r["longitude"])
+        )
+        cands.append(
+            F.struct(
+                d.alias("d"),
+                F.lit(r["airport_code"]).alias("airport_code"),
+                F.lit(r["latitude"]).alias("ap_lat"),
+                F.lit(r["longitude"]).alias("ap_lon"),
+                F.lit(r["elevation_ft"]).alias("ap_elev"),
+            )
+        )
+    if not cands:
+        # no usable airport: same as the two-phase left join missing
+        null_d = F.lit(None).cast("double")
+        return flight_df.select(
+            *flight_df.columns,
+            F.lit(None).cast("string").alias("airport_code"),
+            null_d.alias("airport_lat"),
+            null_d.alias("airport_lon"),
+            null_d.alias("airport_elev"),
+        )
+    best = cands[0] if len(cands) == 1 else F.least(*cands)
+    # a NULL/NaN distance (NULL/NaN fact coords — every candidate's d
+    # is then NULL/NaN together, since dim coords are non-null) must
+    # yield NULL airport columns, matching the two-phase guard
+    best = F.when(
+        best.getField("d").isNotNull() & ~F.isnan(best.getField("d")), best
+    )
+    return flight_df.select(
+        *flight_df.columns,
+        best.getField("airport_code").alias("airport_code"),
+        best.getField("ap_lat").alias("airport_lat"),
+        best.getField("ap_lon").alias("airport_lon"),
+        best.getField("ap_elev").alias("airport_elev"),
+    )
+
+
+def with_nearest_airport(
+    flight_df: DataFrame,
+    airports: DataFrame,
+    fold_max_dims: int = FOLD_MAX_AIRPORTS,
+) -> DataFrame:
+    """Per-tick nearest airport by Manhattan |dlat|+|dlon| degrees
+    (FlightAnalysis.py:356-366). Two result-identical physical
+    strategies (equivalence-tested):
+
+    * dim <= ``fold_max_dims`` rows: collect the (config-sized) dim
+      and fold the argmin into one least()-over-structs expression —
+      _nearest_airport_fold, no shuffle at all.
+    * otherwise (the reference's 15,165-airport dim and beyond):
+      broadcast cross join + two-phase hash-aggregable argmin
+      (operators/joins._argmin_two_phase — the single-pass
+      min(struct) form plans a SortAggregate whose sort runs over
+      the |ticks| x |airports| fan-out, superlinear spill; see
+      SCALE.md), deterministic tie-break on airport_code. The
+      telemetry passthrough columns LEFT-rejoin on (flight, time):
+      a tick with no finite-distance airport (empty/NULL-coordinate
+      dim) keeps its row with NULL airport columns rather than
+      silently disappearing. At planetary dim counts switch to
+      operators.joins.nearest_gridded.
+
+    PRECONDITION (join path): (flight, time) uniquely identifies a
+    telemetry row (the reference's ordered scan implies the same,
+    main.py:36); duplicate ticks would break the join-back —
+    deduplicate upstream if a feed can double-report."""
     from ..operators.joins import _argmin_two_phase
+
+    if fold_max_dims > 0:
+        probe = airports.select(
+            "airport_code", "latitude", "longitude", "elevation_ft"
+        ).limit(fold_max_dims + 1).collect()
+        if len(probe) <= fold_max_dims:
+            return _nearest_airport_fold(flight_df, probe)
 
     d = geo.manhattan_deg("latitude", "longitude", "ap_lat", "ap_lon")
     ap = F.broadcast(
@@ -152,23 +233,26 @@ def analyze(
     airports: DataFrame,
     runways: DataFrame,
     th: Thresholds = Thresholds(),
-    persist: bool = False,
+    persist: bool | str = "checkpoint",
     th_cols: DataFrame | None = None,
 ) -> DataFrame:
     """Full fleet analysis -> one row per (flight_id, approach_id),
     schema matching the reference's approaches table (FIXTURES.md §7;
     insert list FlightAnalysis.py:22-26).
 
-    ``persist=True`` caches three intermediate frames (post-takeoff
-    ticks, episode frame, per-episode aggregate); they stay cached
-    for the session (clearCache() between calls). Default OFF: for
-    the normal run-once-collect-once shape, AQE's ReusedExchange
-    already dedupes the plan's internal fan-out at every shuffle
-    boundary, and the caches only add materialization + cache-read
-    cost — measured 4.1 s cached vs 2.2 s uncached for the full
-    pipeline at sf0.1. Opt in only when the RESULT frame feeds
-    multiple separate actions (exchange reuse is per-executed-plan,
-    so each extra action would otherwise recompute the lineage).
+    ``persist`` controls how the three internal fan-out frames
+    (post-takeoff ticks, episode frame, per-episode aggregate) are
+    shared between their consumers. ReusedExchange only dedupes up
+    to the last SHUFFLE boundary — the windows/islands after it are
+    narrow compute that re-executes per consumer branch without a
+    materialization point. Measured at sf0.1 (full noop
+    materialization, interleaved runs): "checkpoint" (lazy
+    localCheckpoint, the default — materialized once to executor
+    storage, GC-reclaimed with the frame, no session cache leak)
+    4.4 s; True (.persist(), stays cached until clearCache()) 4.7 s;
+    False (recompute per branch) 4.8 s. Pass False inside loops that
+    build many plans (analyze_fleet per-type) to avoid materializing
+    per-slice frames that are each read once.
 
     ``th_cols``: a (flight, th_<field>...) frame. When given, ``th``
     is ignored and every threshold is read as a per-row COLUMN — one
@@ -220,7 +304,9 @@ def analyze(
         df.withColumn("takeoff_time", takeoff_time)
         .filter(F.col("time") >= F.col("takeoff_time"))
     )
-    if persist:
+    if persist == "checkpoint":
+        df = df.localCheckpoint(eager=False)
+    elif persist:
         # the enriched post-takeoff frame feeds two branches (episode
         # islands and the landing low-island pass); persisting it cuts
         # the nearest-airport argmin + takeoff window from being
@@ -243,7 +329,9 @@ def analyze(
         "in_final",
         F.col("agl").between(th.final_min_agl, th.final_max_agl),
     )
-    if persist:
+    if persist == "checkpoint":
+        eps = eps.localCheckpoint(eager=False)
+    elif persist:
         # eps fans out to three consumers (episode-entry airport,
         # first-final-tick runway probe, and the per-tick predicate
         # frame) — without a persist each one re-runs the island
@@ -381,7 +469,9 @@ def analyze(
         _avg_milli(fin, F.col("vertical_airspeed")).alias("all_vsi"),
         _avg_milli(fin & ~F.col("cond_s"), F.col("vertical_airspeed")).alias("s_vsi"),
     ).withColumn("airport_id", F.col("__ap0.airport_code")).drop("__ap0")
-    if persist:
+    if persist == "checkpoint":
+        ep_agg = ep_agg.localCheckpoint(eager=False)
+    elif persist:
         # ep_agg is read twice (episode bounds for the landing window,
         # and the final join) — one row per episode, so caching is
         # cheap and saves a full re-aggregation of the tick frame

@@ -163,3 +163,29 @@ def test_pending_flights(spark):
     )
     got = sorted(r["flight_id"] for r in AP.pending_flights(fa).collect())
     assert got == [1, 3]
+
+
+def test_nearest_airport_fold_matches_two_phase(spark, telemetry, dims):
+    """The small-dim least()-fold path and the two-phase shuffled
+    argmin are row-identical, including NULL-coordinate dims and the
+    deterministic tie-break."""
+    airports, _ = dims
+    # add a NULL-coordinate airport: both paths must ignore it
+    extra = spark.createDataFrame(
+        [{"airport_code": "KNUL", "latitude": None, "longitude": None,
+          "elevation_ft": None}],
+        "airport_code string, latitude double, longitude double, elevation_ft double",
+    )
+    dim = airports.select(
+        "airport_code", "latitude", "longitude", "elevation_ft"
+    ).unionByName(extra)
+    fold = AP.with_nearest_airport(telemetry, dim)
+    join = AP.with_nearest_airport(telemetry, dim, fold_max_dims=0)
+    cols = ["flight", "time", "airport_code", "airport_lat",
+            "airport_lon", "airport_elev"]
+    assert sorted(map(tuple, fold.select(cols).collect())) == sorted(
+        map(tuple, join.select(cols).collect())
+    )
+    # the fold plan must be join- and shuffle-free
+    plan = fold._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
