@@ -323,3 +323,145 @@ def ivf_topk(
     probes = _nearest_probes(query, centroids, n_probe)
     pruned = assigned.filter(F.col("centroid_id").isin(probes))
     return cosine_topk(pruned, query, k, id_col=id_col, vec_col=vec_col)
+
+
+def _assign_quantized(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    quant: int,
+) -> DataFrame:
+    """Nearest-centroid assignment over a literal codebook with
+    engine-portable determinism: each cosine is quantized to
+    ``quant`` decimals BEFORE the argmax, and ties break to the
+    LOWEST centroid id (struct max over (sim_q, -cid)) — so any
+    engine that reproduces the quantized sims reproduces the exact
+    assignment. Same single-evaluation array_max shape as
+    assign_centroids (see ivf_topk's expression-blowup note)."""
+    sim_structs = F.array(*[
+        F.struct(
+            F.round(V.cosine_literal(vec_col, cvec), quant).alias("sim"),
+            F.lit(-cid).alias("ncid"),
+        )
+        for cid, cvec in centroids
+    ])
+    best = F.array_max(sim_structs)
+    return emb.withColumn("centroid_id", -best["ncid"]).withColumn(
+        "centroid_sim", best["sim"]
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Distributed spherical k-means (Lloyd) — the trained-codebook
+    upgrade for the IVF path (write_ivf_index / ivf_topk take the
+    returned codebook directly) and the core of semantic clustering /
+    semantic-dedup pipelines.
+
+    Fully deterministic and engine-portable, so the catalog query it
+    backs is ORACLE-PAIRED — rare for an iterative algorithm:
+      * init: the vectors of the k smallest ids (one bounded collect);
+      * assignment: argmax of round(cosine, quant), ties to the
+        lowest centroid id (_assign_quantized);
+      * update: per-dimension integer-micro mean — sum of
+        round(component * 1e6) as BIGINT / n / 1e6, re-rounded to
+        ``quant`` — so float summation order can never move a
+        centroid bit (the relational.cents_sum doctrine); an empty
+        cluster keeps its previous centroid. Centroid means are NOT
+        re-normalized: cosine divides by the norm, so the mean
+        direction is the spherical-k-means centroid already.
+
+    Scale shape: per iteration ONE wide map-side-combining groupBy
+    (k rows x dim partial-sum columns out — no posexplode of the
+    corpus into |vectors| x dim rows) and a k x dim driver collect
+    (config-sized, same bounded-transfer class as the bloom words).
+    n_iter+1 passes over the vectors — persist the input upstream for
+    big n_iter. Pass ``vec_col`` pre-cast to array<double>: float
+    components would square in float32 on the Spark side while any
+    double-typed oracle squares in float64.
+    """
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    if not seed_rows:
+        return []
+    dim = len(seed_rows[0][vec_col])
+    centroids = [
+        (i, [round(float(x), quant) for x in r[vec_col]])
+        for i, r in enumerate(seed_rows)
+    ]
+    for _ in range(n_iter):
+        assigned = _assign_quantized(emb, centroids, vec_col, quant)
+        sums = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.round(F.col(vec_col)[d] * 1_000_000, 0).cast("long")
+                    ).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_cid = {r["centroid_id"]: r for r in sums}
+
+        def mean_micro(s: int, n: int) -> float:
+            # integer round-half-away-from-zero(s/n), then /1e6: a
+            # micro-sum / count CAN land exactly on a .5 tie (s=3,
+            # n=2), where float rounding diverges across engines and
+            # Python's round() banker's-rounds — the same reason
+            # relational._ratio_round exists. Pure ints, no tie.
+            r = (2 * abs(s) + n) // (2 * n)
+            return (r if s >= 0 else -r) / 1e6
+
+        centroids = [
+            (
+                cid,
+                [
+                    mean_micro(by_cid[cid][f"s{d}"], by_cid[cid]["n"])
+                    for d in range(dim)
+                ]
+                if cid in by_cid
+                else prev,
+            )
+            for cid, prev in centroids
+        ]
+    return centroids
+
+
+def kmeans_cluster_profile(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 6,
+) -> DataFrame:
+    """Cluster-level summary after kmeans_fit: one row per centroid
+    with member count and the integer-micro mean of the quantized
+    member-to-centroid cosines (deterministic; empty clusters are
+    absent). Columns: centroid_id, n_vecs, avg_sim."""
+    centroids = kmeans_fit(emb, k, n_iter, id_col, vec_col, quant)
+    assigned = _assign_quantized(emb, centroids, vec_col, quant)
+    # integer-micro sum, then plain double division (the _avg_milli
+    # shape) — summation order can't move a bit, and long/long/1e6
+    # division is bit-identical across engines
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum(F.round(F.col("centroid_sim") * 1_000_000, 0).cast("long"))
+            / F.count(F.lit(1))
+            / 1e6
+        ).alias("avg_sim"),
+    )

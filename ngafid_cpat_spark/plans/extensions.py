@@ -559,6 +559,93 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.round(F.col("cosine"), 4).desc(), F.col("vec_id"))
 
 
+_KMEANS_K = 4
+_KMEANS_ITER = 2
+_KMEANS_DIM = 64
+_KMEANS_SIMQ = (
+    "ROUND(list_dot_product({v}, {c}) / "
+    "(SQRT(list_dot_product({v}, {v})) * SQRT(list_dot_product({c}, {c}))), 6)"
+)
+
+
+def _kmeans_iter_sql(prev: str, idx: int) -> str:
+    """One unrolled Lloyd iteration as CTEs: assignment (quantized
+    cosine, ties to lowest cid), per-dimension integer-micro sums,
+    integer ratio-rounded means (empty cluster keeps its centroid)."""
+    simq = _KMEANS_SIMQ.format(v="e.v", c="c.c")
+    return f"""
+    a{idx} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {simq} DESC, c.cid ASC) AS rn
+        FROM e CROSS JOIN {prev} c) WHERE rn = 1
+    ),
+    s{idx} AS (
+      SELECT cid, t.i AS i,
+             SUM(CAST(ROUND(v[t.i + 1] * 1000000, 0) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM a{idx}, range(0, {_KMEANS_DIM}) t(i)
+      GROUP BY cid, t.i
+    ),
+    c{idx} AS (
+      SELECT c.cid, COALESCE(m.c, c.c) AS c
+      FROM {prev} c LEFT JOIN (
+        SELECT cid,
+               list(CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+                         ((2 * ABS(s) + n) // (2 * n)) AS DOUBLE)
+                    / 1000000.0 ORDER BY i) AS c
+        FROM s{idx} GROUP BY cid) m USING (cid)
+    )"""
+
+
+_KMEANS_FINAL_SIMQ = _KMEANS_SIMQ.format(v="e.v", c="c.c")
+_KMEANS_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             list_transform(v, x -> ROUND(x, 6)) AS c
+      FROM e ORDER BY vec_id LIMIT {_KMEANS_K}
+    ),{_kmeans_iter_sql('c0', 1)},{_kmeans_iter_sql('c1', 2)},
+    af AS (
+      SELECT vec_id, cid, simq FROM (
+        SELECT e.vec_id, c.cid, {_KMEANS_FINAL_SIMQ} AS simq,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_KMEANS_FINAL_SIMQ} DESC, c.cid ASC) AS rn
+        FROM e CROSS JOIN c2 c) WHERE rn = 1
+    )
+    SELECT cid AS centroid_id, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(ROUND(simq * 1000000, 0) AS BIGINT)) AS BIGINT)
+             / COUNT(*) / 1000000.0 AS avg_sim
+    FROM af GROUP BY cid
+    """
+
+
+@register("kmeans_clusters_embeddings", _KMEANS_ORACLE)
+def kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (Lloyd, k=4, 2 iterations) over
+    the embeddings table, reporting per-cluster size and mean
+    member-to-centroid cosine — the trained-codebook path for IVF
+    ANN (operators/similarity.kmeans_fit feeds write_ivf_index) and
+    the clustering core of semantic-dedup pipelines.
+
+    An ITERATIVE algorithm with a full value oracle: deterministic
+    seeding (k smallest ids), quantized-cosine assignment with id
+    tie-breaks, and integer-micro centroid means make every iteration
+    engine-portable, so the DuckDB oracle replays both Lloyd
+    iterations as unrolled CTEs and hash-matches. Embeddings are cast
+    to array<double> up front: float32 squaring on one side and
+    float64 on the other would diverge in the last bits."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.kmeans_cluster_profile(
+        emb, k=_KMEANS_K, n_iter=_KMEANS_ITER
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -37,7 +37,7 @@ PRIORITY = [
     "map_functions_events",       # map functions
     "geo_haversine_customers",    # F4 geodesy
     "dedup_exact",                # dedup family anchor
-    "ann_cosine_topk",            # similarity family anchor
+    "kmeans_clusters_embeddings", # r04: iterative Lloyd, oracle-paired
     "streaming_sessions_events",  # §2.9 REAL streaming run in-gate
     # --- changed this round: prove no regression / new hash checks ---
     "approach_pipeline_demo",     # flagship (exchange-slimmed r04)

@@ -134,3 +134,76 @@ def test_knn_graph_lsh_matches_numpy_within_buckets(emb):
         )[:3]
         want = [(i, -s) for s, i in sims]
         assert got.get(q, []) == want, f"qid {q}"
+
+
+def test_kmeans_separable_clusters(spark):
+    """Lloyd's on two well-separated direction groups: every member
+    lands with its group's centroid, and each centroid points at its
+    group (cosine to group axis ~1)."""
+    from ngafid_cpat_spark.operators import similarity as S
+
+    rows = []
+    for i in range(20):
+        # group A along +x with tiny deterministic jitter; group B
+        # along +y. seeds (ids 0 and 1) land one in each group
+        if i % 2 == 0:
+            rows.append({"vec_id": i, "embedding": [1.0, 0.001 * i, 0.0, 0.0]})
+        else:
+            rows.append({"vec_id": i, "embedding": [0.001 * i, 1.0, 0.0, 0.0]})
+    emb = spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = S.kmeans_fit(emb, k=2, n_iter=3)
+    assert len(cents) == 2
+    (c0, v0), (c1, v1) = cents
+    # centroid 0 seeded from vec 0 (group A) -> x-dominant; centroid 1
+    # from vec 1 (group B) -> y-dominant
+    assert v0[0] > 10 * abs(v0[1]) and v1[1] > 10 * abs(v1[0])
+    prof = {
+        r["centroid_id"]: (r["n_vecs"], r["avg_sim"])
+        for r in S.kmeans_cluster_profile(emb, k=2, n_iter=3).collect()
+    }
+    assert prof[0][0] == 10 and prof[1][0] == 10
+    assert prof[0][1] > 0.99 and prof[1][1] > 0.99
+
+
+def test_kmeans_codebook_feeds_ivf(spark, emb_fixture=None):
+    """The trained codebook drops straight into the IVF probe path
+    and recall against the exact top-k stays high on clustered data."""
+    from ngafid_cpat_spark.operators import similarity as S
+
+    rows = []
+    import math
+    for i in range(60):
+        ang = (i % 3) * 2.0 * math.pi / 3.0 + 0.01 * (i // 3)
+        rows.append(
+            {"vec_id": i,
+             "embedding": [math.cos(ang), math.sin(ang), 0.1, 0.0]}
+        )
+    emb = spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = S.kmeans_fit(emb, k=3, n_iter=3)
+    q = [1.0, 0.05, 0.1, 0.0]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, q, k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in S.ivf_topk(emb, q, cents, k=5, n_probe=1).collect()
+    ]
+    assert len(set(exact) & set(approx)) >= 4
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """A centroid that captures no vectors must survive unchanged,
+    not crash or drift to NaN."""
+    from ngafid_cpat_spark.operators import similarity as S
+
+    # ids 0,1 seed the two centroids, but EVERY vector (including 1)
+    # is nearest to centroid 0's direction after quantization
+    rows = [{"vec_id": i, "embedding": [1.0, 0.0000001 * i]} for i in range(8)]
+    emb = spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = S.kmeans_fit(emb, k=2, n_iter=2)
+    assert len(cents) == 2
+    assert all(all(x == x for x in v) for _, v in cents)  # no NaN
