@@ -78,3 +78,31 @@ def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
         denom = float(np.linalg.norm(xv) * np.linalg.norm(yv))
         out.append(float(xv.dot(yv)) / denom if denom else None)
     return pd.Series(out)
+
+
+def int8_quantize(vec) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5) (half-up toward +inf — the one
+    rounding form every engine's FLOOR reproduces bit-identically).
+    Returns (scale, qvec) Columns. An all-zero vector quantizes to
+    zeros with scale 0.
+
+    The storage/bandwidth lever for 100 TB embedding corpora: 4x
+    smaller than float32 (8x vs double) before any index structure,
+    with cosine recall measured in tests (dequantized cosine within
+    ~1% of exact for unit-ish vectors). Quantize AFTER casting the
+    column to array<double> so both the engine and any oracle square
+    in float64."""
+    v = _col(vec)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / 127.0
+    q = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.floor(x / scale + 0.5).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return scale, q
+
+
+def int8_dequantize(qvec, scale) -> Column:
+    """Approximate reconstruction: x_i ~ q_i * scale."""
+    s = _col(scale)
+    return F.transform(_col(qvec), lambda x: x.cast("double") * s)

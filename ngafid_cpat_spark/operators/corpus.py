@@ -528,3 +528,31 @@ def corpus_mix(
         F.array().cast("array<int>")
     )
     return df.withColumn("copy", F.explode(copies))
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental (streaming-batch) exact dedup: from a NEW batch,
+    the surviving documents — not an exact duplicate of anything in
+    ``history`` (the already-ingested corpus) and the min-id keeper
+    within the batch itself. The standard continuous-ingest shape:
+    history participates only as its 16-byte fingerprint set, so at
+    100 TB you store/maintain the fingerprint table, never rescan
+    the corpus body (a bloom_prefilter over the fingerprints slots
+    in front of the anti-join when the history set outgrows a
+    shuffle-friendly size — operators/bloom.py). Output:
+    (doc_id, fp) of the batch's keepers."""
+    fp_new = new_docs.select(
+        F.col(id_col), T.fingerprint_md5(text_col).alias("fp")
+    )
+    fp_hist = history.select(T.fingerprint_md5(text_col).alias("fp"))
+    fresh = fp_new.join(fp_hist, "fp", "left_anti")
+    return (
+        fresh.groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fp")
+    )

@@ -646,6 +646,71 @@ def kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    )
+    SELECT vec_id, scale,
+           CASE WHEN scale > 0
+                THEN list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS INT))
+                ELSE list_transform(v, x -> 0) END AS q
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus
+    (functions/vector.int8_quantize): the 4x storage/bandwidth lever
+    before any ANN index at 100 TB. Map-side pure expressions; scale
+    and every quantized component are deterministic arithmetic, so
+    the whole codebook-free compression is value-oracle-paired.
+    Reconstruction quality (dequantized cosine vs exact) is measured
+    in tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    scale, q = V.int8_quantize("embedding")
+    return emb.select("vec_id", scale.alias("scale"), q.alias("q"))
+
+
+@register(
+    "dedup_incremental_docs",
+    f"""
+    WITH hist AS (
+      SELECT md5({NORM_SQL}) AS fp FROM documents WHERE doc_id < 250
+    ),
+    new_batch AS (
+      SELECT doc_id, md5({NORM_SQL}) AS fp FROM documents
+      WHERE doc_id >= 250
+    ),
+    fresh AS (
+      SELECT doc_id, fp FROM new_batch
+      WHERE fp NOT IN (SELECT fp FROM hist)
+    )
+    SELECT MIN(doc_id) AS doc_id, fp FROM fresh GROUP BY fp
+    """,
+)
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators/corpus.incremental_dedup):
+    a new ingest batch (doc_id >= 250) deduped against the already-
+    ingested corpus (doc_id < 250) AND within itself — the
+    continuous-ingestion shape where history participates only as a
+    16-byte fingerprint table (never a corpus rescan; bloom_prefilter
+    slots in front of the anti-join when the fingerprint set outgrows
+    a comfortable shuffle)."""
+    docs = load(spark, sf_dir, "documents")
+    return C.incremental_dedup(
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -207,3 +207,51 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     cents = S.kmeans_fit(emb, k=2, n_iter=2)
     assert len(cents) == 2
     assert all(all(x == x for x in v) for _, v in cents)  # no NaN
+
+
+def test_int8_quantize_recall_and_roundtrip(spark):
+    """Quantization invariants: |q_i| <= 127; exact zero vector ->
+    scale 0 + zero codes; dequantized cosine within 1% of the exact
+    cosine for random-ish vectors."""
+    from ngafid_cpat_spark.functions import vector as V
+    from ngafid_cpat_spark.sources import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    scale, q = V.int8_quantize("embedding")
+    qdf = emb.select("vec_id", "embedding", scale.alias("s"), q.alias("q"))
+    bad = qdf.filter(
+        F.exists("q", lambda x: (x > 127) | (x < -127))
+    ).count()
+    assert bad == 0
+    # reconstruction: cosine(original, dequantized) ~ 1
+    deq = qdf.withColumn("d", V.int8_dequantize("q", "s"))
+    cos = deq.select(
+        V.cosine("embedding", "d").alias("c")
+    ).agg(F.min("c")).first()[0]
+    assert cos > 0.99
+    # zero vector edge
+    z = spark.createDataFrame(
+        [{"vec_id": 1, "embedding": [0.0, 0.0, 0.0]}]
+    ).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    zs, zq = V.int8_quantize("embedding")
+    row = z.select(zs.alias("s"), zq.alias("q")).first()
+    assert row["s"] == 0.0 and row["q"] == [0, 0, 0]
+
+
+def test_incremental_dedup(spark):
+    from ngafid_cpat_spark.operators import corpus as C
+
+    hist = spark.createDataFrame(
+        [{"doc_id": 1, "text": "old known document"},
+         {"doc_id": 2, "text": "another old one"}]
+    )
+    new = spark.createDataFrame(
+        [{"doc_id": 10, "text": "OLD   known document"},   # dup of history (normalized)
+         {"doc_id": 11, "text": "brand new content"},
+         {"doc_id": 12, "text": "brand  NEW content"},     # in-batch dup of 11
+         {"doc_id": 13, "text": "wholly distinct"}]
+    )
+    keep = {r["doc_id"] for r in C.incremental_dedup(new, hist).collect()}
+    assert keep == {11, 13}
