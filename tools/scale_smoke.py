@@ -170,6 +170,19 @@ def main() -> None:
             edges, ids, id_col="id", small_graph_edges=0
         )
 
+    def kmeans(emb):
+        from ngafid_cpat_spark.operators import similarity as S
+
+        # iterative Lloyd: per-iteration cost = one wide map-side
+        # groupBy + a k x dim collect; time should track |vectors|
+        return S.kmeans_cluster_profile(emb, k=8, n_iter=2)
+
+    def int8_quantize(emb):
+        from ngafid_cpat_spark.functions import vector as VV
+
+        scale, q = VV.int8_quantize("embedding")
+        return emb.select("vec_id", scale.alias("s"), q.alias("q"))
+
     def knn_graph(emb):
         from ngafid_cpat_spark.operators import similarity as S
 
@@ -199,6 +212,8 @@ def main() -> None:
         "bloom_semi_join": ("events", bloom_semi),
         "connected_components": ("events", cc_distributed),
         "knn_graph_lsh": ("emb", knn_graph),
+        "kmeans_lloyd": ("emb", kmeans),
+        "int8_quantize": ("emb", int8_quantize),
     }
 
     def synth_emb(n: int):
