@@ -184,3 +184,67 @@ def test_ratio_round_half_away_from_zero(spark, num, den):
         )
     )
     assert got == want, (num, den, got, want)
+
+
+name_st = st.text(alphabet="abc", min_size=0, max_size=5)
+
+
+@given(st.lists(name_st, min_size=1, max_size=12, unique=True))
+@settings(**SETTINGS)
+def test_edit1_pairs_complete_and_sound(spark, names):
+    """Deletion-neighborhood blocking with the aligned-deletion
+    pruning finds EXACTLY the brute-force dist<=1 pair set on
+    arbitrary short strings (including empty strings and strings
+    whose whole deletion neighborhood collapses)."""
+    rows = [{"id": i, "name": n} for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["id1"], r["id2"])
+        for r in D.edit1_pairs(
+            df, id_col="id", text_col="name", max_variant_freq=None
+        ).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (i, j)
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == want
+
+
+vec_st = st.lists(
+    st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=32),
+    min_size=4, max_size=4,
+)
+
+
+@given(st.lists(vec_st, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_int8_quantize_bounds_and_error(spark, vecs):
+    """Quantization invariants over arbitrary vectors: codes within
+    [-127, 127], and per-component reconstruction error <= scale/2
+    (the half-step bound of round-to-nearest)."""
+    from ngafid_cpat_spark.functions import vector as V
+
+    rows = [{"vec_id": i, "embedding": v} for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df = df.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    scale, q = V.int8_quantize("embedding")
+    out = df.select("embedding", scale.alias("s"), q.alias("q")).collect()
+    for r in out:
+        assert all(-127 <= x <= 127 for x in r["q"])
+        if r["s"] == 0:
+            assert all(x == 0 for x in r["q"])
+            continue
+        for orig, code in zip(r["embedding"], r["q"]):
+            assert abs(orig - code * r["s"]) <= r["s"] / 2 + 1e-12
