@@ -358,6 +358,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant: int = 6,
+    checkpoint_input: bool = True,
 ) -> list[tuple[int, list[float]]]:
     """Distributed spherical k-means (Lloyd) — the trained-codebook
     upgrade for the IVF path (write_ivf_index / ivf_topk take the
@@ -386,6 +387,13 @@ def kmeans_fit(
     components would square in float32 on the Spark side while any
     double-typed oracle squares in float64.
     """
+    # n_iter+1 passes read the input (seeds + per-iteration sums): one
+    # lazy localCheckpoint materializes the scan+cast once — the same
+    # persist-the-base advice the docstring gives for big n_iter,
+    # applied at the operator level (pass checkpoint_input=False when
+    # the caller already checkpointed, e.g. kmeans_cluster_profile)
+    if checkpoint_input:
+        emb = emb.localCheckpoint(eager=False)
     seed_rows = (
         emb.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())
@@ -452,7 +460,10 @@ def kmeans_cluster_profile(
     with member count and the integer-micro mean of the quantized
     member-to-centroid cosines (deterministic; empty clusters are
     absent). Columns: centroid_id, n_vecs, avg_sim."""
-    centroids = kmeans_fit(emb, k, n_iter, id_col, vec_col, quant)
+    emb = emb.localCheckpoint(eager=False)  # fit passes + final assign
+    centroids = kmeans_fit(
+        emb, k, n_iter, id_col, vec_col, quant, checkpoint_input=False
+    )
     assigned = _assign_quantized(emb, centroids, vec_col, quant)
     # integer-micro sum, then plain double division (the _avg_milli
     # shape) — summation order can't move a bit, and long/long/1e6
