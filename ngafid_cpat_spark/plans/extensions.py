@@ -183,6 +183,80 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_keep_best",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh_cut a JOIN sh_cut b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM common
+        JOIN sizes s1 ON common.id1 = s1.doc_id
+        JOIN sizes s2 ON common.id2 = s2.doc_id
+      WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ),
+    reach(id, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY id
+    ),
+    ranked AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS keeper_id, n_chars AS keeper_quality,
+           cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end NEAR-dup survivorship: exact-Jaccard pair graph ->
+    connected components -> one kept representative per transitive
+    duplicate cluster, chosen by quality (n_chars desc, ties to the
+    lowest id). The composition a real pretraining pipeline ships —
+    dedup_keep_best's exact-duplicate survivorship upgraded to
+    near-duplicate clusters. Scale shape inherits its parts: df-cut
+    inverted-index pairs, k-hop label propagation over only the dup
+    graph, one window over cluster-sized groups."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, k=SHINGLE_K, threshold=JACCARD_THRESHOLD)
+    clusters = D.connected_components(
+        pairs, docs.select("doc_id"), id_col="doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("n_chars").alias("keeper_quality"),
+            "cluster_size",
+        )
+    )
+
+
 _MINHASH_N = 32
 _MINHASH_BANDS = 16
 _MINHASH_R = _MINHASH_N // _MINHASH_BANDS
