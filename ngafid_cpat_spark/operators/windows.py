@@ -391,3 +391,58 @@ def boundaries(
         F.count(F.lit(1)).alias("n_rows"),
         *aggs,
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by,
+    out_col: str = "row_id",
+    start: int = 1,
+) -> DataFrame:
+    """Contiguous global row ids in ``order_by`` order — equal to
+    ``row_number() OVER (ORDER BY ...)`` but scalable.
+
+    The naive global window is the classic trap: with no PARTITION BY
+    every row lands in ONE task (Spark even warns
+    "No Partition Defined for Window operation"), so a 100 TB sort
+    serializes through a single executor. Here:
+
+      1. repartitionByRange(order_by): a sampled range exchange puts
+         each key range in its own partition, cluster-wide;
+      2. sortWithinPartitions + per-partition row_number: local work;
+      3. partition COUNTS (one tiny agg, #partitions rows) collected
+         and turned into cumulative offsets, joined back broadcast.
+
+    Range partition boundaries are sampling-dependent, but the final
+    id of a row is offset+local_rank which always equals its global
+    rank — ids are DETERMINISTIC whenever ``order_by`` is a total
+    order (unique key); with duplicate keys, ties order arbitrarily
+    exactly as the naive form's ties do.
+
+    The same two-phase shape as zipWithIndex, expressed in DataFrame
+    ops (no RDD round-trip, stays in Tungsten rows)."""
+    cols = _cols(order_by)
+    ranged = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    pid = ranged.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    local = pid.withColumn("__rn", F.row_number().over(w))
+    # bounded collect: one row per partition
+    sizes = (
+        local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    offsets = {}
+    acc = start - 1
+    for r in sorted(sizes, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["__n"]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "__pid int, __off long"
+        )
+    )
+    return (
+        local.join(off_df, "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__rn"))
+        .drop("__pid", "__rn", "__off")
+    )

@@ -721,6 +721,30 @@ def kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "global_ids_docs",
+    f"""
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (ORDER BY source, doc_id) AS row_id
+    FROM documents
+    """,
+)
+def global_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row ids over (source, doc_id) — the corpus
+    re-numbering every sharded training run needs. NOT the naive
+    row_number() OVER (ORDER BY ...) (whose empty PARTITION BY
+    serializes 100 TB through one task): operators/windows.
+    global_row_number range-partitions, ranks locally, and adds
+    collected per-partition offsets — identical ids, cluster-wide
+    parallelism (tests assert the plan has no single-partition
+    global window)."""
+    docs = load(spark, sf_dir, "documents")
+    out = OW.global_row_number(
+        docs.select("doc_id", "source"), ["source", "doc_id"]
+    )
+    return out.select("doc_id", "source", "row_id")
+
+
+@register(
     "embedding_quantize_int8",
     """
     WITH e AS (

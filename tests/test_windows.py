@@ -185,3 +185,31 @@ def test_islands_chunked_matches_plain(spark):
     )
     n = only.filter("user_id = 1").select("island_id").distinct().count()
     assert n == 3
+
+
+def test_global_row_number_matches_naive_and_avoids_single_task(spark):
+    from pyspark.sql import Window as W
+
+    from ngafid_cpat_spark.operators import windows as OW
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    got = OW.global_row_number(df, ["k", "v"], out_col="rid")
+    naive = df.withColumn(
+        "rid", F.row_number().over(W.orderBy("k", "v"))
+    )
+    assert sorted(map(tuple, got.select("k", "v", "rid").collect())) == sorted(
+        map(tuple, naive.select("k", "v", "rid").collect())
+    )
+    # the scalable form must not plan a global single-partition sort:
+    # no SinglePartition exchange anywhere
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # ids are contiguous from 1
+    n = df.count()
+    stats = got.agg(
+        F.min("rid").alias("lo"), F.max("rid").alias("hi"),
+        F.countDistinct("rid").alias("d"),
+    ).first()
+    assert (stats["lo"], stats["hi"], stats["d"]) == (1, n, n)
