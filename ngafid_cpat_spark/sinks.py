@@ -234,6 +234,30 @@ def write_layout(
     )
 
 
+def z_key(c1, c2, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    NON-NEGATIVE integer columns — the interleaved sort key
+    write_layout's docstring points at for two co-filtering fine
+    dimensions. Sorting by z_key clusters 2-D neighborhoods into the
+    same parquet row groups, so min/max stats prune on BOTH columns
+    (a single-column sort prunes only its leading dimension).
+
+    Callers bucketize continuous values first (e.g.
+    ``F.ntile`` ranks or fixed-width ``(col / w).cast('int')``
+    buckets); 16+16 bits covers 65k x 65k buckets in one BIGINT.
+    Pure codegen — one expression, no UDF."""
+    a = F.col(c1) if isinstance(c1, str) else c1
+    b = F.col(c2) if isinstance(c2, str) else c2
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return out
+
+
 def compact(
     spark: SparkSession,
     path: str,

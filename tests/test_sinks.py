@@ -161,3 +161,33 @@ def test_write_layout_prunes_partitions_and_pushes_sort_col(spark, tmp_path):
     for d in glob.glob(f"{path}/event_type=*"):
         files = [f for f in glob.glob(f"{d}/*.parquet")]
         assert len(files) == 1, d
+
+
+def test_z_key_matches_python_interleave(spark):
+    """z_key == reference bit interleave for random bucket pairs, and
+    ordering by it groups quadrants (the row-group-pruning property)."""
+    import random
+
+    from ngafid_cpat_spark.sinks import z_key
+
+    rnd = random.Random(7)
+    rows = [
+        {"a": rnd.randrange(0, 1 << 16), "b": rnd.randrange(0, 1 << 16)}
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {(r["a"], r["b"]): r["z"] for r in df.withColumn("z", z_key("a", "b")).collect()}
+
+    def interleave(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(r["a"], r["b"]): interleave(r["a"], r["b"]) for r in rows}
+    # quadrant property: the top interleaved bit pair = the two
+    # coordinates' top bits, so sorting by z never mixes quadrants
+    for (a, b), z in got.items():
+        assert (z >> 31) & 1 == (b >> 15) & 1
+        assert (z >> 30) & 1 == (a >> 15) & 1
