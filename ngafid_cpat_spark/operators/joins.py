@@ -90,6 +90,16 @@ def _argmin_two_phase(
     )
 
 
+# Target distinct fact keys per fan task: the phase-1 partial
+# aggregate keeps one min-buffer per key, and once that map outgrows
+# the per-core cache slice every one of the |facts| x |dims| fan rows
+# pays a DRAM-latency lookup. Measured at 5M facts x 15,165 dims on
+# local[32]: 32 partitions (156k keys/task) 117 s, 128 partitions
+# 50 s, 512 partitions 45 s — a 2.6x cliff from cache residency
+# alone. ~32k keys x ~32 B buffer ≈ 1 MB per task map.
+TARGET_KEYS_PER_FAN_TASK = 32_768
+
+
 def nearest(
     facts: DataFrame,
     dims: DataFrame,
@@ -97,6 +107,7 @@ def nearest(
     fact_key: str,
     dim_cols: list[str],
     out_prefix: str = "nearest_",
+    fan_partitions: int | None = None,
 ) -> DataFrame:
     """Argmin join: for every fact row, the dim row minimizing
     ``distance`` (a Column over the joined row). Dims are broadcast;
@@ -127,13 +138,24 @@ def nearest(
     ordering sorted a NULL distance FIRST, letting a null-distance
     dim beat real candidates). A fact with no finite distance gets
     NULL nearest_* columns via the left join.
-    """
+
+    ``fan_partitions``: width of the fan stages. Default sizes it so
+    each task's phase-1 aggregation map holds ~TARGET_KEYS_PER_FAN_TASK
+    keys (cache-resident — see the measured 2.6x DRAM cliff above),
+    at the cost of ONE extra count() over the fact lineage; pass it
+    explicitly when the fact count is known or the lineage is
+    expensive to scan twice."""
     # explicit partition count: AQE would coalesce the (small) pre-join
     # shuffle to one partition, blind to the |dims|x fan-out behind it
     n_part = facts.sparkSession.sparkContext.defaultParallelism
+    if fan_partitions is None:
+        n_facts = facts.count()
+        fan_partitions = max(
+            n_part, int(n_facts // TARGET_KEYS_PER_FAN_TASK) + 1
+        )
     # no manual projection: Catalyst prunes the fan-out down to the
     # key + the distance expression's inputs on its own
-    f = facts.repartition(n_part, fact_key)
+    f = facts.repartition(fan_partitions, fact_key)
     bdims = F.broadcast(dims)
     best = _argmin_two_phase(
         f, lambda df: df.join(bdims, how="cross"),

@@ -142,6 +142,20 @@ def main() -> None:
             fact_key="event_id", dim_cols=["site_id"],
         )
 
+    def nn_join_ref_dims(ev):
+        # the reference's literal envelope: 15,165 airports scanned
+        # per telemetry tick (BASELINE.md) — here a broadcast dim of
+        # exactly that cardinality through the two-phase argmin
+        dim = spark.range(15_165).select(
+            F.col("id").alias("site_id"),
+            (F.col("id") % 9973 / 10.0).alias("center"),
+        )
+        return J.nearest(
+            ev, dim,
+            distance=F.abs(F.col("value") - F.col("center")),
+            fact_key="event_id", dim_cols=["site_id"],
+        )
+
     def bloom_semi(ev):
         from ngafid_cpat_spark.operators import bloom as B
 
@@ -209,6 +223,7 @@ def main() -> None:
         "dedup_exact": ("docs", dedup_exact),
         "jaccard_pairs": ("docs", jaccard),
         "nearest_join": ("events", nn_join),
+        "nearest_join_ref_dims": ("events", nn_join_ref_dims),
         "bloom_semi_join": ("events", bloom_semi),
         "connected_components": ("events", cc_distributed),
         "knn_graph_lsh": ("emb", knn_graph),
