@@ -155,6 +155,7 @@ def with_nearest_airport(
     flight_df: DataFrame,
     airports: DataFrame,
     fold_max_dims: int = FOLD_MAX_AIRPORTS,
+    fan_partitions: int | None = None,
 ) -> DataFrame:
     """Per-tick nearest airport by Manhattan |dlat|+|dlon| degrees
     (FlightAnalysis.py:356-366). Two result-identical physical
@@ -178,7 +179,15 @@ def with_nearest_airport(
     PRECONDITION (join path): (flight, time) uniquely identifies a
     telemetry row (the reference's ordered scan implies the same,
     main.py:36); duplicate ticks would break the join-back —
-    deduplicate upstream if a feed can double-report."""
+    deduplicate upstream if a feed can double-report.
+
+    ``fan_partitions`` (join path): width of the fan/argmin stages.
+    At the reference's 15,165-airport cardinality the phase-1
+    aggregation map must stay cache-resident or every fan row pays a
+    DRAM-latency lookup — the measured 2.6x cliff in SCALE.md's third
+    harness catch (operators/joins.TARGET_KEYS_PER_FAN_TASK). Size it
+    to ~ticks / 32k; left None, the argmin runs at the incoming
+    partitioning (analyze()'s pipeline-wide flight repartition)."""
     from ..operators.joins import _argmin_two_phase
 
     if fold_max_dims > 0:
@@ -197,8 +206,14 @@ def with_nearest_airport(
             F.col("elevation_ft").alias("ap_elev"),
         )
     )
+    argmin_in = flight_df.select("flight", "time", "latitude", "longitude")
+    if fan_partitions is not None:
+        # repartition on flight (not the full key): windows and joins
+        # downstream still reuse flight clustering, while the fan's
+        # per-task key count shrinks to cache size
+        argmin_in = argmin_in.repartition(fan_partitions, "flight")
     best = _argmin_two_phase(
-        flight_df.select("flight", "time", "latitude", "longitude"),
+        argmin_in,
         lambda df: df.join(ap, how="cross"),
         ["flight", "time"],
         d,
