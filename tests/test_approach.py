@@ -189,3 +189,32 @@ def test_nearest_airport_fold_matches_two_phase(spark, telemetry, dims):
     # the fold plan must be join- and shuffle-free
     plan = fold._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan
+
+
+@pytest.mark.parametrize("strategy", ["per_type", "joined"])
+def test_analyze_fleet_null_type_carries_its_config(spark, telemetry, dims, strategy):
+    """A NULL aircraft_type is a real group (eqNullSafe in both
+    strategies): its flights analyze under the NULL-keyed config row,
+    not silently under defaults — flight 1's IAS-80 tick flips stable
+    only if the NULL-type config (max_ias=85) is actually applied."""
+    airports, runways = dims
+    aircraft = spark.createDataFrame(
+        [{"id": 1, "aircraft_type": None},
+         {"id": 2, "aircraft_type": 9},
+         {"id": 3, "aircraft_type": 9}],
+        "id long, aircraft_type int",
+    )
+    thresholds = spark.createDataFrame(
+        [{"aircraft_id": None, "max_ias": 85.0}],
+        "aircraft_id int, max_ias double",
+    )
+    out = {
+        (r["flight_id"], r["approach_id"]): r
+        for r in AP.analyze_fleet(
+            telemetry, airports, runways, aircraft, thresholds,
+            strategy=strategy,
+        ).collect()
+    }
+    assert (1, 1) in out, "NULL-type flight must not vanish from the fleet"
+    assert out[(1, 1)]["unstable"] == 0   # NULL-keyed config applied
+    assert out[(2, 1)]["unstable"] == 0   # typed flight unaffected
