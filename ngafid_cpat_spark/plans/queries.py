@@ -4,12 +4,12 @@ plus the DuckDB oracle SQL for every SQL-expressible entry.
 Import order matters only for registration side effects; relational
 defines the registry, the other modules append to it. After all
 registrations the registry is REORDERED: the driver's correctness
-gate checks the first 50 entries in insertion order, so that window
-is curated to hold one proven sentinel per SURVEY.md §2 operator
-family plus every operator class that has not yet earned a driver
-oracle row (the LLM-pipeline extensions, the approach pipeline, and
-a TPC-H-sweep sample). Everything else keeps its local oracle
-coverage via tools/check_oracle.py.
+gate checks the first 50 entries in insertion order, so PRIORITY is
+re-curated each round — flagship sentinels, everything whose plan or
+oracle changed this round, and whatever has not yet earned a driver
+oracle row. Everything else keeps its local oracle coverage via
+tools/check_oracle.py (122 ok / 0 fail / 0 rows-only at both sf0.01
+and sf0.001 as of r04).
 """
 
 from __future__ import annotations
