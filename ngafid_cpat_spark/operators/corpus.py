@@ -532,24 +532,35 @@ def corpus_mix(
 
 def incremental_dedup(
     new_docs: DataFrame,
-    history: DataFrame,
+    history: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    history_fp: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (streaming-batch) exact dedup: from a NEW batch,
     the surviving documents — not an exact duplicate of anything in
-    ``history`` (the already-ingested corpus) and the min-id keeper
-    within the batch itself. The standard continuous-ingest shape:
-    history participates only as its 16-byte fingerprint set, so at
-    100 TB you store/maintain the fingerprint table, never rescan
-    the corpus body (a bloom_prefilter over the fingerprints slots
-    in front of the anti-join when the history set outgrows a
-    shuffle-friendly size — operators/bloom.py). Output:
-    (doc_id, fp) of the batch's keepers."""
+    the already-ingested corpus and the min-id keeper within the
+    batch itself. The standard continuous-ingest shape: history
+    participates only as its 16-byte fingerprint set, so at 100 TB
+    you MAINTAIN the fingerprint table and pass it as ``history_fp``
+    (a DataFrame with an `fp` column — e.g. this function's own
+    output from prior batches) — the corpus body is never rescanned.
+    Passing raw ``history`` docs instead derives the fingerprints
+    from their ``text_col`` on the fly (convenient for small/one-off
+    backfills, but it re-reads the history text every call). A
+    bloom_prefilter over the fingerprints slots in front of the
+    anti-join when the history set outgrows a shuffle-friendly size —
+    operators/bloom.py. Output: (doc_id, fp) of the batch's
+    keepers."""
     fp_new = new_docs.select(
         F.col(id_col), T.fingerprint_md5(text_col).alias("fp")
     )
-    fp_hist = history.select(T.fingerprint_md5(text_col).alias("fp"))
+    if history_fp is not None:
+        fp_hist = history_fp.select("fp")
+    elif history is not None:
+        fp_hist = history.select(T.fingerprint_md5(text_col).alias("fp"))
+    else:
+        raise ValueError("pass history_fp (preferred at scale) or history")
     fresh = fp_new.join(fp_hist, "fp", "left_anti")
     return (
         fresh.groupBy("fp")

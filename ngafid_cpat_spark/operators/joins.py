@@ -107,7 +107,7 @@ def nearest(
     fact_key: str,
     dim_cols: list[str],
     out_prefix: str = "nearest_",
-    fan_partitions: int | None = None,
+    fan_partitions: int | str | None = None,
 ) -> DataFrame:
     """Argmin join: for every fact row, the dim row minimizing
     ``distance`` (a Column over the joined row). Dims are broadcast;
@@ -139,20 +139,28 @@ def nearest(
     dim beat real candidates). A fact with no finite distance gets
     NULL nearest_* columns via the left join.
 
-    ``fan_partitions``: width of the fan stages. Default sizes it so
-    each task's phase-1 aggregation map holds ~TARGET_KEYS_PER_FAN_TASK
-    keys (cache-resident — see the measured 2.6x DRAM cliff above),
-    at the cost of ONE extra count() over the fact lineage; pass it
-    explicitly when the fact count is known or the lineage is
-    expensive to scan twice."""
+    ``fan_partitions``: width of the fan stages.
+      * None (default): the session's defaultParallelism — fully lazy,
+        no extra action over the fact lineage (plan-build stays cheap
+        for heavy multi-stage inputs).
+      * ``"auto"``: count the facts once and size tasks so each
+        phase-1 aggregation map holds ~TARGET_KEYS_PER_FAN_TASK keys
+        (cache-resident — see the measured 2.6x DRAM cliff above).
+        Opt-in because it costs ONE eager count() over the fact
+        lineage at plan-build time; use it whenever |facts| may exceed
+        ~TARGET_KEYS_PER_FAN_TASK x defaultParallelism (≈1M rows on
+        local[32]) and the lineage is cheap to scan.
+      * an int: explicit width, when the fact count is known."""
     # explicit partition count: AQE would coalesce the (small) pre-join
     # shuffle to one partition, blind to the |dims|x fan-out behind it
     n_part = facts.sparkSession.sparkContext.defaultParallelism
-    if fan_partitions is None:
+    if fan_partitions == "auto":
         n_facts = facts.count()
         fan_partitions = max(
             n_part, int(n_facts // TARGET_KEYS_PER_FAN_TASK) + 1
         )
+    elif fan_partitions is None:
+        fan_partitions = n_part
     # no manual projection: Catalyst prunes the fan-out down to the
     # key + the distance expression's inputs on its own
     f = facts.repartition(fan_partitions, fact_key)

@@ -9,6 +9,8 @@ tail so results are directly comparable to the exact baseline.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -403,8 +405,20 @@ def kmeans_fit(
     if not seed_rows:
         return []
     dim = len(seed_rows[0][vec_col])
+
+    def _seed_round(x: float) -> float:
+        # half-away-from-zero at `quant` decimals — the same rounding
+        # DuckDB's ROUND and Spark's F.round apply. Python's round()
+        # banker's-rounds, so a seed component landing on a
+        # representable decimal tie would diverge the whole Lloyd run
+        # cross-engine (the mean_micro hazard, at the seed).
+        f = 10.0 ** quant
+        v = float(x) * f
+        r = math.floor(abs(v) + 0.5)
+        return (r if v >= 0 else -r) / f
+
     centroids = [
-        (i, [round(float(x), quant) for x in r[vec_col]])
+        (i, [_seed_round(x) for x in r[vec_col]])
         for i, r in enumerate(seed_rows)
     ]
     for _ in range(n_iter):

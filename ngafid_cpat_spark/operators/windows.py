@@ -425,7 +425,17 @@ def global_row_number(
     ranged = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
     pid = ranged.withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(*cols)
-    local = pid.withColumn("__rn", F.row_number().over(w))
+    # Pin the ranked frame BEFORE the sizes collect: both actions (the
+    # count-per-partition collect and the final offset join) must see
+    # the SAME range boundaries and partition ids. Without the pin the
+    # second action re-executes the sampled range exchange from
+    # scratch — nondeterministic lineage could re-sample different
+    # boundaries (duplicate/gapped ids), and even deterministic input
+    # pays the heavy sort pipeline twice. Lazy: materialized by the
+    # sizes collect, reused by the join.
+    local = pid.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     # bounded collect: one row per partition
     sizes = (
         local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()

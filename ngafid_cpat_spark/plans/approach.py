@@ -190,8 +190,22 @@ def with_nearest_airport(
     partitioning (analyze()'s pipeline-wide flight repartition)."""
     from ..operators.joins import _argmin_two_phase
 
+    # Candidate contract (BOTH strategies): a dim row is a usable
+    # airport only with a non-NULL code AND non-NULL coordinates.
+    # NULL-coordinate rows can never produce a finite distance;
+    # NULL-code rows are excluded by contract — letting one win would
+    # emit airport_code=NULL with real coordinates (indistinguishable
+    # from "no airport") and break the deterministic code tie-break.
+    # Filtering once here keeps the fold and two-phase paths
+    # result-identical on dims containing such rows.
+    usable = airports.where(
+        F.col("airport_code").isNotNull()
+        & F.col("latitude").isNotNull()
+        & F.col("longitude").isNotNull()
+    )
+
     if fold_max_dims > 0:
-        probe = airports.select(
+        probe = usable.select(
             "airport_code", "latitude", "longitude", "elevation_ft"
         ).limit(fold_max_dims + 1).collect()
         if len(probe) <= fold_max_dims:
@@ -199,7 +213,7 @@ def with_nearest_airport(
 
     d = geo.manhattan_deg("latitude", "longitude", "ap_lat", "ap_lon")
     ap = F.broadcast(
-        airports.select(
+        usable.select(
             F.col("airport_code"),
             F.col("latitude").alias("ap_lat"),
             F.col("longitude").alias("ap_lon"),

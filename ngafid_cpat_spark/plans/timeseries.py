@@ -124,7 +124,7 @@ def gapfill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY hour
     )
     SELECT CAST(date_trunc('day', hour) AS DATE) AS day,
-           SUM(n)            AS n_events,
+           CAST(SUM(n) AS BIGINT) AS n_events,
            SUM(sum_c) / 100.0 AS sum_value,
            COUNT(*)          AS n_hours
     FROM hourly

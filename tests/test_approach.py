@@ -170,10 +170,17 @@ def test_nearest_airport_fold_matches_two_phase(spark, telemetry, dims):
     argmin are row-identical, including NULL-coordinate dims and the
     deterministic tie-break."""
     airports, _ = dims
-    # add a NULL-coordinate airport: both paths must ignore it
+    # add a NULL-coordinate airport AND a NULL-code airport with valid
+    # coordinates sitting on top of the telemetry: both paths must
+    # exclude both (the NULL-code row would otherwise WIN the argmin in
+    # the two-phase path while the fold skips it — the r04 ADVICE
+    # divergence; the candidate contract now filters it in both)
+    near = telemetry.select("latitude", "longitude").first()
     extra = spark.createDataFrame(
         [{"airport_code": "KNUL", "latitude": None, "longitude": None,
-          "elevation_ft": None}],
+          "elevation_ft": None},
+         {"airport_code": None, "latitude": near["latitude"],
+          "longitude": near["longitude"], "elevation_ft": 123.0}],
         "airport_code string, latitude double, longitude double, elevation_ft double",
     )
     dim = airports.select(

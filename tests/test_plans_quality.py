@@ -62,6 +62,27 @@ def test_no_python_eval_in_relational_hot_paths(spark):
         assert not re.search(r"BatchEvalPython|ArrowEvalPython", p), (name, p)
 
 
+def test_no_nested_types_in_registered_outputs(spark):
+    """Catalog rule (r04 postmortem): registered query outputs must be
+    scalar columns only — the driver canonicalizes results through
+    pandas sort_values, which throws `unhashable type: 'list'` on any
+    array/map/struct cell (embedding_quantize_int8 hard-errored the
+    r04 gate this way). Library APIs may return arrays; the registered
+    wrapper must serialize them (e.g. array_join to CSV)."""
+    bad = []
+    for name, fn in QUERIES.items():
+        try:
+            schema = fn(spark, SF_DIR).schema
+        except Exception as e:  # build failure is its own loud signal
+            bad.append((name, f"build error: {e}"))
+            continue
+        for field in schema.fields:
+            st = field.dataType.simpleString()
+            if st.startswith(("array<", "map<", "struct<")):
+                bad.append((name, f"{field.name}: {st}"))
+    assert bad == [], bad
+
+
 def test_priority_window_complete():
     """Every curated correctness-window name must be registered (a
     stale name only warns at import — this test is where it FAILS, so

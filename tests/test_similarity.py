@@ -255,3 +255,19 @@ def test_incremental_dedup(spark):
     )
     keep = {r["doc_id"] for r in C.incremental_dedup(new, hist).collect()}
     assert keep == {11, 13}
+    # the scale path: history as a MAINTAINED fingerprint table (this
+    # function's own prior output shape) — no corpus-body rescan.
+    # Chaining batch 1's keepers as batch 2's history_fp must give the
+    # same survivors as re-fingerprinting the raw history text.
+    hist_fp = C.incremental_dedup(
+        hist, hist.limit(0), id_col="doc_id"
+    )  # fingerprints of the history docs themselves
+    keep_fp = {
+        r["doc_id"]
+        for r in C.incremental_dedup(new, history_fp=hist_fp).collect()
+    }
+    assert keep_fp == {11, 13}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        C.incremental_dedup(new)

@@ -5,6 +5,21 @@ over the same parquet dir, then compares: row count, column names,
 and order-insensitive values (sorted rows, tolerant float compare to
 surface near-misses before they become hash mismatches).
 
+Driver-faithful dtype audit (added r05, after the r04 gate caught 4
+queries this mirror had passed): the driver canonicalizes BOTH sides
+through pandas and hashes the frame, so a DuckDB HUGEINT/DECIMAL
+aggregate that `.df()` converts to float64 hashes as `123.0` against
+Spark's `123` even though Python-level values compare equal, and any
+array/map/struct output column makes pandas `sort_values` throw.
+For every oracle-paired query we therefore also:
+  * fetch the DuckDB result AS A PANDAS FRAME (`.df()`) and compare
+    its dtypes against the Spark schema — duck float dtype vs Spark
+    integral type, duck object dtype holding non-string payloads
+    (Decimal, list, ndarray) vs Spark scalar type, and any nested
+    Spark output type are all hard FAILs;
+  * replay the driver's canonicalization (sort_values over all
+    columns) on the duck frame so unhashable cells fail HERE first.
+
 Usage:
     python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [query ...]
 """
@@ -78,6 +93,65 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
                 break
     if n_bad > 3:
         problems.append(f"... {n_bad} mismatched rows total")
+    return problems
+
+
+_SPARK_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_STRINGY = {"string", "binary"}
+
+
+def dtype_audit(spark_schema, duck_pdf):
+    """Flag cross-engine dtype divergences the driver's pandas
+    canonicalization would hash differently (or crash on) even when
+    Python-level values compare equal. `spark_schema` is the Spark
+    DataFrame schema; `duck_pdf` is the DuckDB result via `.df()`.
+    Returns a list of hard problems (no 'near-miss' softener — these
+    ARE driver failures)."""
+    problems = []
+    duck_dtypes = {c: duck_pdf[c].dtype for c in duck_pdf.columns}
+    for field in spark_schema.fields:
+        st = field.dataType.simpleString()
+        if st.startswith(("array<", "map<", "struct<")):
+            problems.append(
+                f"dtype col {field.name}: Spark output type {st} is nested "
+                "(catalog rule: registered outputs must be scalar — the "
+                "driver's pandas sort_values throws on list cells)"
+            )
+            continue
+        if field.name not in duck_dtypes:
+            continue  # column-name divergence is reported elsewhere
+        dk = duck_dtypes[field.name].kind
+        base = st.split("(")[0]
+        if base in _SPARK_INTEGRAL and dk == "f":
+            # A float dtype for a Spark-integral column is only a
+            # divergence when the column is NULL-free: pandas converts
+            # ANY nullable int with actual NULLs to float64 on BOTH
+            # engines (Spark's side too), so those hash identically in
+            # the driver. No NaNs → the float dtype can only be a
+            # DuckDB HUGEINT/DECIMAL leak → genuine hash mismatch.
+            if not duck_pdf[field.name].isna().any():
+                problems.append(
+                    f"dtype col {field.name}: duck pandas dtype "
+                    f"{duck_dtypes[field.name]} (no NULLs) vs Spark {st} "
+                    "— the driver hashes 123.0 vs 123 (HUGEINT/DECIMAL "
+                    "leak: CAST the oracle expression AS BIGINT)"
+                )
+        elif dk == "O" and base not in _SPARK_STRINGY and base != "date":
+            col = duck_pdf[field.name]
+            sample = next((v for v in col if v is not None), None)
+            if sample is not None and not isinstance(sample, str):
+                problems.append(
+                    f"dtype col {field.name}: duck object dtype holding "
+                    f"{type(sample).__name__} vs Spark {st} — hashes "
+                    "differently through pandas (CAST the oracle side)"
+                )
+    # Replay the driver's canonicalization on the duck frame: an
+    # unhashable cell (list/ndarray) dies here exactly as in-gate.
+    try:
+        if len(duck_pdf):
+            duck_pdf.sort_values(by=list(duck_pdf.columns))
+    except Exception as e:
+        problems.append(f"driver canonicalization would hard-error: {e!r}")
     return problems
 
 
@@ -194,11 +268,13 @@ def main():
             res = con.execute(oracles[name])
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()
+            duck_pdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
         problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        problems += dtype_audit(sdf.schema, duck_pdf)
         real = [p for p in problems if "near-miss" not in p]
         if real:
             print(f"FAIL  {name}: [{time.time()-t0:.1f}s]")

@@ -140,6 +140,7 @@ def main() -> None:
             ev, dim,
             distance=F.abs(F.col("value") - F.col("center")),
             fact_key="event_id", dim_cols=["site_id"],
+            fan_partitions="auto",  # cache-resident fan sizing (opt-in)
         )
 
     def nn_join_ref_dims(ev):
@@ -154,6 +155,7 @@ def main() -> None:
             ev, dim,
             distance=F.abs(F.col("value") - F.col("center")),
             fact_key="event_id", dim_cols=["site_id"],
+            fan_partitions="auto",  # cache-resident fan sizing (opt-in)
         )
 
     def bloom_semi(ev):
