@@ -336,6 +336,115 @@ def range_window_chunked(
     )
 
 
+# SCALE.md's plain-vs-chunked switch rule, made executable: below
+# this many rows in the HOTTEST key the plain single-window form wins
+# on wall clock (the chunked forms pay an extra shuffle: measured
+# 8.2 s plain vs 15.8 s chunked at 20M rows while the hot key still
+# fits a task); above it one key's history outgrows a single task's
+# sort — spill/OOM territory where only the chunked form survives.
+SKEW_AUTO_THRESHOLD_ROWS = 1_000_000
+
+
+def hottest_key_rows(df: DataFrame, partition_by) -> int:
+    """Max row count under any single partition key — ONE
+    map-side-combining aggregation pass whose shuffle carries one row
+    per key. This is the cheap probe the ``*_auto`` dispatchers pay
+    at plan-build time (an eager action, like fan_partitions='auto'
+    in joins.nearest — opt-in by choosing auto dispatch)."""
+    row = (
+        df.groupBy(*_cols(partition_by))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__m"))
+        .first()
+    )
+    return int(row["__m"]) if row and row["__m"] is not None else 0
+
+
+def sessionize_auto(
+    df: DataFrame,
+    partition_by: str | list[str],
+    ts_col: str,
+    gap_seconds: float,
+    session_col: str = "session_id",
+    chunk_seconds: float = 86400.0,
+    threshold_rows: int = SKEW_AUTO_THRESHOLD_ROWS,
+) -> DataFrame:
+    """``sessionize`` or ``sessionize_chunked``, picked by measuring
+    the hottest key (one cheap agg) against the SCALE.md switch rule
+    — 100 TB callers don't need to know the rule. Both outcomes are
+    result-identical (equivalence-tested)."""
+    if hottest_key_rows(df, partition_by) > threshold_rows:
+        return sessionize_chunked(
+            df, partition_by, ts_col, gap_seconds, session_col, chunk_seconds
+        )
+    return sessionize(df, partition_by, ts_col, gap_seconds, session_col)
+
+
+def islands_auto(
+    df: DataFrame,
+    partition_by,
+    ts_col: str,
+    tiebreak_by,
+    flag: Column,
+    island_col: str = "island_id",
+    in_island_only: bool = True,
+    chunk_seconds: float = 86400.0,
+    threshold_rows: int = SKEW_AUTO_THRESHOLD_ROWS,
+) -> DataFrame:
+    """``islands`` or ``islands_chunked`` by the hottest-key probe;
+    the plain path orders by the same (epoch seconds, *tiebreaks)
+    total order the chunked form uses, so both outcomes are
+    result-identical."""
+    if hottest_key_rows(df, partition_by) > threshold_rows:
+        return islands_chunked(
+            df, partition_by, ts_col, tiebreak_by, flag,
+            island_col, in_island_only, chunk_seconds,
+        )
+    tbs = (
+        [tiebreak_by]
+        if isinstance(tiebreak_by, str)
+        else list(tiebreak_by or [])
+    )
+    return islands(
+        df, partition_by,
+        [epoch_seconds(F.col(ts_col)), *_cols(tbs)],
+        flag, island_col, in_island_only,
+    )
+
+
+def range_window_auto(
+    df: DataFrame,
+    partition_by: str | list[str],
+    ts_col: str,
+    value,
+    window_seconds: float,
+    sum_col: str = "range_sum",
+    count_col: str = "range_n",
+    threshold_rows: int = SKEW_AUTO_THRESHOLD_ROWS,
+) -> DataFrame:
+    """Plain trailing range frame or ``range_window_chunked`` by the
+    hottest-key probe. A non-integral ``window_seconds`` always takes
+    the chunked path (Spark's rangeBetween frame bounds are longs);
+    the plain sum is cast to double to match the chunked schema."""
+    w = float(window_seconds)
+    if not w.is_integer() or hottest_key_rows(df, partition_by) > threshold_rows:
+        return range_window_chunked(
+            df, partition_by, ts_col, value, w, sum_col, count_col
+        )
+    part = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    val = F.col(value) if isinstance(value, str) else value
+    plain_w = (
+        Window.partitionBy(*_cols(part))
+        .orderBy(epoch_seconds(F.col(ts_col)))
+        .rangeBetween(-int(w), 0)
+    )
+    return df.select(
+        *df.columns,
+        F.sum(val).over(plain_w).cast("double").alias(sum_col),
+        F.count(F.lit(1)).over(plain_w).alias(count_col),
+    )
+
+
 def rolling(
     df: DataFrame,
     partition_by,

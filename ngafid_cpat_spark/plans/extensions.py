@@ -1250,6 +1250,60 @@ def streaming_enriched_counts_events(
     return spark.table("streaming_enriched_counts_events_mem")
 
 
+@register(
+    "streaming_interval_join_events",
+    """
+    SELECT p.event_id, p.user_id,
+           COUNT(*) AS n_clicks,
+           MIN(c.ts) AS first_click,
+           MAX(c.ts) AS last_click
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 3 DAY
+     AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def streaming_interval_join_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM event-time interval join executed as a real
+    availableNow run in-gate (streaming/sessions.
+    stream_stream_click_purchase): each purchase inner-joined to the
+    same user's clicks from the trailing 3 days, state bounded and
+    evicted by the 2-hour watermarks. The finite single-file source
+    runs as one micro-batch, so the inner join is COMPLETE and the
+    oracle is the batch interval join (interval_join_click_counts's
+    twin) aggregated per purchase. Join state is keyed/shuffled on
+    user_id and pruned by event time — skewed users bound memory by
+    time, not history (see the operator docstring for the
+    left-outer eviction-frontier contract, asserted in
+    tests/test_streaming.py)."""
+    from ..streaming.sessions import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_click_purchase,
+    )
+
+    stream = read_events_stream(spark, _events_stream_dir(sf_dir))
+    pairs = stream_stream_click_purchase(
+        stream, watermark="2 hours", lookback="3 days", how="inner"
+    )
+    run_to_memory(pairs, "streaming_interval_join_events_mem", mode="append")
+    return (
+        spark.table("streaming_interval_join_events_mem")
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.min("click_ts").alias("first_click"),
+            F.max("click_ts").alias("last_click"),
+        )
+    )
+
+
 # Full DuckDB twin of the approach/landing pipeline on the synthetic
 # telemetry below — every stage of plans/approach.analyze() replayed
 # as standard SQL (windows, gaps-and-islands, theta-join, FILTER

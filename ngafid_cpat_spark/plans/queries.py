@@ -8,8 +8,9 @@ gate checks the first 50 entries in insertion order, so PRIORITY is
 re-curated each round — flagship sentinels, everything whose plan or
 oracle changed this round, and whatever has not yet earned a driver
 oracle row. Everything else keeps its local oracle coverage via
-tools/check_oracle.py (122 ok / 0 fail / 0 rows-only at both sf0.01
-and sf0.001 as of r04).
+tools/check_oracle.py, which since r05 also replays the driver's
+pandas canonicalization and dtype behavior (124 ok / 0 fail /
+0 rows-only at sf0.001 as of r05 start).
 """
 
 from __future__ import annotations
@@ -21,78 +22,81 @@ from . import relational as _relational  # noqa: F401
 from . import timeseries as _timeseries  # noqa: F401  (registers)
 from . import tpch_extra as _tpch_extra  # noqa: F401  (registers)
 
-# First 50 slots = the driver's correctness window. Round-4 rotation
-# (VERDICT r03 #2): rounds 1-3 drove 49 slots green across the family
-# sentinels and the LLM-pipeline extensions; this round the window
-# moves to everything that until now had only local-mirror evidence —
-# the TPC-H sweep, the chunked (skew-robust) window variants, the
-# corpus-preparation breadth set, and the round's new operators —
-# plus every query whose plan or oracle changed this round. With this
-# window, the union of r01-r04 driver CORRECTNESS rows covers EVERY
-# strict-oracle query in the catalog; the one query never driver-
-# checked is approx_quantile_events (rows-only by design, bounded-
-# error-checked by tools/check_oracle.py instead).
+# First 50 slots = the driver's correctness window, re-curated each
+# round. Round-5 rotation (VERDICT r04 #4): (a) the 4 queries whose
+# r04 rows failed on oracle canonicalization, re-entering with fixed
+# oracles/output schemas; (b) global_ids_docs, the one strict-oracle
+# query that had never had a driver row; (c) everything new or whose
+# plan/oracle changed in r05 (auto window dispatch, the streaming
+# interval join, the fixture-fed approach pipeline, the kmeans seed
+# rounding, incremental-dedup signature); (d) 7 family sentinels;
+# (e) the full 26-query set whose most recent driver evidence is r02
+# (3 rounds stale) plus 6 of the oldest r03 rows, re-verified against
+# the moving codebase. Driver-evidence state going in (from
+# CORRECTNESS_r01-r04): every strict-oracle query EXCEPT
+# global_ids_docs has at least one green driver row across r01-r04;
+# approx_quantile_events and approx_distinct_parts are sketches with
+# bounded-error oracles in tools/check_oracle.py (approx_distinct had
+# a green r02 row; approx_quantile is rows-only by design and has
+# never been in a window).
 PRIORITY = [
-    # --- sentinels: flagship + real streaming, green in r01-r03 ---
-    "q1_pricing_summary",         # A1/A4 hash agg
-    "q3_shipping_priority",       # J1 broadcast join flagship
-    "kmeans_clusters_embeddings", # r04: iterative Lloyd, oracle-paired
-    "streaming_sessions_events",  # §2.9 REAL streaming run in-gate
-    # --- last never-driver-checked strict-oracle queries: after this
-    # window every such query in the catalog has had a driver row
-    # (r01-r03 CORRECTNESS + this PRIORITY = full coverage; only
-    # approx_quantile_events remains, rows-only by design) ---
-    "pii_scrub_events",
-    "dedup_cluster_keep_best",    # new r04: near-dup survivorship
+    # --- (a) the 4 r04 canonicalization failures, oracles fixed ---
+    "islands_chunked_events",     # CAST island_id AS BIGINT
+    "pack_sequences_docs",        # CAST 3 windowed-SUM offsets
+    "rollup_hourly_daily",        # CAST SUM(n) AS BIGINT
+    "embedding_quantize_int8",    # q serialized as q_csv on both sides
+    # --- (b) first-ever driver row ---
+    "global_ids_docs",            # + r05 localCheckpoint pin
+    # --- (c) new or plan-changed this round ---
+    "sessionize_auto_events",     # NEW: skew=auto dispatch in-gate
+    "streaming_interval_join_events",  # NEW: stream-stream join in-gate
+    "approach_pipeline_demo",     # telemetry fixture + dim null-code contract
+    "kmeans_clusters_embeddings", # half-away seed rounding
+    "dedup_incremental_docs",     # history_fp signature
+    # --- (d) family sentinels ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "streaming_sessions_events",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "fuzzy_name_pairs_customers",
     "ann_topk_batch",
-    "embedding_quantize_int8",    # new r04
-    "dedup_incremental_docs",     # new r04
-    "multimodal_meta",
-    "outlier_events",
-    "skew_salted_event_type_agg",
-    "rollup_hourly_daily",
-    "hof_value_arrays",
-    "regexp_extract_all_events",
-    # --- changed this round: prove no regression / new hash checks ---
-    "approach_pipeline_demo",     # flagship (exchange-slimmed r04)
-    "fuzzy_name_pairs_customers", # edit1 cap + position pruning (r04)
-    "dedup_minhash_lsh",          # md5km family: first driver HASH row
-    "dedup_simhash",              # md5 family: first driver HASH row
-    "bigram_logprob_docs",        # broadcast hints dropped (r04)
-    "vocab_coverage_docs",        # single-pass token stream (r04)
-    # --- TPC-H sweep: never driver-checked before r04 ---
-    "q2_min_supplier_per_part",
-    "q4_order_priority",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_volume_suppliers",
-    "q21_sole_failing_supplier",
-    "q22_idle_rich_customers",
-    # --- chunked (skew-robust) window variants ---
-    "sessionize_chunked_events",
-    "range_window_chunked_events",
-    "islands_chunked_events",
-    # --- corpus-preparation breadth ---
-    "substring_dup_spans",
-    "shard_assign_docs",
-    "corpus_mix_docs",
-    "stratified_sample_docs",
-    "sample_k_per_source_docs",
-    "pack_sequences_docs",
-    "contamination_check_docs",
-    "chunk_docs",
-    "repetition_docs",
-    "length_band_docs",
-    "unigram_logprob_docs",
-    # --- remaining never-driver-checked variety ---
-    "streaming_windowed_counts_events",
-    "streaming_enriched_counts_events",
-    "scd2_purchase_history",
+    # --- (e) stale-evidence re-verification: all 26 whose latest
+    # driver row is r02 ---
+    "above_avg_customers",
+    "agg_cube_lineitem",
+    "argmax_order_per_customer",
+    "broadcast_star_revenue",
+    "date_arith_events",
+    "date_functions_orders",
+    "distinct_parts_per_flag",
+    "events_sliding_window",
+    "from_json_events",
+    "grouping_sets_orders",
+    "interval_join_click_counts",  # batch twin of the new streaming join
+    "join_anti_customers",
+    "latest_snapshot_events",
+    "min_acctbal_customer_per_nation",
+    "ntile_distribution_orders",
+    "pivot_event_counts",
+    "q10_returned_revenue",
+    "q12_priority_by_flag",
+    "q14_promo_share",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "stride_sample_events",
+    "string_functions_customers",
+    "unpivot_lineitem_measures",
+    "approx_distinct_parts",       # sketch: rows-only + bounded-error
+    # --- plus 7 of the oldest r03 rows in modules touched this round ---
+    "asof_click_before_purchase",  # as-of family, pairs w/ streaming join
+    "nn_join_acctbal",             # joins.py fan_partitions change
+    "sessionize_events",           # windows.py module
+    "range_window_events",
+    "ann_cosine_topk",             # similarity.py module
+    "dedup_clusters",
+    "episode_detect_events",
 ]
 
 

@@ -1071,6 +1071,28 @@ def sessionize_chunked_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_auto_events",
+    ORACLES["sessionize_events"],
+)
+def sessionize_auto_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew='auto' dispatcher (operators/windows.sessionize_auto):
+    a one-agg hottest-key probe picks plain vs chunked sessionization
+    by the SCALE.md switch rule (~1M rows in the hottest key), so
+    100 TB callers never have to know the rule. Same oracle as
+    sessionize_events — BOTH dispatch outcomes are result-identical
+    (equivalence-tested in tests/test_windows.py); at SF scale the
+    probe picks the plain form."""
+    ev = load(spark, sf_dir, "events")
+    sess = OW.sessionize_auto(ev, "user_id", "ts", SESSION_GAP_S)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
     "range_window_chunked_events",
     ORACLES["range_window_events"],
 )

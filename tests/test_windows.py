@@ -213,3 +213,57 @@ def test_global_row_number_matches_naive_and_avoids_single_task(spark):
         F.countDistinct("rid").alias("d"),
     ).first()
     assert (stats["lo"], stats["hi"], stats["d"]) == (1, n, n)
+
+
+def test_skew_auto_dispatch_equivalence(spark):
+    """The *_auto dispatchers must return identical results whichever
+    branch the hottest-key probe picks: threshold_rows=0 forces the
+    chunked form, a huge threshold forces the plain form."""
+    from ngafid_cpat_spark.operators import windows as OW
+    from ngafid_cpat_spark.sources import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    big = 1 << 60
+
+    plain_s = OW.sessionize_auto(ev, "user_id", "ts", 3600.0,
+                                 threshold_rows=big)
+    chunk_s = OW.sessionize_auto(ev, "user_id", "ts", 3600.0,
+                                 chunk_seconds=7200.0, threshold_rows=0)
+    assert {r["event_id"]: r["session_id"] for r in plain_s.collect()} == {
+        r["event_id"]: r["session_id"] for r in chunk_s.collect()
+    }
+
+    flag = F.col("value") > 50
+    plain_i = OW.islands_auto(ev, "user_id", "ts", ["event_id"], flag,
+                              threshold_rows=big)
+    chunk_i = OW.islands_auto(ev, "user_id", "ts", ["event_id"], flag,
+                              chunk_seconds=3600.0, threshold_rows=0)
+    assert {r["event_id"]: r["island_id"] for r in plain_i.collect()} == {
+        r["event_id"]: r["island_id"] for r in chunk_i.collect()
+    }
+
+    plain_r = OW.range_window_auto(ev, "user_id", "ts", "value", 3600.0,
+                                   threshold_rows=big)
+    chunk_r = OW.range_window_auto(ev, "user_id", "ts", "value", 3600.0,
+                                   threshold_rows=0)
+    a = {r["event_id"]: (round(r["range_sum"], 6), r["range_n"])
+         for r in plain_r.collect()}
+    b = {r["event_id"]: (round(r["range_sum"], 6), r["range_n"])
+         for r in chunk_r.collect()}
+    assert a == b
+    # non-integral window width must always take the chunked path
+    # (rangeBetween bounds are longs) - just assert it runs + schema
+    frac = OW.range_window_auto(ev.limit(100), "user_id", "ts", "value",
+                                1800.5, threshold_rows=big)
+    assert {"range_sum", "range_n"} <= set(frac.columns)
+
+
+def test_hottest_key_rows(spark):
+    from ngafid_cpat_spark.operators import windows as OW
+
+    df = spark.createDataFrame(
+        [{"k": 1, "v": i} for i in range(7)]
+        + [{"k": 2, "v": i} for i in range(3)]
+    )
+    assert OW.hottest_key_rows(df, "k") == 7
+    assert OW.hottest_key_rows(df.limit(0), "k") == 0
