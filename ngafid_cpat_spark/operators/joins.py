@@ -341,13 +341,27 @@ def asof_join(
     right_cols: list[str],
     strict: bool = True,
     tiebreak_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row with
-    ``right.ts <= left.ts`` (``<`` when strict) per ``on`` key.
+    """As-of join: for each left row, the LATEST right row with
+    ``right.ts <= left.ts`` (``<`` when strict) per ``on`` key —
+    or, with ``direction="forward"``, the EARLIEST right row with
+    ``right.ts >= left.ts`` (``>`` when strict): next-touch
+    attribution, time-to-next-event, forward fill.
 
     Implemented as union + running last_value over one ordered window
     — a single shuffle on the key, no range cross product; the same
     plan shape Spark uses for streaming stream-stream interval joins.
+    The forward direction is the identical plan over the REVERSED
+    time order, not a second algorithm.
+
+    ``tolerance_seconds`` bounds the match distance (pandas
+    merge_asof semantics): a matched right row further than the
+    tolerance from the left timestamp yields NULL asof_* columns.
+    The window still finds the nearest candidate in one pass; the
+    tolerance is a post-filter on the matched timestamp carried in
+    the payload struct, so it adds zero shuffles.
 
     ``right`` must expose exactly [on, ts_col] + right_cols; matched
     right values land on the left rows as ``asof_<col>`` columns.
@@ -358,6 +372,8 @@ def asof_join(
     older value). ``tiebreak_cols`` (subset of right_cols) make the
     winner among duplicate (key, ts) right rows deterministic.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     clash = set(right_cols) & set(left.columns)
     if clash:
         raise ValueError(
@@ -375,26 +391,44 @@ def asof_join(
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = lt.unionByName(rt.select(*lt.columns))
-    # At equal ts: strict ("<") sorts left(1) before right(0) so the
-    # preceding-frame excludes the tying right row; "<=" sorts right
-    # first so it is visible to the left row's frame.
+    # At equal ts: strict sorts left(1) before right(0) so the
+    # preceding-frame excludes the tying right row; non-strict sorts
+    # right first so it is visible to the left row's frame. The same
+    # rule holds in both directions (the frame always looks backward
+    # in the chosen order).
     side_order = F.col("__side").desc() if strict else F.col("__side").asc()
+    ts_order = (
+        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    )
     w = (
         Window.partitionBy(on)
         .orderBy(
-            F.col(ts_col).asc(),
+            ts_order,
             side_order,
             *[F.col(c).asc() for c in tiebreak_cols],
         )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     payload = F.when(
-        F.col("__side") == 0, F.struct(*[F.col(c) for c in right_cols])
+        F.col("__side") == 0,
+        F.struct(
+            *[F.col(c) for c in right_cols],
+            F.col(ts_col).cast("double").alias("__rts"),
+        ),
     )
     out = (
         unioned.withColumn("__p", F.last(payload, ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
     )
+    if tolerance_seconds is None:
+        within = F.lit(True)
+    else:
+        # the window guarantees the sign; only the magnitude needs
+        # checking (timestamps cast to double = epoch seconds)
+        diff = F.col(ts_col).cast("double") - F.col("__p.__rts")
+        if direction == "forward":
+            diff = -diff
+        within = diff <= F.lit(float(tolerance_seconds))
     for c in right_cols:
-        out = out.withColumn(f"asof_{c}", F.col(f"__p.{c}"))
+        out = out.withColumn(f"asof_{c}", F.when(within, F.col(f"__p.{c}")))
     return out.drop("__side", "__p", *right_cols)

@@ -490,3 +490,207 @@ def kmeans_cluster_profile(
             / 1e6
         ).alias("avg_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN scale path
+# ---------------------------------------------------------------------------
+
+def _round_half_away_micro(x: float) -> int:
+    """Integer micro-units with half-away-from-zero rounding — the
+    Python twin of `CAST(ROUND(x * 1e6, 0) AS BIGINT)` on both
+    engines (Python's round() banker's-rounds; see kmeans_fit)."""
+    v = x * 1e6
+    r = math.floor(abs(v) + 0.5)
+    return r if v >= 0 else -r
+
+
+def _dot_literal_offset(col: str, sub: list[float], offset: int):
+    """Dot of ``col[offset : offset+len(sub)]`` with a constant
+    subvector, as ONE parsed expression (left-assoc double sum —
+    bit-identical to DuckDB's list_dot_product over the same slice;
+    the string form avoids the per-term py4j cost, see
+    functions.vector.dot_literal)."""
+    terms = " + ".join(
+        ["0.0D"]
+        + [f"{col}[{offset + j}] * {float(q)!r}D" for j, q in enumerate(sub)]
+    )
+    return F.expr(f"({terms})")
+
+
+def pq_codebooks_seed(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic seed PQ codebooks: the k smallest-id vectors,
+    sliced into m equal subspaces (the same deterministic-codebook
+    precedent as ann_ivf_topk's coarse quantizer, which is what makes
+    the whole PQ path ORACLE-pairable). Returns
+    books[s] = [(cid, subvector), ...]. One bounded k-row collect."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    if not rows:
+        return [[] for _ in range(m)]
+    dim = len(rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    return [
+        [
+            (i, [float(x) for x in r[vec_col][s * sub : (s + 1) * sub]])
+            for i, r in enumerate(rows)
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_codebooks_trained(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Lloyd-trained PQ codebooks: kmeans_fit per subspace over the
+    SLICED embedding column (m independent small k-means runs over
+    the same scan — at 100 TB, persist the input upstream). The
+    quality upgrade over the seed codebooks; reconstruction/recall
+    is pytest-measured (the registered oracle queries use the seed
+    books, whose training is trivially replayable in SQL)."""
+    emb = emb.localCheckpoint(eager=False)
+    first = emb.select(vec_col).first()
+    if first is None:
+        return [[] for _ in range(m)]
+    dim = len(first[vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col)
+        )
+        books.append(
+            kmeans_fit(
+                sliced, k, n_iter, id_col, vec_col, checkpoint_input=False
+            )
+        )
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding (Jegou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): per subspace, the centroid
+    minimizing squared L2 to the subvector — argmin over
+    ||c||^2 - 2<x_s, c> (the ||x_s||^2 term is constant per row).
+    The compare key quantizes to integer micro-units with the lowest
+    centroid id as tie-break, so codes are deterministic and
+    engine-portable. Output: id, c0..c{m-1}, pq_code (the base-k
+    packed word), norm (exact ||x|| for asymmetric-distance search).
+
+    Scale shape: pure map-side codegen'd expressions — m*k folded
+    dot products per row, zero shuffles, zero UDFs; the 100 TB
+    encode is one pass over the corpus writing dim*4 bytes down to
+    m bytes + a norm."""
+    m = len(books)
+    k = len(books[0])
+    sub = len(books[0][0][1])
+    self_dot = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+    )
+    out = emb.filter(self_dot > 0)
+    code_cols = []
+    for s, book in enumerate(books):
+        cands = []
+        for cid, c in book:
+            cc = 0.0
+            for x in c:
+                cc += x * x
+            key = (
+                F.round(
+                    (F.lit(cc) - 2.0 * _dot_literal_offset(vec_col, c, s * sub))
+                    * 1e6,
+                    0,
+                ).cast("long")
+            )
+            cands.append(F.struct(key.alias("d"), F.lit(cid).alias("cid")))
+        code_cols.append(F.least(*cands).getField("cid").alias(f"c{s}"))
+    packed = None
+    for s in range(m):
+        term = F.col(f"c{s}") * F.lit(k**s)
+        packed = term if packed is None else packed + term
+    return out.select(
+        F.col(id_col),
+        *code_cols,
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+            )
+        ).alias("norm"),
+    ).withColumn("pq_code", packed.cast("long"))
+
+
+def pq_topk(
+    emb: DataFrame,
+    query: list[float],
+    books: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: the query stays EXACT; each
+    corpus vector is represented by its m codebook centroids, so
+    <q, x> ~ sum_s <q_s, c_{s, code_s(x)}> — m array-literal lookups
+    per row instead of a dim-wide dot. Lookup-table entries quantize
+    to integer micro-units and sum as BIGINTs (summation order can
+    never move a bit — the engine-wide money doctrine), then divide
+    by ||q||*||x|| with the EXACT stored norm: the classic
+    ADC-with-norms cosine ranking.
+
+    Scale shape: at 100 TB the encode runs once (pq_encode's one
+    pass); every query after that scans m bytes + one double per
+    vector — a 16-64x memory-bandwidth reduction vs the exact scan,
+    which IS the PQ value proposition. Top-k is a TakeOrdered, no
+    full sort."""
+    enc = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
+    m = len(books)
+    sub = len(books[0][0][1])
+    qn = 0.0
+    for x in query:
+        qn += float(x) * float(x)
+    qn = math.sqrt(qn)
+    approx = None
+    for s, book in enumerate(books):
+        lut = []
+        for _cid, c in book:
+            d = 0.0
+            for j, cx in enumerate(c):
+                d += float(query[s * sub + j]) * cx
+            lut.append(_round_half_away_micro(d))
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut]), F.col(f"c{s}") + 1
+        )
+        approx = term if approx is None else approx + term
+    scored = enc.select(
+        F.col(id_col),
+        (approx / 1e6 / (F.lit(qn) * F.col("norm"))).alias("approx_cosine"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(
+        F.round(F.col("approx_cosine"), 6).desc(), F.col(id_col).asc()
+    ).limit(k)

@@ -633,6 +633,143 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.round(F.col("cosine"), 4).desc(), F.col("vec_id"))
 
 
+# PQ parameters: 64-dim embeddings -> 4 subspaces x 16 dims, 4 seed
+# centroids per subspace (2-bit codes; production would use k=256).
+_PQ_M = 4
+_PQ_K = 4
+_PQ_SUB = 16
+
+# Shared oracle CTE chain: seed codebooks (first k by vec_id, the
+# ann_ivf_topk deterministic-codebook precedent), per-subspace slices
+# (DuckDB list slices are 1-based inclusive), integer-micro argmin-L2
+# encode keys (||c||^2 - 2<x_s,c>; ||x_s||^2 is row-constant), codes
+# by (key, cid) tie-break — the SQL twin of operators/similarity.
+# pq_encode.
+_PQ_CODES_CTE = f"""
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE list_dot_product(embedding, embedding) > 0
+    ),
+    seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    cb AS (
+      SELECT t.i AS s, cid,
+             v[t.i*{_PQ_SUB}+1 : t.i*{_PQ_SUB}+{_PQ_SUB}] AS c
+      FROM seeds, range(0, {_PQ_M}) t(i)
+    ),
+    keys AS (
+      SELECT e.vec_id, cb.s, cb.cid,
+             CAST(ROUND((list_dot_product(cb.c, cb.c)
+                 - 2*list_dot_product(
+                       e.v[cb.s*{_PQ_SUB}+1 : cb.s*{_PQ_SUB}+{_PQ_SUB}], cb.c))
+                 * 1000000, 0) AS BIGINT) AS kq
+      FROM e CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY kq ASC, cid ASC) AS rn
+        FROM keys) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "pq_codes_embeddings",
+    f"""
+    WITH {_PQ_CODES_CTE}
+    SELECT c.vec_id,
+           MAX(CASE WHEN s = 0 THEN cid END) AS c0,
+           MAX(CASE WHEN s = 1 THEN cid END) AS c1,
+           MAX(CASE WHEN s = 2 THEN cid END) AS c2,
+           MAX(CASE WHEN s = 3 THEN cid END) AS c3,
+           CAST(SUM(CASE s WHEN 0 THEN cid WHEN 1 THEN cid*{_PQ_K}
+                    WHEN 2 THEN cid*{_PQ_K * _PQ_K}
+                    ELSE cid*{_PQ_K ** 3} END) AS BIGINT) AS pq_code,
+           ROUND(MAX(n.nrm), 6) AS norm
+    FROM codes c JOIN (
+      SELECT vec_id, SQRT(list_dot_product(v, v)) AS nrm FROM e) n
+      USING (vec_id)
+    GROUP BY c.vec_id
+    """,
+)
+def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode of the embedding corpus
+    (operators/similarity.pq_encode; Jegou et al. TPAMI 2011): per
+    subspace the argmin-L2 seed centroid, packed into a base-k code
+    word, with the exact vector norm retained for ADC cosine search.
+    Map-side pure expressions — the 100 TB encode is ONE pass
+    writing m bytes + a double per vector (16-64x memory-bandwidth
+    reduction for every query after). Value-oracle-paired via
+    integer-micro encode keys; Lloyd-TRAINED codebooks
+    (pq_codebooks_trained) are the quality path, recall-tested in
+    tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    books = S.pq_codebooks_seed(emb, m=_PQ_M, k=_PQ_K)
+    out = S.pq_encode(emb, books)
+    return out.select(
+        "vec_id", "c0", "c1", "c2", "c3", "pq_code",
+        F.round("norm", 6).alias("norm"),
+    )
+
+
+@register(
+    "pq_topk_embeddings",
+    f"""
+    WITH {_PQ_CODES_CTE},
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0),
+    lut AS (
+      SELECT cb.s, cb.cid,
+             CAST(ROUND(list_dot_product(
+                 q.qv[cb.s*{_PQ_SUB}+1 : cb.s*{_PQ_SUB}+{_PQ_SUB}], cb.c)
+                 * 1000000, 0) AS BIGINT) AS dmic
+      FROM cb, q
+    ),
+    score AS (
+      SELECT c.vec_id, CAST(SUM(l.dmic) AS BIGINT) AS amic
+      FROM codes c JOIN lut l ON c.s = l.s AND c.cid = l.cid
+      GROUP BY c.vec_id
+    ),
+    qn AS (SELECT SQRT(list_dot_product(qv, qv)) AS qnorm FROM q)
+    SELECT vec_id, ROUND(ac, 4) AS approx_cosine FROM (
+      SELECT s.vec_id,
+             (s.amic / 1000000.0) / (qn.qnorm * n.nrm) AS ac
+      FROM score s JOIN (
+        SELECT vec_id, SQRT(list_dot_product(v, v)) AS nrm FROM e) n
+        USING (vec_id), qn
+      WHERE s.vec_id <> 0
+      ORDER BY ROUND(ac, 6) DESC, vec_id LIMIT 10
+    )
+    ORDER BY ROUND(ac, 4) DESC, vec_id
+    """,
+)
+def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (operators/similarity.pq_topk):
+    the query stays exact; each corpus vector contributes m
+    lookup-table reads (integer micro-units summed as BIGINTs —
+    summation order can never move a bit) divided by the exact
+    stored norm. Completes the ANN ladder: brute force (exact
+    baseline) -> IVF (scan pruning) -> PQ (memory-bandwidth
+    compression); recall vs the exact scan is measured in
+    tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = _query_vector(spark, sf_dir, 0)
+    books = S.pq_codebooks_seed(emb, m=_PQ_M, k=_PQ_K)
+    out = S.pq_topk(emb, q, books, k=10, exclude_id=0)
+    return out.select(
+        "vec_id", F.round("approx_cosine", 4).alias("approx_cosine")
+    ).orderBy(F.round(F.col("approx_cosine"), 4).desc(), F.col("vec_id"))
+
+
 _KMEANS_K = 4
 _KMEANS_ITER = 2
 _KMEANS_DIM = 64

@@ -633,6 +633,54 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_next_click_purchase",
+    """
+    SELECT event_id, user_id, ts,
+           CASE WHEN nc <= ts + INTERVAL 2 DAY THEN nc END AS next_click_ts
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             -- DESC time order: the preceding frame holds LATER rows,
+             -- so MIN over it is the earliest strictly-later click.
+             -- At equal ts, purchases sort before clicks: the join is
+             -- STRICTLY click-after-purchase, matching
+             -- asof_join(direction='forward', strict=True)
+             MIN(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS nc
+      FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def asof_next_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance: each purchase enriched
+    with the earliest strictly-later click by the same user, NULL
+    when the next click is more than 2 days out (merge_asof
+    direction='forward' + tolerance semantics) — next-touch
+    attribution / time-to-next-event. Same single-shuffle
+    union+window plan as the backward form, over reversed time
+    order; the tolerance is a payload post-filter, zero extra
+    shuffles (operators/joins.asof_join)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    out = OJ.asof_join(
+        purchases, clicks, on="user_id", ts_col="ts",
+        right_cols=["click_ts"], strict=True,
+        direction="forward", tolerance_seconds=2 * 86400.0,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_click_ts").alias("next_click_ts"),
+    )
+
+
+@register(
     "min_acctbal_customer_per_nation",
     """
     SELECT c_nationkey, c_custkey, c_acctbal

@@ -56,6 +56,53 @@ def test_asof_join_strict(spark):
     assert got2 == {"a": 2.0, "b": 3.0, "c": None}
 
 
+def test_asof_join_forward_and_tolerance(spark):
+    t = lambda s: datetime.fromtimestamp(s)
+    left = spark.createDataFrame(
+        [
+            {"k": 1, "ts": t(100), "which": "a"},
+            {"k": 1, "ts": t(200), "which": "b"},
+            {"k": 2, "ts": t(50), "which": "c"},
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            {"k": 1, "ts": t(90), "rv": 1.0},    # before left -> no match
+            {"k": 1, "ts": t(100), "rv": 2.0},   # same-ts: excluded when strict
+            {"k": 1, "ts": t(150), "rv": 3.0},
+            {"k": 1, "ts": t(600), "rv": 5.0},   # next after b, far away
+            {"k": 2, "ts": t(40), "rv": 4.0},
+        ]
+    )
+    fwd = OJ.asof_join(left, right, on="k", ts_col="ts",
+                       right_cols=["rv"], strict=True, direction="forward")
+    got = {r["which"]: r["asof_rv"] for r in fwd.collect()}
+    assert got == {"a": 3.0, "b": 5.0, "c": None}
+
+    loose = OJ.asof_join(left, right, on="k", ts_col="ts",
+                         right_cols=["rv"], strict=False, direction="forward")
+    got2 = {r["which"]: r["asof_rv"] for r in loose.collect()}
+    assert got2 == {"a": 2.0, "b": 5.0, "c": None}
+
+    # tolerance: b's next click at +400 s exceeds 300 s -> NULL;
+    # backward tolerance prunes matches older than the bound too
+    tol = OJ.asof_join(left, right, on="k", ts_col="ts",
+                       right_cols=["rv"], strict=True,
+                       direction="forward", tolerance_seconds=300.0)
+    got3 = {r["which"]: r["asof_rv"] for r in tol.collect()}
+    assert got3 == {"a": 3.0, "b": None, "c": None}
+    back = OJ.asof_join(left, right, on="k", ts_col="ts",
+                        right_cols=["rv"], strict=True,
+                        tolerance_seconds=5.0)
+    got4 = {r["which"]: r["asof_rv"] for r in back.collect()}
+    assert got4 == {"a": None, "b": None, "c": None}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        OJ.asof_join(left, right, on="k", ts_col="ts",
+                     right_cols=["rv"], direction="sideways")
+
+
 def test_nearest_argmin_deterministic_ties(spark):
     facts = spark.createDataFrame([{"fid": 1, "x": 5.0}])
     dims = spark.createDataFrame(
