@@ -141,7 +141,10 @@ def main() -> None:
 
     timings, errors = run_set(HEADLINE, runs=2)
     headline_errors = dict(errors)
-    extra_timings, extra_errors = run_set(extra)
+    # extras get min-of-2 as well: single-shot extras made BENCH_r05
+    # report seven phantom >1.4x per-query "regressions" that were
+    # pure box-load noise (see SCALE.md's noise note)
+    extra_timings, extra_errors = run_set(extra, runs=2)
     errors.update(extra_errors)
     # a failing headline query must INFLATE the metric, never deflate
     # it (a regression-into-exception would otherwise read as a

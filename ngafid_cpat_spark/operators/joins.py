@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import geo
+from ..functions.timeutil import epoch_seconds
 
 # Hard ceiling on rows broadcast as an argmin build side. Spark's own
 # failure mode for an oversized broadcast is an executor OOM deep in
@@ -413,7 +414,11 @@ def asof_join(
         F.col("__side") == 0,
         F.struct(
             *[F.col(c) for c in right_cols],
-            F.col(ts_col).cast("double").alias("__rts"),
+            # epoch_seconds, not a bare cast-to-double: a TIMESTAMP_NTZ
+            # ts (supported by normalize_event_time upstream) has no
+            # direct double cast — the timeutil choke point handles
+            # every supported physical type (functions/timeutil.py)
+            epoch_seconds(ts_col).alias("__rts"),
         ),
     )
     out = (
@@ -424,8 +429,8 @@ def asof_join(
         within = F.lit(True)
     else:
         # the window guarantees the sign; only the magnitude needs
-        # checking (timestamps cast to double = epoch seconds)
-        diff = F.col(ts_col).cast("double") - F.col("__p.__rts")
+        # checking (epoch_seconds = DuckDB epoch(ts), type-agnostic)
+        diff = epoch_seconds(ts_col) - F.col("__p.__rts")
         if direction == "forward":
             diff = -diff
         within = diff <= F.lit(float(tolerance_seconds))

@@ -606,6 +606,17 @@ def pq_encode(
     encode is one pass over the corpus writing dim*4 bytes down to
     m bytes + a norm."""
     m = len(books)
+    if not books[0]:
+        # pq_codebooks_seed/trained return [[], [], ...] for an empty
+        # corpus — mirror that: an empty (correctly-typed) result, not
+        # an IndexError off books[0][0]
+        out = emb.filter(F.lit(False)).select(
+            F.col(id_col),
+            *[F.lit(0).alias(f"c{s}") for s in range(m)],
+            F.lit(0.0).alias("norm"),
+            F.lit(0).cast("long").alias("pq_code"),
+        )
+        return out
     k = len(books[0])
     sub = len(books[0][0][1])
     self_dot = F.aggregate(
@@ -668,6 +679,11 @@ def pq_topk(
     full sort."""
     enc = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
     m = len(books)
+    if not books[0]:
+        # empty-corpus codebooks (see pq_encode): empty top-k
+        return enc.select(
+            F.col(id_col), F.lit(0.0).alias("approx_cosine")
+        )
     sub = len(books[0][0][1])
     qn = 0.0
     for x in query:

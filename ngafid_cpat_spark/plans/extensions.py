@@ -1692,15 +1692,20 @@ def _telemetry_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness-only synthesis window (r04 stage profile: 1.7 s of the
     ~5 s query was synthesizing its own input; a real deployment
     reads telemetry from storage). Keyed on the source file's
-    mtime+size: testdata regeneration invalidates the fixture."""
+    mtime+size: testdata regeneration invalidates the fixture. Also
+    keyed on _synth_telemetry's SOURCE: editing the synthesis logic
+    must invalidate the fixture, or the pipeline would silently read
+    stale telemetry while the SQL oracle's raw CTE synthesizes fresh."""
     import hashlib
+    import inspect
     import os
 
     ev_path = os.path.join(sf_dir, "events.parquet")
+    synth_src = inspect.getsource(_synth_telemetry)
     try:
         st = os.stat(ev_path)
         tag = hashlib.md5(
-            f"{ev_path}:{st.st_mtime_ns}:{st.st_size}:v1".encode()
+            f"{ev_path}:{st.st_mtime_ns}:{st.st_size}:{synth_src}".encode()
         ).hexdigest()[:12]
     except OSError:
         # non-local sf_dir (e.g. an object-store URI): no stat — fall

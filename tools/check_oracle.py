@@ -265,10 +265,19 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
+            # run the (possibly expensive) oracle ONCE into a temp
+            # table; both the value fetch and the dtype-audit frame
+            # then read the materialized result (types preserved) —
+            # re-executing the SQL for .df() doubled oracle runtime
+            # across the catalog sweep
+            con.execute(
+                "CREATE OR REPLACE TEMP TABLE __oracle_result AS "
+                + oracles[name]
+            )
+            res = con.execute("SELECT * FROM __oracle_result")
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()
-            duck_pdf = con.execute(oracles[name]).df()
+            duck_pdf = con.execute("SELECT * FROM __oracle_result").df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
