@@ -349,13 +349,21 @@ def asof_join(
     ``right.ts <= left.ts`` (``<`` when strict) per ``on`` key —
     or, with ``direction="forward"``, the EARLIEST right row with
     ``right.ts >= left.ts`` (``>`` when strict): next-touch
-    attribution, time-to-next-event, forward fill.
+    attribution, time-to-next-event, forward fill. A third mode,
+    ``direction="nearest"``, picks whichever of the two candidates
+    minimizes ``|right.ts - left.ts|`` (pandas merge_asof's third
+    direction); an exact |Δt| TIE resolves BACKWARD, and ``strict``
+    excludes exact-timestamp matches on both sides
+    (allow_exact_matches=False).
 
     Implemented as union + running last_value over one ordered window
     — a single shuffle on the key, no range cross product; the same
     plan shape Spark uses for streaming stream-stream interval joins.
     The forward direction is the identical plan over the REVERSED
-    time order, not a second algorithm.
+    time order, not a second algorithm. ``nearest`` computes BOTH
+    running payloads over the same hash partitioning (one Exchange,
+    reused across the two Window sorts) and selects per-row — still
+    zero extra shuffles.
 
     ``tolerance_seconds`` bounds the match distance (pandas
     merge_asof semantics): a matched right row further than the
@@ -373,8 +381,10 @@ def asof_join(
     older value). ``tiebreak_cols`` (subset of right_cols) make the
     winner among duplicate (key, ts) right rows deterministic.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward or forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward, forward or nearest, got {direction!r}"
+        )
     clash = set(right_cols) & set(left.columns)
     if clash:
         raise ValueError(
@@ -392,24 +402,6 @@ def asof_join(
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = lt.unionByName(rt.select(*lt.columns))
-    # At equal ts: strict sorts left(1) before right(0) so the
-    # preceding-frame excludes the tying right row; non-strict sorts
-    # right first so it is visible to the left row's frame. The same
-    # rule holds in both directions (the frame always looks backward
-    # in the chosen order).
-    side_order = F.col("__side").desc() if strict else F.col("__side").asc()
-    ts_order = (
-        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
-    )
-    w = (
-        Window.partitionBy(on)
-        .orderBy(
-            ts_order,
-            side_order,
-            *[F.col(c).asc() for c in tiebreak_cols],
-        )
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     payload = F.when(
         F.col("__side") == 0,
         F.struct(
@@ -421,19 +413,69 @@ def asof_join(
             epoch_seconds(ts_col).alias("__rts"),
         ),
     )
+
+    def _running(dir_: str):
+        # At equal ts: strict sorts left(1) before right(0) so the
+        # preceding-frame excludes the tying right row; non-strict
+        # sorts right first so it is visible to the left row's frame.
+        # The same rule holds in both directions (the frame always
+        # looks backward in the chosen order).
+        side_order = F.col("__side").desc() if strict else F.col("__side").asc()
+        ts_order = (
+            F.col(ts_col).asc() if dir_ == "backward" else F.col(ts_col).desc()
+        )
+        w = (
+            Window.partitionBy(on)
+            .orderBy(
+                ts_order,
+                side_order,
+                *[F.col(c).asc() for c in tiebreak_cols],
+            )
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return F.last(payload, ignorenulls=True).over(w)
+
+    if direction != "nearest":
+        out = (
+            unioned.withColumn("__p", _running(direction))
+            .filter(F.col("__side") == 1)
+        )
+        if tolerance_seconds is None:
+            within = F.lit(True)
+        else:
+            # the window guarantees the sign; only the magnitude needs
+            # checking (epoch_seconds = DuckDB epoch(ts), type-agnostic)
+            diff = epoch_seconds(ts_col) - F.col("__p.__rts")
+            if direction == "forward":
+                diff = -diff
+            within = diff <= F.lit(float(tolerance_seconds))
+        for c in right_cols:
+            out = out.withColumn(f"asof_{c}", F.when(within, F.col(f"__p.{c}")))
+        return out.drop("__side", "__p", *right_cols)
+
+    # nearest: both running payloads share the partitionBy(on) hash —
+    # Catalyst plans ONE Exchange reused by the two Window sorts —
+    # then a per-row pick: the tolerance-valid candidate with the
+    # smaller |Δt|, ties to the backward (earlier) row.
     out = (
-        unioned.withColumn("__p", F.last(payload, ignorenulls=True).over(w))
+        unioned.withColumn("__pb", _running("backward"))
+        .withColumn("__pf", _running("forward"))
         .filter(F.col("__side") == 1)
     )
+    lsec = epoch_seconds(ts_col)
+    bdiff = lsec - F.col("__pb.__rts")
+    fdiff = F.col("__pf.__rts") - lsec
     if tolerance_seconds is None:
-        within = F.lit(True)
+        b_ok = F.col("__pb").isNotNull()
+        f_ok = F.col("__pf").isNotNull()
     else:
-        # the window guarantees the sign; only the magnitude needs
-        # checking (epoch_seconds = DuckDB epoch(ts), type-agnostic)
-        diff = epoch_seconds(ts_col) - F.col("__p.__rts")
-        if direction == "forward":
-            diff = -diff
-        within = diff <= F.lit(float(tolerance_seconds))
+        tol = F.lit(float(tolerance_seconds))
+        b_ok = F.col("__pb").isNotNull() & (bdiff <= tol)
+        f_ok = F.col("__pf").isNotNull() & (fdiff <= tol)
+    chosen = F.when(b_ok & (~f_ok | (bdiff <= fdiff)), F.col("__pb")).when(
+        f_ok, F.col("__pf")
+    )
+    out = out.withColumn("__p", chosen)
     for c in right_cols:
-        out = out.withColumn(f"asof_{c}", F.when(within, F.col(f"__p.{c}")))
-    return out.drop("__side", "__p", *right_cols)
+        out = out.withColumn(f"asof_{c}", F.col(f"__p.{c}"))
+    return out.drop("__side", "__pb", "__pf", "__p", *right_cols)

@@ -681,6 +681,67 @@ def asof_next_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_nearest_click_purchase",
+    """
+    SELECT event_id, user_id, ts,
+           CASE WHEN pb IS NOT NULL
+                 AND (nf IS NULL
+                      OR (epoch(ts) - epoch(pb)) <= (epoch(nf) - epoch(ts)))
+                THEN pb ELSE nf END AS nearest_click_ts
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lc) <= 86400.0 THEN lc END AS pb,
+             CASE WHEN epoch(nc) - epoch(ts) <= 86400.0 THEN nc END AS nf
+      FROM (
+        SELECT event_id, user_id, ts, event_type,
+               -- backward half: at equal ts purchases sort before
+               -- clicks, so the preceding frame is STRICTLY earlier
+               MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS lc,
+               -- forward half: DESC order, the preceding frame holds
+               -- STRICTLY later rows
+               MIN(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts DESC, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS nc
+        FROM events)
+      WHERE event_type = 'purchase')
+    """,
+)
+def asof_nearest_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (merge_asof's third direction, r06): each
+    purchase enriched with the click minimizing |Δt| within a 1-day
+    tolerance on EITHER side, exact ties to the earlier click and
+    same-instant clicks excluded (strict). Completes the as-of family
+    backward (r01) -> forward+tolerance (r05) -> nearest (r06). Plan:
+    both running payloads over ONE hash exchange (reused by the two
+    Window sorts), per-row pick — still no range cross product
+    (operators/joins.asof_join). Oracle: the backward and forward
+    window tricks composed with the same tolerance-then-min-|Δt|
+    CASE, tie to backward."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    out = OJ.asof_join(
+        purchases, clicks, on="user_id", ts_col="ts",
+        right_cols=["click_ts"], strict=True,
+        direction="nearest", tolerance_seconds=86400.0,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_click_ts").alias("nearest_click_ts"),
+    )
+
+
+@register(
     "min_acctbal_customer_per_nation",
     """
     SELECT c_nationkey, c_custkey, c_acctbal

@@ -103,6 +103,48 @@ def test_asof_join_forward_and_tolerance(spark):
                      right_cols=["rv"], direction="sideways")
 
 
+def test_asof_join_nearest(spark):
+    t = lambda s: datetime.fromtimestamp(s)
+    left = spark.createDataFrame(
+        [
+            {"k": 1, "ts": t(100), "which": "a"},   # back 90 (d=10) beats fwd 150 (d=50)
+            {"k": 1, "ts": t(120), "which": "b"},   # fwd 150 (d=30) beats back 90 (d=30)? tie -> backward
+            {"k": 1, "ts": t(149), "which": "c"},   # fwd 150 (d=1) beats back 90 (d=59)
+            {"k": 2, "ts": t(50), "which": "d"},    # no right rows in tolerance
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            {"k": 1, "ts": t(90), "rv": 1.0},
+            {"k": 1, "ts": t(150), "rv": 3.0},
+            {"k": 2, "ts": t(500), "rv": 4.0},
+        ]
+    )
+    near = OJ.asof_join(left, right, on="k", ts_col="ts",
+                        right_cols=["rv"], strict=True, direction="nearest")
+    got = {r["which"]: r["asof_rv"] for r in near.collect()}
+    # b: |Δ| tie at 30 s either side -> backward (rv=1.0) wins
+    assert got == {"a": 1.0, "b": 1.0, "c": 3.0, "d": 4.0}
+
+    tol = OJ.asof_join(left, right, on="k", ts_col="ts",
+                       right_cols=["rv"], strict=True,
+                       direction="nearest", tolerance_seconds=20.0)
+    got2 = {r["which"]: r["asof_rv"] for r in tol.collect()}
+    # b: both candidates 30 s away > 20 s tolerance -> NULL;
+    # d: nearest is 450 s away -> NULL
+    assert got2 == {"a": 1.0, "b": None, "c": 3.0, "d": None}
+
+    # strict excludes the exact-timestamp match on either side,
+    # falling back to the next-nearest in-tolerance candidate
+    exact_left = spark.createDataFrame([{"k": 1, "ts": t(90), "which": "e"}])
+    ne = OJ.asof_join(exact_left, right, on="k", ts_col="ts",
+                      right_cols=["rv"], strict=True, direction="nearest")
+    assert ne.first()["asof_rv"] == 3.0  # t(150), not the tying t(90)
+    ne2 = OJ.asof_join(exact_left, right, on="k", ts_col="ts",
+                       right_cols=["rv"], strict=False, direction="nearest")
+    assert ne2.first()["asof_rv"] == 1.0
+
+
 def test_nearest_argmin_deterministic_ties(spark):
     facts = spark.createDataFrame([{"fid": 1, "x": 5.0}])
     dims = spark.createDataFrame(
