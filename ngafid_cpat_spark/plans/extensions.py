@@ -1441,6 +1441,84 @@ def streaming_interval_join_events(
     )
 
 
+@register(
+    "streaming_interval_join_left_events",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ), j AS (
+      SELECT p.event_id, p.user_id, p.ts, c.click_ts
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND c.click_ts >= p.ts - INTERVAL 1 HOUR
+       AND c.click_ts < p.ts
+    ), f AS (
+      SELECT LEAST((SELECT MAX(click_ts) FROM c), (SELECT MAX(ts) FROM p))
+             - INTERVAL 3 HOUR AS frontier
+    )
+    SELECT event_id, user_id, ts,
+           COUNT(click_ts) AS n_clicks,
+           MIN(click_ts) AS first_click,
+           MAX(click_ts) AS last_click
+    FROM j, f
+    WHERE click_ts IS NOT NULL OR ts < frontier
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_interval_join_left_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join in-gate (r06, VERDICT
+    r05 ask #5): purchases with NO click in the trailing hour emit
+    null-augmented — but ONLY once the watermark has passed their
+    whole join window (the eviction-frontier contract the operator
+    documents and tests/test_streaming.py asserts). The oracle must
+    encode that frontier, so both sides restrict null rows to
+    ``ts < min(max click_ts, max purchase_ts) - (watermark +
+    lookback)``: strictly BELOW Spark's actual eviction bound (the
+    global min-policy watermark, = max event time - 2 h), which makes
+    the emitted set deterministic — Spark provably emits every null
+    row under the frontier, and rows between the frontier and the
+    true bound are filtered on both sides. Inner rows are complete
+    and eagerly emitted regardless. One bounded driver aggregation
+    computes the frontier literal (same shape as the bloom/k-means
+    scalar collects)."""
+    import datetime
+
+    from ..streaming.sessions import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_click_purchase,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    mx = ev.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    ).first()
+    frontier = min(mx["c"], mx["p"]) - datetime.timedelta(hours=3)
+
+    stream = read_events_stream(spark, _events_stream_dir(sf_dir))
+    pairs = stream_stream_click_purchase(
+        stream, watermark="2 hours", lookback="1 hour", how="left_outer"
+    )
+    run_to_memory(pairs, "streaming_interval_join_left_mem", mode="append")
+    emitted = spark.table("streaming_interval_join_left_mem")
+    return (
+        emitted.filter(
+            F.col("click_ts").isNotNull() | (F.col("ts") < F.lit(frontier))
+        )
+        .groupBy("event_id", "user_id", "ts")
+        .agg(
+            F.count("click_ts").alias("n_clicks"),
+            F.min("click_ts").alias("first_click"),
+            F.max("click_ts").alias("last_click"),
+        )
+    )
+
+
 # Full DuckDB twin of the approach/landing pipeline on the synthetic
 # telemetry below — every stage of plans/approach.analyze() replayed
 # as standard SQL (windows, gaps-and-islands, theta-join, FILTER
