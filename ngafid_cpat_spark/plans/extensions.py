@@ -770,6 +770,29 @@ def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.round(F.col("approx_cosine"), 4).desc(), F.col("vec_id"))
 
 
+@register("pq_topk_trained_embeddings", None)  # approx ids => recall oracle
+def pq_topk_trained_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-k over LLOYD-TRAINED codebooks (m=4 subspaces x k=16
+    centroids, 2 iterations) — the QUALITY path the seed-codebook
+    gate queries stand in for. No exact SQL twin exists (the trained
+    centroids are an iterative fixpoint), so the driver sees
+    rows-only; tools/check_oracle.py holds it to a measured floor:
+    recall@10 vs DuckDB's exact cosine top-10 must stay >= 0.5
+    (kind="recall" in TOLERANCE_ORACLES — the same bounded-error
+    pattern as the HLL/GK sketches), so codebook-training quality can
+    never silently regress. Scale shape identical to the seed path:
+    training is m small k-means runs, encode/search stay map-side."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = _query_vector(spark, sf_dir, 0)
+    books = S.pq_codebooks_trained(emb, m=_PQ_M, k=16, n_iter=2)
+    out = S.pq_topk(emb, q, books, k=10, exclude_id=0)
+    return out.select(
+        "vec_id", F.round("approx_cosine", 6).alias("approx_cosine")
+    )
+
+
 _KMEANS_K = 4
 _KMEANS_ITER = 2
 _KMEANS_DIM = 64
@@ -2140,6 +2163,31 @@ TOLERANCE_ORACLES["approx_quantile_events"] = {
     """,
     "keys": ["event_type"],
     "kind": "bounds",
+}
+
+TOLERANCE_ORACLES["pq_topk_trained_embeddings"] = {
+    # the exact cosine top-10 (vec 0's neighbors, vec 0 excluded);
+    # check_oracle computes recall@k = |approx ids ∩ exact ids| / k
+    # and fails below the floor. Floor 0.5 is a measured bound: the
+    # trained m=4 x k=16 books score 0.8-1.0 recall@10 at sf0.001 and
+    # sf0.01 (r06 measurement); 0.5 catches a broken training loop
+    # (random codes score ~k/n ≈ 0.002) without flaking on legitimate
+    # quantization loss.
+    "sql": """
+    SELECT e.vec_id
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id <> 0 AND list_dot_product(embedding, embedding) > 0) e,
+         (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0) q
+    ORDER BY list_dot_product(e.v, q.qv)
+             / (SQRT(list_dot_product(e.v, e.v))
+                * SQRT(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+    LIMIT 10
+    """,
+    "kind": "recall",
+    "id_col": "vec_id",
+    "k": 10,
+    "floor": 0.5,
 }
 
 

@@ -159,7 +159,27 @@ def check_tolerance(name, spark_rows, spark_cols, con, spec):
     """Bounded-error comparison for sketch queries: join on key
     columns, then assert each approximate value is within the spec's
     tolerance of the exact answer ('rel') or between the exact
-    <col>_lo / <col>_hi bounds ('bounds'). Returns a problem list."""
+    <col>_lo / <col>_hi bounds ('bounds'); for approximate top-k
+    ('recall'), assert |approx ids ∩ exact ids| / k >= the measured
+    floor. Returns a problem list."""
+    if spec["kind"] == "recall":
+        exact_ids = {
+            normalize_cell(r[0]) for r in con.execute(spec["sql"]).fetchall()
+        }
+        idx = spark_cols.index(spec["id_col"])
+        got_ids = {normalize_cell(r[idx]) for r in spark_rows}
+        problems = []
+        if len(spark_rows) != spec["k"]:
+            problems.append(
+                f"row count: spark={len(spark_rows)} expected k={spec['k']}"
+            )
+        recall = len(got_ids & exact_ids) / spec["k"]
+        if recall < spec["floor"]:
+            problems.append(
+                f"recall@{spec['k']} = {recall:.2f} < floor {spec['floor']} "
+                f"(approx ids {sorted(got_ids)} vs exact {sorted(exact_ids)})"
+            )
+        return problems
     res = con.execute(spec["sql"])
     duck_cols = [d[0] for d in res.description]
     duck = {}
