@@ -353,6 +353,33 @@ def _assign_quantized(
     )
 
 
+def _assign_l2_quantized(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment by squared L2 with the EXACT
+    compare key pq_encode uses: argmin over
+    round((||c||^2 - 2<x,c>) * 1e6) as BIGINT, ties to the lowest
+    centroid id (F.least over (d, cid) structs — lexicographic min).
+    Training with this assignment makes kmeans_fit(metric="l2") the
+    codebook trainer pq_encode actually quantizes against; the r06
+    recall collapse (0.1-0.3 vs 0.8+) was cosine-trained books fed
+    to this L2 encoder — direction-only centroids with the wrong
+    subvector magnitudes."""
+    cands = []
+    for cid, c in centroids:
+        cc = 0.0
+        for x in c:
+            cc += x * x
+        key = F.round(
+            (F.lit(cc) - 2.0 * _dot_literal_offset(vec_col, c, 0)) * 1e6, 0
+        ).cast("long")
+        cands.append(F.struct(key.alias("d"), F.lit(cid).alias("cid")))
+    best = F.least(*cands)
+    return emb.withColumn("centroid_id", best["cid"])
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
@@ -361,6 +388,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     quant: int = 6,
     checkpoint_input: bool = True,
+    metric: str = "cosine",
 ) -> list[tuple[int, list[float]]]:
     """Distributed spherical k-means (Lloyd) — the trained-codebook
     upgrade for the IVF path (write_ivf_index / ivf_topk take the
@@ -379,6 +407,15 @@ def kmeans_fit(
         cluster keeps its previous centroid. Centroid means are NOT
         re-normalized: cosine divides by the norm, so the mean
         direction is the spherical-k-means centroid already.
+
+    ``metric`` selects the assignment rule (the update — plain
+    integer-micro mean — is the correct Lloyd update for BOTH):
+      * "cosine" (default): argmax of round(cosine, quant), the
+        spherical variant — right for IVF/cosine search codebooks;
+      * "l2": argmin of the quantized ``||c||^2 - 2<x,c>`` BIGINT
+        key via _assign_l2_quantized — the STANDARD PQ trainer,
+        byte-identical to the compare key pq_encode assigns codes
+        with, so trained codebooks and encoded codes agree.
 
     Scale shape: per iteration ONE wide map-side-combining groupBy
     (k rows x dim partial-sum columns out — no posexplode of the
@@ -421,8 +458,13 @@ def kmeans_fit(
         (i, [_seed_round(x) for x in r[vec_col]])
         for i, r in enumerate(seed_rows)
     ]
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown kmeans metric {metric!r}")
     for _ in range(n_iter):
-        assigned = _assign_quantized(emb, centroids, vec_col, quant)
+        if metric == "l2":
+            assigned = _assign_l2_quantized(emb, centroids, vec_col)
+        else:
+            assigned = _assign_quantized(emb, centroids, vec_col, quant)
         sums = (
             assigned.groupBy("centroid_id")
             .agg(
@@ -518,6 +560,64 @@ def _dot_literal_offset(col: str, sub: list[float], offset: int):
     return F.expr(f"({terms})")
 
 
+def _l2_keys_hof(vec_col: str, book: list[tuple[int, list[float]]], offset: int):
+    """array<struct<d:long, cid:int>> of the quantized L2 compare
+    keys (round((||c||^2 - 2<x,c>) * 1e6) as BIGINT) for every
+    centroid in ``book``, against vec_col[offset : offset+sub] —
+    via higher-order functions over a nested-array codebook LITERAL.
+    The generated code is O(1) in k*sub (the codebook lives in the
+    references array, the lambdas evaluate interpreted), where the
+    string-dot unroll emits k*sub multiply terms + k struct
+    allocations and Janino heap-OOMs past ~64 structs per projection
+    (m=16 x k=16 = 256). FP evaluation order is IDENTICAL to
+    _dot_literal_offset's left-assoc sum — ((0 + x0*c0) + x1*c1)... —
+    so both formulations produce bit-equal keys (tests assert it).
+    argmin = F.array_min (lexicographic struct min: lowest d, ties
+    to lowest cid — the pq_encode tie rule)."""
+    sub = len(book[0][1])
+    blit = F.array(*[
+        F.struct(
+            F.lit(cid).alias("cid"),
+            F.lit(float(_sum_sq(c))).alias("cc"),
+            F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+        )
+        for cid, c in book
+    ])
+    sl = F.slice(F.col(vec_col), offset + 1, sub)
+    return F.transform(
+        blit,
+        lambda b: F.struct(
+            F.round(
+                (
+                    b["cc"]
+                    - 2.0
+                    * F.aggregate(
+                        F.zip_with(
+                            sl, b["c"], lambda x, y: x.cast("double") * y
+                        ),
+                        F.lit(0.0),
+                        lambda a, v: a + v,
+                    )
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("d"),
+            b["cid"].alias("cid"),
+        ),
+    )
+
+
+def _sum_sq(c: list[float]) -> float:
+    """||c||^2 with the same left-to-right accumulation order every
+    other formulation uses (cc += x*x starting from 0.0)."""
+    cc = 0.0
+    for x in c:
+        cc += float(x) * float(x)
+    return cc
+
+
 def pq_codebooks_seed(
     emb: DataFrame,
     m: int = 4,
@@ -558,31 +658,138 @@ def pq_codebooks_trained(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quant: int = 6,
 ) -> list[list[tuple[int, list[float]]]]:
-    """Lloyd-trained PQ codebooks: kmeans_fit per subspace over the
-    SLICED embedding column (m independent small k-means runs over
-    the same scan — at 100 TB, persist the input upstream). The
-    quality upgrade over the seed codebooks; reconstruction/recall
-    is pytest-measured (the registered oracle queries use the seed
-    books, whose training is trivially replayable in SQL)."""
+    """JOINT Lloyd-trained PQ codebooks: all m subspaces train in the
+    SAME pass — per iteration ONE job computes every subspace's
+    assignment (the quantized ``||c||^2 - 2<x,c>`` BIGINT argmin,
+    byte-identical to pq_encode's compare key) and ONE global
+    map-side-combining aggregate emits the m*k*(sub+1) count +
+    integer-micro component sums the update needs. Training MUST be
+    L2 Lloyd because pq_encode assigns codes by squared-L2 argmin:
+    cosine/spherical training optimizes direction only and hands the
+    encoder centroids with the wrong subvector magnitudes (the r06
+    recall collapse, 0.1-0.3 vs what these books + re-rank score).
+
+    Bit-identical to running kmeans_fit(metric="l2") over each
+    sliced subspace (tests assert this) — but n_iter+1 corpus passes
+    TOTAL instead of m*(n_iter+1): at 100 TB, m=16 sequential
+    trainers re-scan the corpus 48 times; this scans 3. Driver state
+    stays k*dim rows (config-sized). Determinism: seeds are the k
+    smallest-id rows rounded half-away at ``quant`` decimals,
+    updates are integer-micro means with half-away .5 ties, empty
+    clusters keep their previous centroid (the kmeans_fit doctrine).
+    Quality is pytest-measured (tests/test_similarity.py trains ->
+    encodes -> searches and asserts recall vs cosine_topk) and
+    oracle-floored (pq_topk_trained_embeddings' recall oracle)."""
     emb = emb.localCheckpoint(eager=False)
-    first = emb.select(vec_col).first()
-    if first is None:
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    if not seed_rows:
         return [[] for _ in range(m)]
-    dim = len(first[vec_col])
+    dim = len(seed_rows[0][vec_col])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
-    books = []
-    for s in range(m):
-        sliced = emb.select(
-            F.col(id_col), F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col)
-        )
-        books.append(
-            kmeans_fit(
-                sliced, k, n_iter, id_col, vec_col, checkpoint_input=False
+    f = 10.0 ** quant
+
+    def _seed_round(x: float) -> float:
+        # half-away-from-zero at `quant` decimals (see kmeans_fit)
+        v = float(x) * f
+        r = math.floor(abs(v) + 0.5)
+        return (r if v >= 0 else -r) / f
+
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (i, [_seed_round(x) for x in r[vec_col][s * sub : (s + 1) * sub]])
+            for i, r in enumerate(seed_rows)
+        ]
+        for s in range(m)
+    ]
+    for _ in range(n_iter):
+        # one select: dim micro-unit columns (shared by every
+        # conditional sum below — keeps the expression tree linear in
+        # dim, not m*k*dim) + one assignment column per subspace
+        assign_cols = [
+            F.array_min(_l2_keys_hof(vec_col, book, s * sub))["cid"].alias(
+                f"a{s}"
             )
+            for s, book in enumerate(books)
+        ]
+        assigned = emb.select(
+            *[
+                F.round(F.col(vec_col)[d] * 1_000_000, 0)
+                .cast("long")
+                .alias(f"v{d}")
+                for d in range(dim)
+            ],
+            *assign_cols,
         )
+        # materialization barrier: without it Catalyst's projection
+        # collapse INLINES every a{s} least-over-k tree into the
+        # explode structs below and the generated method Janino-OOMs
+        # at m=16,k=16; with it each job stays at pq_encode's (known
+        # compilable) expression scale. Also the standard iterative-
+        # lineage truncation (the dedup_clusters doctrine).
+        assigned = assigned.localCheckpoint(eager=False)
+        # narrow (s, cid) explode + groupBy, NOT an m*k*(sub+1)-column
+        # flat aggregate — Janino OOMs codegen'ing a 1280-agg hash
+        # aggregate at m=16,k=16. Data volume is unchanged (n*dim
+        # micro-longs either way); map-side combine collapses each
+        # partition to <= m*k rows before the shuffle.
+        sides = F.array(*[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.col(f"a{s}").alias("cid"),
+                F.array(*[F.col(f"v{s * sub + j}") for j in range(sub)]).alias(
+                    "mv"
+                ),
+            )
+            for s in range(m)
+        ])
+        sums = (
+            assigned.select(F.explode(sides).alias("e"))
+            .select(
+                F.col("e.s").alias("s"),
+                F.col("e.cid").alias("cid"),
+                *[F.col("e.mv")[j].alias(f"m{j}") for j in range(sub)],
+            )
+            .groupBy("s", "cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(f"m{j}").alias(f"s{j}") for j in range(sub)],
+            )
+            .collect()
+        )
+        by_key = {(r["s"], r["cid"]): r for r in sums}
+
+        def mean_micro(ssum: int, n: int) -> float:
+            # integer round-half-away-from-zero(ssum/n) / 1e6 — pure
+            # ints, no float .5 tie (the kmeans_fit mean_micro)
+            r = (2 * abs(ssum) + n) // (2 * n)
+            return (r if ssum >= 0 else -r) / 1e6
+
+        books = [
+            [
+                (
+                    cid,
+                    [
+                        mean_micro(
+                            by_key[(s, cid)][f"s{j}"], by_key[(s, cid)]["n"]
+                        )
+                        for j in range(sub)
+                    ]
+                    if (s, cid) in by_key
+                    else prev,
+                )
+                for cid, prev in books[s]
+            ]
+            for s in range(m)
+        ]
     return books
 
 
@@ -606,7 +813,7 @@ def pq_encode(
     encode is one pass over the corpus writing dim*4 bytes down to
     m bytes + a norm."""
     m = len(books)
-    if not books[0]:
+    if not books or not books[0]:
         # pq_codebooks_seed/trained return [[], [], ...] for an empty
         # corpus — mirror that: an empty (correctly-typed) result, not
         # an IndexError off books[0][0]
@@ -624,21 +831,39 @@ def pq_encode(
     )
     out = emb.filter(self_dot > 0)
     code_cols = []
-    for s, book in enumerate(books):
-        cands = []
-        for cid, c in book:
-            cc = 0.0
-            for x in c:
-                cc += x * x
-            key = (
-                F.round(
-                    (F.lit(cc) - 2.0 * _dot_literal_offset(vec_col, c, s * sub))
-                    * 1e6,
-                    0,
-                ).cast("long")
+    if m * k > 64:
+        # big codebooks (e.g. trained m=16 x k=16 = 256 structs):
+        # the HOF formulation — same keys bit-for-bit (see
+        # _l2_keys_hof), O(1) generated code. The seed-book m=4
+        # configs KEEP the string-dot unroll below so the strict SQL
+        # oracles replaying it stay byte-stable.
+        for s, book in enumerate(books):
+            code_cols.append(
+                F.array_min(_l2_keys_hof(vec_col, book, s * sub))[
+                    "cid"
+                ].alias(f"c{s}")
             )
-            cands.append(F.struct(key.alias("d"), F.lit(cid).alias("cid")))
-        code_cols.append(F.least(*cands).getField("cid").alias(f"c{s}"))
+    else:
+        for s, book in enumerate(books):
+            cands = []
+            for cid, c in book:
+                cc = 0.0
+                for x in c:
+                    cc += x * x
+                key = (
+                    F.round(
+                        (
+                            F.lit(cc)
+                            - 2.0 * _dot_literal_offset(vec_col, c, s * sub)
+                        )
+                        * 1e6,
+                        0,
+                    ).cast("long")
+                )
+                cands.append(
+                    F.struct(key.alias("d"), F.lit(cid).alias("cid"))
+                )
+            code_cols.append(F.least(*cands).getField("cid").alias(f"c{s}"))
     packed = None
     for s in range(m):
         term = F.col(f"c{s}") * F.lit(k**s)
@@ -662,6 +887,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k: the query stays EXACT; each
     corpus vector is represented by its m codebook centroids, so
@@ -672,14 +898,26 @@ def pq_topk(
     by ||q||*||x|| with the EXACT stored norm: the classic
     ADC-with-norms cosine ranking.
 
+    With ``rerank=C`` (the Jegou et al. IVFADC+R tail): the ADC scan
+    keeps its top-C candidate ids (a TakeOrdered), then ONLY those C
+    rows are re-scored with the exact dim-wide cosine and the true
+    top-k returned (column ``cosine``, exact values). This is the
+    quality knob ADC alone lacks on weakly-clustered corpora: ADC
+    ordering inside the shortlist is noisy, but the shortlist
+    CONTAINS the true neighbors (measured here: m=16 x k=16, C=50
+    lifts recall@10 from 0.4-0.6 to 0.9-1.0 on the near-random
+    synthetic embeddings, whose top-10/median cosines are 0.33/0.01).
+
     Scale shape: at 100 TB the encode runs once (pq_encode's one
     pass); every query after that scans m bytes + one double per
     vector — a 16-64x memory-bandwidth reduction vs the exact scan,
     which IS the PQ value proposition. Top-k is a TakeOrdered, no
-    full sort."""
+    full sort; the re-rank is a broadcast semi-join of C ids back
+    into the corpus (C is fixed as the corpus grows) reading C full
+    vectors."""
     enc = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
     m = len(books)
-    if not books[0]:
+    if not books or not books[0]:
         # empty-corpus codebooks (see pq_encode): empty top-k
         return enc.select(
             F.col(id_col), F.lit(0.0).alias("approx_cosine")
@@ -707,6 +945,17 @@ def pq_topk(
     )
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
-    return scored.orderBy(
+    ranked = scored.orderBy(
         F.round(F.col("approx_cosine"), 6).desc(), F.col(id_col).asc()
-    ).limit(k)
+    )
+    if rerank is None:
+        return ranked.limit(k)
+    short = ranked.limit(rerank).select(id_col)
+    return cosine_topk(
+        emb.join(F.broadcast(short), id_col),
+        query,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_id=exclude_id,
+    )

@@ -772,25 +772,32 @@ def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("pq_topk_trained_embeddings", None)  # approx ids => recall oracle
 def pq_topk_trained_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ top-k over LLOYD-TRAINED codebooks (m=4 subspaces x k=16
-    centroids, 2 iterations) — the QUALITY path the seed-codebook
-    gate queries stand in for. No exact SQL twin exists (the trained
-    centroids are an iterative fixpoint), so the driver sees
-    rows-only; tools/check_oracle.py holds it to a measured floor:
-    recall@10 vs DuckDB's exact cosine top-10 must stay >= 0.5
-    (kind="recall" in TOLERANCE_ORACLES — the same bounded-error
-    pattern as the HLL/GK sketches), so codebook-training quality can
-    never silently regress. Scale shape identical to the seed path:
-    training is m small k-means runs, encode/search stay map-side."""
+    """PQ top-k over JOINT L2-Lloyd-trained codebooks (m=16
+    subspaces x k=16 centroids, 2 iterations — one job per pass for
+    ALL subspaces) with the Jegou et al. ADC shortlist + exact
+    re-rank tail (rerank=50): the ADC scan keeps its top-50
+    candidate ids, only those 50 rows are re-scored with the exact
+    cosine, the true top-10 returned. Training is L2 (the metric
+    pq_encode quantizes in — the r06 cosine-trained books scored
+    recall 0.1-0.3 because direction-only centroids carry the wrong
+    subvector magnitudes), and re-rank is what makes PQ usable on
+    this near-random corpus (top-10/median cosine 0.33/0.01):
+    ADC-only ordering is noise-limited at ~0.4-0.6 recall, but the
+    50-candidate shortlist CONTAINS the true neighbors. No exact SQL
+    twin exists (the trained centroids are an iterative fixpoint),
+    so the driver sees rows-only; tools/check_oracle.py holds it to
+    a measured floor: recall@10 vs DuckDB's exact cosine top-10 must
+    stay >= 0.6 (kind="recall" in TOLERANCE_ORACLES), against
+    measured 0.9 at sf0.001 and 1.0 at sf0.01 (r07, committed run).
+    Scale shape: n_iter+1 training passes total (not m*(n_iter+1)),
+    encode/ADC map-side, re-rank a broadcast semi-join of 50 ids."""
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     q = _query_vector(spark, sf_dir, 0)
-    books = S.pq_codebooks_trained(emb, m=_PQ_M, k=16, n_iter=2)
-    out = S.pq_topk(emb, q, books, k=10, exclude_id=0)
-    return out.select(
-        "vec_id", F.round("approx_cosine", 6).alias("approx_cosine")
-    )
+    books = S.pq_codebooks_trained(emb, m=16, k=16, n_iter=2)
+    out = S.pq_topk(emb, q, books, k=10, exclude_id=0, rerank=50)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
 _KMEANS_K = 4
@@ -1521,6 +1528,16 @@ def streaming_interval_join_left_events(
         F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
         F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
     ).first()
+    if mx["c"] is None or mx["p"] is None:
+        # a side with zero events has no watermark story to encode:
+        # min(None, ts) would TypeError two lines down (where the SQL
+        # oracle's LEAST yields NULL) — fail fast with the actual
+        # problem instead
+        raise ValueError(
+            "streaming_interval_join_left_events needs at least one "
+            f"click AND one purchase in {sf_dir}/events.parquet "
+            f"(max click ts={mx['c']}, max purchase ts={mx['p']})"
+        )
     frontier = min(mx["c"], mx["p"]) - datetime.timedelta(hours=3)
 
     stream = read_events_stream(spark, _events_stream_dir(sf_dir))
@@ -1801,12 +1818,18 @@ def _telemetry_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     import inspect
     import os
 
+    # bump when anything synthesis-adjacent OUTSIDE _synth_telemetry's
+    # own source changes (helpers it calls, load()'s schema behavior):
+    # getsource only sees the one function body, so a transitive edit
+    # would otherwise serve a stale fixture while the SQL oracle
+    # synthesizes fresh
+    salt = "telemetry-v2"
     ev_path = os.path.join(sf_dir, "events.parquet")
     synth_src = inspect.getsource(_synth_telemetry)
     try:
         st = os.stat(ev_path)
         tag = hashlib.md5(
-            f"{ev_path}:{st.st_mtime_ns}:{st.st_size}:{synth_src}".encode()
+            f"{salt}:{ev_path}:{st.st_mtime_ns}:{st.st_size}:{synth_src}".encode()
         ).hexdigest()[:12]
     except OSError:
         # non-local sf_dir (e.g. an object-store URI): no stat — fall
@@ -2168,11 +2191,13 @@ TOLERANCE_ORACLES["approx_quantile_events"] = {
 TOLERANCE_ORACLES["pq_topk_trained_embeddings"] = {
     # the exact cosine top-10 (vec 0's neighbors, vec 0 excluded);
     # check_oracle computes recall@k = |approx ids ∩ exact ids| / k
-    # and fails below the floor. Floor 0.5 is a measured bound: the
-    # trained m=4 x k=16 books score 0.8-1.0 recall@10 at sf0.001 and
-    # sf0.01 (r06 measurement); 0.5 catches a broken training loop
-    # (random codes score ~k/n ≈ 0.002) without flaking on legitimate
-    # quantization loss.
+    # and fails below the floor. Floor 0.6 is set from a committed
+    # r07 measurement: trained m=16 x k=16 books + rerank=50 score
+    # recall@10 = 0.9 at sf0.001 and 1.0 at sf0.01 (the r06 floor of
+    # 0.5 was set from an UNREPRODUCIBLE claim and the query failed
+    # it at 0.1-0.3 — cosine-trained books fed to the L2 encoder,
+    # no re-rank). 0.6 catches a broken training loop or a dropped
+    # re-rank without flaking on legitimate quantization loss.
     "sql": """
     SELECT e.vec_id
     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2187,7 +2212,7 @@ TOLERANCE_ORACLES["pq_topk_trained_embeddings"] = {
     "kind": "recall",
     "id_col": "vec_id",
     "k": 10,
-    "floor": 0.5,
+    "floor": 0.6,
 }
 
 

@@ -209,6 +209,61 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert all(all(x == x for x in v) for _, v in cents)  # no NaN
 
 
+def test_trained_books_through_pq_recall(emb):
+    """The r06 regression class: TRAINED codebooks must flow through
+    pq_encode -> pq_topk and beat the recall floor vs the exact scan.
+    (The old suite only fed kmeans_fit output to the cosine-world
+    ivf_topk, so 200 tests stayed green while the registered trained
+    query scored recall 0.1-0.3 — cosine-trained books in an L2
+    encoder.) Uses the module's near-random fixture, the hostile
+    case: ADC-only ordering is noise-limited there, the shortlist +
+    exact re-rank is what must carry it."""
+    q = [float(x) for x in VECS[0]]
+    exact = {i for i, _ in np_topk(VECS[0], k=10, exclude=0)}
+    books = S.pq_codebooks_trained(emb, m=4, k=16, n_iter=2)
+    got = S.pq_topk(emb, q, books, k=10, exclude_id=0, rerank=50).collect()
+    assert len(got) == 10
+    recall = len({r["vec_id"] for r in got} & exact) / 10
+    assert recall >= 0.6, f"trained-PQ recall@10 {recall} < 0.6"
+    # re-ranked scores are EXACT cosines, descending
+    want = dict(np_topk(VECS[0], k=200, exclude=0))
+    for r in got:
+        assert r["cosine"] == pytest.approx(want[r["vec_id"]], abs=1e-5)
+    assert [r["cosine"] for r in got] == sorted(
+        (r["cosine"] for r in got), reverse=True
+    )
+
+
+def test_joint_trainer_matches_sequential_l2_kmeans(emb):
+    """pq_codebooks_trained's one-job-per-pass joint trainer must be
+    BIT-IDENTICAL to running kmeans_fit(metric='l2') over each sliced
+    subspace — same seeds, same quantized argmin assignment, same
+    integer-micro mean (and the HOF key formulation must reproduce
+    the string-dot unroll's floats exactly)."""
+    m, sub = 4, DIM // 4
+    books = S.pq_codebooks_trained(emb, m=m, k=8, n_iter=2)
+    for s in range(m):
+        sliced = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding").cast("array<double>"), s * sub + 1, sub)
+            .alias("embedding"),
+        )
+        seq = S.kmeans_fit(sliced, k=8, n_iter=2, metric="l2")
+        assert books[s] == seq, f"subspace {s} diverged"
+
+
+def test_pq_empty_codebook_guards(spark, emb):
+    """books == [] (kmeans_fit's empty-input return, unlike
+    pq_codebooks_* which return [[], ...]) must yield empty results,
+    not IndexError off books[0]."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert S.pq_codebooks_trained(empty, m=4, k=4) == [[], [], [], []]
+    q = [0.0] * DIM
+    for books in ([], [[], [], [], []]):
+        assert S.pq_encode(emb, books).count() == 0
+        assert S.pq_topk(emb, q, books, k=5).count() == 0
+
+
 def test_int8_quantize_recall_and_roundtrip(spark):
     """Quantization invariants: |q_i| <= 127; exact zero vector ->
     scale 0 + zero codes; dequantized cosine within 1% of the exact
