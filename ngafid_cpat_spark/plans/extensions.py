@@ -2101,6 +2101,69 @@ def islands_chunked_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "island_id")
 
 
+from .relational import ORACLES as _ORACLES  # noqa: E402
+
+
+@register(
+    "islands_auto_events",
+    None,  # filled from islands_chunked_events' oracle just below
+)
+def islands_auto_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew='auto' dispatcher for gaps-and-islands
+    (operators/windows.islands_auto): the same one-agg hottest-key
+    probe as sessionize_auto, picking plain vs chunked islands by the
+    SCALE.md switch rule — completes the auto family so no window
+    operator needs a manual plain/chunked choice. Same oracle as
+    islands_chunked_events (the plain lag+cumsum SQL): BOTH dispatch
+    outcomes are result-identical (the plain path orders by the same
+    (epoch-seconds, event_id) total order the chunked form chunks
+    on); at SF scale the probe picks the plain form."""
+    ev = load(spark, sf_dir, "events")
+    out = OW.islands_auto(
+        ev,
+        "user_id",
+        "ts",
+        ["event_id"],
+        flag=F.col("value") > 50,
+    )
+    return out.select("user_id", "event_id", "island_id")
+
+
+_ORACLES["islands_auto_events"] = _ORACLES["islands_chunked_events"]
+
+
+@register(
+    "range_window_auto_events",
+    None,  # filled from range_window_events' oracle just below
+)
+def range_window_auto_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew='auto' dispatcher for the trailing range frame
+    (operators/windows.range_window_auto): hottest-key probe picks
+    the plain rangeBetween frame or the two-phase chunked rewrite
+    (window functions get no AQE skew splitting, so this is the only
+    automatic skew escape for range frames). Same oracle as
+    range_window_events — both outcomes result-identical; at SF
+    scale the probe picks the plain form, whose sum is cast to
+    double to keep one schema across dispatch outcomes."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = OW.range_window_auto(
+        ev, "user_id", "ts", "value", 3600.0,
+        sum_col="__s", count_col="hour_n",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("__s", 2).alias("hour_sum"),
+        "hour_n",
+    )
+
+
+_ORACLES["range_window_auto_events"] = _ORACLES["range_window_events"]
+
+
 @register(
     "outlier_events",
     """

@@ -4,13 +4,10 @@ plus the DuckDB oracle SQL for every SQL-expressible entry.
 Import order matters only for registration side effects; relational
 defines the registry, the other modules append to it. After all
 registrations the registry is REORDERED: the driver's correctness
-gate checks the first 50 entries in insertion order, so PRIORITY is
-re-curated each round — flagship sentinels, everything whose plan or
-oracle changed this round, and whatever has not yet earned a driver
-oracle row. Everything else keeps its local oracle coverage via
-tools/check_oracle.py, which since r05 also replays the driver's
-pandas canonicalization and dtype behavior (124 ok / 0 fail /
-0 rows-only at sf0.001 as of r05 start).
+gate checks the first 50 entries in insertion order. Everything else
+keeps its local oracle coverage via tools/check_oracle.py, which
+replays the driver's pandas canonicalization and dtype behavior over
+the full catalog (132 queries: 129 strict oracles + 3 bounded-error).
 """
 
 from __future__ import annotations
@@ -22,81 +19,69 @@ from . import relational as _relational  # noqa: F401
 from . import timeseries as _timeseries  # noqa: F401  (registers)
 from . import tpch_extra as _tpch_extra  # noqa: F401  (registers)
 
-# First 50 slots = the driver's correctness window, re-curated each
-# round. Round-5 rotation (VERDICT r04 #4): (a) the 4 queries whose
-# r04 rows failed on oracle canonicalization, re-entering with fixed
-# oracles/output schemas; (b) global_ids_docs, the one strict-oracle
-# query that had never had a driver row; (c) everything new or whose
-# plan/oracle changed in r05 (auto window dispatch, the streaming
-# interval join, the fixture-fed approach pipeline, the kmeans seed
-# rounding, incremental-dedup signature); (d) 7 family sentinels;
-# (e) the full 26-query set whose most recent driver evidence is r02
-# (3 rounds stale) plus 6 of the oldest r03 rows, re-verified against
-# the moving codebase. Driver-evidence state going in (from
-# CORRECTNESS_r01-r04): every strict-oracle query EXCEPT
-# global_ids_docs has at least one green driver row across r01-r04;
-# approx_quantile_events and approx_distinct_parts are sketches with
-# bounded-error oracles in tools/check_oracle.py (approx_distinct had
-# a green r02 row; approx_quantile is rows-only by design and has
-# never been in a window).
+# First 50 slots = the driver's correctness window. INVARIANT, held
+# every round: (1) any query with no driver row yet, (2) any query
+# whose plan or oracle changed this round, (3) the rest of the window
+# back-fills with the queries whose newest driver evidence is oldest,
+# so the union of CORRECTNESS_r* rows stays fresh for the whole
+# catalog. Per-round rationale lives in the commit message, not here.
+# Sketches with bounded-error-only oracles (approx_distinct_parts,
+# approx_quantile_events) stay OUT: their driver rows are permanently
+# `no_oracle` and would waste slots check_oracle.py already covers.
 PRIORITY = [
-    # --- (a) the 4 r04 canonicalization failures, oracles fixed ---
-    "islands_chunked_events",     # CAST island_id AS BIGINT
-    "pack_sequences_docs",        # CAST 3 windowed-SUM offsets
-    "rollup_hourly_daily",        # CAST SUM(n) AS BIGINT
-    "embedding_quantize_int8",    # q serialized as q_csv on both sides
-    # --- (b) first-ever driver row ---
-    "global_ids_docs",            # + r05 localCheckpoint pin
-    # --- (c) new or plan-changed this round ---
-    "sessionize_auto_events",     # NEW: skew=auto dispatch in-gate
-    "streaming_interval_join_events",  # NEW: stream-stream join in-gate
-    "approach_pipeline_demo",     # telemetry fixture + dim null-code contract
-    "kmeans_clusters_embeddings", # half-away seed rounding
-    "dedup_incremental_docs",     # history_fp signature
-    # --- (d) family sentinels ---
+    # never driver-checked / plan-or-oracle changed this round
+    "pq_codes_embeddings",
+    "pq_topk_embeddings",
+    "asof_next_click_purchase",
+    "asof_nearest_click_purchase",
+    "streaming_interval_join_left_events",
+    "pq_topk_trained_embeddings",
+    "islands_auto_events",
+    "range_window_auto_events",
+    "kmeans_clusters_embeddings",
+    "approach_pipeline_demo",
+    # oldest driver evidence (latest row r03) — full back-fill
+    "agg_rollup_orders",
+    "ann_ivf_topk",
+    "conditional_agg_events",
+    "contamination_bloom_docs",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_keep_best",
+    "embedding_neardup_lsh",
+    "embedding_neardup_pairs",
+    "events_tumbling_window",
+    "funnel_events",
+    "gapfill_locf_daily",
+    "geo_haversine_customers",
+    "join_outer_nation_counts",
+    "join_semi_customers",
+    "json_extract_events",
+    "knn_graph_embeddings",
+    "lang_id_docs",
+    "map_functions_events",
+    "q18_big_orders",
+    "q8_market_share",
+    "quantile_events",
+    "retention_cohorts",
+    "rolling5_events",
+    "scan_filter_project",
+    "session_event_ids",
+    "set_ops_nations",
+    "stats_moments_events",
+    "text_quality",
+    "text_stats",
+    "tfidf_topk_terms",
+    "token_count_bpe",
+    "topk_customers_per_nation",
+    "unstable_subintervals",
+    "validity_probe_users",
+    "vocab_topk",
+    "window_running_orders",
+    # family sentinels
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "streaming_sessions_events",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "fuzzy_name_pairs_customers",
-    "ann_topk_batch",
-    # --- (e) stale-evidence re-verification: all 26 whose latest
-    # driver row is r02 ---
-    "above_avg_customers",
-    "agg_cube_lineitem",
-    "argmax_order_per_customer",
-    "broadcast_star_revenue",
-    "date_arith_events",
-    "date_functions_orders",
-    "distinct_parts_per_flag",
-    "events_sliding_window",
-    "from_json_events",
-    "grouping_sets_orders",
-    "interval_join_click_counts",  # batch twin of the new streaming join
-    "join_anti_customers",
-    "latest_snapshot_events",
-    "min_acctbal_customer_per_nation",
-    "ntile_distribution_orders",
-    "pivot_event_counts",
-    "q10_returned_revenue",
-    "q12_priority_by_flag",
-    "q14_promo_share",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "stride_sample_events",
-    "string_functions_customers",
-    "unpivot_lineitem_measures",
-    "approx_distinct_parts",       # sketch: rows-only + bounded-error
-    # --- plus 7 of the oldest r03 rows in modules touched this round ---
-    "asof_click_before_purchase",  # as-of family, pairs w/ streaming join
-    "nn_join_acctbal",             # joins.py fan_partitions change
-    "sessionize_events",           # windows.py module
-    "range_window_events",
-    "ann_cosine_topk",             # similarity.py module
-    "dedup_clusters",
-    "episode_detect_events",
 ]
 
 

@@ -193,6 +193,18 @@ def main() -> None:
         # groupBy + a k x dim collect; time should track |vectors|
         return S.kmeans_cluster_profile(emb, k=8, n_iter=2)
 
+    def pq_trained_topk(emb):
+        from ngafid_cpat_spark.operators import similarity as S
+
+        # the full trained-PQ pipeline: joint L2-Lloyd training
+        # (n_iter+1 passes, k-row driver syncs), encode via the HOF
+        # key path (m*k=128 > 64), ADC scan + 50-candidate exact
+        # re-rank. Time should track |vectors|: every stage is one
+        # linear pass, driver state stays k x dim.
+        books = S.pq_codebooks_trained(emb, m=8, k=16, n_iter=2)
+        q = [((7 * d + 3) % 11 - 5) / 5.0 for d in range(16)]
+        return S.pq_topk(emb, q, books, k=10, rerank=50)
+
     def int8_quantize(emb):
         from ngafid_cpat_spark.functions import vector as VV
 
@@ -230,6 +242,7 @@ def main() -> None:
         "connected_components": ("events", cc_distributed),
         "knn_graph_lsh": ("emb", knn_graph),
         "kmeans_lloyd": ("emb", kmeans),
+        "pq_trained_topk": ("emb", pq_trained_topk),
         "int8_quantize": ("emb", int8_quantize),
     }
 
