@@ -573,39 +573,29 @@ def _l2_keys_hof(vec_col: str, book: list[tuple[int, list[float]]], offset: int)
     _dot_literal_offset's left-assoc sum — ((0 + x0*c0) + x1*c1)... —
     so both formulations produce bit-equal keys (tests assert it).
     argmin = F.array_min (lexicographic struct min: lowest d, ties
-    to lowest cid — the pq_encode tie rule)."""
+    to lowest cid — the pq_encode tie rule).
+
+    Built as ONE parsed SQL string (the _dot_literal_offset
+    convention): composing the same tree through the Column API costs
+    ~2k py4j round trips per m=16 x k=16 call — measured ~3 s of
+    driver time per training iteration — where one F.expr parse is
+    JVM-side and O(ms)."""
     sub = len(book[0][1])
-    blit = F.array(*[
-        F.struct(
-            F.lit(cid).alias("cid"),
-            F.lit(float(_sum_sq(c))).alias("cc"),
-            F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+    entries = ", ".join(
+        "named_struct('cid', {cid}, 'cc', {cc!r}D, 'c', array({cs}))".format(
+            cid=cid,
+            cc=float(_sum_sq(c)),
+            cs=", ".join(f"{float(x)!r}D" for x in c),
         )
         for cid, c in book
-    ])
-    sl = F.slice(F.col(vec_col), offset + 1, sub)
-    return F.transform(
-        blit,
-        lambda b: F.struct(
-            F.round(
-                (
-                    b["cc"]
-                    - 2.0
-                    * F.aggregate(
-                        F.zip_with(
-                            sl, b["c"], lambda x, y: x.cast("double") * y
-                        ),
-                        F.lit(0.0),
-                        lambda a, v: a + v,
-                    )
-                )
-                * 1e6,
-                0,
-            )
-            .cast("long")
-            .alias("d"),
-            b["cid"].alias("cid"),
-        ),
+    )
+    return F.expr(
+        f"transform(array({entries}), b -> named_struct("
+        f"'d', CAST(ROUND((b.cc - 2.0D * aggregate(zip_with("
+        f"slice({vec_col}, {offset + 1}, {sub}), b.c, "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), "
+        f"0.0D, (a, v) -> a + v)) * 1000000.0D, 0) AS BIGINT), "
+        f"'cid', b.cid))"
     )
 
 
@@ -711,48 +701,29 @@ def pq_codebooks_trained(
         for s in range(m)
     ]
     for _ in range(n_iter):
-        # one select: dim micro-unit columns (shared by every
-        # conditional sum below — keeps the expression tree linear in
-        # dim, not m*k*dim) + one assignment column per subspace
-        assign_cols = [
-            F.array_min(_l2_keys_hof(vec_col, book, s * sub))["cid"].alias(
-                f"a{s}"
-            )
-            for s, book in enumerate(books)
-        ]
-        assigned = emb.select(
-            *[
-                F.round(F.col(vec_col)[d] * 1_000_000, 0)
-                .cast("long")
-                .alias(f"v{d}")
-                for d in range(dim)
-            ],
-            *assign_cols,
-        )
-        # materialization barrier: without it Catalyst's projection
-        # collapse INLINES every a{s} least-over-k tree into the
-        # explode structs below and the generated method Janino-OOMs
-        # at m=16,k=16; with it each job stays at pq_encode's (known
-        # compilable) expression scale. Also the standard iterative-
-        # lineage truncation (the dedup_clusters doctrine).
-        assigned = assigned.localCheckpoint(eager=False)
-        # narrow (s, cid) explode + groupBy, NOT an m*k*(sub+1)-column
-        # flat aggregate — Janino OOMs codegen'ing a 1280-agg hash
-        # aggregate at m=16,k=16. Data volume is unchanged (n*dim
-        # micro-longs either way); map-side combine collapses each
-        # partition to <= m*k rows before the shuffle.
+        # ONE job per iteration: per subspace a (s, assigned cid,
+        # micro-unit subvector) struct, exploded to narrow (s, cid)
+        # rows, then a groupBy whose map-side combine collapses each
+        # partition to <= m*k rows before the shuffle. The assignment
+        # and micro conversion are HOF/parsed-SQL expressions
+        # (interpreted leaves — tiny generated code), NOT the
+        # string-dot unroll or an m*k*(sub+1)-column flat aggregate,
+        # both of which Janino heap-OOMs at m=16,k=16.
         sides = F.array(*[
             F.struct(
                 F.lit(s).alias("s"),
-                F.col(f"a{s}").alias("cid"),
-                F.array(*[F.col(f"v{s * sub + j}") for j in range(sub)]).alias(
-                    "mv"
-                ),
+                F.array_min(_l2_keys_hof(vec_col, books[s], s * sub))[
+                    "cid"
+                ].alias("cid"),
+                F.expr(
+                    f"transform(slice({vec_col}, {s * sub + 1}, {sub}), "
+                    f"x -> CAST(ROUND(x * 1000000, 0) AS BIGINT))"
+                ).alias("mv"),
             )
             for s in range(m)
         ])
         sums = (
-            assigned.select(F.explode(sides).alias("e"))
+            emb.select(F.explode(sides).alias("e"))
             .select(
                 F.col("e.s").alias("s"),
                 F.col("e.cid").alias("cid"),
