@@ -1173,7 +1173,8 @@ def streaming_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__cents") / 100.0).alias("sum_value"),
         )
     )
-    run_to_memory(agg, "streaming_sessions_events_mem", mode="complete")
+    run_to_memory(agg, "streaming_sessions_events_mem", mode="complete",
+                  shuffle_partitions=8)
     return spark.table("streaming_sessions_events_mem")
 
 
@@ -1365,7 +1366,8 @@ def streaming_windowed_counts_events(spark: SparkSession, sf_dir: str) -> DataFr
             (F.col("__cents") / 100.0).alias("sum_value"),
         )
     )
-    run_to_memory(agg, "streaming_windowed_counts_events_mem", mode="complete")
+    run_to_memory(agg, "streaming_windowed_counts_events_mem", mode="complete",
+                  shuffle_partitions=8)
     return spark.table("streaming_windowed_counts_events_mem")
 
 
@@ -1413,7 +1415,8 @@ def streaming_enriched_counts_events(
             (F.col("__cents") / 100.0).alias("sum_value"),
         )
     )
-    run_to_memory(agg, "streaming_enriched_counts_events_mem", mode="complete")
+    run_to_memory(agg, "streaming_enriched_counts_events_mem", mode="complete",
+                  shuffle_partitions=8)
     return spark.table("streaming_enriched_counts_events_mem")
 
 
@@ -1459,7 +1462,8 @@ def streaming_interval_join_events(
     pairs = stream_stream_click_purchase(
         stream, watermark="2 hours", lookback="3 days", how="inner"
     )
-    run_to_memory(pairs, "streaming_interval_join_events_mem", mode="append")
+    run_to_memory(pairs, "streaming_interval_join_events_mem", mode="append",
+                  shuffle_partitions=8)
     return (
         spark.table("streaming_interval_join_events_mem")
         .groupBy("event_id", "user_id")
@@ -1544,7 +1548,8 @@ def streaming_interval_join_left_events(
     pairs = stream_stream_click_purchase(
         stream, watermark="2 hours", lookback="1 hour", how="left_outer"
     )
-    run_to_memory(pairs, "streaming_interval_join_left_mem", mode="append")
+    run_to_memory(pairs, "streaming_interval_join_left_mem", mode="append",
+                  shuffle_partitions=8)
     emitted = spark.table("streaming_interval_join_left_mem")
     return (
         emitted.filter(
