@@ -5,11 +5,11 @@ queries()      every implemented operator from SURVEY.md §2 as
                (spark, sf_dir) -> DataFrame.
 oracle_sql()   DuckDB-equivalent ANSI SQL per query (same column
                aliases; computed doubles rounded identically on both
-               sides). As of r07, 129 of 132 queries carry a strict
+               sides). As of r07, 129 of 133 queries carry a strict
                oracle (minhash/simhash use cross-engine md5 hash
-               families); the three approximate queries (HLL
-               distinct, GK quantiles, trained-PQ top-k) are
-               rows-only here — each carries a bounded-error oracle
+               families); the four approximate queries (HLL
+               distinct, GK quantiles, trained-PQ top-k, IVFADC
+               top-k) are rows-only here — each carries a bounded-error oracle
                in tools/check_oracle.py instead.
 """
 

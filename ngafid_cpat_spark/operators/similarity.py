@@ -930,3 +930,137 @@ def pq_topk(
         vec_col=vec_col,
         exclude_id=exclude_id,
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query: list[float],
+    coarse: list[tuple[int, list[float]]],
+    m: int = 8,
+    k_sub: int = 16,
+    n_iter: int = 2,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int | None = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVFADC (Jegou et al., TPAMI 2011 §V): the full inverted-file +
+    product-quantization search — coarse quantizer prunes the scan to
+    ``n_probe`` cells, a SINGLE product quantizer (trained on the
+    pooled coarse RESIDUALS r = x - c(x), the paper's choice) encodes
+    what the coarse cell doesn't explain, and the ADC score
+    reconstructs <q, x> = <q, c_cell> + <q, r-hat> without touching
+    the raw vector. Optional exact re-rank of the top-``rerank``
+    candidates (IVFADC+R). Ranking is cosine with the exact stored
+    norm, like the whole ANN ladder here, so results are directly
+    comparable to cosine_topk / ivf_topk / pq_topk.
+
+    Every stage is deterministic: coarse assignment is the quantized
+    cosine argmax (assign_centroids), residual PQ training is the
+    joint L2 Lloyd (pq_codebooks_trained), code assignment and LUT
+    sums use the integer-micro key/money doctrine.
+
+    Scale shape — this IS the 100 TB ANN architecture: the corpus is
+    stored as (cell id, m residual codes, norm) = ~m+12 bytes/vector
+    (write_ivf_index's partitioned layout makes the probe a
+    partition-pruned read); a query touches n_probe/|coarse| of the
+    data, reads codes not vectors, and the re-rank fetches exactly
+    ``rerank`` full vectors via a broadcast semi-join. Training is
+    one coarse Lloyd + one joint residual-PQ Lloyd, each with k-row
+    driver state."""
+    self_dot = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+    )
+    live = emb.filter(self_dot > 0)
+    if not coarse:
+        return live.filter(F.lit(False)).select(
+            F.col(id_col), F.lit(0.0).alias("approx_cosine")
+        )
+    assigned = assign_centroids(live, coarse, vec_col)
+    # residual r = x - c(x): the row's coarse centroid picked from a
+    # literal array-of-arrays by cell id (coarse ids are contiguous
+    # 0..n-1 by construction in kmeans_fit / seed codebooks)
+    by_cid = dict(coarse)
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in by_cid[cid]])
+        for cid in range(len(coarse))
+    ])
+    resid = F.zip_with(
+        F.col(vec_col),
+        F.element_at(cents, F.col("centroid_id") + 1),
+        lambda x, y: x.cast("double") - y,
+    )
+    r_df = assigned.withColumn("__resid", resid)
+    # ONE product quantizer over the pooled residuals (not per-cell
+    # books): the residual distribution is what's left after the
+    # coarse quantizer, shared across cells — the paper's design, and
+    # what keeps codebook state O(m * k_sub), not O(|coarse| * m * k_sub)
+    books = pq_codebooks_trained(
+        r_df.select(F.col(id_col), F.col("__resid").alias(vec_col)),
+        m=m,
+        k=k_sub,
+        n_iter=n_iter,
+    )
+    if not books or not books[0]:
+        return live.filter(F.lit(False)).select(
+            F.col(id_col), F.lit(0.0).alias("approx_cosine")
+        )
+    sub = len(books[0][0][1])
+    probes = _nearest_probes(query, coarse, n_probe)
+    pruned = r_df.filter(F.col("centroid_id").isin(probes)).localCheckpoint(
+        eager=False
+    )
+    qn = 0.0
+    for x in query:
+        qn += float(x) * float(x)
+    qn = math.sqrt(qn)
+    # <q, c_cell> per coarse cell, driver-side (codebook-sized)
+    qc = []
+    for cid in range(len(coarse)):
+        d = 0.0
+        for j, x in enumerate(by_cid[cid]):
+            d += float(query[j]) * x
+        qc.append(_round_half_away_micro(d))
+    qc_term = F.element_at(
+        F.array(*[F.lit(v) for v in qc]), F.col("centroid_id") + 1
+    )
+    # residual ADC: code_s = L2 argmin vs book_s, LUT_s[code] = <q_s, c>
+    approx = qc_term
+    for s, book in enumerate(books):
+        code = F.array_min(_l2_keys_hof("__resid", book, s * sub))["cid"]
+        lut = []
+        for _cid, c in book:
+            d = 0.0
+            for j, cx in enumerate(c):
+                d += float(query[s * sub + j]) * cx
+            lut.append(_round_half_away_micro(d))
+        approx = approx + F.element_at(
+            F.array(*[F.lit(v) for v in lut]), code + 1
+        )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+        )
+    )
+    scored = pruned.select(
+        F.col(id_col),
+        (approx / 1e6 / (F.lit(qn) * norm)).alias("approx_cosine"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    ranked = scored.orderBy(
+        F.round(F.col("approx_cosine"), 6).desc(), F.col(id_col).asc()
+    )
+    if rerank is None:
+        return ranked.limit(k)
+    short = ranked.limit(rerank).select(id_col)
+    return cosine_topk(
+        emb.join(F.broadcast(short), id_col),
+        query,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_id=exclude_id,
+    )

@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (132 queries: 129 strict oracles + 3 bounded-error).
+the full catalog (133 queries: 129 strict oracles + 4 bounded-error).
 """
 
 from __future__ import annotations
@@ -36,6 +36,7 @@ PRIORITY = [
     "asof_nearest_click_purchase",
     "streaming_interval_join_left_events",
     "pq_topk_trained_embeddings",
+    "ann_ivfpq_topk",
     "islands_auto_events",
     "range_window_auto_events",
     "kmeans_clusters_embeddings",
@@ -81,7 +82,6 @@ PRIORITY = [
     # family sentinels
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "dedup_minhash_lsh",
 ]
 
 

@@ -252,6 +252,49 @@ def test_joint_trainer_matches_sequential_l2_kmeans(emb):
         assert books[s] == seq, f"subspace {s} diverged"
 
 
+def test_ivfpq_topk_recall_and_pruning(emb):
+    """IVFADC+R end-to-end on the near-random fixture: coarse Lloyd
+    -> pooled-residual PQ -> 4-of-8-cell ADC probe -> exact re-rank
+    must beat the recall floor, return exact cosine scores, and the
+    probe must actually prune (scoring strictly fewer rows than the
+    corpus)."""
+    q = [float(x) for x in VECS[0]]
+    exact = {i for i, _ in np_topk(VECS[0], k=10, exclude=0)}
+    coarse = S.kmeans_fit(emb, k=8, n_iter=2)
+    got = S.ivfpq_topk(
+        emb, q, coarse, m=4, k_sub=16, n_iter=2,
+        k=10, n_probe=4, rerank=100, exclude_id=0,
+    ).collect()
+    assert len(got) == 10
+    recall = len({r["vec_id"] for r in got} & exact) / 10
+    assert recall >= 0.6, f"IVFADC recall@10 {recall} < 0.6"
+    want = dict(np_topk(VECS[0], k=200, exclude=0))
+    for r in got:
+        assert r["cosine"] == pytest.approx(want[r["vec_id"]], abs=1e-5)
+    # the probe prunes: the 4 probed cells hold fewer rows than N
+    from ngafid_cpat_spark.operators.similarity import (
+        _nearest_probes,
+        assign_centroids,
+    )
+    probes = _nearest_probes(q, coarse, 4)
+    import pyspark.sql.functions as SF
+    probed = (
+        assign_centroids(emb, coarse)
+        .filter(SF.col("centroid_id").isin(probes))
+        .count()
+    )
+    assert 0 < probed < N
+
+
+def test_ivfpq_empty_inputs(spark, emb):
+    """Empty coarse codebook or empty corpus -> empty result, typed."""
+    q = [0.0] * DIM
+    assert S.ivfpq_topk(emb, q, [], k=5).count() == 0
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    coarse = [(0, [1.0] * DIM), (1, [-1.0] * DIM)]
+    assert S.ivfpq_topk(empty, q, coarse, m=4, k_sub=4, k=5).count() == 0
+
+
 def test_pq_empty_codebook_guards(spark, emb):
     """books == [] (kmeans_fit's empty-input return, unlike
     pq_codebooks_* which return [[], ...]) must yield empty results,

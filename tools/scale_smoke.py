@@ -205,6 +205,20 @@ def main() -> None:
         q = [((7 * d + 3) % 11 - 5) / 5.0 for d in range(16)]
         return S.pq_topk(emb, q, books, k=10, rerank=50)
 
+    def ivfpq_topk(emb):
+        from ngafid_cpat_spark.operators import similarity as S
+
+        # full IVFADC+R: coarse Lloyd + pooled-residual PQ training
+        # + 4-of-8-cell ADC probe + exact re-rank of 100. Linear:
+        # both trainings are per-pass linear, the probe scans a fixed
+        # fraction, the re-rank is constant-size.
+        coarse = S.kmeans_fit(emb, k=8, n_iter=2)
+        q = [((7 * d + 3) % 11 - 5) / 5.0 for d in range(16)]
+        return S.ivfpq_topk(
+            emb, q, coarse, m=8, k_sub=16, n_iter=2,
+            k=10, n_probe=4, rerank=100,
+        )
+
     def int8_quantize(emb):
         from ngafid_cpat_spark.functions import vector as VV
 
@@ -243,6 +257,7 @@ def main() -> None:
         "knn_graph_lsh": ("emb", knn_graph),
         "kmeans_lloyd": ("emb", kmeans),
         "pq_trained_topk": ("emb", pq_trained_topk),
+        "ivfpq_topk": ("emb", ivfpq_topk),
         "int8_quantize": ("emb", int8_quantize),
     }
 
