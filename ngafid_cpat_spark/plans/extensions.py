@@ -1362,6 +1362,72 @@ def _events_stream_dir(sf_dir: str) -> str:
     return stream_dir
 
 
+def _dup_events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """ONE-file stream fixture with seeded duplicates: events UNION
+    its own event_id % 10 == 0 rows, coalesced to a single parquet
+    file (plus one per-partition empty from coalesce) so availableNow
+    processes exactly ONE micro-batch. One batch is what makes the
+    dedup deterministic: across two batches, which copy survives and
+    whether an evicted id re-emits would depend on watermark
+    progression between batches — in one batch every duplicate id
+    collapses and the duplicate copies are byte-identical, so the
+    emitted set equals the source table exactly. Keyed on source
+    mtime+size (the _telemetry_fixture invalidation rule)."""
+    import hashlib
+    import os
+
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        st = None
+    tag = hashlib.md5(
+        f"dup-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
+        f"{getattr(st, 'st_size', 0)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join("/tmp", f"spark_graft_events_dup_stream_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = load(spark, sf_dir, "events")
+        ev.unionByName(ev.filter(F.col("event_id") % 10 == 0)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(out)
+    return out
+
+
+@register(
+    "streaming_dedup_events",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-evicted exact-dedup executed as a REAL stream:
+    dropDuplicatesWithinWatermark(event_id) over a source seeded with
+    a duplicate copy of every event_id % 10 == 0 row (10% dup rate —
+    the ingestion-retry shape). The emitted append-mode set must
+    equal the clean source table EXACTLY — that is the oracle.
+
+    Scale story: state holds an id only for the watermark delay after
+    first sight (RocksDB-backed, evicted as the watermark advances),
+    so state size is bounded by (arrival rate x delay), not by stream
+    length — plain dropDuplicates([id]) would grow without bound.
+    Single-file fixture => one availableNow micro-batch, which makes
+    the emission deterministic (see _dup_events_stream_dir).
+    Reference parity: the reference's MySQL ingest dedups flight rows
+    by primary key on upsert (main.py:1 spec); this is the streaming
+    re-expression."""
+    from ..streaming.sessions import dedup_stream, read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, _dup_events_stream_dir(spark, sf_dir))
+    deduped = dedup_stream(stream, watermark="2 hours")
+    run_to_memory(deduped, "streaming_dedup_events_mem", mode="append",
+                  shuffle_partitions=8)
+    return spark.table("streaming_dedup_events_mem").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 @register(
     "streaming_windowed_counts_events",
     """

@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (133 queries: 129 strict oracles + 4 bounded-error).
+the full catalog (134 queries: 130 strict oracles + 4 bounded-error).
 """
 
 from __future__ import annotations
@@ -39,6 +39,7 @@ PRIORITY = [
     "ann_ivfpq_topk",
     "islands_auto_events",
     "range_window_auto_events",
+    "streaming_dedup_events",
     "kmeans_clusters_embeddings",
     "approach_pipeline_demo",
     # oldest driver evidence (latest row r03) — full back-fill
@@ -78,7 +79,6 @@ PRIORITY = [
     "unstable_subintervals",
     "validity_probe_users",
     "vocab_topk",
-    "window_running_orders",
     # family sentinels
     "q1_pricing_summary",
     "q3_shipping_priority",
