@@ -5,12 +5,13 @@ queries()      every implemented operator from SURVEY.md §2 as
                (spark, sf_dir) -> DataFrame.
 oracle_sql()   DuckDB-equivalent ANSI SQL per query (same column
                aliases; computed doubles rounded identically on both
-               sides). As of r07, 130 of 134 queries carry a strict
+               sides). As of r07, 132 of 137 queries carry a strict
                oracle (minhash/simhash use cross-engine md5 hash
-               families); the four approximate queries (HLL
-               distinct, GK quantiles, trained-PQ top-k, IVFADC
-               top-k) are rows-only here — each carries a bounded-error oracle
-               in tools/check_oracle.py instead.
+               families); the five approximate queries (HLL
+               distinct, HLL sketch-union rollup, GK quantiles,
+               trained-PQ top-k, IVFADC top-k) are rows-only here —
+               each carries a bounded-error oracle in
+               tools/check_oracle.py instead.
 """
 
 from __future__ import annotations

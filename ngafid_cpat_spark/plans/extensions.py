@@ -20,7 +20,7 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import windows as OW
 from ..sources import load
-from .relational import register
+from .relational import TOLERANCE_ORACLES, register
 
 # Shared normalization SQL fragment (DuckDB needs the 'g' flag to
 # replace globally; Spark's regexp_replace is global by default).
@@ -1429,6 +1429,72 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_windowed_events",
+    """
+    WITH f AS (
+      SELECT MAX(ts) - INTERVAL 2 HOUR AS frontier FROM events
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type, COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+    FROM events, f
+    GROUP BY 1, 2, frontier
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR < frontier
+    """,
+)
+def streaming_dedup_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one stream (Spark >= 3.4 multiple-
+    stateful-operator support): watermark-evicted exact dedup feeding a
+    tumbling-window aggregation, append mode end to end, over the
+    seeded-10%-duplicate fixture. The dedup layer must collapse the
+    duplicate copies BEFORE they reach the counts — an at-least-once
+    source in front of a plain windowed agg would double-count them.
+
+    Append mode only finalizes a window once the watermark passes its
+    end, so (as with the left-outer interval join) the oracle encodes
+    the emission frontier: both sides keep exactly the windows whose
+    end is strictly below max(ts) - 2 h. Spark provably emits every
+    window under that frontier; any boundary window sits above it and
+    is filtered on both sides, making the comparison deterministic."""
+    import datetime
+
+    from ..streaming.sessions import dedup_stream, read_events_stream, run_to_memory
+
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m")).first()["m"]
+    if mx is None:
+        raise ValueError(
+            f"streaming_dedup_windowed_events needs a non-empty "
+            f"{sf_dir}/events.parquet"
+        )
+    frontier = mx - datetime.timedelta(hours=2)
+
+    stream = read_events_stream(spark, _dup_events_stream_dir(spark, sf_dir))
+    agg = (
+        dedup_stream(stream, watermark="2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("__cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            (F.col("__cents") / 100.0).alias("sum_value"),
+        )
+    )
+    run_to_memory(agg, "streaming_dedup_windowed_mem", mode="append",
+                  shuffle_partitions=8)
+    return (
+        spark.table("streaming_dedup_windowed_mem")
+        .filter(F.col("window_end") < F.lit(frontier))
+        .select("window_start", "event_type", "n", "sum_value")
+    )
+
+
+@register(
     "streaming_windowed_counts_events",
     """
     SELECT date_trunc('hour', ts) AS window_start,
@@ -2034,6 +2100,89 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "heavy_hitters_tokens_docs",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({NORM_SQL}, ' ')) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def heavy_hitters_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items top-20 via the approx_top_k SKETCH (DataSketches
+    ItemsSketch) instead of a full groupBy: the aggregation is one
+    mergeable bounded-memory sketch per partition, so the shuffle
+    carries one ~maxItemsTracked-entry sketch per map task — constant,
+    NOT one row per distinct token per partition like vocab_topk's
+    exact plan. That is the 100 TB heavy-hitters path: memory and
+    shuffle stay flat as the vocabulary grows, with the frequent-items
+    guarantee (count error <= n_tokens / maxItemsTracked, zero for any
+    item when distinct <= maxItemsTracked).
+
+    At test SF the vocabulary (~31) is far below maxItemsTracked
+    (10000), so every tracked count is EXACT and the sketch returns
+    all items; a deterministic re-rank (count desc, token) + limit 20
+    on top makes the result byte-equal to the exact top-20 — hence the
+    strict oracle. Ask for k=1000 so the sketch, not its arbitrary
+    tie order, decides nothing at the boundary."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .agg(F.expr("approx_top_k(token, 1000, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("s"))
+        .select(F.col("s.item").alias("token"), F.col("s.count").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register("hll_union_users_events", None)  # sketch estimate => bounded-error
+def hll_union_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct: per-(day, event_type) HLL sketches
+    (hll_sketch_agg), then hll_union_agg merges the DAILY sketches up
+    to per-type totals — distinct-user counts for any rollup period
+    without ever touching the raw keys again. This is the 100 TB
+    pre-aggregated-cube pattern: the daily layer is tiny (one
+    fixed-size sketch per cell, partial-aggregated map-side), and
+    every coarser period (week / month / all-time) is a sketch union
+    over it, not a rescan of the events. Exact COUNT(DISTINCT) can't
+    do this: distinct counts don't add across days.
+
+    Bounded-error oracle (TOLERANCE_ORACLES, rel 0.05): lgConfigK=14
+    gives rsd ~0.8%; at test SF the sketch is still in sparse mode and
+    typically exact."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+            .cast("long")
+            .alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TOLERANCE_ORACLES["hll_union_users_events"] = {
+    "sql": """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS approx_users,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+    FROM events GROUP BY event_type
+    """,
+    "keys": ["event_type"],
+    "kind": "rel",
+    "tol": 0.05,  # 6x the lgK=14 rsd — never flakes
+}
+
+
+@register(
     "fuzzy_name_pairs_customers",
     """
     WITH c AS (
@@ -2334,7 +2483,6 @@ def approx_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from .relational import TOLERANCE_ORACLES  # noqa: E402
 
 TOLERANCE_ORACLES["approx_quantile_events"] = {
     # GK guarantees a value whose RANK is within eps*n of the target,

@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (134 queries: 130 strict oracles + 4 bounded-error).
+the full catalog (137 queries: 132 strict oracles + 5 bounded-error).
 """
 
 from __future__ import annotations
@@ -40,6 +40,8 @@ PRIORITY = [
     "islands_auto_events",
     "range_window_auto_events",
     "streaming_dedup_events",
+    "heavy_hitters_tokens_docs",
+    "streaming_dedup_windowed_events",
     "kmeans_clusters_embeddings",
     "approach_pipeline_demo",
     # oldest driver evidence (latest row r03) — full back-fill
@@ -61,7 +63,6 @@ PRIORITY = [
     "json_extract_events",
     "knn_graph_embeddings",
     "lang_id_docs",
-    "map_functions_events",
     "q18_big_orders",
     "q8_market_share",
     "quantile_events",
@@ -69,7 +70,6 @@ PRIORITY = [
     "rolling5_events",
     "scan_filter_project",
     "session_event_ids",
-    "set_ops_nations",
     "stats_moments_events",
     "text_quality",
     "text_stats",

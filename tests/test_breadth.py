@@ -135,3 +135,52 @@ def test_map_round_trip(spark):
     }
     assert out[1] == (3, 2, 2)
     assert out[2] == (5, 0, 1)
+
+
+def test_hll_sketch_union_reaggregates_to_direct_distinct(spark):
+    """The sketch-union invariant the hll_union_users_events query
+    relies on: merging per-group HLL sketches must estimate the same
+    distinct count as one sketch built directly over the union — and
+    at this cardinality (sparse mode) both equal the exact count."""
+    df = spark.createDataFrame(
+        [(d, u) for d in range(4) for u in range(d * 20, d * 20 + 50)],
+        ["day", "uid"],
+    )
+    direct = df.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(uid, 14))").alias("n")
+    ).first()["n"]
+    merged = (
+        df.groupBy("day")
+        .agg(F.expr("hll_sketch_agg(uid, 14)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias("n"))
+        .first()["n"]
+    )
+    exact = df.select("uid").distinct().count()
+    assert merged == direct == exact == 110
+
+
+def test_approx_top_k_exact_below_capacity_with_rerank(spark):
+    """approx_top_k tracks counts exactly while distinct <= its
+    maxItemsTracked capacity; with a deterministic (count desc, item)
+    re-rank on top, the result equals the exact groupBy top-k — the
+    property heavy_hitters_tokens_docs' strict oracle depends on."""
+    rows = [("t%02d" % (i % 13),) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["token"])
+    got = (
+        df.agg(F.expr("approx_top_k(token, 1000, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("s"))
+        .select(F.col("s.item").alias("token"), F.col("s.count").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(5)
+        .collect()
+    )
+    exact = (
+        df.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(5)
+        .collect()
+    )
+    assert [(r["token"], r["n"]) for r in got] == [
+        (r["token"], r["n"]) for r in exact
+    ]
