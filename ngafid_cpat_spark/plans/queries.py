@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (137 queries: 132 strict oracles + 5 bounded-error).
+the full catalog (139 queries: 134 strict oracles + 5 bounded-error).
 """
 
 from __future__ import annotations
@@ -42,6 +42,8 @@ PRIORITY = [
     "streaming_dedup_events",
     "heavy_hitters_tokens_docs",
     "streaming_dedup_windowed_events",
+    "variant_json_events",
+    "recursive_chain_suppliers",
     "kmeans_clusters_embeddings",
     "approach_pipeline_demo",
     # oldest driver evidence (latest row r03) — full back-fill
@@ -60,7 +62,6 @@ PRIORITY = [
     "geo_haversine_customers",
     "join_outer_nation_counts",
     "join_semi_customers",
-    "json_extract_events",
     "knn_graph_embeddings",
     "lang_id_docs",
     "q18_big_orders",
@@ -70,7 +71,6 @@ PRIORITY = [
     "rolling5_events",
     "scan_filter_project",
     "session_event_ids",
-    "stats_moments_events",
     "text_quality",
     "text_stats",
     "tfidf_topk_terms",

@@ -1118,6 +1118,75 @@ def from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "variant_json_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once into
+    the binary VARIANT encoding, then typed variant_get extraction —
+    vs from_json's rigid schema and get_json_object's re-parse per
+    path. The 100 TB story: VARIANT is parsed once at ingest and
+    stored columnar-shredded, so every later path extraction is a
+    binary probe, not a JSON re-parse; schema drift (new keys) needs
+    no table migration."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.parse_json("props").alias("v"))
+        .select(
+            "event_type",
+            F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT s_suppkey AS node, s_suppkey AS root, 0 AS depth
+  FROM {supplier} WHERE s_suppkey < 10
+  UNION ALL
+  SELECT s.s_suppkey AS node, c.root, c.depth + 1 AS depth
+  FROM {supplier} s JOIN chain c
+    ON CAST(FLOOR(s.s_suppkey / 10.0) AS BIGINT) = c.node
+   AND s.s_suppkey >= 10
+)
+SELECT node, root, depth FROM chain
+"""
+
+
+@register(
+    "recursive_chain_suppliers",
+    _RECURSIVE_CHAIN_SQL.format(supplier="supplier"),
+)
+def recursive_chain_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) over a derived supplier
+    forest — parent(s) = floor(s/10), roots s < 10 — computing each
+    node's root and depth. BYTE-IDENTICAL SQL runs on DuckDB as the
+    oracle. Depth grows with log10(max key), so the recursion is a
+    handful of iterations even at 100 TB key ranges, each iteration a
+    join of the frontier (fan-out bounded) against the base table —
+    the same level-synchronous shape as the connected-components
+    loop in operators/corpus.py, but planner-managed."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "__supplier_recursive"
+    )
+    return spark.sql(
+        _RECURSIVE_CHAIN_SQL.format(supplier="__supplier_recursive")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization / gaps-and-islands  (SURVEY §2.5 W2-W7)
 # ---------------------------------------------------------------------------
