@@ -1494,6 +1494,8 @@ def streaming_dedup_windowed_events(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+
+
 @register(
     "streaming_windowed_counts_events",
     """
@@ -2131,6 +2133,47 @@ def heavy_hitters_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(F.explode(T.tokens("text")).alias("token"))
         .agg(F.expr("approx_top_k(token, 1000, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("s"))
+        .select(F.col("s.item").alias("token"), F.col("s.count").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "heavy_hitters_rollup_docs",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({NORM_SQL}, ' ')) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def heavy_hitters_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequency-sketch CUBE: per-source
+    approx_top_k_accumulate sketches, combined with
+    approx_top_k_combine into the corpus-wide top-20 — the
+    frequent-items dual of the HLL union rollup. At 100 TB the
+    per-source (or per-day) sketch layer is materialized once, and
+    every coarser rollup is a sketch combine over fixed-size states,
+    never a token rescan. Same exactness argument as
+    heavy_hitters_tokens_docs (distinct << maxItemsTracked at test
+    SF, combine sums exact counts) + deterministic re-rank => strict
+    oracle equal to the exact global top-20."""
+    docs = load(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", F.explode(T.tokens("text")).alias("token"))
+        .groupBy("source")
+        .agg(F.expr("approx_top_k_accumulate(token, 10000)").alias("sk"))
+    )
+    return (
+        per_source.agg(
+            F.expr(
+                "approx_top_k_estimate(approx_top_k_combine(sk, 10000), 1000)"
+            ).alias("tk")
+        )
         .select(F.explode("tk").alias("s"))
         .select(F.col("s.item").alias("token"), F.col("s.count").alias("n"))
         .orderBy(F.col("n").desc(), F.col("token"))

@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (139 queries: 134 strict oracles + 5 bounded-error).
+the full catalog (140 queries: 135 strict oracles + 5 bounded-error).
 """
 
 from __future__ import annotations
@@ -44,6 +44,7 @@ PRIORITY = [
     "streaming_dedup_windowed_events",
     "variant_json_events",
     "recursive_chain_suppliers",
+    "heavy_hitters_rollup_docs",
     "kmeans_clusters_embeddings",
     "approach_pipeline_demo",
     # oldest driver evidence (latest row r03) — full back-fill
@@ -59,7 +60,6 @@ PRIORITY = [
     "events_tumbling_window",
     "funnel_events",
     "gapfill_locf_daily",
-    "geo_haversine_customers",
     "join_outer_nation_counts",
     "join_semi_customers",
     "knn_graph_embeddings",

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from ngafid_cpat_spark.sources import load
 from ngafid_cpat_spark.streaming import sessions as ST
+from ngafid_cpat_spark.streaming import stateful as SS
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -270,3 +271,54 @@ def test_rocksdb_state_store_runs_and_matches(spark, stream):
         for r in spark.sql("SELECT * FROM heap_sess_test").collect()
     }
     assert got == want
+
+
+def test_running_user_totals_matches_batch(spark, stream):
+    """transformWithStateInPandas per-user running totals: in a
+    bounded availableNow replay the final update-mode emission per
+    user equals the batch aggregate. Skips where the
+    transformWithState Python runtime (protobuf) isn't installed;
+    the capability gate must then raise a named error, not crash
+    the stream at worker init."""
+    if not SS.has_transform_with_state_runtime():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            SS.running_user_totals(stream)
+        pytest.skip("transformWithState runtime (protobuf) not installed")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ST.run_to_memory(
+            SS.running_user_totals(stream), "tws_totals_test", mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_cents"])
+        for r in spark.sql(
+            "SELECT * FROM tws_totals_test"
+        ).collect()
+    }
+    exact = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in (
+            load(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                    "cents"
+                ),
+            )
+            .collect()
+        )
+    }
+    assert got == exact
