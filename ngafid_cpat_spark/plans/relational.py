@@ -1178,7 +1178,10 @@ def recursive_chain_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     handful of iterations even at 100 TB key ranges, each iteration a
     join of the frontier (fan-out bounded) against the base table —
     the same level-synchronous shape as the connected-components
-    loop in operators/corpus.py, but planner-managed."""
+    loop in operators/corpus.py, but planner-managed. Deployment
+    knob: spark.sql.cteRecursionRowLimit guards runaway recursions at
+    1M output rows by default — raise it for larger hierarchies (the
+    10x scale smoke runs 10M nodes at 2.9x time, SCALE.md row)."""
     load(spark, sf_dir, "supplier").createOrReplaceTempView(
         "__supplier_recursive"
     )

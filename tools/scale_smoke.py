@@ -242,6 +242,46 @@ def main() -> None:
         ]
         return S.knn_graph_lsh(emb, planes, k=3)
 
+    def heavy_hitters(docs):
+        # frequent-items sketch: ~10k distinct words against
+        # maxItemsTracked=10000 — the capacity-edge stress. Cost is
+        # one linear pass with a fixed-size sketch per task; the
+        # shuffle carries one sketch per partition, NOT one row per
+        # distinct token per partition.
+        toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+        return toks.agg(
+            F.expr("approx_top_k_accumulate(token, 10000)").alias("sk")
+        ).select(F.expr("approx_top_k_estimate(sk, 20)").alias("tk"))
+
+    def hll_union(ev):
+        # two-level sketch cube: per-day HLL cells then one union —
+        # both levels linear map-side passes, state fixed-size
+        daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+            F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+        )
+        return daily.agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias("n")
+        )
+
+    def recursive_cte(ev):
+        # WITH RECURSIVE forest walk (parent = floor(id/10)): depth
+        # grows log10(n), each level joins the frontier against the
+        # base — expect ~linear in rows with one extra level per 10x
+        from ngafid_cpat_spark.plans.relational import _RECURSIVE_CHAIN_SQL
+
+        # the guardrail default (1M rows) is below this smoke's own
+        # output size; the row limit is the deployment knob for
+        # runaway recursions, not a scalability ceiling
+        spark.conf.set(
+            "spark.sql.cteRecursionRowLimit", str(20_000_000)
+        )
+        ev.select(F.col("event_id").alias("s_suppkey")).createOrReplaceTempView(
+            "__scale_supplier"
+        )
+        return spark.sql(
+            _RECURSIVE_CHAIN_SQL.format(supplier="__scale_supplier")
+        )
+
     ops = {
         "sessionize_chunked": ("events", sessionize),
         "range_window": ("events", range_window),
@@ -259,6 +299,9 @@ def main() -> None:
         "pq_trained_topk": ("emb", pq_trained_topk),
         "ivfpq_topk": ("emb", ivfpq_topk),
         "int8_quantize": ("emb", int8_quantize),
+        "heavy_hitters_sketch": ("docs", heavy_hitters),
+        "hll_union": ("events", hll_union),
+        "recursive_cte_chain": ("events", recursive_cte),
     }
 
     def synth_emb(n: int):
