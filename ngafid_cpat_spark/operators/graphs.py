@@ -1,0 +1,89 @@
+"""Graph analytics beyond connected components: triangle counting.
+
+Reference parity: the reference has no graph operators (its closest
+shape is the per-flight episode chain, FlightAnalysis.py:134-330);
+this module is part of the SURVEY §2.11 LLM-pipeline extension
+surface — co-occurrence graphs over behavioral data, with the dup
+graph's connected components (operators/corpus.py) as the sibling.
+
+Algorithm: degree-ordered compact-forward counting (the standard
+distributed formulation). Every undirected edge is ORIENTED from its
+lower-(degree, id) endpoint to the higher one; a triangle {a,b,c}
+with ord(a) < ord(b) < ord(c) then appears exactly once, as the
+wedge (a→b, a→c) closed by (b→c). Why the degree ordering matters at
+100 TB: out-degree under this orientation is bounded by O(sqrt(m))
+on any graph (arboricity bound), so the wedge join's per-key fan-out
+— the term that makes naive triangle joins quadratic on hub nodes —
+stays bounded no matter how skewed the raw degree distribution is.
+Every step is DataFrame joins/aggregations: degree groupBy, two
+shuffle joins on node keys, one explode+count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ord(node) = degree * ORD_BASE + node packs (degree, id) into one
+# orderable long; collision-free while node ids stay below ORD_BASE
+ORD_BASE = 1_000_000_000
+
+
+def oriented_edges(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Undirected distinct edges (u < v, no self-loops) -> edges
+    oriented low-ord -> high-ord, carrying both endpoints' ord keys
+    as (src, dst, src_ord, dst_ord)."""
+    deg = (
+        edges.select(F.col(u).alias("node"))
+        .unionByName(edges.select(F.col(v).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(
+            "node",
+            (F.col("deg") * F.lit(ORD_BASE) + F.col("node")).alias("ord"),
+        )
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("node", u).withColumnRenamed("ord", "u_ord"), u)
+        .join(deg.withColumnRenamed("node", v).withColumnRenamed("ord", "v_ord"), v)
+    )
+    fwd = F.col("u_ord") < F.col("v_ord")
+    return e.select(
+        F.when(fwd, F.col(u)).otherwise(F.col(v)).alias("src"),
+        F.when(fwd, F.col(v)).otherwise(F.col(u)).alias("dst"),
+        F.least("u_ord", "v_ord").alias("src_ord"),
+        F.greatest("u_ord", "v_ord").alias("dst_ord"),
+    )
+
+
+def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Per-node triangle participation counts over an undirected
+    simple graph given as distinct (u < v) pairs. Returns (node,
+    n_triangles) for every node in at least one triangle.
+
+    Wedges form at each triangle's LOWEST-ord vertex only (e1.dst_ord
+    < e2.dst_ord keeps each unordered wedge once); the closing join
+    probes the oriented edge set, so each triangle materializes
+    exactly one row before the explode fans it back to its three
+    corners."""
+    o = oriented_edges(edges, u, v)
+    e1 = o.select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.col("dst_ord").alias("b_ord"),
+    )
+    e2 = o.select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("c"),
+        F.col("dst_ord").alias("c_ord"),
+    )
+    wedges = e1.join(e2, "a").filter(F.col("b_ord") < F.col("c_ord"))
+    closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    return (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -2141,6 +2141,60 @@ def heavy_hitters_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "triangle_counts_events",
+    """
+    WITH cells AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), nodes AS (
+      SELECT unnest([a, b, c]) AS user_id FROM tri
+    )
+    SELECT user_id, COUNT(*) AS n_triangles
+    FROM nodes GROUP BY user_id
+    """,
+)
+def triangle_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics: per-user triangle participation over the
+    purchase co-occurrence graph (users sharing a same-minute
+    purchase cell are adjacent — the LSH-bucket shape: edge building
+    is a self-join on the cell key, bounded by cell occupancy, never
+    all-pairs). Counting is operators/graphs.triangle_counts —
+    degree-ordered compact-forward, whose oriented out-degree is
+    O(sqrt(m)) on ANY degree distribution, so hub users cannot blow
+    up the wedge join. The oracle enumerates triangles by the naive
+    ordered triple join — same counts, different algorithm: an
+    algebraic cross-check, not an implementation echo."""
+    from ..operators.graphs import triangle_counts
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 600).alias("h"),
+        )
+        .distinct()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    return triangle_counts(edges).withColumnRenamed("node", "user_id")
+
+
+@register(
     "heavy_hitters_rollup_docs",
     f"""
     WITH toks AS (

@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (140 queries: 135 strict oracles + 5 bounded-error).
+the full catalog (141 queries: 136 strict oracles + 5 bounded-error).
 """
 
 from __future__ import annotations
@@ -45,6 +45,7 @@ PRIORITY = [
     "variant_json_events",
     "recursive_chain_suppliers",
     "heavy_hitters_rollup_docs",
+    "triangle_counts_events",
     "kmeans_clusters_embeddings",
     "approach_pipeline_demo",
     # oldest driver evidence (latest row r03) — full back-fill
@@ -67,7 +68,6 @@ PRIORITY = [
     "q18_big_orders",
     "q8_market_share",
     "quantile_events",
-    "retention_cohorts",
     "rolling5_events",
     "scan_filter_project",
     "session_event_ids",

@@ -1,0 +1,43 @@
+"""Degree-ordered triangle counting (operators/graphs)."""
+
+from pyspark.sql import functions as F
+
+from ngafid_cpat_spark.operators import graphs as G
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["u", "v"])
+
+
+def test_k4_every_node_in_three_triangles(spark):
+    # K4 has 4 triangles; each node sits in exactly 3 of them
+    k4 = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    out = {r["node"]: r["n_triangles"] for r in G.triangle_counts(k4).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_free_graphs_yield_nothing(spark):
+    path = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    star = _edges(spark, [(0, i) for i in range(1, 8)])
+    assert G.triangle_counts(path).count() == 0
+    assert G.triangle_counts(star).count() == 0
+
+
+def test_hub_plus_one_closing_edge(spark):
+    # star on 0 plus the single edge (1,2): exactly one triangle
+    # {0,1,2} — the hub's high degree must not double-count via
+    # wedge symmetry (orientation keeps each wedge once)
+    g = _edges(spark, [(0, i) for i in range(1, 8)] + [(1, 2)])
+    out = {r["node"]: r["n_triangles"] for r in G.triangle_counts(g).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_oriented_out_degree_bounded_on_star(spark):
+    # the scale property the operator exists for: orientation points
+    # every star edge AT the hub (leaves have lower degree), so the
+    # hub's oriented OUT-degree is 0 and the wedge join has no hot key
+    star = _edges(spark, [(0, i) for i in range(1, 101)])
+    o = G.oriented_edges(star)
+    hub_out = o.filter(F.col("src") == 0).count()
+    assert hub_out == 0
+    assert o.count() == 100
