@@ -282,6 +282,35 @@ def main() -> None:
             _RECURSIVE_CHAIN_SQL.format(supplier="__scale_supplier")
         )
 
+    def triangles(ev):
+        from ngafid_cpat_spark.operators import graphs as G
+
+        # 3 deterministic out-edges per node into a 100-node-wide
+        # local neighborhood => bounded average degree, plenty of
+        # closed wedges; 10% of edges rewired onto hub 0 so the
+        # degree-ordered orientation's hub-skew claim is exercised,
+        # not just asserted
+        nodes = ev.select(F.col("event_id").alias("u"))
+        parts = []
+        for j in (1, 2, 3):
+            tgt = F.col("u") + F.pmod(
+                F.xxhash64(F.col("u"), F.lit(j)), F.lit(100)
+            ) + 1
+            tgt = F.when(
+                F.pmod(F.xxhash64(F.col("u"), F.lit(j + 7)), F.lit(10)) == 0,
+                F.lit(0),
+            ).otherwise(tgt)
+            parts.append(
+                nodes.select(
+                    F.least("u", tgt).alias("u"),
+                    F.greatest(F.col("u"), tgt).alias("v"),
+                )
+            )
+        edges = parts[0].unionByName(parts[1]).unionByName(parts[2]).filter(
+            F.col("u") < F.col("v")
+        ).distinct()
+        return G.triangle_counts(edges)
+
     ops = {
         "sessionize_chunked": ("events", sessionize),
         "range_window": ("events", range_window),
@@ -302,6 +331,7 @@ def main() -> None:
         "heavy_hitters_sketch": ("docs", heavy_hitters),
         "hll_union": ("events", hll_union),
         "recursive_cte_chain": ("events", recursive_cte),
+        "triangle_counts": ("events", triangles),
     }
 
     def synth_emb(n: int):
