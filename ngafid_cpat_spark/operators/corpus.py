@@ -101,6 +101,54 @@ def sample_k_per_group(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted corpus resampling at alpha = 0.5: each
+    source's budget is proportional to sqrt(its size), the standard
+    down-weighting of dominant domains (multilingual/multi-corpus
+    mixing), resampled to the original corpus size T:
+
+        k_s = floor(T * isqrt(n_s) / sum_t isqrt(n_t))
+
+    INTEGER-ONLY weight math: isqrt = floor(sqrt(n)) and an integer
+    floor-division keep the budgets bit-identical across engines —
+    pow(n, alpha) in two float libraries can disagree in the last
+    ulp and flip a floor() at budget boundaries. The products stay
+    inside exact BIGINT range up to T ~ 1e12 x isqrt ~ 1e6.
+
+    Within each source, rows rank by the engine-portable
+    multiplicative hash (ties by id) and rank <= k_s survives — the
+    derived-budget generalization of sample_k_per_group, same
+    WindowGroupLimit-friendly single shuffle; budgets come from a
+    group-count aggregate cross-joined as a one-row scalar, so there
+    is no driver collect."""
+    g = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = g.select(
+        group_col,
+        "__n",
+        F.floor(F.sqrt("__n")).cast("long").alias("__iq"),
+    )
+    tot = w.agg(
+        F.sum("__n").alias("__tt"), F.sum("__iq").alias("__sw")
+    )
+    budgets = w.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.expr("(__tt * __iq) DIV __sw").alias("__k"),
+    )
+    rn = Window.partitionBy(group_col).orderBy(
+        sample_hash(id_col), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(rn))
+        .join(F.broadcast(budgets), group_col)
+        .filter(F.col("__rn") <= F.col("__k"))
+        .drop("__rn", "__k")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -2732,6 +2732,132 @@ def sample_k_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_chars")
 
 
+_PROFILE_COLS = [
+    # (name, kind) — kind picks which min/max slot the column fills
+    ("event_id", "num"),
+    ("ts", "ts"),
+    ("user_id", "num"),
+    ("event_type", "str"),
+    ("value", "num"),
+    ("props", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        # DuckDB: epoch() is the timestamp->double-seconds bridge
+        # (CAST(ts AS DOUBLE) is invalid there); Spark's twin is
+        # CAST(ts AS DOUBLE) in the query body
+        v = f"epoch({name})" if kind == "ts" else name
+        if kind == "str":
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            sn, sx = f"MIN({name})", f"MAX({name})"
+        else:
+            mn, mx = f"CAST(MIN({v}) AS DOUBLE)", f"CAST(MAX({v}) AS DOUBLE)"
+            sn, sx = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f"SELECT '{name}' AS column, "
+            f"COUNT(*) - COUNT({name}) AS n_nulls, "
+            f"COUNT(DISTINCT {name}) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{sn} AS min_str, {sx} AS max_str FROM events"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_columns_events", _profile_oracle())
+def profile_columns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS table profiler (the ANALYZE TABLE / data-quality-audit
+    shape): per-column null count, exact distinct count, and min/max —
+    all columns in a single aggregation over ONE scan, reshaped to a
+    row per column by an explode of literal structs (map-side). The
+    naive form rescans the table once per column; at 100 TB that is
+    the difference between one pass and six. The multiple DISTINCT
+    aggregates compile to one Expand (rows x #distinct-columns before
+    partial aggregation) — the standard Spark trade for exact multi-
+    column distinct in one job; swap in approx_count_distinct per
+    column when exactness isn't contractual. min/max are pure
+    selections of stored values (no arithmetic), so doubles hash
+    bit-identically cross-engine; ts profiles as CAST(ts AS DOUBLE)
+    epoch seconds on both sides."""
+    ev = load(spark, sf_dir, "events")
+    aggs = []
+    for name, kind in _PROFILE_COLS:
+        v = F.col(name).cast("double") if kind == "ts" else F.col(name)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(name)).alias(f"__nn_{name}"),
+            F.count_distinct(F.col(name)).alias(f"__nd_{name}"),
+        ]
+        if kind == "str":
+            aggs += [
+                F.min(name).alias(f"__sn_{name}"),
+                F.max(name).alias(f"__sx_{name}"),
+            ]
+        else:
+            aggs += [
+                F.min(v).cast("double").alias(f"__mn_{name}"),
+                F.max(v).cast("double").alias(f"__mx_{name}"),
+            ]
+    one = ev.agg(*aggs)
+    structs = []
+    for name, kind in _PROFILE_COLS:
+        num = kind != "str"
+        structs.append(
+            F.struct(
+                F.lit(name).alias("column"),
+                F.col(f"__nn_{name}").alias("n_nulls"),
+                F.col(f"__nd_{name}").alias("n_distinct"),
+                (F.col(f"__mn_{name}") if num
+                 else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"__mx_{name}") if num
+                 else F.lit(None).cast("double")).alias("max_num"),
+                (F.col(f"__sn_{name}") if not num
+                 else F.lit(None).cast("string")).alias("min_str"),
+                (F.col(f"__sx_{name}") if not num
+                 else F.lit(None).cast("string")).alias("max_str"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+@register(
+    "temperature_mix_docs",
+    f"""
+    WITH g AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS iq FROM g
+    ), t AS (
+      SELECT SUM(n) AS tt, SUM(iq) AS sw FROM w
+    ), b AS (
+      SELECT lang, (t.tt * w.iq) // t.sw AS k FROM w, t
+    ), ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {SAMPLE_HASH_SQL('doc_id')}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang
+    FROM ranked r JOIN b ON r.lang = b.lang
+    WHERE r.rn <= b.k
+    """,
+)
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) corpus mixing over the skewed lang
+    distribution: the dominant language's share shrinks toward
+    sqrt-proportional while small languages keep (up to) everything —
+    the standard multilingual rebalancing. Budgets are INTEGER-ONLY
+    (floor-sqrt weights, integer floor-division) so both engines
+    compute bit-identical k per group; see
+    operators/corpus.temperature_mix for why pow() is banned here."""
+    docs = load(spark, sf_dir, "documents")
+    out = C.temperature_mix(docs, group_col="lang")
+    return out.select("doc_id", "lang")
+
+
 @register(
     "pack_sequences_docs",
     f"""

@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (141 queries: 136 strict oracles + 5 bounded-error).
+the full catalog (143 queries: 138 strict oracles + 5 bounded-error).
 """
 
 from __future__ import annotations
@@ -46,6 +46,8 @@ PRIORITY = [
     "recursive_chain_suppliers",
     "heavy_hitters_rollup_docs",
     "triangle_counts_events",
+    "temperature_mix_docs",
+    "profile_columns_events",
     "kmeans_clusters_embeddings",
     "approach_pipeline_demo",
     # oldest driver evidence (latest row r03) — full back-fill
@@ -59,7 +61,6 @@ PRIORITY = [
     "embedding_neardup_lsh",
     "embedding_neardup_pairs",
     "events_tumbling_window",
-    "funnel_events",
     "gapfill_locf_daily",
     "join_outer_nation_counts",
     "join_semi_customers",
@@ -68,7 +69,6 @@ PRIORITY = [
     "q18_big_orders",
     "q8_market_share",
     "quantile_events",
-    "rolling5_events",
     "scan_filter_project",
     "session_event_ids",
     "text_quality",

@@ -249,3 +249,26 @@ def test_sample_k_per_group_exact_and_deterministic(spark):
     # k larger than a group returns the whole group, not an error
     small = spark.createDataFrame(rows[:4])
     assert C.sample_k_per_group(small, k=10, group_col="source").count() == 4
+
+
+def test_temperature_mix_downweights_dominant_group(spark):
+    # 400 'big' vs 25 'small': alpha=0.5 budgets are
+    # T=425, iq_big=20, iq_small=5 -> k_big=340, k_small=85 (capped
+    # at the 25 available) — the dominant group loses share, the
+    # small group keeps everything
+    from ngafid_cpat_spark.operators.corpus import temperature_mix
+
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "small") for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_mix(df)
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {"big": 340, "small": 25}
+    # deterministic: identical subset on rerun
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in temperature_mix(df).collect())
+    assert a == b
