@@ -149,6 +149,73 @@ def temperature_mix(
     )
 
 
+BPE_JOIN = "\x1f"  # unit-separator joiner for merged symbols
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Distributed BPE-style merge training over token symbols (the
+    corpus-phrase variant of byte-pair encoding: symbols start as
+    whitespace tokens, each round fuses the most frequent ADJACENT
+    pair corpus-wide into one symbol). Returns
+    [(round, left, right, pair_count)].
+
+    Round = one distributed job: adjacent pairs via two array slices
+    zipped (map-side explode, no self-join), a count groupBy, and an
+    argmax collect of exactly ONE row (ties broken (count desc, left,
+    right)) — the same bounded driver-state shape as the Lloyd
+    trainers. The merge rewrite is a single string replace() per doc:
+    sequences carry ' ' sentinels so ' L R ' matches exactly at
+    symbol boundaries; replace() consumes its match (no rescan of
+    replaced text), which makes the leftmost-greedy overlap behavior
+    ('a a a a' -> one merge, not two) IDENTICAL in Spark and DuckDB —
+    the property the unrolled-CTE oracle depends on.
+
+    Scale: each round is one linear pass + one shuffle on pair keys
+    (map-side combine first), driver state is one row per round;
+    n_merges rounds = n_merges jobs, the standard iterative-trainer
+    envelope. The sequence column is localCheckpoint'd once so later
+    rounds re-read materialized rows, not a growing replace() tower."""
+    seqs = df.select(
+        F.concat(F.lit(" "), T.normalize(text_col), F.lit(" ")).alias("seq")
+    ).localCheckpoint(eager=False)
+    merges: list[tuple[int, str, str, int]] = []
+    arr = "split(trim(seq), ' ')"
+    pairs = F.expr(
+        f"transform(sequence(0, size({arr}) - 2), "
+        f"i -> struct({arr}[i] AS l, {arr}[i + 1] AS r))"
+    )
+    for r in range(n_merges):
+        top = (
+            seqs.select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, rr, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merges.append((r, l, rr, int(n)))
+        seqs = seqs.select(
+            F.expr(
+                "replace(seq, ' ' || {l} || ' ' || {r} || ' ', "
+                "' ' || {l} || '{j}' || {r} || ' ')".format(
+                    l=_sql_str(l), r=_sql_str(rr), j=BPE_JOIN
+                )
+            ).alias("seq")
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

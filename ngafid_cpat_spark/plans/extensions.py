@@ -2821,6 +2821,65 @@ def profile_columns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def _bpe_pairs_cte(src: str) -> str:
+    return (
+        f"SELECT p[1] AS l, p[2] AS r, COUNT(*) AS n FROM ("
+        f"  SELECT unnest(list_transform(range(1, len(tk)),"
+        f"                i -> [tk[i], tk[i + 1]])) AS p"
+        f"  FROM (SELECT string_split(trim(seq), ' ') AS tk FROM {src})"
+        f") GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1"
+    )
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    ctes = [f"s0 AS (SELECT ' ' || {NORM_SQL} || ' ' AS seq FROM documents)"]
+    finals = []
+    for r in range(n_merges):
+        ctes.append(f"m{r} AS ({_bpe_pairs_cte(f's{r}')})")
+        ctes.append(
+            f"s{r + 1} AS (SELECT replace(seq,"
+            f" ' ' || m{r}.l || ' ' || m{r}.r || ' ',"
+            f" ' ' || m{r}.l || chr(31) || m{r}.r || ' ') AS seq"
+            f" FROM s{r}, m{r})"
+        )
+        finals.append(f"SELECT {r} AS merge_round, l, r, n FROM m{r}")
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(finals)
+
+
+@register("bpe_merges_docs", _bpe_oracle(3))
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE-style merge training (3 rounds) over the corpus —
+    unlike token_count_bpe's regex approximation, this runs the
+    actual iterative algorithm: count adjacent symbol pairs
+    corpus-wide, fuse the argmax pair everywhere, repeat
+    (operators/corpus.bpe_train_merges). Oracle = the SAME three
+    rounds unrolled as DuckDB CTEs (the Lloyd-oracle trick), which
+    works because pair counting, the (count desc, left, right)
+    tie-break, and replace()'s leftmost-no-rescan overlap semantics
+    are all engine-identical. Each round is one distributed pass with
+    a ONE-row driver collect — the bounded iterative-trainer
+    envelope."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = C.bpe_train_merges(docs, n_merges=3)
+    schema = StructType([
+        StructField("merge_round", IntegerType()),
+        StructField("l", StringType()),
+        StructField("r", StringType()),
+        StructField("n", LongType()),
+    ])
+    return spark.createDataFrame(
+        [(r, l, rr, n) for r, l, rr, n in merges], schema
+    )
+
+
 @register(
     "temperature_mix_docs",
     f"""

@@ -272,3 +272,38 @@ def test_temperature_mix_downweights_dominant_group(spark):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in temperature_mix(df).collect())
     assert a == b
+
+
+def test_bpe_train_merges_known_corpus(spark):
+    from ngafid_cpat_spark.operators.corpus import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [("the quick fox the quick dog",), ("the quick fox jumps",),
+         ("a a a a",)],
+        ["text"],
+    )
+    got = bpe_train_merges(df, 3)
+    # round 0: (a,a) has 3 adjacent occurrences (overlaps counted,
+    # standard pair statistics); round 1: (the,quick) x3 after the
+    # a-merge; round 2: the fused symbol pairs with fox
+    assert got == [
+        (0, "a", "a", 3),
+        (1, "the", "quick", 3),
+        (2, "the\x1fquick", "fox", 2),
+    ]
+
+
+def test_bpe_merge_rewrite_is_leftmost_greedy_no_rescan(spark):
+    """'a a a a' after merging (a,a) must become exactly one fused
+    pair + two singles under replace()'s leftmost-no-rescan
+    semantics — the behavior the DuckDB oracle reproduces; a rescan
+    implementation would produce two fused pairs and break the
+    cross-engine pairing."""
+    from ngafid_cpat_spark.operators.corpus import bpe_train_merges
+
+    df = spark.createDataFrame([("a a a a",)], ["text"])
+    got = bpe_train_merges(df, 2)
+    assert got[0] == (0, "a", "a", 3)
+    # round 1 pairs come from [a&a, a, a]: (a&a, a) and (a, a) — the
+    # single remaining (a, a) pair proves only ONE fuse happened
+    assert got[1][1:] in {("a\x1fa", "a", 1), ("a", "a", 1)}
