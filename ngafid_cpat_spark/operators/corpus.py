@@ -179,9 +179,18 @@ def bpe_train_merges(
     n_merges rounds = n_merges jobs, the standard iterative-trainer
     envelope. The sequence column is localCheckpoint'd once so later
     rounds re-read materialized rows, not a growing replace() tower."""
-    seqs = df.select(
-        F.concat(F.lit(" "), T.normalize(text_col), F.lit(" ")).alias("seq")
-    ).localCheckpoint(eager=False)
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    seqs = (
+        df.select(
+            F.concat(F.lit(" "), T.normalize(text_col), F.lit(" ")).alias("seq")
+        )
+        # a single-file corpus arrives as ONE partition and would run
+        # every training round single-task; spread once up front (the
+        # checkpointed rewrites keep the layout for later rounds)
+        .repartition(n_part)
+        .localCheckpoint(eager=False)
+    )
     merges: list[tuple[int, str, str, int]] = []
     arr = "split(trim(seq), ' ')"
     pairs = F.expr(
