@@ -2782,6 +2782,12 @@ def profile_columns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identically cross-engine; ts profiles as CAST(ts AS DOUBLE)
     epoch seconds on both sides."""
     ev = load(spark, sf_dir, "events")
+    # a one-file table scans as ONE partition, and the Expand (rows x
+    # #distinct-columns) then runs single-task; spread the scan first
+    # — at production file counts the layout already provides this
+    ev = ev.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
     aggs = []
     for name, kind in _PROFILE_COLS:
         v = F.col(name).cast("double") if kind == "ts" else F.col(name)
