@@ -311,6 +311,17 @@ def main() -> None:
         ).distinct()
         return G.triangle_counts(edges)
 
+    def bpe(docs):
+        from ngafid_cpat_spark.operators.corpus import bpe_train_merges
+
+        # 3 training rounds; each is one linear pair pass + a one-row
+        # collect, so time should track corpus tokens
+        merges = bpe_train_merges(docs, 3)
+        return docs.sparkSession.createDataFrame(
+            [(r, l, rr, n) for r, l, rr, n in merges],
+            "merge_round INT, l STRING, r STRING, n LONG",
+        )
+
     ops = {
         "sessionize_chunked": ("events", sessionize),
         "range_window": ("events", range_window),
@@ -332,6 +343,7 @@ def main() -> None:
         "hll_union": ("events", hll_union),
         "recursive_cte_chain": ("events", recursive_cte),
         "triangle_counts": ("events", triangles),
+        "bpe_train": ("docs", bpe),
     }
 
     def synth_emb(n: int):
