@@ -225,6 +225,29 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    out_col: str = "symbols",
+) -> DataFrame:
+    """Apply trained merges to tokenize text: the same ordered
+    replace() chain the trainer used, folded into ONE map-side column
+    expression (no shuffle, no iteration at apply time — training is
+    iterative, application is a pure projection, which is what makes
+    the tokenizer free to run inline in any ingest scan at 100 TB).
+    Appends ``out_col`` = array of merged symbols."""
+    seq = F.concat(F.lit(" "), T.normalize(text_col), F.lit(" "))
+    for _r, l, rr, _n in merges:
+        seq = F.call_function(
+            "replace",
+            seq,
+            F.lit(f" {l} {rr} "),
+            F.lit(f" {l}{BPE_JOIN}{rr} "),
+        )
+    return df.withColumn(out_col, F.split(F.trim(seq), " "))
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

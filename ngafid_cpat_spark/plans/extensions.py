@@ -2886,6 +2886,48 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_tokenize_oracle(n_merges: int) -> str:
+    ctes = [f"s0 AS (SELECT doc_id, ' ' || {NORM_SQL} || ' ' AS seq"
+            f" FROM documents)"]
+    for r in range(n_merges):
+        ctes.append(
+            f"m{r} AS ({_bpe_pairs_cte(f's{r}')})"
+        )
+        ctes.append(
+            f"s{r + 1} AS (SELECT doc_id, replace(seq,"
+            f" ' ' || m{r}.l || ' ' || m{r}.r || ' ',"
+            f" ' ' || m{r}.l || chr(31) || m{r}.r || ' ') AS seq"
+            f" FROM s{r}, m{r})"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT doc_id,"
+        f" len(string_split(trim(s0.seq), ' ')) AS n_before,"
+        f" len(string_split(trim(s{n_merges}.seq), ' ')) AS n_after"
+        f" FROM s0 JOIN s{n_merges} USING (doc_id)"
+    )
+
+
+@register("bpe_tokenize_docs", _bpe_tokenize_oracle(3))
+def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply half of BPE: train 3 merges (iterative, bounded
+    driver state), then tokenize the corpus with
+    operators/corpus.bpe_apply — a pure map-side replace() chain
+    folded into one projection, so at 100 TB the tokenizer runs
+    inline in any ingest scan with zero extra shuffles. Emits per-doc
+    symbol counts before/after merging (the compression the learned
+    merges buy). Oracle re-derives the same merges via the unrolled
+    CTEs and applies them with the same replace() semantics."""
+    docs = load(spark, sf_dir, "documents")
+    merges = C.bpe_train_merges(docs, n_merges=3)
+    out = C.bpe_apply(docs, merges)
+    return out.select(
+        "doc_id",
+        F.size(T.tokens("text")).alias("n_before"),
+        F.size("symbols").alias("n_after"),
+    )
+
+
 @register(
     "temperature_mix_docs",
     f"""

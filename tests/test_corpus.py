@@ -307,3 +307,19 @@ def test_bpe_merge_rewrite_is_leftmost_greedy_no_rescan(spark):
     # round 1 pairs come from [a&a, a, a]: (a&a, a) and (a, a) — the
     # single remaining (a, a) pair proves only ONE fuse happened
     assert got[1][1:] in {("a\x1fa", "a", 1), ("a", "a", 1)}
+
+
+def test_bpe_apply_tokenizes_with_trained_merges(spark):
+    from ngafid_cpat_spark.operators.corpus import bpe_apply, bpe_train_merges
+
+    df = spark.createDataFrame(
+        [(1, "the quick fox the quick dog"), (2, "the quick fox jumps")],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train_merges(df, 2)
+    out = {
+        r["doc_id"]: r["symbols"]
+        for r in bpe_apply(df, merges).collect()
+    }
+    assert out[1] == ["the\x1fquick\x1ffox", "the\x1fquick", "dog"]
+    assert out[2] == ["the\x1fquick\x1ffox", "jumps"]
