@@ -710,3 +710,55 @@ def embedding_neardup_lsh(
     return cosine_pairs_in_groups(
         b, ["bucket"], id_col=id_col, vec_col=vec_col, threshold=threshold
     )
+
+
+def blocked_hamming_pairs(
+    sig: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "h64",
+    max_hamming: int = 8,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Generic near-dup pairing for ANY 64-bit similarity hash
+    (simhash, image pHash, audio fingerprint): the same pigeonhole
+    block-LSH as simhash_pairs — split the hash into ``n_blocks``
+    equal bit blocks, candidates share at least one block (guaranteed
+    complete for hamming < n_blocks; wider radii still verified after
+    the join, only recall of the candidate step degrades), exact
+    bit_count verify after. Shuffles on (block, key) only — never a
+    cross product; hub-sized buckets mean near-identical payload
+    floods, the caller's dedup problem itself."""
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    blocks = sig.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftrightunsigned(F.col(hash_col), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for i in range(n_blocks)
+            ])
+        ).alias("b"),
+    ).select("id", "h", "b.blk", "b.key")
+    cands = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), on=["blk", "key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id1"),
+            F.col("y.id").alias("id2"),
+            F.col("x.h").alias("h1"),
+            F.col("y.h").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", hamming64(F.col("h1"), F.col("h2")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

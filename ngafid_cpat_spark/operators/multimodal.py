@@ -299,3 +299,124 @@ def resize(media: DataFrame, target_bytes: int = 64) -> DataFrame:
             })
 
     return media.mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (pHash) — image near-dup dedup
+# ---------------------------------------------------------------------------
+
+def _image_pixels(raw: bytes):
+    """Full pixel matrix (h, w, 3) float64 for the supported formats
+    (same header parsing as decode_image, kept separate because the
+    metadata path deliberately never materializes whole images)."""
+    import numpy as np
+
+    if not raw:
+        return None
+    raw = bytes(raw)
+    if raw[:2] == b"P6":
+        i, fields = 2, []
+        while len(fields) < 3 and i < len(raw):
+            c = raw[i : i + 1]
+            if c.isspace():
+                i += 1
+            elif c == b"#":
+                nl = raw.find(b"\n", i)
+                i = nl + 1 if nl != -1 else len(raw)
+            else:
+                j = i
+                while j < len(raw) and not raw[j : j + 1].isspace():
+                    j += 1
+                fields.append(int(raw[i:j]))
+                i = j
+        if len(fields) < 3:
+            return None
+        w, h, maxval = fields
+        data = raw[i + 1 : i + 1 + w * h * 3]
+        if w <= 0 or h <= 0 or maxval <= 0 or len(data) < w * h * 3:
+            return None
+        return (
+            np.frombuffer(data, dtype=np.uint8)
+            .reshape(h, w, 3)
+            .astype(np.float64)
+            / maxval
+        )
+    if raw[:2] == b"BM":
+        if len(raw) < 54:
+            return None
+        off = int.from_bytes(raw[10:14], "little")
+        w = int.from_bytes(raw[18:22], "little", signed=True)
+        h = int.from_bytes(raw[22:26], "little", signed=True)
+        bpp = int.from_bytes(raw[28:30], "little")
+        comp = int.from_bytes(raw[30:34], "little")
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        height = abs(h)
+        stride = ((w * 3 + 3) // 4) * 4
+        data = raw[off : off + stride * height]
+        if len(data) < stride * height:
+            return None
+        rows = np.frombuffer(data, dtype=np.uint8).reshape(height, stride)
+        bgr = rows[:, : w * 3].reshape(height, w, 3).astype(np.float64) / 255.0
+        return bgr[:, :, ::-1]  # RGB order
+    return None
+
+
+def phash64_bytes(raw: bytes | None) -> int | None:
+    """Classic 64-bit perceptual hash: grayscale -> 32x32 block-mean
+    resize -> 2D DCT-II (explicit cosine-basis matmuls, float64 — no
+    scipy dependency, bit-deterministic) -> top-left 8x8 low-frequency
+    band minus DC -> median threshold. Robust to resizing, small
+    noise, and brightness scaling; hamming distance between hashes
+    approximates visual difference."""
+    import numpy as np
+
+    px = _image_pixels(raw)
+    if px is None:
+        return None
+    gray = px @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    n = 32
+    # block-mean resize via integer bucket assignment (deterministic
+    # for any h, w — no interpolation kernel to disagree about)
+    ri = np.minimum((np.arange(h) * n) // max(h, 1), n - 1)
+    ci = np.minimum((np.arange(w) * n) // max(w, 1), n - 1)
+    small = np.zeros((n, n))
+    cnt = np.zeros((n, n))
+    np.add.at(small, (ri[:, None], ci[None, :]), gray)
+    np.add.at(cnt, (ri[:, None], ci[None, :]), 1.0)
+    small = small / np.maximum(cnt, 1.0)
+    k = np.arange(n)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    dct = basis @ small @ basis.T
+    band = dct[:8, :8].flatten()[1:]  # drop the DC term
+    med = np.median(band)
+    bits = 0
+    for i, v in enumerate(band):
+        if v > med:
+            bits |= 1 << i
+    # fold into a signed 64-bit value (Spark LongType)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """(media_id, payload) -> (media_id, phash) via Arrow-batched
+    mapInPandas; NULL phash for non-image payloads. Downstream
+    near-dup pairing is operators/dedup.blocked_hamming_pairs — the
+    pigeonhole block-LSH shared with simhash, so image dedup at
+    100 TB is a (block, key) shuffle, never an all-pairs compare."""
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame({
+                "media_id": b["media_id"],
+                "phash": [
+                    phash64_bytes(p) for p in b["payload"]
+                ],
+            })
+
+    return media.select("media_id", "payload").mapInPandas(gen, out_schema)

@@ -157,3 +157,81 @@ def test_decode_audio_wav():
     assert M.decode_audio(b"RIFFxxxxWAVE") is None
     assert M.decode_audio(b"not audio") is None
     assert M.decode_media(b"neither image nor audio") is None
+
+
+def _ppm_gen(w, h, fn):
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            r, g, b = fn(x, y)
+            body += bytes([r, g, b])
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(body)
+
+
+def test_phash_invariance_and_discrimination():
+    import math
+
+    from ngafid_cpat_spark.operators.multimodal import phash64_bytes
+
+    def tex(x, y):
+        v = int(127 + 60 * math.sin(x / 5.0) * math.cos(y / 7.0)
+                + 40 * math.sin((x + y) / 11.0))
+        return (v, 255 - v, (v * 2) % 256)
+
+    def tex_noisy(x, y):
+        r, g, b = tex(x, y)
+        if (x * 31 + y * 17) % 97 == 0:
+            r = min(255, r + 8)
+        return (r, g, b)
+
+    def tex2(x, y):
+        v = int(127 + 60 * math.sin(y / 3.0) * math.cos(x / 13.0)
+                - 40 * math.sin((2 * x - y) / 7.0))
+        return (v % 256, v % 256, v % 256)
+
+    a = phash64_bytes(_ppm_gen(64, 64, tex))
+    a2 = phash64_bytes(_ppm_gen(64, 64, tex))
+    a_big = phash64_bytes(_ppm_gen(128, 128, lambda x, y: tex(x // 2, y // 2)))
+    a_noise = phash64_bytes(_ppm_gen(64, 64, tex_noisy))
+    c = phash64_bytes(_ppm_gen(64, 64, tex2))
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert a == a2                      # deterministic
+    assert ham(a, a_big) <= 8           # scale-invariant (resize path)
+    assert ham(a, a_noise) <= 8         # noise-robust
+    assert ham(a, c) >= 16              # visually different stays far
+    assert phash64_bytes(b"not an image") is None
+
+
+def test_image_phash_blocked_pairing(spark):
+    import math
+
+    from ngafid_cpat_spark.operators.dedup import blocked_hamming_pairs
+    from ngafid_cpat_spark.operators.multimodal import image_phash
+
+    def tex(x, y):
+        v = int(127 + 60 * math.sin(x / 5.0) * math.cos(y / 7.0)
+                + 40 * math.sin((x + y) / 11.0))
+        return (v, 255 - v, (v * 2) % 256)
+
+    def tex2(x, y):
+        v = int(127 + 60 * math.sin(y / 3.0) * math.cos(x / 13.0)
+                - 40 * math.sin((2 * x - y) / 7.0))
+        return (v % 256, v % 256, v % 256)
+
+    rows = [
+        (1, bytearray(_ppm_gen(64, 64, tex))),
+        (2, bytearray(_ppm_gen(128, 128, lambda x, y: tex(x // 2, y // 2)))),
+        (3, bytearray(_ppm_gen(64, 64, tex2))),
+        (4, bytearray(b"not an image")),
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    hashes = image_phash(media).filter("phash IS NOT NULL")
+    pairs = blocked_hamming_pairs(
+        hashes, id_col="media_id", hash_col="phash", max_hamming=8
+    ).collect()
+    got = {(r["id1"], r["id2"]) for r in pairs}
+    assert (1, 2) in got          # resized twin found
+    assert (1, 3) not in got and (2, 3) not in got
