@@ -151,12 +151,11 @@ def decode_image(raw: bytes | None):
     return None
 
 
-def decode_audio(raw: bytes | None):
-    """Decode a PCM WAV payload (RIFF/WAVE, 8- or 16-bit integer
-    samples) to ``(sample_rate, n_channels, duration_s, rms)`` with
-    rms normalized to [0,1]. Chunk-walks the RIFF structure, so extra
-    chunks (LIST, fact, ...) are fine. None for unsupported/corrupt
-    payloads. Pure byte parsing + numpy."""
+def _wav_parse(raw: bytes | None):
+    """RIFF/WAVE chunk walk -> (sample_rate, n_channels, norm) with
+    ``norm`` the interleaved samples scaled to [-1, 1], or None for
+    unsupported/corrupt payloads. Shared by the metadata decoder and
+    the fingerprint path."""
     if not raw:
         return None
     raw = bytes(raw)
@@ -192,6 +191,21 @@ def decode_audio(raw: bytes | None):
         return None
     if norm.size == 0:
         return None
+    return sample_rate, n_channels, norm
+
+
+def decode_audio(raw: bytes | None):
+    """Decode a PCM WAV payload (RIFF/WAVE, 8- or 16-bit integer
+    samples) to ``(sample_rate, n_channels, duration_s, rms)`` with
+    rms normalized to [0,1]. Chunk-walks the RIFF structure, so extra
+    chunks (LIST, fact, ...) are fine. None for unsupported/corrupt
+    payloads. Pure byte parsing + numpy."""
+    import numpy as np
+
+    parsed = _wav_parse(raw)
+    if parsed is None:
+        return None
+    sample_rate, n_channels, norm = parsed
     n_frames = norm.size // n_channels
     duration = n_frames / sample_rate
     rms = float(np.sqrt(np.mean(norm * norm)))
@@ -417,6 +431,67 @@ def image_phash(media: DataFrame) -> DataFrame:
                 "phash": [
                     phash64_bytes(p) for p in b["payload"]
                 ],
+            })
+
+    return media.select("media_id", "payload").mapInPandas(gen, out_schema)
+
+
+def audio_fingerprint64(raw: bytes | None) -> int | None:
+    """64-bit spectral audio fingerprint (Haitsma-Kalker shape,
+    folded to one word): mono signal -> 8 equal time windows -> per
+    window an rfft split into 9 log-spaced frequency bands -> bit =
+    sign of the energy difference between adjacent bands (8 x 8 =
+    64 bits). Energy RATIOS make the hash invariant to volume
+    scaling; band-level pooling makes it robust to small noise;
+    different content produces different band shapes. Hamming
+    distance between fingerprints approximates audible difference —
+    pair with dedup.blocked_hamming_pairs exactly like pHash."""
+    import numpy as np
+
+    parsed = _wav_parse(raw)
+    if parsed is None:
+        return None
+    rate, ch, norm = parsed
+    mono = norm[: (norm.size // ch) * ch].reshape(-1, ch).mean(axis=1)
+    if mono.size < 16:
+        return None
+    bits = 0
+    bit = 0
+    windows = np.array_split(mono, 8)
+    for w in windows:
+        spec = np.abs(np.fft.rfft(w)) ** 2
+        # 9 log-spaced band edges over the positive spectrum
+        edges = np.unique(
+            np.round(
+                np.logspace(0, np.log10(max(spec.size - 1, 1)), 10)
+            ).astype(int)
+        )
+        while edges.size < 10:  # degenerate tiny windows: pad edges
+            edges = np.append(edges, edges[-1] + 1)
+        bands = [
+            float(spec[edges[i]:max(edges[i + 1], edges[i] + 1)].sum())
+            for i in range(9)
+        ]
+        for i in range(8):
+            if bands[i] > bands[i + 1]:
+                bits |= 1 << bit
+            bit += 1
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """(media_id, payload) -> (media_id, afp) via Arrow-batched
+    mapInPandas; NULL for non-audio payloads."""
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("afp", LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame({
+                "media_id": b["media_id"],
+                "afp": [audio_fingerprint64(p) for p in b["payload"]],
             })
 
     return media.select("media_id", "payload").mapInPandas(gen, out_schema)

@@ -235,3 +235,86 @@ def test_image_phash_blocked_pairing(spark):
     got = {(r["id1"], r["id2"]) for r in pairs}
     assert (1, 2) in got          # resized twin found
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_audio_fingerprint_invariance_and_discrimination():
+    import math
+
+    from ngafid_cpat_spark.operators.multimodal import audio_fingerprint64
+
+    n = 8000
+
+    def sig(t):
+        # broadband: 12 inharmonic partials (a pure tone would leave
+        # most bands empty and the sign bits tie-unstable — same
+        # degenerate-flat caveat as pHash on gradient images)
+        return sum(
+            3000 / math.sqrt(k)
+            * math.sin(2 * math.pi * (90 * k + 17 * k * k % 211) * t / n + k)
+            for k in range(1, 13)
+        )
+
+    def sig2(t):
+        return sum(
+            3000 / math.sqrt(k)
+            * math.sin(2 * math.pi * (55 * k * k % 997 + 130) * t / n + 2 * k)
+            for k in range(1, 13)
+        )
+
+    tone = [sig(t) for t in range(n)]
+    a = audio_fingerprint64(_wav_pcm16(n, [int(s) for s in tone]))
+    a2 = audio_fingerprint64(_wav_pcm16(n, [int(s) for s in tone]))
+    quiet = audio_fingerprint64(_wav_pcm16(n, [int(s * 0.3) for s in tone]))
+    noisy = audio_fingerprint64(_wav_pcm16(
+        n, [int(s + (120 if (t * 31) % 97 == 0 else 0))
+            for t, s in enumerate(tone)]
+    ))
+    other = audio_fingerprint64(
+        _wav_pcm16(n, [int(sig2(t)) for t in range(n)])
+    )
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert a == a2                  # deterministic
+    assert ham(a, quiet) <= 4       # volume-invariant (energy ratios)
+    assert ham(a, noisy) <= 4       # noise-robust
+    assert ham(a, other) >= 12      # different content stays far
+    assert audio_fingerprint64(b"not audio") is None
+
+
+def test_audio_fingerprint_blocked_pairing(spark):
+    import math
+
+    from ngafid_cpat_spark.operators.dedup import blocked_hamming_pairs
+    from ngafid_cpat_spark.operators.multimodal import audio_fingerprint
+
+    n = 8000
+
+    def sig(t):
+        return sum(
+            3000 / math.sqrt(k)
+            * math.sin(2 * math.pi * (90 * k + 17 * k * k % 211) * t / n + k)
+            for k in range(1, 13)
+        )
+
+    def sig2(t):
+        return sum(
+            3000 / math.sqrt(k)
+            * math.sin(2 * math.pi * (55 * k * k % 997 + 130) * t / n + 2 * k)
+            for k in range(1, 13)
+        )
+
+    rows = [
+        (1, bytearray(_wav_pcm16(n, [int(sig(t)) for t in range(n)]))),
+        (2, bytearray(_wav_pcm16(n, [int(sig(t) * 0.3) for t in range(n)]))),
+        (3, bytearray(_wav_pcm16(n, [int(sig2(t)) for t in range(n)]))),
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    fps = audio_fingerprint(media).filter("afp IS NOT NULL")
+    pairs = blocked_hamming_pairs(
+        fps, id_col="media_id", hash_col="afp", max_hamming=8
+    ).collect()
+    got = {(r["id1"], r["id2"]) for r in pairs}
+    assert (1, 2) in got          # volume-scaled twin found
+    assert (1, 3) not in got and (2, 3) not in got
