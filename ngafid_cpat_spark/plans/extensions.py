@@ -1494,6 +1494,76 @@ def streaming_dedup_windowed_events(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "streaming_upsert_windowed_events",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type, COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_upsert_windowed_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The S6/S7 sink family under the correctness gate: an
+    update-mode windowed aggregation foreachBatch-MERGEd into the
+    bucketed parquet table (sinks.upsert) — the reference's
+    INSERT..ON DUPLICATE KEY UPDATE re-expressed as an incremental
+    streaming materialized view. Update mode re-emits a window every
+    time a batch revises it and the upsert replaces the stale row, so
+    after an availableNow replay the TABLE CONTENTS equal the batch
+    aggregate exactly — that equality is the oracle (and the
+    restart-idempotence contract test_partitioning pins). Fixture
+    dirs are content-keyed like the other stream fixtures: a replay
+    over an existing checkpoint emits nothing and leaves the same
+    converged table."""
+    import hashlib
+    import os
+
+    from .. import sinks
+    from ..streaming.foreach_batch import stream_upsert
+    from ..streaming.sessions import read_events_stream
+
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        st = None
+    tag = hashlib.md5(
+        f"upsert-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
+        f"{getattr(st, 'st_size', 0)}".encode()
+    ).hexdigest()[:12]
+    table = os.path.join("/tmp", f"spark_graft_upsert_tbl_{tag}")
+    ckpt = os.path.join("/tmp", f"spark_graft_upsert_ckpt_{tag}")
+
+    keys = ["window_start", "event_type"]
+    if not os.path.exists(table):
+        base = spark.createDataFrame(
+            [], "window_start timestamp, event_type string, "
+            "n long, __cents long"
+        )
+        sinks.create_table(base, table, keys=keys, n_buckets=4)
+
+    stream = read_events_stream(spark, _events_stream_dir(sf_dir))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "__cents"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "__cents")
+    )
+    stream_upsert(agg, table, keys=keys, checkpoint_dir=ckpt,
+                  query_name="streaming_upsert_windowed_events")
+    return sinks.read_table(spark, table).select(
+        "window_start", "event_type", "n",
+        (F.col("__cents") / 100.0).alias("sum_value"),
+    )
 
 
 @register(

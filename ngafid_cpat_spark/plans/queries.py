@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (145 queries: 140 strict oracles + 5 bounded-error).
+the full catalog (146 queries: 141 strict oracles + 5 bounded-error).
 """
 
 from __future__ import annotations
@@ -50,6 +50,7 @@ PRIORITY = [
     "profile_columns_events",
     "bpe_merges_docs",
     "bpe_tokenize_docs",
+    "streaming_upsert_windowed_events",
     "kmeans_clusters_embeddings",
     "approach_pipeline_demo",
     # oldest driver evidence (latest row r03) — full back-fill
@@ -61,7 +62,6 @@ PRIORITY = [
     "dedup_jaccard_pairs",
     "dedup_keep_best",
     "embedding_neardup_lsh",
-    "embedding_neardup_pairs",
     "join_outer_nation_counts",
     "join_semi_customers",
     "knn_graph_embeddings",
