@@ -299,3 +299,144 @@ def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.scrub("props").alias("props_scrubbed"),
         T.scrub_count("props").cast("long").alias("n_masked"),
     )
+
+
+@register(
+    "listagg_customers_per_nation",
+    """
+    SELECT n_name,
+           string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name) AS top_names,
+           COUNT(*) AS n
+    FROM (
+      SELECT n.n_name, c.c_name, c.c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                ORDER BY c.c_acctbal DESC, c.c_name) AS rn
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rn <= 3
+    GROUP BY n_name
+    """,
+)
+def listagg_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 LISTAGG ... WITHIN GROUP (Spark 4 `listagg`): the
+    top-3 customer names per nation folded into one ordered string.
+    Ordered aggregation is only deterministic because the WITHIN
+    GROUP order (acctbal desc, name) is total — the same discipline
+    every hash-gated query here follows. DuckDB's twin is
+    string_agg(expr, sep ORDER BY ...). Scale: the rank prefilter
+    caps per-group state at 3 rows before the aggregation, so the
+    listagg shuffle carries top-k rows, never whole groups."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), "c_name"
+    )
+    top = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    return top.groupBy("n_name").agg(
+        F.expr(
+            "listagg(c_name, ',') WITHIN GROUP "
+            "(ORDER BY c_acctbal DESC, c_name)"
+        ).alias("top_names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "lateral_topk_orders",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT —
+    BYTE-IDENTICAL SQL on both engines (Spark 4 lateral join /
+    DuckDB LATERAL). Catalyst decorrelates it into the same
+    rank-filter window plan topk_customers_per_nation hand-writes,
+    so the per-customer top-2 never materializes whole order groups;
+    the lateral FORM is what a reference user migrating correlated
+    SQL gets to keep."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM __lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM __lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        WHERE c.c_mktsegment = 'BUILDING'
+    """)
+
+
+@register(
+    "try_arithmetic_events",
+    """
+    SELECT event_id,
+           CASE WHEN CAST(FLOOR(value) AS BIGINT) - 50 = 0 THEN NULL
+                ELSE ROUND(100.0 / (CAST(FLOOR(value) AS BIGINT) - 50), 4)
+           END AS inv_dist,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           TRY_CAST(event_type AS BIGINT) AS not_a_number
+    FROM events
+    """,
+)
+def try_arithmetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface: try_divide / try_cast yield
+    NULL instead of raising under ANSI mode — the semantics a 100 TB
+    pipeline needs, where one malformed row must not kill a 6-hour
+    job. DuckDB twin: TRY_CAST plus an explicit zero-denominator
+    CASE (its division errors like ANSI Spark would)."""
+    ev = load(spark, sf_dir, "events")
+    # FLOOR before the integer cast: DuckDB rounds double->bigint
+    # casts half-even while Spark truncates — floor() agrees everywhere
+    denom = F.floor("value").cast("bigint") - 50
+    return ev.select(
+        "event_id",
+        F.round(F.try_divide(F.lit(100.0), denom), 4).alias("inv_dist"),
+        F.try_to_number(
+            F.get_json_object("props", "$.k"), F.lit("999999")
+        ).cast("bigint").alias("k"),
+        F.expr("TRY_CAST(event_type AS BIGINT)").alias("not_a_number"),
+    )
+
+
+@register(
+    "xml_roundtrip_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface (from_xml, Spark 4): render each event's props as
+    an XML attribute payload, then parse it back with a typed schema
+    (attributes read via the `_` prefix convention) and aggregate.
+    The oracle extracts the same value from the original JSON — a
+    cross-representation check that the XML encode/decode is
+    lossless, not an echo of the same parser."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.expr(
+            "from_xml(concat('<p k=\"', get_json_object(props, '$.k'), "
+            "'\"/>'), '_k BIGINT')._k"
+        ).alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+    )

@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (146 queries: 141 strict oracles + 5 bounded-error).
+the full catalog (150 queries: 145 strict oracles + 5 bounded-error).
 """
 
 from __future__ import annotations
@@ -51,19 +51,19 @@ PRIORITY = [
     "bpe_merges_docs",
     "bpe_tokenize_docs",
     "streaming_upsert_windowed_events",
+    "listagg_customers_per_nation",
+    "lateral_topk_orders",
+    "try_arithmetic_events",
+    "xml_roundtrip_events",
     "kmeans_clusters_embeddings",
     "approach_pipeline_demo",
     # oldest driver evidence (latest row r03) — full back-fill
-    "agg_rollup_orders",
     "ann_ivf_topk",
-    "conditional_agg_events",
     "contamination_bloom_docs",
     "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_keep_best",
     "embedding_neardup_lsh",
-    "join_outer_nation_counts",
-    "join_semi_customers",
     "knn_graph_embeddings",
     "lang_id_docs",
     "q18_big_orders",
