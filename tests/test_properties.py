@@ -248,3 +248,91 @@ def test_int8_quantize_bounds_and_error(spark, vecs):
             continue
         for orig, code in zip(r["embedding"], r["q"]):
             assert abs(orig - code * r["s"]) <= r["s"] / 2 + 1e-12
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0, max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_triangle_counts_match_bruteforce(spark, raw_pairs):
+    """Degree-ordered compact-forward counting equals brute-force
+    triangle enumeration on arbitrary small graphs — including
+    multi-edges/self-loops in the raw input (normalized away) and
+    hub-heavy shapes."""
+    from itertools import combinations
+
+    from ngafid_cpat_spark.operators import graphs as G
+
+    edges = sorted({(min(u, v), max(u, v)) for u, v in raw_pairs if u != v})
+    nodes = sorted({n for e in edges for n in e})
+    eset = set(edges)
+    want = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in eset and (a, c) in eset and (b, c) in eset:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in G.triangle_counts(df).collect()
+    }
+    assert got == want
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(1, 200),
+        min_size=1, max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_temperature_mix_budget_invariants(spark, sizes):
+    """alpha=0.5 budget algebra: per-group take k_s =
+    floor(T * isqrt(n_s) / sum isqrt) capped by group size; the
+    output never exceeds the corpus, groups never exceed their
+    budget, and a strictly larger group never gets a smaller
+    budget."""
+    import math
+
+    from ngafid_cpat_spark.operators.corpus import temperature_mix
+
+    rows = []
+    base = 0
+    for g, n in sorted(sizes.items()):
+        rows += [(base + i, g) for i in range(n)]
+        base += 10_000
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {
+        r["source"]: r["n"]
+        for r in temperature_mix(df)
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    T = sum(sizes.values())
+    sw = sum(math.isqrt(n) for n in sizes.values())
+    for g, n in sizes.items():
+        k = (T * math.isqrt(n)) // sw
+        assert got.get(g, 0) == min(k, n)
+    assert sum(got.values()) <= T
+
+
+@given(st.lists(st.sampled_from(list("abc")), min_size=2, max_size=40))
+@settings(**SETTINGS)
+def test_bpe_single_round_matches_python_reference(spark, symbols):
+    """One BPE round's argmax pair equals a direct Python pair count
+    with the same (count desc, left, right) tie-break."""
+    from collections import Counter
+
+    from ngafid_cpat_spark.operators.corpus import bpe_train_merges
+
+    text = " ".join(symbols)
+    df = spark.createDataFrame([(text,)], ["text"])
+    got = bpe_train_merges(df, 1)
+    pairs = Counter(zip(symbols, symbols[1:]))
+    best = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert got[0][1:] == (best[0][0], best[0][1], best[1])
