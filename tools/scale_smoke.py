@@ -273,7 +273,7 @@ def main() -> None:
         # output size; the row limit is the deployment knob for
         # runaway recursions, not a scalability ceiling
         spark.conf.set(
-            "spark.sql.cteRecursionRowLimit", str(20_000_000)
+            "spark.sql.cteRecursionRowLimit", str(100_000_000)
         )
         ev.select(F.col("event_id").alias("s_suppkey")).createOrReplaceTempView(
             "__scale_supplier"
