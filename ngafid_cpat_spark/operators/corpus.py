@@ -101,6 +101,20 @@ def sample_k_per_group(
     )
 
 
+def exact_isqrt(n) -> "F.Column":
+    """True integer sqrt of a non-negative BIGINT column: float-sqrt
+    seed, then one correction step down and one up in pure BIGINT
+    arithmetic. floor(sqrt(n)) alone is within +-1 of the truth for
+    any BIGINT n (absolute sqrt error ~ sqrt(n) * 2^-53 << 1 even
+    past 2^53), so the two steps are exhaustive — exact for every
+    count below ~2^63 - 2^32 (above that (dn+1)^2 would overflow),
+    including the n ~ 2^52 perfect-square boundaries where the bare
+    float floor can land one off."""
+    fq = F.floor(F.sqrt(n)).cast("long")
+    dn = fq - F.when(fq * fq > n, F.lit(1)).otherwise(F.lit(0))
+    return dn + F.when((dn + 1) * (dn + 1) <= n, F.lit(1)).otherwise(F.lit(0))
+
+
 def temperature_mix(
     df: DataFrame,
     group_col: str = "source",
@@ -113,10 +127,13 @@ def temperature_mix(
 
         k_s = floor(T * isqrt(n_s) / sum_t isqrt(n_t))
 
-    INTEGER-ONLY weight math: isqrt = floor(sqrt(n)) and an integer
-    floor-division keep the budgets bit-identical across engines —
-    pow(n, alpha) in two float libraries can disagree in the last
-    ulp and flip a floor() at budget boundaries. The products stay
+    INTEGER-ONLY weight math: isqrt is floor(sqrt(n)) CORRECTED by
+    one Newton step in integer arithmetic (+-1 either way), which
+    makes it the true integer sqrt for any BIGINT n — the float sqrt
+    alone can land one off near 2^52, and pow(n, alpha) in two float
+    libraries can disagree in the last ulp and flip a floor() at
+    budget boundaries. With exact isqrt and an integer floor-division
+    the budgets are bit-identical across engines; the products stay
     inside exact BIGINT range up to T ~ 1e12 x isqrt ~ 1e6.
 
     Within each source, rows rank by the engine-portable
@@ -129,7 +146,7 @@ def temperature_mix(
     w = g.select(
         group_col,
         "__n",
-        F.floor(F.sqrt("__n")).cast("long").alias("__iq"),
+        exact_isqrt(F.col("__n")).alias("__iq"),
     )
     tot = w.agg(
         F.sum("__n").alias("__tt"), F.sum("__iq").alias("__sw")
@@ -193,9 +210,16 @@ def bpe_train_merges(
     )
     merges: list[tuple[int, str, str, int]] = []
     arr = "split(trim(seq), ' ')"
+    # Adjacent pairs as zip_with over two slices (arr[0:n-1], arr[1:n-1]):
+    # empty-safe by construction — a doc that normalizes to fewer than 2
+    # tokens yields two empty slices and therefore NO pairs, exactly like
+    # the oracle's range(1, len(tk)). The transform(sequence(0, size-2))
+    # form crashed here: size=1 makes sequence(0,-1) = [0,-1] and the
+    # arr[-1] lookup throws INVALID_ARRAY_INDEX under Spark 4 ANSI mode.
     pairs = F.expr(
-        f"transform(sequence(0, size({arr}) - 2), "
-        f"i -> struct({arr}[i] AS l, {arr}[i + 1] AS r))"
+        f"zip_with(slice({arr}, 1, greatest(size({arr}) - 1, 0)), "
+        f"slice({arr}, 2, greatest(size({arr}) - 1, 0)), "
+        f"(l, r) -> struct(l, r))"
     )
     for r in range(n_merges):
         top = (

@@ -24,15 +24,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# ord(node) = degree * ORD_BASE + node packs (degree, id) into one
-# orderable long; collision-free while node ids stay below ORD_BASE
-ORD_BASE = 1_000_000_000
-
-
 def oriented_edges(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     """Undirected distinct edges (u < v, no self-loops) -> edges
     oriented low-ord -> high-ord, carrying both endpoints' ord keys
-    as (src, dst, src_ord, dst_ord)."""
+    as (src, dst, src_ord, dst_ord).
+
+    ord(node) is the STRUCT (deg, node): Spark compares structs
+    lexicographically, so <, least and greatest all order by degree
+    with the id as tiebreak. A struct key is total and collision-free
+    for any id range — the earlier arithmetic packing
+    (deg * 1e9 + node) silently mis-ordered once ids reached 1e9,
+    which raw production user_ids can."""
     deg = (
         edges.select(F.col(u).alias("node"))
         .unionByName(edges.select(F.col(v).alias("node")))
@@ -40,7 +42,7 @@ def oriented_edges(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
         .select(
             "node",
-            (F.col("deg") * F.lit(ORD_BASE) + F.col("node")).alias("ord"),
+            F.struct(F.col("deg"), F.col("node").alias("id")).alias("ord"),
         )
     )
     e = (

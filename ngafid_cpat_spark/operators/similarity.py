@@ -889,9 +889,11 @@ def pq_topk(
     enc = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
     m = len(books)
     if not books or not books[0]:
-        # empty-corpus codebooks (see pq_encode): empty top-k
+        # empty-corpus codebooks (see pq_encode): empty top-k, named
+        # like the live path's output (`cosine` once re-rank runs)
         return enc.select(
-            F.col(id_col), F.lit(0.0).alias("approx_cosine")
+            F.col(id_col),
+            F.lit(0.0).alias("approx_cosine" if rerank is None else "cosine"),
         )
     sub = len(books[0][0][1])
     qn = 0.0
@@ -974,9 +976,15 @@ def ivfpq_topk(
         F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
     )
     live = emb.filter(self_dot > 0)
+    # the normal path's output column is `cosine` when the exact
+    # re-rank runs (cosine_topk's schema) and `approx_cosine` on the
+    # pure-ADC path — the empty-input early returns must match, or an
+    # empty corpus turns a downstream select("cosine") into an
+    # AnalysisException instead of an empty result
+    empty_score = "approx_cosine" if rerank is None else "cosine"
     if not coarse:
         return live.filter(F.lit(False)).select(
-            F.col(id_col), F.lit(0.0).alias("approx_cosine")
+            F.col(id_col), F.lit(0.0).alias(empty_score)
         )
     assigned = assign_centroids(live, coarse, vec_col)
     # residual r = x - c(x): the row's coarse centroid picked from a
@@ -1005,7 +1013,7 @@ def ivfpq_topk(
     )
     if not books or not books[0]:
         return live.filter(F.lit(False)).select(
-            F.col(id_col), F.lit(0.0).alias("approx_cosine")
+            F.col(id_col), F.lit(0.0).alias(empty_score)
         )
     sub = len(books[0][0][1])
     probes = _nearest_probes(query, coarse, n_probe)

@@ -404,9 +404,12 @@ def try_arithmetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.round(F.try_divide(F.lit(100.0), denom), 4).alias("inv_dist"),
-        F.try_to_number(
-            F.get_json_object("props", "$.k"), F.lit("999999")
-        ).cast("bigint").alias("k"),
+        # TRY_CAST, not try_to_number('999999'): the format string caps
+        # the parse at 6 unsigned digits, so negatives or 7-digit values
+        # would go NULL here while the oracle's TRY_CAST succeeds
+        F.expr(
+            "TRY_CAST(get_json_object(props, '$.k') AS BIGINT)"
+        ).alias("k"),
         F.expr("TRY_CAST(event_type AS BIGINT)").alias("not_a_number"),
     )
 

@@ -3026,8 +3026,16 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH g AS (
       SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), s AS (
+      SELECT lang, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS fq FROM g
+    ), s2 AS (
+      SELECT lang, n,
+             fq - CASE WHEN fq * fq > n THEN 1 ELSE 0 END AS dn
+      FROM s
     ), w AS (
-      SELECT lang, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS iq FROM g
+      SELECT lang, n,
+             dn + CASE WHEN (dn + 1) * (dn + 1) <= n THEN 1 ELSE 0 END AS iq
+      FROM s2
     ), t AS (
       SELECT SUM(n) AS tt, SUM(iq) AS sw FROM w
     ), b AS (

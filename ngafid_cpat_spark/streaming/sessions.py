@@ -133,7 +133,17 @@ def run_to_memory(
     pure setup overhead (measured: the interval join drops 6.4 s ->
     2.5 s at 8 partitions, identical output). Results are
     partition-count invariant (append-mode emission is row-local;
-    the determinism sweep covers these queries)."""
+    the determinism sweep covers these queries).
+
+    CONCURRENCY CONTRACT: spark.sql.shuffle.partitions is a
+    session-global conf and Spark offers no per-stream override, so
+    the pin is a set-around-start with a finally-restore. Callers
+    must not plan OTHER queries on the same SparkSession between
+    entering this function and its return (they would latch the
+    temporary value); run concurrent work on a separate
+    SparkSession.newSession() if needed. The catalog's streaming
+    queries all start their streams serially, so the gate and bench
+    never hit the window."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -323,3 +323,42 @@ def test_bpe_apply_tokenizes_with_trained_merges(spark):
     }
     assert out[1] == ["the\x1fquick\x1ffox", "the\x1fquick", "dog"]
     assert out[2] == ["the\x1fquick\x1ffox", "jumps"]
+
+
+def test_bpe_train_short_docs_emit_no_pairs(spark):
+    """Docs that normalize to fewer than 2 tokens must contribute
+    zero pairs (the oracle's range(1, len) behavior), not crash:
+    the old transform(sequence(0, size-2)) form threw
+    INVALID_ARRAY_INDEX under ANSI mode for size=1."""
+    from ngafid_cpat_spark.operators.corpus import bpe_apply, bpe_train_merges
+
+    df = spark.createDataFrame(
+        [("a b a b",), ("x",), ("",), ("  ",)], ["text"]
+    )
+    got = bpe_train_merges(df, 1)
+    # the short docs add nothing; (a, b) counts only from the 4-token doc
+    assert got == [(0, "a", "b", 2)]
+    toks = {tuple(r["symbols"]) for r in bpe_apply(df, got).collect()}
+    # leftmost-no-rescan: the first ' a b ' consumes the separating
+    # space, so 'a b a b' fuses once (same in the DuckDB oracle)
+    assert ("a\x1fb", "a", "b") in toks and ("x",) in toks
+
+
+def test_exact_isqrt_matches_math_isqrt_at_float_boundaries(spark):
+    """exact_isqrt must be true integer sqrt even where
+    floor(sqrt(n)) as a double can land one off — perfect squares
+    and their neighbors near 2^52/2^53, plus small values."""
+    import math
+
+    from ngafid_cpat_spark.operators.corpus import exact_isqrt
+
+    ns = [0, 1, 2, 3, 4, 8, 9, 15, 16, 10**12]
+    for k in (2**26, 2**26 + 1, 67108865, 94906265, 94906266):
+        ns += [k * k - 1, k * k, k * k + 1]
+    ns += [2**52 - 1, 2**52, 2**52 + 1, 2**53 - 1, 2**53, 2**53 + 1]
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    got = {
+        r["n"]: r["iq"]
+        for r in df.select("n", exact_isqrt(F.col("n")).alias("iq")).collect()
+    }
+    assert got == {n: math.isqrt(n) for n in ns}

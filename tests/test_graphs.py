@@ -41,3 +41,14 @@ def test_oriented_out_degree_bounded_on_star(spark):
     hub_out = o.filter(F.col("src") == 0).count()
     assert hub_out == 0
     assert o.count() == 100
+
+
+def test_triangle_counts_with_ids_beyond_packing_range(spark):
+    """Node ids above 1e9 must still count correctly: the ord key is
+    a (deg, id) struct compared lexicographically, not an arithmetic
+    pack that collides/overflows on large raw ids."""
+    b = 3_000_000_000
+    g = _edges(spark, [(b + 1, b + 2), (b + 1, b + 3), (b + 2, b + 3),
+                       (b + 3, b + 4), (5, b + 1)])
+    out = {r["node"]: r["n_triangles"] for r in G.triangle_counts(g).collect()}
+    assert out == {b + 1: 1, b + 2: 1, b + 3: 1}

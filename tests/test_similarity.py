@@ -287,12 +287,24 @@ def test_ivfpq_topk_recall_and_pruning(emb):
 
 
 def test_ivfpq_empty_inputs(spark, emb):
-    """Empty coarse codebook or empty corpus -> empty result, typed."""
+    """Empty coarse codebook or empty corpus -> empty result, with
+    the SAME output schema as the live path (column `cosine` when
+    the default exact re-rank is on, `approx_cosine` when off) — a
+    downstream select("cosine") must not raise on an empty corpus."""
     q = [0.0] * DIM
-    assert S.ivfpq_topk(emb, q, [], k=5).count() == 0
+    r = S.ivfpq_topk(emb, q, [], k=5)
+    assert r.columns == ["vec_id", "cosine"] and r.count() == 0
+    assert S.ivfpq_topk(emb, q, [], k=5, rerank=None).columns == [
+        "vec_id", "approx_cosine"
+    ]
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     coarse = [(0, [1.0] * DIM), (1, [-1.0] * DIM)]
-    assert S.ivfpq_topk(empty, q, coarse, m=4, k_sub=4, k=5).count() == 0
+    r2 = S.ivfpq_topk(empty, q, coarse, m=4, k_sub=4, k=5)
+    assert r2.select("cosine").count() == 0
+    # pq_topk with rerank set: same contract off the empty-books guard
+    assert S.pq_topk(emb, q, [], k=5, rerank=10).columns == [
+        "vec_id", "cosine"
+    ]
 
 
 def test_pq_empty_codebook_guards(spark, emb):
