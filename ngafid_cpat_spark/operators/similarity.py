@@ -987,20 +987,7 @@ def ivfpq_topk(
             F.col(id_col), F.lit(0.0).alias(empty_score)
         )
     assigned = assign_centroids(live, coarse, vec_col)
-    # residual r = x - c(x): the row's coarse centroid picked from a
-    # literal array-of-arrays by cell id (coarse ids are contiguous
-    # 0..n-1 by construction in kmeans_fit / seed codebooks)
-    by_cid = dict(coarse)
-    cents = F.array(*[
-        F.array(*[F.lit(float(x)) for x in by_cid[cid]])
-        for cid in range(len(coarse))
-    ])
-    resid = F.zip_with(
-        F.col(vec_col),
-        F.element_at(cents, F.col("centroid_id") + 1),
-        lambda x, y: x.cast("double") - y,
-    )
-    r_df = assigned.withColumn("__resid", resid)
+    r_df = _coarse_residuals(assigned, coarse, vec_col)
     # ONE product quantizer over the pooled residuals (not per-cell
     # books): the residual distribution is what's left after the
     # coarse quantizer, shared across cells — the paper's design, and
@@ -1025,25 +1012,15 @@ def ivfpq_topk(
         qn += float(x) * float(x)
     qn = math.sqrt(qn)
     # <q, c_cell> per coarse cell, driver-side (codebook-sized)
-    qc = []
-    for cid in range(len(coarse)):
-        d = 0.0
-        for j, x in enumerate(by_cid[cid]):
-            d += float(query[j]) * x
-        qc.append(_round_half_away_micro(d))
     qc_term = F.element_at(
-        F.array(*[F.lit(v) for v in qc]), F.col("centroid_id") + 1
+        F.array(*[F.lit(v) for v in _qc_micro(query, coarse)]),
+        F.col("centroid_id") + 1,
     )
     # residual ADC: code_s = L2 argmin vs book_s, LUT_s[code] = <q_s, c>
     approx = qc_term
     for s, book in enumerate(books):
         code = F.array_min(_l2_keys_hof("__resid", book, s * sub))["cid"]
-        lut = []
-        for _cid, c in book:
-            d = 0.0
-            for j, cx in enumerate(c):
-                d += float(query[s * sub + j]) * cx
-            lut.append(_round_half_away_micro(d))
+        lut = _lut_micro(query, book, s * sub)
         approx = approx + F.element_at(
             F.array(*[F.lit(v) for v in lut]), code + 1
         )
@@ -1055,6 +1032,264 @@ def ivfpq_topk(
     scored = pruned.select(
         F.col(id_col),
         (approx / 1e6 / (F.lit(qn) * norm)).alias("approx_cosine"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    ranked = scored.orderBy(
+        F.round(F.col("approx_cosine"), 6).desc(), F.col(id_col).asc()
+    )
+    if rerank is None:
+        return ranked.limit(k)
+    short = ranked.limit(rerank).select(id_col)
+    return cosine_topk(
+        emb.join(F.broadcast(short), id_col),
+        query,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_id=exclude_id,
+    )
+
+
+def _coarse_residuals(
+    assigned: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``__resid`` = x - c(x): the row's coarse centroid
+    picked from a literal array-of-arrays by cell id (coarse ids are
+    contiguous 0..n-1 by construction in kmeans_fit / seed
+    codebooks). Shared by the in-query IVFADC path (ivfpq_topk) and
+    the index writer (write_ivfpq_index) so both produce identical
+    residuals."""
+    by_cid = dict(coarse)
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in by_cid[cid]])
+        for cid in range(len(coarse))
+    ])
+    resid = F.zip_with(
+        F.col(vec_col),
+        F.element_at(cents, F.col("centroid_id") + 1),
+        lambda x, y: x.cast("double") - y,
+    )
+    return assigned.withColumn("__resid", resid)
+
+
+def _qc_micro(
+    query: list[float], coarse: list[tuple[int, list[float]]]
+) -> list[int]:
+    """<q, c_cell> per coarse cell in integer micro-units,
+    driver-side (codebook-sized), ordered by contiguous cell id."""
+    by_cid = dict(coarse)
+    out = []
+    for cid in range(len(coarse)):
+        d = 0.0
+        for j, x in enumerate(by_cid[cid]):
+            d += float(query[j]) * x
+        out.append(_round_half_away_micro(d))
+    return out
+
+
+def _lut_micro(
+    query: list[float], book: list[tuple[int, list[float]]], offset: int
+) -> list[int]:
+    """ADC lookup table for one subspace: <q_s, c> per centroid in
+    integer micro-units, in codebook order (cids are contiguous)."""
+    lut = []
+    for _cid, c in book:
+        d = 0.0
+        for j, cx in enumerate(c):
+            d += float(query[offset + j]) * cx
+        lut.append(_round_half_away_micro(d))
+    return lut
+
+
+IVFPQ_META_FILE = "_ivfpq_meta.json"
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-pass IVFADC encode against FIXED (already trained)
+    quantizers: each vector becomes (id, codes array<int>, norm,
+    centroid_id) — coarse assignment, residual vs the assigned cell,
+    then per-subspace L2-argmin codes, all map-side expressions over
+    literal codebooks. This is the ingest half of the
+    index-built-once / queried-many story: at 100 TB the encode runs
+    inline in the ingest scan (batch or micro-batch) and writes
+    ~m + 12 bytes per vector; no training, no shuffle."""
+    self_dot = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+    )
+    live = emb.filter(self_dot > 0)
+    r_df = _coarse_residuals(
+        assign_centroids(live, coarse, vec_col), coarse, vec_col
+    )
+    sub = len(books[0][0][1])
+    codes = F.array(*[
+        F.array_min(_l2_keys_hof("__resid", book, s * sub))["cid"]
+        for s, book in enumerate(books)
+    ])
+    return r_df.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x,
+            )
+        ).alias("norm"),
+        F.col("centroid_id"),
+    )
+
+
+def write_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    k_coarse: int = 8,
+    m: int = 8,
+    k_sub: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train ONCE and persist the full IVFADC index: a coarse cosine
+    Lloyd codebook, one joint-L2-trained residual product quantizer,
+    and every vector's (codes, norm) written PARTITIONED BY coarse
+    cell — so ivfpq_topk_indexed's probe is a partition-pruned read
+    of codes, never vectors. Quantizer state (coarse + books, a few
+    KB) goes to ``path``/_ivfpq_meta.json, written LAST as the
+    commit marker (the parquet overwrite clears the directory
+    first, so a half-written index never carries a meta file).
+
+    This splits training from search: ivfpq_topk pays 2 Lloyd
+    trainings inside every query; against this store a query pays
+    probe-only cost, the economics a real ANN deployment runs on.
+    Returns the meta dict ({"coarse", "books", "m", "k_sub"})."""
+    import json
+    import os
+
+    self_dot = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+    )
+    live = emb.filter(self_dot > 0)
+    coarse = kmeans_fit(
+        live, k=k_coarse, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    meta: dict = {"coarse": coarse, "books": [], "m": m, "k_sub": k_sub}
+    if coarse:
+        r_df = _coarse_residuals(
+            assign_centroids(live, coarse, vec_col), coarse, vec_col
+        )
+        books = pq_codebooks_trained(
+            r_df.select(F.col(id_col), F.col("__resid").alias(vec_col)),
+            m=m,
+            k=k_sub,
+            n_iter=n_iter,
+            id_col=id_col,
+        )
+        meta["books"] = books
+        if books and books[0]:
+            ivfpq_encode(
+                emb, coarse, books, id_col=id_col, vec_col=vec_col
+            ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+            with open(os.path.join(path, IVFPQ_META_FILE), "w") as f:
+                json.dump(meta, f)
+    return meta
+
+
+def read_ivfpq_meta(path: str) -> dict:
+    """Load quantizer state from a write_ivfpq_index store, with
+    JSON's list->tuple round trip undone."""
+    import json
+    import os
+
+    with open(os.path.join(path, IVFPQ_META_FILE)) as f:
+        raw = json.load(f)
+    return {
+        "coarse": [
+            (int(cid), [float(x) for x in c]) for cid, c in raw["coarse"]
+        ],
+        "books": [
+            [(int(cid), [float(x) for x in c]) for cid, c in book]
+            for book in raw["books"]
+        ],
+        "m": int(raw["m"]),
+        "k_sub": int(raw["k_sub"]),
+    }
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int | None = 50,
+    emb: DataFrame | None = None,
+    meta: dict | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """PROBE-ONLY IVFADC+R search over a write_ivfpq_index store: no
+    training, no scan of raw vectors — the query loads the few-KB
+    quantizer meta, partition-prunes the codes store to ``n_probe``
+    coarse cells (PartitionFilters on centroid_id, zero I/O outside
+    probed cells), reconstructs <q, x> = <q, c_cell> + <q, r-hat>
+    from two literal lookup tables over the STORED codes, and
+    exactly re-ranks the top-``rerank`` shortlist against the raw
+    vector table (``emb``, required when rerank is set) via a
+    broadcast semi-join. Result semantics are identical to
+    ivfpq_topk with the same quantizers — the math is shared helper
+    for shared helper.
+
+    100 TB economics: a query reads n_probe/|coarse| of m+12-byte
+    rows plus exactly ``rerank`` full vectors; the 2 Lloyd trainings
+    (the dominant cost of training-in-query ivfpq_topk) were paid
+    once at write time."""
+    if meta is None:
+        meta = read_ivfpq_meta(path)
+    coarse, books = meta["coarse"], meta["books"]
+    score_col = "approx_cosine" if rerank is None else "cosine"
+    if rerank is not None and emb is None:
+        raise ValueError("rerank requires the raw vector table (emb)")
+
+    def _empty():
+        src = emb if emb is not None else spark.read.parquet(path)
+        return src.filter(F.lit(False)).select(
+            F.col(id_col), F.lit(0.0).alias(score_col)
+        )
+
+    if not coarse or not books or not books[0]:
+        return _empty()
+    probes = _nearest_probes(query, coarse, n_probe)
+    codes = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(probes)
+    )
+    qn = 0.0
+    for x in query:
+        qn += float(x) * float(x)
+    qn = math.sqrt(qn)
+    qc_term = F.element_at(
+        F.array(*[F.lit(v) for v in _qc_micro(query, coarse)]),
+        F.col("centroid_id") + 1,
+    )
+    approx = qc_term
+    for s, book in enumerate(books):
+        lut = _lut_micro(query, book, s * len(books[0][0][1]))
+        approx = approx + F.element_at(
+            F.array(*[F.lit(v) for v in lut]),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+    scored = codes.select(
+        F.col(id_col),
+        (approx / 1e6 / (F.lit(qn) * F.col("norm"))).alias("approx_cosine"),
     )
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)

@@ -74,3 +74,54 @@ def stream_upsert(
     )
     q.awaitTermination()
     return q
+
+
+def stream_ivfpq_ingest(
+    vectors: DataFrame,
+    meta: dict,
+    codes_path: str,
+    checkpoint_dir: str,
+    query_name: str = "ivfpq_ingest",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous ANN-index ingestion: every micro-batch of new
+    vectors is encoded against FIXED, already-trained quantizers
+    (operators/similarity.ivfpq_encode — a pure map-side projection,
+    no training, no shuffle) and lands in the codes store under a
+    batch-keyed subdirectory partitioned by coarse cell:
+
+        codes_path/batch=<epoch>/centroid_id=<cell>/part-*.parquet
+
+    This closes the loop between the streaming sink family and the
+    persisted ANN index (write_ivfpq_index): the index is trained
+    once offline, then kept current by the stream. Idempotence =
+    exactly-once contents: a replayed epoch OVERWRITES its own batch
+    directory with byte-identical rows (the encode is deterministic
+    given the batch), the same restart contract as stream_upsert.
+    Readers scan ``codes_path`` with partition discovery — `batch`
+    and `centroid_id` both become partition columns, and probe-time
+    pruning on centroid_id holds across every batch directory. At
+    cluster scale a compaction job periodically folds old batch dirs
+    into the base index; probes never stop working while it runs."""
+    from ..operators import similarity as S
+
+    coarse, books = meta["coarse"], meta["books"]
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        S.ivfpq_encode(
+            batch_df, coarse, books, id_col=id_col, vec_col=vec_col
+        ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{codes_path}/batch={epoch_id}"
+        )
+
+    q = (
+        vectors.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .foreachBatch(_apply)
+        .start()
+    )
+    q.awaitTermination()
+    return q

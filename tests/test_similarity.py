@@ -381,3 +381,54 @@ def test_incremental_dedup(spark):
 
     with _pytest.raises(ValueError):
         C.incremental_dedup(new)
+
+
+def test_ivfpq_indexed_matches_in_query_twin(spark, emb, tmp_path):
+    """write_ivfpq_index + ivfpq_topk_indexed must return exactly
+    what ivfpq_topk returns with the same quantizers (the math is
+    shared helpers): identical training, identical codes, identical
+    ADC scores, identical re-rank."""
+    import os
+
+    path = str(tmp_path / "ivfpq_idx")
+    q = [float(x) for x in VECS[5]]
+    meta = S.write_ivfpq_index(emb, path, k_coarse=4, m=4, k_sub=4, n_iter=2)
+    assert os.path.exists(os.path.join(path, S.IVFPQ_META_FILE))
+    got = S.ivfpq_topk_indexed(
+        spark, path, q, k=10, n_probe=2, rerank=30, emb=emb, exclude_id=5
+    ).collect()
+    want = S.ivfpq_topk(
+        emb, q, meta["coarse"], m=4, k_sub=4, n_iter=2,
+        k=10, n_probe=2, rerank=30, exclude_id=5,
+    ).collect()
+    assert got == want and len(got) == 10
+    # the store is partitioned by coarse cell: probe = pruned read
+    cells = [
+        d for d in os.listdir(path) if d.startswith("centroid_id=")
+    ]
+    assert len(cells) > 1
+    # meta round trip preserves quantizers exactly
+    rt = S.read_ivfpq_meta(path)
+    assert rt["coarse"] == meta["coarse"] and rt["books"] == meta["books"]
+
+
+def test_ivfpq_indexed_probe_prunes_partitions(spark, emb, tmp_path):
+    """The probe's scan must carry a PartitionFilters entry on
+    centroid_id — the I/O contract the whole index exists for."""
+    path = str(tmp_path / "ivfpq_idx2")
+    q = [float(x) for x in VECS[1]]
+    S.write_ivfpq_index(emb, path, k_coarse=4, m=4, k_sub=4, n_iter=1)
+    out = S.ivfpq_topk_indexed(
+        spark, path, q, k=5, n_probe=1, rerank=None
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters: [" in l]
+    assert pf and "centroid_id" in pf[0].split("PartitionFilters:")[1]
+    assert out.count() > 0
+
+
+def test_ivfpq_indexed_rerank_requires_vectors(spark, emb, tmp_path):
+    path = str(tmp_path / "ivfpq_idx3")
+    S.write_ivfpq_index(emb, path, k_coarse=4, m=4, k_sub=4, n_iter=1)
+    with pytest.raises(ValueError):
+        S.ivfpq_topk_indexed(spark, path, [0.0] * DIM, rerank=10)

@@ -322,3 +322,61 @@ def test_running_user_totals_matches_batch(spark, stream):
         )
     }
     assert got == exact
+
+
+def test_stream_ivfpq_ingest_converges_to_batch_index(spark, tmp_path):
+    """The stream-ingested codes store must yield EXACTLY the search
+    results of the batch-written index built with the same trained
+    quantizers — the convergence contract of stream_ivfpq_ingest —
+    and a checkpoint replay must be a no-op (idempotent epochs)."""
+    from ngafid_cpat_spark.operators import similarity as S
+    from ngafid_cpat_spark.streaming.foreach_batch import stream_ivfpq_ingest
+
+    emb = load(spark, SF_DIR, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    batch_idx = str(tmp_path / "batch_idx")
+    meta = S.write_ivfpq_index(
+        emb, batch_idx, k_coarse=4, m=4, k_sub=8, n_iter=1
+    )
+    src = str(tmp_path / "stream_src")
+    emb.coalesce(1).write.mode("overwrite").parquet(src)
+    codes = str(tmp_path / "stream_codes")
+    ckpt = str(tmp_path / "stream_ckpt")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_ivfpq_ingest(stream, meta, codes, ckpt, query_name="sii_test")
+
+    def probe(path):
+        return S.ivfpq_topk_indexed(
+            spark, path, q_vec, k=10, n_probe=2, rerank=50,
+            emb=emb, meta=meta, exclude_id=0,
+        ).collect()
+
+    got, want = probe(codes), probe(batch_idx)
+    assert got == want and len(got) == 10
+    # stored codes identical row-for-row (not just search-equivalent)
+    stream_rows = sorted(
+        (r["vec_id"], tuple(r["codes"]), round(r["norm"], 9),
+         int(r["centroid_id"]))
+        for r in spark.read.parquet(codes).collect()
+    )
+    batch_rows = sorted(
+        (r["vec_id"], tuple(r["codes"]), round(r["norm"], 9),
+         int(r["centroid_id"]))
+        for r in spark.read.parquet(batch_idx).collect()
+    )
+    assert stream_rows == batch_rows
+    # replay over the existing checkpoint: no new batch dirs, same rows
+    import os
+
+    before = sorted(d for d in os.listdir(codes) if d.startswith("batch="))
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    stream_ivfpq_ingest(stream2, meta, codes, ckpt, query_name="sii_test2")
+    after = sorted(d for d in os.listdir(codes) if d.startswith("batch="))
+    assert before == after
+    assert probe(codes) == want
