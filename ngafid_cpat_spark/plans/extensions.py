@@ -3071,12 +3071,20 @@ def _bpe_pairs_cte(src: str) -> str:
 
 
 def _bpe_oracle(n_merges: int) -> str:
-    ctes = [f"s0 AS (SELECT ' ' || {NORM_SQL} || ' ' AS seq FROM documents)"]
+    # every CTE is MATERIALIZED: each s{r}/m{r} is referenced twice
+    # (the next rewrite and the final UNION), and DuckDB's default
+    # inlining re-expands the whole chain per reference — the scan
+    # count doubles every round (2^16 parquet opens at 16 merges,
+    # which dies on fd limits long before it dies on CPU)
+    ctes = [
+        f"s0 AS MATERIALIZED"
+        f" (SELECT ' ' || {NORM_SQL} || ' ' AS seq FROM documents)"
+    ]
     finals = []
     for r in range(n_merges):
-        ctes.append(f"m{r} AS ({_bpe_pairs_cte(f's{r}')})")
+        ctes.append(f"m{r} AS MATERIALIZED ({_bpe_pairs_cte(f's{r}')})")
         ctes.append(
-            f"s{r + 1} AS (SELECT replace(seq,"
+            f"s{r + 1} AS MATERIALIZED (SELECT replace(seq,"
             f" ' ' || m{r}.l || ' ' || m{r}.r || ' ',"
             f" ' ' || m{r}.l || chr(31) || m{r}.r || ' ') AS seq"
             f" FROM s{r}, m{r})"
@@ -3085,14 +3093,14 @@ def _bpe_oracle(n_merges: int) -> str:
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(finals)
 
 
-@register("bpe_merges_docs", _bpe_oracle(3))
+@register("bpe_merges_docs", _bpe_oracle(16))
 def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL BPE-style merge training (3 rounds) over the corpus —
+    """REAL BPE-style merge training (16 rounds) over the corpus —
     unlike token_count_bpe's regex approximation, this runs the
     actual iterative algorithm: count adjacent symbol pairs
     corpus-wide, fuse the argmax pair everywhere, repeat
-    (operators/corpus.bpe_train_merges). Oracle = the SAME three
-    rounds unrolled as DuckDB CTEs (the Lloyd-oracle trick), which
+    (operators/corpus.bpe_train_merges). Oracle = the SAME 16
+    rounds unrolled as programmatically generated DuckDB CTEs (the Lloyd-oracle trick), which
     works because pair counting, the (count desc, left, right)
     tie-break, and replace()'s leftmost-no-rescan overlap semantics
     are all engine-identical. Each round is one distributed pass with
@@ -3106,7 +3114,7 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    merges = _bpe_merges_cached(spark, sf_dir, n_merges=3)
+    merges = _bpe_merges_cached(spark, sf_dir, n_merges=16)
     schema = StructType([
         StructField("merge_round", IntegerType()),
         StructField("l", StringType()),
@@ -3119,14 +3127,16 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_tokenize_oracle(n_merges: int) -> str:
-    ctes = [f"s0 AS (SELECT doc_id, ' ' || {NORM_SQL} || ' ' AS seq"
-            f" FROM documents)"]
+    # MATERIALIZED for the same reason as _bpe_oracle: doubly
+    # referenced CTEs inline exponentially at 16 rounds
+    ctes = [f"s0 AS MATERIALIZED (SELECT doc_id,"
+            f" ' ' || {NORM_SQL} || ' ' AS seq FROM documents)"]
     for r in range(n_merges):
         ctes.append(
-            f"m{r} AS ({_bpe_pairs_cte(f's{r}')})"
+            f"m{r} AS MATERIALIZED ({_bpe_pairs_cte(f's{r}')})"
         )
         ctes.append(
-            f"s{r + 1} AS (SELECT doc_id, replace(seq,"
+            f"s{r + 1} AS MATERIALIZED (SELECT doc_id, replace(seq,"
             f" ' ' || m{r}.l || ' ' || m{r}.r || ' ',"
             f" ' ' || m{r}.l || chr(31) || m{r}.r || ' ') AS seq"
             f" FROM s{r}, m{r})"
@@ -3140,9 +3150,9 @@ def _bpe_tokenize_oracle(n_merges: int) -> str:
     )
 
 
-@register("bpe_tokenize_docs", _bpe_tokenize_oracle(3))
+@register("bpe_tokenize_docs", _bpe_tokenize_oracle(16))
 def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The apply half of BPE: train 3 merges (iterative, bounded
+    """The apply half of BPE: train 16 merges (iterative, bounded
     driver state), then tokenize the corpus with
     operators/corpus.bpe_apply — a pure map-side replace() chain
     folded into one projection, so at 100 TB the tokenizer runs
@@ -3151,7 +3161,7 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges buy). Oracle re-derives the same merges via the unrolled
     CTEs and applies them with the same replace() semantics."""
     docs = load(spark, sf_dir, "documents")
-    merges = _bpe_merges_cached(spark, sf_dir, n_merges=3)
+    merges = _bpe_merges_cached(spark, sf_dir, n_merges=16)
     out = C.bpe_apply(docs, merges)
     return out.select(
         "doc_id",
