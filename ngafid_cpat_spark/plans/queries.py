@@ -25,63 +25,66 @@ from . import tpch_extra as _tpch_extra  # noqa: F401  (registers)
 # back-fills with the queries whose newest driver evidence is oldest,
 # so the union of CORRECTNESS_r* rows stays fresh for the whole
 # catalog. Per-round rationale lives in the commit message, not here.
-# Sketches with bounded-error-only oracles (approx_distinct_parts,
-# approx_quantile_events) stay OUT: their driver rows are permanently
-# `no_oracle` and would waste slots check_oracle.py already covers.
+# Bounded-error sketch queries DO take a window slot once each: their
+# `no_oracle` driver row is the documented proof they execute under
+# the gate (check_oracle.py holds their values to measured floors).
 PRIORITY = [
-    # never driver-checked / plan-or-oracle changed this round
-    "pq_codes_embeddings",
-    "pq_topk_embeddings",
-    "asof_next_click_purchase",
-    "asof_nearest_click_purchase",
-    "streaming_interval_join_left_events",
-    "pq_topk_trained_embeddings",
-    "ann_ivfpq_topk",
-    "islands_auto_events",
-    "range_window_auto_events",
-    "streaming_dedup_events",
-    "heavy_hitters_tokens_docs",
-    "streaming_dedup_windowed_events",
-    "variant_json_events",
-    "recursive_chain_suppliers",
-    "heavy_hitters_rollup_docs",
-    "triangle_counts_events",
-    "temperature_mix_docs",
-    "profile_columns_events",
+    # never driver-windowed (r08 goal: zero queries with no row ever)
+    "approx_quantile_events",
+    "hll_union_users_events",
+    # new this round
+    "ann_ivfpq_indexed",
+    "streaming_ivfpq_ingest_embeddings",
+    # plan or oracle changed this round
     "bpe_merges_docs",
     "bpe_tokenize_docs",
-    "streaming_upsert_windowed_events",
-    "listagg_customers_per_nation",
-    "lateral_topk_orders",
+    "temperature_mix_docs",
     "try_arithmetic_events",
-    "xml_roundtrip_events",
-    "kmeans_clusters_embeddings",
-    "approach_pipeline_demo",
+    "triangle_counts_events",
+    "ann_ivfpq_topk",
     # oldest driver evidence (latest row r03) — full back-fill
-    "ann_ivf_topk",
-    "contamination_bloom_docs",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_keep_best",
-    "embedding_neardup_lsh",
-    "knn_graph_embeddings",
-    "lang_id_docs",
-    "q18_big_orders",
-    "q8_market_share",
-    "quantile_events",
-    "scan_filter_project",
-    "session_event_ids",
-    "text_quality",
-    "text_stats",
-    "tfidf_topk_terms",
-    "token_count_bpe",
-    "topk_customers_per_nation",
-    "unstable_subintervals",
-    "validity_probe_users",
-    "vocab_topk",
+    "agg_rollup_orders",
+    "conditional_agg_events",
+    "embedding_neardup_pairs",
+    "events_tumbling_window",
+    "funnel_events",
+    "gapfill_locf_daily",
+    "geo_haversine_customers",
+    "join_outer_nation_counts",
+    "join_semi_customers",
+    "json_extract_events",
+    "map_functions_events",
+    "retention_cohorts",
+    "rolling5_events",
+    "set_ops_nations",
+    "stats_moments_events",
+    "window_running_orders",
     # family sentinels
     "q1_pricing_summary",
     "q3_shipping_priority",
+    # r04-stale back-fill (the rest of the r04 cohort rotates next round)
+    "bigram_logprob_docs",
+    "chunk_docs",
+    "contamination_check_docs",
+    "corpus_mix_docs",
+    "dedup_cluster_keep_best",
+    "hof_value_arrays",
+    "length_band_docs",
+    "multimodal_meta",
+    "outlier_events",
+    "pii_scrub_events",
+    "q2_min_supplier_per_part",
+    "q4_order_priority",
+    "range_window_chunked_events",
+    "regexp_extract_all_events",
+    "repetition_docs",
+    "sample_k_per_source_docs",
+    "scd2_purchase_history",
+    "sessionize_chunked_events",
+    "shard_assign_docs",
+    "skew_salted_event_type_agg",
+    "streaming_enriched_counts_events",
+    "streaming_windowed_counts_events",
 ]
 
 
