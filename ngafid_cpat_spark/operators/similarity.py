@@ -1307,3 +1307,68 @@ def ivfpq_topk_indexed(
         vec_col=vec_col,
         exclude_id=exclude_id,
     )
+
+
+def compact_ivfpq_index(
+    spark,
+    base_path: str,
+    stream_path: str,
+    dest_path: str,
+    meta: dict | None = None,
+) -> None:
+    """Fold a stream-ingested codes store (stream_ivfpq_ingest's
+    batch-keyed layout) into the base index, producing a NEW
+    immutable index generation at ``dest_path`` — the compaction job
+    the streaming-ingest design note promises. Precedence: a vec_id
+    present in the stream supersedes the base row (re-ingestion is
+    an update), and within the stream the highest batch id wins, so
+    compaction commutes with replay. One distributed pass: union,
+    per-id max-batch argmax (map-side-combining aggregate via
+    max(struct)), rewrite partitioned by coarse cell. The quantizer
+    sidecar is copied through unchanged — compaction NEVER retrains
+    (a retrain is a new index build, not a compaction). Writing a
+    fresh generation instead of rewriting in place is deliberate:
+    probes against the old generation keep working while the
+    compaction runs, and the pointer swap is the caller's atomic
+    commit — the standard immutable-segment lifecycle."""
+    import json
+    import os
+
+    if meta is None:
+        meta = read_ivfpq_meta(base_path)
+    base = spark.read.parquet(base_path).select(
+        "vec_id", "codes", "norm", "centroid_id",
+        F.lit(-1).cast("long").alias("__batch"),
+    )
+    stream = spark.read.parquet(stream_path).select(
+        "vec_id", "codes", "norm", "centroid_id",
+        F.col("batch").cast("long").alias("__batch"),
+    )
+    merged = base.unionByName(stream)
+    latest = (
+        merged.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct("__batch", "codes", "norm", "centroid_id")
+            ).alias("s")
+        )
+        .select(
+            "vec_id",
+            F.col("s.codes").alias("codes"),
+            F.col("s.norm").alias("norm"),
+            F.col("s.centroid_id").alias("centroid_id"),
+        )
+    )
+    latest.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        dest_path
+    )
+    with open(os.path.join(dest_path, IVFPQ_META_FILE), "w") as f:
+        json.dump(
+            {
+                "coarse": meta["coarse"],
+                "books": meta["books"],
+                "m": meta["m"],
+                "k_sub": meta["k_sub"],
+            },
+            f,
+        )

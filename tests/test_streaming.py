@@ -425,3 +425,59 @@ def test_stream_ivfpq_ingest_converges_to_batch_index(spark, tmp_path):
     after = sorted(d for d in os.listdir(codes) if d.startswith("batch="))
     assert before == after
     assert probe(codes) == want
+
+
+def test_compact_ivfpq_index_folds_stream_into_new_generation(spark, tmp_path):
+    """Compaction: base index + stream batches -> one fresh
+    generation where stream rows supersede base rows per vec_id,
+    exactly one row per id survives, the cell-partitioned layout and
+    quantizer sidecar carry over, and a probe against the compacted
+    generation reflects the updated vectors."""
+    from pyspark.sql import functions as F
+
+    from ngafid_cpat_spark.operators import similarity as S
+    from ngafid_cpat_spark.streaming.foreach_batch import stream_ivfpq_ingest
+
+    emb = load(spark, SF_DIR, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    base_idx = str(tmp_path / "base_idx")
+    meta = S.write_ivfpq_index(emb, base_idx, k_coarse=4, m=4, k_sub=8,
+                               n_iter=1)
+    # "updated" vectors: ids 1..20 re-ingested with vec 0's embedding
+    q0 = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    upd = emb.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= 20)
+    ).select("vec_id", F.lit([float(x) for x in q0]).alias("embedding"))
+    src = str(tmp_path / "upd_src")
+    upd.coalesce(1).write.mode("overwrite").parquet(src)
+    stream_codes = str(tmp_path / "stream_codes")
+    schema = spark.read.parquet(src).schema
+    stream_ivfpq_ingest(
+        spark.readStream.schema(schema).parquet(src),
+        meta, stream_codes, str(tmp_path / "ck"), query_name="civ_test",
+    )
+    dest = str(tmp_path / "gen2")
+    S.compact_ivfpq_index(spark, base_idx, stream_codes, dest)
+
+    compacted = spark.read.parquet(dest)
+    n_base = spark.read.parquet(base_idx).count()
+    assert compacted.count() == n_base  # updates replace, never add
+    assert compacted.groupBy("vec_id").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+    # the 20 updated ids now carry vec 0's codes
+    c0 = compacted.filter(F.col("vec_id") == 0).collect()[0]["codes"]
+    for r in compacted.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= 20)
+    ).collect():
+        assert list(r["codes"]) == list(c0)
+    # probe works against the new generation with the carried meta
+    got = S.ivfpq_topk_indexed(
+        spark, dest, [float(x) for x in q0], k=10, n_probe=2,
+        rerank=None, exclude_id=0,
+    ).collect()
+    assert len(got) == 10
+    # the updated ids dominate the ADC ranking for q0's direction
+    top_ids = {r["vec_id"] for r in got}
+    assert len(top_ids & set(range(1, 21))) >= 8
