@@ -1372,3 +1372,52 @@ def compact_ivfpq_index(
             },
             f,
         )
+
+
+def delete_from_ivfpq_index(
+    spark,
+    base_path: str,
+    ids,
+    dest_path: str,
+    meta: dict | None = None,
+    id_col: str = "vec_id",
+) -> None:
+    """Targeted deletion from a persisted index — the
+    right-to-be-forgotten / retraction half of the index lifecycle
+    (build → stream-ingest → compact → DELETE). ``ids`` is either a
+    DataFrame with ``id_col`` or an iterable of ids; rows matching it
+    are anti-joined out and the survivors rewritten as a NEW
+    generation at ``dest_path`` (same immutable-generation protocol
+    as compact_ivfpq_index: the old store keeps serving probes until
+    the caller's pointer swap). The delete set broadcasts — at
+    100 TB a deletion batch is always dim-sized relative to the
+    corpus, so the rewrite is one scan + a broadcast anti hash join,
+    no shuffle of the codes. Quantizers are copied unchanged:
+    deleting vectors never needs a retrain (cell occupancy shrinks,
+    centroids stay valid for the survivors)."""
+    import json
+    import os
+
+    if meta is None:
+        meta = read_ivfpq_meta(base_path)
+    if isinstance(ids, DataFrame):
+        del_df = ids.select(F.col(id_col))
+    else:
+        del_df = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    base = spark.read.parquet(base_path).select(
+        id_col, "codes", "norm", "centroid_id"
+    )
+    kept = base.join(F.broadcast(del_df), id_col, "left_anti")
+    kept.write.mode("overwrite").partitionBy("centroid_id").parquet(dest_path)
+    with open(os.path.join(dest_path, IVFPQ_META_FILE), "w") as f:
+        json.dump(
+            {
+                "coarse": meta["coarse"],
+                "books": meta["books"],
+                "m": meta["m"],
+                "k_sub": meta["k_sub"],
+            },
+            f,
+        )

