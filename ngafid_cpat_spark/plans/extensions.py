@@ -3244,6 +3244,98 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.pack_sequences(docs, budget=256)
 
 
+# End-to-end corpus-prep parameters: minimum quality-gate length and
+# the packing budget (tokens per training chunk)
+_PREP_MIN_TOK = 10
+_PREP_BUDGET = 512
+
+
+@register(
+    "corpus_prep_pipeline_docs",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             len(string_split({NORM_SQL}, ' ')) AS n_tok,
+             md5({NORM_SQL}) AS fp
+      FROM documents
+      WHERE len(string_split({NORM_SQL}, ' ')) >= {_PREP_MIN_TOK}
+    ),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY fp),
+    d AS (SELECT q.doc_id, q.lang, q.n_tok FROM q JOIN keepers USING (doc_id)),
+    g AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY lang),
+    s AS (SELECT lang, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS fq FROM g),
+    s2 AS (SELECT lang, n,
+                  fq - CASE WHEN fq * fq > n THEN 1 ELSE 0 END AS dn FROM s),
+    w AS (SELECT lang, n,
+                 dn + CASE WHEN (dn + 1) * (dn + 1) <= n
+                      THEN 1 ELSE 0 END AS iq FROM s2),
+    t AS (SELECT SUM(n) AS tt, SUM(iq) AS sw FROM w),
+    b AS (SELECT lang, (t.tt * w.iq) // t.sw AS k FROM w, t),
+    ranked AS (
+      SELECT doc_id, lang, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY {SAMPLE_HASH_SQL('doc_id')}, doc_id) AS rn
+      FROM d
+    ),
+    mixed AS (
+      SELECT r.doc_id, r.lang, r.n_tok FROM ranked r JOIN b USING (lang)
+      WHERE r.rn <= b.k
+    ),
+    packed AS (
+      SELECT lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tape_end
+      FROM mixed
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MAX((tape_end - 1) // {_PREP_BUDGET}) + 1 AS BIGINT)
+             AS n_chunks
+    FROM packed GROUP BY lang
+    """,
+)
+def corpus_prep_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus preparation in ONE declarative plan — the
+    LLM-data counterpart of approach_pipeline_demo: quality gate
+    (>= 10 normalized tokens) -> exact dedup keeping the
+    smallest doc_id per md5 fingerprint (16-byte shuffle keys, never
+    bodies) -> temperature (alpha=0.5) language rebalancing with
+    exact-integer-sqrt budgets -> per-language token-tape packing
+    into 512-token chunks -> per-language shard statistics. Every
+    stage reuses a catalog operator (dedup.exact_dedup's fingerprint,
+    corpus.temperature_mix, corpus.pack_sequences) and every stage is
+    engine-portable, so the WHOLE pipeline carries one strict value
+    oracle. Scale shape: the dedup is one fingerprint-keyed shuffle
+    (16-byte keys) + a semi join back on doc_id; the survivors are
+    lazily localCheckpoint'd — the mix/pack tail fans out into the
+    budget aggregate, the rank window and the tape window, and
+    without the materialization each branch re-derives the whole
+    gate+dedup prefix (the knn_graph materialize-the-shared-frame
+    doctrine; this is also exactly the point a 100 TB pipeline would
+    persist its cleaned corpus). Downstream: one lang-keyed window
+    pair, budgets via a broadcast one-row scalar, no collects."""
+    docs = load(spark, sf_dir, "documents")
+    q = docs.withColumn(
+        "n_tok", T.token_count("text").cast("long")
+    ).filter(F.col("n_tok") >= _PREP_MIN_TOK)
+    keep = (
+        q.select("doc_id", T.fingerprint_md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    d = q.join(keep.select("doc_id"), "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
+    mix = C.temperature_mix(d, group_col="lang")
+    packed = C.pack_sequences(mix, budget=_PREP_BUDGET, group_col="lang")
+    return packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        (F.max("chunk_last") + 1).cast("bigint").alias("n_chunks"),
+    )
+
+
 @register(
     "contamination_check_docs",
     f"""

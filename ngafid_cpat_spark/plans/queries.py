@@ -35,6 +35,7 @@ PRIORITY = [
     # new this round
     "ann_ivfpq_indexed",
     "streaming_ivfpq_ingest_embeddings",
+    "corpus_prep_pipeline_docs",
     # plan or oracle changed this round
     "bpe_merges_docs",
     "bpe_tokenize_docs",
@@ -84,7 +85,6 @@ PRIORITY = [
     "shard_assign_docs",
     "skew_salted_event_type_agg",
     "streaming_enriched_counts_events",
-    "streaming_windowed_counts_events",
 ]
 
 
