@@ -1340,11 +1340,21 @@ def compact_ivfpq_index(
         "vec_id", "codes", "norm", "centroid_id",
         F.lit(-1).cast("long").alias("__batch"),
     )
-    stream = spark.read.parquet(stream_path).select(
-        "vec_id", "codes", "norm", "centroid_id",
-        F.col("batch").cast("long").alias("__batch"),
+    # a stream store with no completed batches (fresh checkpoint, or
+    # every epoch empty) has nothing to infer a schema from — compact
+    # then degenerates to copying the base generation
+    has_batches = any(
+        d.startswith("batch=")
+        for d in (os.listdir(stream_path) if os.path.isdir(stream_path) else [])
     )
-    merged = base.unionByName(stream)
+    if has_batches:
+        stream = spark.read.parquet(stream_path).select(
+            "vec_id", "codes", "norm", "centroid_id",
+            F.col("batch").cast("long").alias("__batch"),
+        )
+        merged = base.unionByName(stream)
+    else:
+        merged = base
     latest = (
         merged.groupBy("vec_id")
         .agg(

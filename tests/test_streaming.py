@@ -481,3 +481,29 @@ def test_compact_ivfpq_index_folds_stream_into_new_generation(spark, tmp_path):
     # the updated ids dominate the ADC ranking for q0's direction
     top_ids = {r["vec_id"] for r in got}
     assert len(top_ids & set(range(1, 21))) >= 8
+
+
+def test_compact_ivfpq_index_with_empty_stream_copies_base(spark, tmp_path):
+    """A fresh (batch-less) stream store must compact to a copy of
+    the base generation, not crash on schema inference."""
+    from pyspark.sql import functions as F
+
+    from ngafid_cpat_spark.operators import similarity as S
+
+    emb = load(spark, SF_DIR, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    base = str(tmp_path / "b")
+    S.write_ivfpq_index(emb, base, k_coarse=4, m=4, k_sub=4, n_iter=1)
+    empty_stream = str(tmp_path / "s")  # never created
+    dest = str(tmp_path / "g2")
+    S.compact_ivfpq_index(spark, base, empty_stream, dest)
+    a = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(base).collect()
+    )
+    b = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(dest).collect()
+    )
+    assert a == b
