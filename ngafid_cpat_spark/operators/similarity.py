@@ -1431,3 +1431,140 @@ def delete_from_ivfpq_index(
             },
             f,
         )
+
+
+def ivfpq_topk_indexed_batch(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int | None = 50,
+    emb: DataFrame | None = None,
+    meta: dict | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched probe-only IVFADC+R: top-k for EVERY (qid, query
+    vector) in ONE plan over the persisted index — the many-query
+    production shape (ann_topk_batch's economics applied to the
+    index). The codes store is read ONCE, partition-pruned to the
+    UNION of all queries' probe cells; each query's per-cell terms
+    and per-subspace ADC lookup tables are precomputed driver-side
+    (Q x m x k integers — batch-sized literals, the same state a
+    GPU ANN service uploads per query batch) and indexed per row via
+    element_at, so the per-(query, row) cost stays m array reads.
+    Per-query results are IDENTICAL to ivfpq_topk_indexed run
+    query-by-query (asserted in tests): the shortlist is a per-qid
+    rank window instead of a global TakeOrdered, and the exact
+    re-rank reproduces cosine_topk's rounding/tie rules with the
+    query vectors as a nested literal.
+
+    Scale: one pruned codes scan amortized over the whole batch, one
+    rank window keyed by qid (Q * rerank rows), one broadcast
+    semi-join of Q*rerank ids into the vector table for the exact
+    tail. Returns (qid, vec_id, cosine|approx_cosine)."""
+    if meta is None:
+        meta = read_ivfpq_meta(path)
+    coarse, books = meta["coarse"], meta["books"]
+    score_col = "approx_cosine" if rerank is None else "cosine"
+    if rerank is not None and emb is None:
+        raise ValueError("rerank requires the raw vector table (emb)")
+    if not queries or not coarse or not books or not books[0]:
+        src = emb if emb is not None else spark.read.parquet(path)
+        return src.filter(F.lit(False)).select(
+            F.lit(0).cast("long").alias("qid"),
+            F.col(id_col),
+            F.lit(0.0).alias(score_col),
+        )
+    sub = len(books[0][0][1])
+    m = len(books)
+    kk = len(books[0])
+    probe_sets, qcs, luts, qns, qids, qvs = [], [], [], [], [], []
+    for qid, qv in queries:
+        probe_sets.append(_nearest_probes(qv, coarse, n_probe))
+        qcs.append(_qc_micro(qv, coarse))
+        flat = []
+        for s, book in enumerate(books):
+            flat.extend(_lut_micro(qv, book, s * sub))
+        luts.append(flat)
+        # same left-assoc python accumulation as cosine_literal's qnorm
+        qns.append(sum(float(x) * float(x) for x in qv) ** 0.5)
+        qids.append(int(qid))
+        qvs.append([float(x) for x in qv])
+    all_cells = sorted({c for p in probe_sets for c in p})
+    codes = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(all_cells)
+    )
+    QIDS = F.array(*[F.lit(q) for q in qids])
+    QPROBE = F.array(*[F.array(*[F.lit(c) for c in p]) for p in probe_sets])
+    QC = F.array(*[F.array(*[F.lit(v) for v in qc]) for qc in qcs])
+    LUT = F.array(*[F.array(*[F.lit(v) for v in lut]) for lut in luts])
+    QN = F.array(*[F.lit(n) for n in qns])
+    fan = codes.withColumn(
+        "__qi", F.explode(F.sequence(F.lit(1), F.lit(len(queries))))
+    ).filter(
+        F.array_contains(F.element_at(QPROBE, F.col("__qi")), F.col("centroid_id"))
+    )
+    approx = F.element_at(F.element_at(QC, F.col("__qi")), F.col("centroid_id") + 1)
+    for s in range(m):
+        approx = approx + F.element_at(
+            F.element_at(LUT, F.col("__qi")),
+            F.lit(s * kk) + F.element_at(F.col("codes"), s + 1) + 1,
+        )
+    scored = fan.select(
+        F.element_at(QIDS, F.col("__qi")).alias("qid"),
+        F.col("__qi").alias("qi"),
+        F.col(id_col),
+        (
+            approx / 1e6 / (F.element_at(QN, F.col("__qi")) * F.col("norm"))
+        ).alias("approx_cosine"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("approx_cosine"), 6).desc(), F.col(id_col).asc()
+    )
+    ranked = scored.withColumn("__rn", F.row_number().over(w))
+    if rerank is None:
+        return ranked.filter(F.col("__rn") <= k).select(
+            "qid", id_col, "approx_cosine"
+        )
+    short = ranked.filter(F.col("__rn") <= rerank).select("qid", "qi", id_col)
+    QV = F.array(*[
+        F.array(*[F.lit(x) for x in qv]) for qv in qvs
+    ])
+    self_dot = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+    )
+    joined = emb.filter(self_dot > 0).join(F.broadcast(short), id_col)
+    exact = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.element_at(QV, F.col("qi")),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (
+            F.sqrt(
+                F.aggregate(
+                    F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            )
+            * F.element_at(QN, F.col("qi"))
+        ),
+        6,
+    )
+    rescored = joined.select("qid", F.col(id_col), exact.alias("cosine"))
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        rescored.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .select("qid", id_col, "cosine")
+    )

@@ -473,3 +473,45 @@ def test_delete_from_ivfpq_index_removes_ids_and_keeps_probing(
     assert any(
         d.startswith("centroid_id=") for d in os.listdir(dest)
     )
+
+
+def test_ivfpq_indexed_batch_matches_single_query_probes(spark, emb, tmp_path):
+    """The batched indexed probe must return, per qid, EXACTLY what
+    ivfpq_topk_indexed returns for that query alone — same ADC
+    ranking, same shortlist, same exact re-rank rounding and ties —
+    while reading the codes store once for the whole batch."""
+    path = str(tmp_path / "bidx")
+    S.write_ivfpq_index(emb, path, k_coarse=4, m=4, k_sub=4, n_iter=2)
+    qids = [0, 7, 42, 63]
+    queries = [(i, [float(x) for x in VECS[i]]) for i in qids]
+    batch = S.ivfpq_topk_indexed_batch(
+        spark, path, queries, k=5, n_probe=2, rerank=30, emb=emb
+    ).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append((r["vec_id"], r["cosine"]))
+    assert set(by_qid) == set(qids)
+    for qid, qv in queries:
+        single = [
+            (r["vec_id"], r["cosine"])
+            for r in S.ivfpq_topk_indexed(
+                spark, path, qv, k=5, n_probe=2, rerank=30,
+                emb=emb, exclude_id=qid,
+            ).collect()
+        ]
+        assert by_qid[qid] == single, f"qid {qid}"
+    # ADC-only path parity as well
+    b2 = S.ivfpq_topk_indexed_batch(
+        spark, path, queries[:2], k=5, n_probe=2, rerank=None
+    ).collect()
+    g2 = {}
+    for r in b2:
+        g2.setdefault(r["qid"], []).append((r["vec_id"], round(r["approx_cosine"], 9)))
+    for qid, qv in queries[:2]:
+        single = [
+            (r["vec_id"], round(r["approx_cosine"], 9))
+            for r in S.ivfpq_topk_indexed(
+                spark, path, qv, k=5, n_probe=2, rerank=None, exclude_id=qid,
+            ).collect()
+        ]
+        assert g2[qid] == single, f"qid {qid} adc"
