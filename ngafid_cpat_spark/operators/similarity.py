@@ -1157,6 +1157,7 @@ def write_ivfpq_index(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cluster_files: bool = False,
 ) -> dict:
     """Train ONCE and persist the full IVFADC index: a coarse cosine
     Lloyd codebook, one joint-L2-trained residual product quantizer,
@@ -1170,7 +1171,16 @@ def write_ivfpq_index(
     This splits training from search: ivfpq_topk pays 2 Lloyd
     trainings inside every query; against this store a query pays
     probe-only cost, the economics a real ANN deployment runs on.
-    Returns the meta dict ({"coarse", "books", "m", "k_sub"})."""
+    Returns the meta dict ({"coarse", "books", "m", "k_sub"}).
+
+    ``cluster_files``: partitionBy alone writes one file per
+    (write task x cell) — harmless at test scale, but a 100 TB build
+    at production cell counts (k_coarse in the thousands x thousands
+    of tasks) is a small-file explosion. Set True to hash-cluster by
+    cell first (one shuffle of m+12-byte rows — cheap next to the
+    encode scan) so each cell lands in O(1) files. Default False:
+    the local catalog runs 8 cells x 32 tasks and the extra exchange
+    would only add latency."""
     import json
     import os
 
@@ -1195,9 +1205,14 @@ def write_ivfpq_index(
         )
         meta["books"] = books
         if books and books[0]:
-            ivfpq_encode(
+            enc = ivfpq_encode(
                 emb, coarse, books, id_col=id_col, vec_col=vec_col
-            ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+            )
+            if cluster_files:
+                enc = enc.repartition(F.col("centroid_id"))
+            enc.write.mode("overwrite").partitionBy("centroid_id").parquet(
+                path
+            )
             with open(os.path.join(path, IVFPQ_META_FILE), "w") as f:
                 json.dump(meta, f)
     return meta

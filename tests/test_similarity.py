@@ -515,3 +515,33 @@ def test_ivfpq_indexed_batch_matches_single_query_probes(spark, emb, tmp_path):
             ).collect()
         ]
         assert g2[qid] == single, f"qid {qid} adc"
+
+
+def test_write_ivfpq_index_cluster_files_bounds_files_per_cell(
+    spark, emb, tmp_path
+):
+    """cluster_files=True hash-clusters by cell before the write, so
+    each cell directory holds O(1) files instead of one per write
+    task — the 100 TB small-file knob. Results stay identical."""
+    import os
+
+    a, b = str(tmp_path / "plain"), str(tmp_path / "clustered")
+    S.write_ivfpq_index(emb, a, k_coarse=4, m=4, k_sub=4, n_iter=1)
+    S.write_ivfpq_index(
+        emb, b, k_coarse=4, m=4, k_sub=4, n_iter=1, cluster_files=True
+    )
+
+    def rows(p):
+        return sorted(
+            (r["vec_id"], tuple(r["codes"]), int(r["centroid_id"]))
+            for r in spark.read.parquet(p).collect()
+        )
+
+    assert rows(a) == rows(b)
+    for d in os.listdir(b):
+        if d.startswith("centroid_id="):
+            n_files = len([
+                f for f in os.listdir(os.path.join(b, d))
+                if f.endswith(".parquet")
+            ])
+            assert n_files == 1, (d, n_files)
