@@ -149,6 +149,62 @@ def cmd_list(args: argparse.Namespace) -> int:
     return 0
 
 
+def _load_embeddings(spark, path: str):
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(path).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+def cmd_index(args: argparse.Namespace) -> int:
+    """Persisted-ANN-index lifecycle (operators/similarity +
+    streaming/foreach_batch): build once, probe many, fold stream
+    batches into fresh generations, retract ids."""
+    from pyspark.sql import functions as F
+
+    from .operators import similarity as S
+    from .session import get_spark
+
+    spark = get_spark("ngafid-cpat-index")
+    if args.index_cmd == "build":
+        emb = _load_embeddings(spark, args.embeddings)
+        meta = S.write_ivfpq_index(
+            emb, args.path,
+            k_coarse=args.k_coarse, m=args.m, k_sub=args.k_sub,
+            n_iter=args.n_iter, cluster_files=args.cluster_files,
+        )
+        n_cells = len(meta["coarse"])
+        print(f"built index at {args.path}: {n_cells} cells, "
+              f"m={meta['m']} x k={meta['k_sub']} residual PQ")
+        return 0
+    if args.index_cmd == "probe":
+        emb = _load_embeddings(spark, args.embeddings)
+        row = emb.filter(F.col("vec_id") == args.query_id).select(
+            "embedding"
+        ).collect()
+        if not row:
+            print(f"query id {args.query_id} not in {args.embeddings}",
+                  file=sys.stderr)
+            return 2
+        q = [float(x) for x in row[0]["embedding"]]
+        out = S.ivfpq_topk_indexed(
+            spark, args.path, q, k=args.k, n_probe=args.n_probe,
+            rerank=args.rerank, emb=emb, exclude_id=args.query_id,
+        )
+        out.show(args.k, truncate=False)
+        return 0
+    if args.index_cmd == "compact":
+        S.compact_ivfpq_index(spark, args.base, args.stream, args.dest)
+        print(f"compacted {args.base} + {args.stream} -> {args.dest}")
+        return 0
+    if args.index_cmd == "delete":
+        S.delete_from_ivfpq_index(spark, args.base, args.ids, args.dest)
+        print(f"deleted {len(args.ids)} ids: {args.base} -> {args.dest}")
+        return 0
+    return 2
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ngafid_cpat_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -176,6 +232,35 @@ def main(argv: list[str] | None = None) -> int:
 
     ls = sub.add_parser("list", help="list catalog queries")
     ls.set_defaults(fn=cmd_list)
+
+    ix = sub.add_parser("index", help="persisted ANN index lifecycle")
+    ixsub = ix.add_subparsers(dest="index_cmd", required=True)
+    b = ixsub.add_parser("build", help="train quantizers + write codes")
+    b.add_argument("--embeddings", required=True, help="vectors parquet")
+    b.add_argument("--path", required=True, help="index dir")
+    b.add_argument("--k-coarse", type=int, default=8)
+    b.add_argument("--m", type=int, default=8)
+    b.add_argument("--k-sub", type=int, default=16)
+    b.add_argument("--n-iter", type=int, default=2)
+    b.add_argument("--cluster-files", action="store_true",
+                   help="hash-cluster by cell (O(1) files/cell at scale)")
+    pr = ixsub.add_parser("probe", help="probe-only top-k search")
+    pr.add_argument("--path", required=True)
+    pr.add_argument("--embeddings", required=True,
+                    help="vectors parquet (query source + exact re-rank)")
+    pr.add_argument("--query-id", type=int, required=True)
+    pr.add_argument("--k", type=int, default=10)
+    pr.add_argument("--n-probe", type=int, default=4)
+    pr.add_argument("--rerank", type=int, default=100)
+    co = ixsub.add_parser("compact", help="fold stream batches into a new generation")
+    co.add_argument("--base", required=True)
+    co.add_argument("--stream", required=True)
+    co.add_argument("--dest", required=True)
+    de = ixsub.add_parser("delete", help="retract ids into a new generation")
+    de.add_argument("--base", required=True)
+    de.add_argument("--dest", required=True)
+    de.add_argument("--ids", type=int, nargs="+", required=True)
+    ix.set_defaults(fn=cmd_index)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -97,3 +97,34 @@ def test_cli_analyze_work_queue_mode(spark, telemetry, dims, tmp_path, capsys):
          "--output", out, "--status", status]
     )
     assert rc == 0
+
+
+def test_cli_index_lifecycle(spark, tmp_path, capsys):
+    """build -> probe -> delete -> probe through the CLI surface."""
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "idx")
+    assert main([
+        "index", "build", "--embeddings", emb_path, "--path", idx,
+        "--k-coarse", "4", "--m", "4", "--k-sub", "4", "--n-iter", "1",
+    ]) == 0
+    assert "built index" in capsys.readouterr().out
+    assert main([
+        "index", "probe", "--path", idx, "--embeddings", emb_path,
+        "--query-id", "0", "--k", "5", "--n-probe", "2", "--rerank", "20",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "cosine" in out and "vec_id" in out
+    dest = str(tmp_path / "idx2")
+    assert main([
+        "index", "delete", "--base", idx, "--dest", dest, "--ids", "1", "2",
+    ]) == 0
+    assert "deleted 2 ids" in capsys.readouterr().out
+    assert main([
+        "index", "probe", "--path", dest, "--embeddings", emb_path,
+        "--query-id", "0", "--k", "5", "--n-probe", "2", "--rerank", "20",
+    ]) == 0
+    # a missing query id errors cleanly
+    assert main([
+        "index", "probe", "--path", dest, "--embeddings", emb_path,
+        "--query-id", "99999999",
+    ]) == 2
