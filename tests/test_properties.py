@@ -336,3 +336,22 @@ def test_bpe_single_round_matches_python_reference(spark, symbols):
     pairs = Counter(zip(symbols, symbols[1:]))
     best = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
     assert got[0][1:] == (best[0][0], best[0][1], best[1])
+
+
+@given(st.lists(st.integers(0, 2**60), min_size=1, max_size=200))
+@settings(**SETTINGS)
+def test_exact_isqrt_property(spark, ns):
+    """exact_isqrt == math.isqrt for arbitrary BIGINT counts — the
+    invariant iq*iq <= n < (iq+1)^2 holds everywhere, including far
+    past 2^53 where floor(sqrt(n)) as a double drifts."""
+    import math
+
+    from ngafid_cpat_spark.operators.corpus import exact_isqrt
+
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    got = {
+        r["n"]: r["iq"]
+        for r in df.select("n", exact_isqrt(F.col("n")).alias("iq")).collect()
+    }
+    for n in ns:
+        assert got[n] == math.isqrt(n), n
