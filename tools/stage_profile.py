@@ -126,15 +126,84 @@ def profile_approach(sf_dir: str) -> None:
         print(f"| {name} | {dt} | {n} |")
 
 
+def profile_corpus_prep(sf_dir: str) -> None:
+    """Stage breakdown of corpus_prep_pipeline_docs: quality gate,
+    fingerprint keeper aggregate, dedup semi-join, temperature-mix
+    rank window, packing tape window, final rollup. Each stage
+    checkpointed so its number is its own cost."""
+    from pyspark.sql import functions as F
+
+    from ngafid_cpat_spark.functions import text as T
+    from ngafid_cpat_spark.operators import corpus as C
+    from ngafid_cpat_spark.session import get_spark
+    from ngafid_cpat_spark.sources import load
+
+    spark = get_spark("stage-profile-prep")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load(spark, sf_dir, "documents")
+    docs.write.format("noop").mode("overwrite").save()
+
+    rows: list[tuple] = []
+
+    def timed(name, df):
+        t0 = time.perf_counter()
+        out = df.localCheckpoint(eager=True)
+        dt = time.perf_counter() - t0
+        rows.append((name, round(dt, 2), out.count()))
+        return out
+
+    q = timed(
+        "quality gate (token count >= 10)",
+        docs.withColumn(
+            "n_tok", T.token_count("text").cast("long")
+        ).filter(F.col("n_tok") >= 10),
+    )
+    keep = timed(
+        "fingerprint keeper aggregate",
+        q.select("doc_id", T.fingerprint_md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id")),
+    )
+    d = timed(
+        "dedup semi-join",
+        q.join(keep.select("doc_id"), "doc_id", "left_semi"),
+    )
+    mix = timed(
+        "temperature mix (budgets + rank window)",
+        C.temperature_mix(d, group_col="lang"),
+    )
+    packed = timed(
+        "packing tape window",
+        C.pack_sequences(mix, budget=512, group_col="lang"),
+    )
+    timed(
+        "per-lang rollup",
+        packed.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            (F.max("chunk_last") + 1).cast("bigint").alias("n_chunks"),
+        ),
+    )
+    print("| stage | sec | rows out |")
+    print("|---|---|---|")
+    for name, dt, n in rows:
+        print(f"| {name} | {dt} | {n} |")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--approach", action="store_true",
                     help="profile the approach pipeline instead of dedup")
+    ap.add_argument("--corpus-prep", action="store_true",
+                    help="profile corpus_prep_pipeline_docs stages")
     args = ap.parse_args()
 
     if args.approach:
         profile_approach(args.sf_dir)
+        return
+    if args.corpus_prep:
+        profile_corpus_prep(args.sf_dir)
         return
 
     from pyspark.sql import functions as F
