@@ -175,10 +175,13 @@ def main() -> None:
     out["extra_queries"] = extra_timings
     if errors:
         out["errors"] = errors
-    # compact first: ~1 KB, survives any output truncation with the
-    # headline metric intact; the full catalog line follows
+    # The driver captures only the output TAIL, so the compact
+    # headline line (~1 KB) must be LAST to survive truncation of the
+    # 150+-entry full line. Print the full catalog line first, the
+    # compact line last (r08 printed them in the opposite order and
+    # the driver artifact stayed unparseable).
+    print(json.dumps(out), flush=True)
     print(json.dumps(compact), flush=True)
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -195,14 +195,56 @@ def cmd_index(args: argparse.Namespace) -> int:
         out.show(args.k, truncate=False)
         return 0
     if args.index_cmd == "compact":
-        S.compact_ivfpq_index(spark, args.base, args.stream, args.dest)
-        print(f"compacted {args.base} + {args.stream} -> {args.dest}")
+        base, dest = _gen_base_dest(spark, args, S)
+        S.compact_ivfpq_index(spark, base, args.stream, dest)
+        if args.root:
+            ptr = S.set_current_generation(
+                args.root, dest.rstrip("/").rsplit("/", 1)[-1], spark
+            )
+            print(f"compacted {base} + {args.stream} -> {dest}; "
+                  f"pointer flipped ({ptr})")
+        else:
+            print(f"compacted {base} + {args.stream} -> {dest}")
         return 0
     if args.index_cmd == "delete":
-        S.delete_from_ivfpq_index(spark, args.base, args.ids, args.dest)
-        print(f"deleted {len(args.ids)} ids: {args.base} -> {args.dest}")
+        base, dest = _gen_base_dest(spark, args, S)
+        S.delete_from_ivfpq_index(spark, base, args.ids, dest)
+        if args.root:
+            ptr = S.set_current_generation(
+                args.root, dest.rstrip("/").rsplit("/", 1)[-1], spark
+            )
+            print(f"deleted {len(args.ids)} ids: {base} -> {dest}; "
+                  f"pointer flipped ({ptr})")
+        else:
+            print(f"deleted {len(args.ids)} ids: {base} -> {dest}")
+        return 0
+    if args.index_cmd == "current":
+        print(S.resolve_index_dir(args.root, spark))
         return 0
     return 2
+
+
+def _gen_base_dest(spark, args, S):
+    """Resolve (base, dest) for compact/delete. With ``--root`` the
+    base defaults to the root's current generation and dest to the
+    next ``gen-<n>`` dir under the root, so the caller never names a
+    generation by hand; the pointer flip after the write is the
+    atomic commit. Without ``--root`` both must be explicit (the
+    pre-generational calling convention, still supported)."""
+    if args.root:
+        base = args.base or S.resolve_index_dir(args.root, spark)
+        if args.dest:
+            dest = args.dest
+        else:
+            gens = S._fs_glob(args.root, "gen-*", spark)
+            nums = [
+                int(g[4:]) for g in gens if g[4:].isdigit()
+            ]
+            dest = f"{args.root.rstrip('/')}/gen-{(max(nums) + 1) if nums else 1:06d}"
+        return base, dest
+    if not args.base or not args.dest:
+        raise SystemExit("--base and --dest are required without --root")
+    return args.base, args.dest
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -253,13 +295,19 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--n-probe", type=int, default=4)
     pr.add_argument("--rerank", type=int, default=100)
     co = ixsub.add_parser("compact", help="fold stream batches into a new generation")
-    co.add_argument("--base", required=True)
+    co.add_argument("--base", help="base index dir (default: --root's current gen)")
     co.add_argument("--stream", required=True)
-    co.add_argument("--dest", required=True)
+    co.add_argument("--dest", help="new generation dir (default: --root/gen-<n+1>)")
+    co.add_argument("--root", help="generational index root: auto-dest + "
+                                   "atomic current-generation pointer flip")
     de = ixsub.add_parser("delete", help="retract ids into a new generation")
-    de.add_argument("--base", required=True)
-    de.add_argument("--dest", required=True)
+    de.add_argument("--base", help="base index dir (default: --root's current gen)")
+    de.add_argument("--dest", help="new generation dir (default: --root/gen-<n+1>)")
+    de.add_argument("--root", help="generational index root: auto-dest + "
+                                   "atomic current-generation pointer flip")
     de.add_argument("--ids", type=int, nargs="+", required=True)
+    cu = ixsub.add_parser("current", help="print a root's current generation dir")
+    cu.add_argument("--root", required=True)
     ix.set_defaults(fn=cmd_index)
 
     args = p.parse_args(argv)

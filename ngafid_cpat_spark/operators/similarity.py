@@ -1105,6 +1105,169 @@ def _lut_micro(
 
 
 IVFPQ_META_FILE = "_ivfpq_meta.json"
+IVFPQ_CURRENT_PREFIX = "_ivfpq_current."
+
+
+def _hadoop_fs(spark, path_str: str):
+    """(FileSystem, Path) for ``path_str`` via the JVM Hadoop client —
+    the same resolver Spark's own writers use, so index meta/pointer
+    I/O works on whatever filesystem the codes parquet lives on
+    (file://, hdfs://, s3a://), not just a driver-local POSIX path."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _active_spark():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession()
+
+
+def _fs_write_text(path_str: str, text: str, spark=None) -> None:
+    """Small-file write through the Hadoop FileSystem API (overwrite).
+    Falls back to plain open() only when no SparkSession exists (pure
+    unit-test contexts) — then the path must be driver-local."""
+    spark = spark or _active_spark()
+    if spark is None:
+        with open(path_str, "w") as f:
+            f.write(text)
+        return
+    fs, hpath = _hadoop_fs(spark, path_str)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(path_str: str, spark=None) -> str:
+    spark = spark or _active_spark()
+    if spark is None:
+        with open(path_str) as f:
+            return f.read()
+    fs, hpath = _hadoop_fs(spark, path_str)
+    jvm = spark._jvm
+    stream = fs.open(hpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    # copyBytes closes both streams (close=True)
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return baos.toString("UTF-8")
+
+
+def _fs_exists(path_str: str, spark=None) -> bool:
+    spark = spark or _active_spark()
+    if spark is None:
+        import os
+
+        return os.path.exists(path_str)
+    fs, hpath = _hadoop_fs(spark, path_str)
+    return bool(fs.exists(hpath))
+
+
+def _fs_glob(dir_str: str, pattern: str, spark=None) -> list[str]:
+    """Names (not paths) matching ``pattern`` directly under
+    ``dir_str``, empty if the dir is absent."""
+    spark = spark or _active_spark()
+    if spark is None:
+        import fnmatch
+        import os
+
+        if not os.path.isdir(dir_str):
+            return []
+        return [
+            d for d in os.listdir(dir_str) if fnmatch.fnmatch(d, pattern)
+        ]
+    fs, hdir = _hadoop_fs(spark, dir_str)
+    if not fs.exists(hdir):
+        return []
+    jvm = spark._jvm
+    statuses = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{dir_str.rstrip('/')}/{pattern}")
+    )
+    if statuses is None:
+        return []
+    return [st.getPath().getName() for st in statuses]
+
+
+def set_current_generation(root: str, gen_name: str, spark=None) -> str:
+    """Atomically flip an index root's current-generation pointer to
+    ``gen_name`` (a generation directory under ``root``). Protocol:
+    the pointer is the HIGHEST-numbered ``_ivfpq_current.<n>`` file;
+    a flip writes the new pointer's content to a temp name OUTSIDE
+    the pointer namespace, then renames it in as ``<max+1>``. Rename
+    to a FRESH name is atomic on local FS and HDFS (no
+    overwrite-rename semantics needed anywhere), so a racing probe
+    sees either the old pointer or the new one — never a torn or
+    half-written pointer. Old pointer files are tiny and pruned
+    opportunistically (best-effort; readers only ever take the max).
+    Returns the new pointer file name."""
+    existing = _fs_glob(root, f"{IVFPQ_CURRENT_PREFIX}*", spark)
+    nums = [
+        int(n[len(IVFPQ_CURRENT_PREFIX):])
+        for n in existing
+        if n[len(IVFPQ_CURRENT_PREFIX):].isdigit()
+    ]
+    nxt = (max(nums) + 1) if nums else 1
+    ptr = f"{IVFPQ_CURRENT_PREFIX}{nxt:012d}"
+    tmp = f"{root.rstrip('/')}/_ptr_tmp_{nxt:012d}_{gen_name}"
+    _fs_write_text(tmp, gen_name, spark)
+    spark = spark or _active_spark()
+    if spark is None:
+        import os
+
+        os.rename(tmp, f"{root.rstrip('/')}/{ptr}")
+    else:
+        fs, src = _hadoop_fs(spark, tmp)
+        dst = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{root.rstrip('/')}/{ptr}"
+        )
+        if not fs.rename(src, dst):
+            raise IOError(f"pointer flip rename failed: {tmp} -> {ptr}")
+    # best-effort prune of superseded pointers (keep the newest)
+    for name in existing:
+        try:
+            if spark is None:
+                import os
+
+                os.remove(f"{root.rstrip('/')}/{name}")
+            else:
+                fs2, old = _hadoop_fs(spark, f"{root.rstrip('/')}/{name}")
+                fs2.delete(old, False)
+        except Exception:
+            pass
+    return ptr
+
+
+def current_generation(root: str, spark=None) -> str | None:
+    """Resolve an index root's current generation dir (absolute
+    path), or None when ``root`` carries no pointer — i.e. it IS a
+    plain single-generation index directory."""
+    names = _fs_glob(root, f"{IVFPQ_CURRENT_PREFIX}*", spark)
+    nums = sorted(
+        (
+            int(n[len(IVFPQ_CURRENT_PREFIX):])
+            for n in names
+            if n[len(IVFPQ_CURRENT_PREFIX):].isdigit()
+        ),
+        reverse=True,
+    )
+    if not nums:
+        return None
+    ptr = f"{root.rstrip('/')}/{IVFPQ_CURRENT_PREFIX}{nums[0]:012d}"
+    gen = _fs_read_text(ptr, spark).strip()
+    return f"{root.rstrip('/')}/{gen}"
+
+
+def resolve_index_dir(path: str, spark=None) -> str:
+    """Probe-side resolution: a PLAIN index dir (has the meta file at
+    top level) is itself; a GENERATIONAL root (has a
+    ``_ivfpq_current.<n>`` pointer) resolves to its current
+    generation. Compactions/deletions write a fresh generation dir
+    and flip the pointer LAST, so probes racing a compaction read a
+    complete old or complete new generation, never a mix."""
+    gen = current_generation(path, spark)
+    return gen if gen is not None else path
 
 
 def ivfpq_encode(
@@ -1180,9 +1343,13 @@ def write_ivfpq_index(
     cell first (one shuffle of m+12-byte rows — cheap next to the
     encode scan) so each cell lands in O(1) files. Default False:
     the local catalog runs 8 cells x 32 tasks and the extra exchange
-    would only add latency."""
+    would only add latency.
+
+    All sidecar I/O goes through the Hadoop FileSystem API resolved
+    from ``path``'s scheme, so the index can live on the same store
+    as the data (hdfs://, s3a://) — nothing assumes a driver-local
+    POSIX path."""
     import json
-    import os
 
     self_dot = F.aggregate(
         F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
@@ -1213,19 +1380,25 @@ def write_ivfpq_index(
             enc.write.mode("overwrite").partitionBy("centroid_id").parquet(
                 path
             )
-            with open(os.path.join(path, IVFPQ_META_FILE), "w") as f:
-                json.dump(meta, f)
+            _fs_write_text(
+                f"{path.rstrip('/')}/{IVFPQ_META_FILE}",
+                json.dumps(meta),
+                emb.sparkSession,
+            )
     return meta
 
 
-def read_ivfpq_meta(path: str) -> dict:
-    """Load quantizer state from a write_ivfpq_index store, with
-    JSON's list->tuple round trip undone."""
+def read_ivfpq_meta(path: str, spark=None) -> dict:
+    """Load quantizer state from a write_ivfpq_index store (plain dir
+    or generational root — the pointer is resolved), with JSON's
+    list->tuple round trip undone. Reads through the Hadoop
+    FileSystem API, so remote index stores work."""
     import json
-    import os
 
-    with open(os.path.join(path, IVFPQ_META_FILE)) as f:
-        raw = json.load(f)
+    resolved = resolve_index_dir(path, spark)
+    raw = json.loads(
+        _fs_read_text(f"{resolved.rstrip('/')}/{IVFPQ_META_FILE}", spark)
+    )
     return {
         "coarse": [
             (int(cid), [float(x) for x in c]) for cid, c in raw["coarse"]
@@ -1267,9 +1440,17 @@ def ivfpq_topk_indexed(
     100 TB economics: a query reads n_probe/|coarse| of m+12-byte
     rows plus exactly ``rerank`` full vectors; the 2 Lloyd trainings
     (the dominant cost of training-in-query ivfpq_topk) were paid
-    once at write time."""
+    once at write time.
+
+    ``path`` may be a plain index dir OR a generational root (one
+    carrying a ``_ivfpq_current.<n>`` pointer from the compaction /
+    deletion lifecycle): the pointer resolves FIRST, then meta and
+    codes are read from that one resolved generation — a probe racing
+    a compaction sees a complete old or complete new generation,
+    never a mix."""
+    path = resolve_index_dir(path, spark)
     if meta is None:
-        meta = read_ivfpq_meta(path)
+        meta = read_ivfpq_meta(path, spark)
     coarse, books = meta["coarse"], meta["books"]
     score_col = "approx_cosine" if rerank is None else "cosine"
     if rerank is not None and emb is None:
@@ -1345,12 +1526,28 @@ def compact_ivfpq_index(
     fresh generation instead of rewriting in place is deliberate:
     probes against the old generation keep working while the
     compaction runs, and the pointer swap is the caller's atomic
-    commit — the standard immutable-segment lifecycle."""
+    commit — the standard immutable-segment lifecycle (the CLI's
+    ``index compact`` does exactly that via set_current_generation)."""
     import json
     import os
 
+    # overwrite-into-source guard: dest == base (or == stream) would
+    # have the overwrite clear the directory the lazy read is still
+    # scanning, destroying the base generation mid-compaction
+    dest_real = os.path.realpath(dest_path)
+    if dest_real == os.path.realpath(base_path):
+        raise ValueError(
+            "compact_ivfpq_index: dest_path must be a NEW generation "
+            f"dir, not the base index itself ({base_path})"
+        )
+    if dest_real == os.path.realpath(stream_path):
+        raise ValueError(
+            "compact_ivfpq_index: dest_path must not be the stream "
+            f"store ({stream_path})"
+        )
+    base_path = resolve_index_dir(base_path, spark)
     if meta is None:
-        meta = read_ivfpq_meta(base_path)
+        meta = read_ivfpq_meta(base_path, spark)
     base = spark.read.parquet(base_path).select(
         "vec_id", "codes", "norm", "centroid_id",
         F.lit(-1).cast("long").alias("__batch"),
@@ -1358,10 +1555,7 @@ def compact_ivfpq_index(
     # a stream store with no completed batches (fresh checkpoint, or
     # every epoch empty) has nothing to infer a schema from — compact
     # then degenerates to copying the base generation
-    has_batches = any(
-        d.startswith("batch=")
-        for d in (os.listdir(stream_path) if os.path.isdir(stream_path) else [])
-    )
+    has_batches = bool(_fs_glob(stream_path, "batch=*", spark))
     if has_batches:
         stream = spark.read.parquet(stream_path).select(
             "vec_id", "codes", "norm", "centroid_id",
@@ -1387,16 +1581,18 @@ def compact_ivfpq_index(
     latest.write.mode("overwrite").partitionBy("centroid_id").parquet(
         dest_path
     )
-    with open(os.path.join(dest_path, IVFPQ_META_FILE), "w") as f:
-        json.dump(
+    _fs_write_text(
+        f"{dest_path.rstrip('/')}/{IVFPQ_META_FILE}",
+        json.dumps(
             {
                 "coarse": meta["coarse"],
                 "books": meta["books"],
                 "m": meta["m"],
                 "k_sub": meta["k_sub"],
-            },
-            f,
-        )
+            }
+        ),
+        spark,
+    )
 
 
 def delete_from_ivfpq_index(
@@ -1423,8 +1619,14 @@ def delete_from_ivfpq_index(
     import json
     import os
 
+    if os.path.realpath(dest_path) == os.path.realpath(base_path):
+        raise ValueError(
+            "delete_from_ivfpq_index: dest_path must be a NEW "
+            f"generation dir, not the base index itself ({base_path})"
+        )
+    base_path = resolve_index_dir(base_path, spark)
     if meta is None:
-        meta = read_ivfpq_meta(base_path)
+        meta = read_ivfpq_meta(base_path, spark)
     if isinstance(ids, DataFrame):
         del_df = ids.select(F.col(id_col))
     else:
@@ -1436,16 +1638,18 @@ def delete_from_ivfpq_index(
     )
     kept = base.join(F.broadcast(del_df), id_col, "left_anti")
     kept.write.mode("overwrite").partitionBy("centroid_id").parquet(dest_path)
-    with open(os.path.join(dest_path, IVFPQ_META_FILE), "w") as f:
-        json.dump(
+    _fs_write_text(
+        f"{dest_path.rstrip('/')}/{IVFPQ_META_FILE}",
+        json.dumps(
             {
                 "coarse": meta["coarse"],
                 "books": meta["books"],
                 "m": meta["m"],
                 "k_sub": meta["k_sub"],
-            },
-            f,
-        )
+            }
+        ),
+        spark,
+    )
 
 
 def ivfpq_topk_indexed_batch(
@@ -1480,8 +1684,9 @@ def ivfpq_topk_indexed_batch(
     rank window keyed by qid (Q * rerank rows), one broadcast
     semi-join of Q*rerank ids into the vector table for the exact
     tail. Returns (qid, vec_id, cosine|approx_cosine)."""
+    path = resolve_index_dir(path, spark)
     if meta is None:
-        meta = read_ivfpq_meta(path)
+        meta = read_ivfpq_meta(path, spark)
     coarse, books = meta["coarse"], meta["books"]
     score_col = "approx_cosine" if rerank is None else "cosine"
     if rerank is not None and emb is None:
@@ -1512,7 +1717,11 @@ def ivfpq_topk_indexed_batch(
     codes = spark.read.parquet(path).filter(
         F.col("centroid_id").isin(all_cells)
     )
-    QIDS = F.array(*[F.lit(q) for q in qids])
+    # long lits: F.lit(int) is IntegerType for int32-range ids, which
+    # would make the live path's qid type diverge from the empty
+    # branch's explicit long — same schema-drift class as the
+    # cosine/approx_cosine empty_score fix
+    QIDS = F.array(*[F.lit(q).cast("long") for q in qids])
     QPROBE = F.array(*[F.array(*[F.lit(c) for c in p]) for p in probe_sets])
     QC = F.array(*[F.array(*[F.lit(v) for v in qc]) for qc in qcs])
     LUT = F.array(*[F.array(*[F.lit(v) for v in lut]) for lut in luts])

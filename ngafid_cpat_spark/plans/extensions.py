@@ -40,6 +40,28 @@ MAX_DOC_FREQ = 10_000  # jaccard posting-list df-cut (operators/dedup.py)
 # n / 2^planes as the LSH contract assumes.
 
 
+def _scratch_dir() -> str:
+    """Per-user scratch base for content-keyed fixture/index dirs.
+
+    Previously these lived flat in /tmp under predictable names — on
+    a shared host another user could pre-create (squat) the path, and
+    two of our own sessions shared state across users. Scoping under
+    tempdir/spark_graft_<user> (mode 0700) closes both; the
+    SPARK_GRAFT_TMP env var overrides the base for deployments whose
+    scratch volume is elsewhere."""
+    import getpass
+    import os
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_TMP")
+    if not base:
+        base = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_{getpass.getuser()}"
+        )
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    return base
+
+
 def _plane_component(i: int, d: int) -> float:
     import hashlib
 
@@ -831,11 +853,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_index_path(sf_dir: str, tag_version: str) -> str:
-    """Content-keyed index location under /tmp: keyed on the
-    embeddings parquet's mtime+size (the _telemetry_fixture
-    invalidation rule) plus a params-version string, so testdata
-    regeneration or a quantizer-params change rebuilds the index and
-    a replay is a no-op."""
+    """Content-keyed index location under the per-user scratch base
+    (_scratch_dir): keyed on the embeddings parquet's mtime+size (the
+    _telemetry_fixture invalidation rule) plus a params-version
+    string, so testdata regeneration or a quantizer-params change
+    rebuilds the index and a replay is a no-op."""
     import hashlib
     import os
 
@@ -848,7 +870,32 @@ def _ivfpq_index_path(sf_dir: str, tag_version: str) -> str:
         f"{tag_version}:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
         f"{getattr(st, 'st_size', 0)}".encode()
     ).hexdigest()[:12]
-    return os.path.join("/tmp", f"spark_graft_ivfpq_idx_{tag}")
+    return os.path.join(_scratch_dir(), f"spark_graft_ivfpq_idx_{tag}")
+
+
+def _ensure_ivfpq_index(emb: DataFrame, path: str, **params) -> None:
+    """Build the persisted index iff absent, ATOMICALLY: train/write
+    into a pid-suffixed sibling dir, then os.rename onto the final
+    path. Two sessions racing the build (bench + tests) each produce
+    a complete private candidate; exactly one rename wins (rename
+    onto an existing non-empty dir fails with ENOTEMPTY) and the
+    loser discards its candidate — a probe can therefore NEVER
+    observe a half-built or mid-overwrite store at ``path``. The
+    meta-written-last commit marker still guards the candidate dirs
+    themselves."""
+    import os
+    import shutil
+
+    if os.path.exists(os.path.join(path, S.IVFPQ_META_FILE)):
+        return
+    tmp = f"{path}.build-{os.getpid()}"
+    S.write_ivfpq_index(emb, tmp, **params)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # lost the race — the winner's index is content-identical
+        # (same corpus key, same params, deterministic training)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register("ann_ivfpq_indexed", None)  # approx ids => recall oracle
@@ -874,8 +921,7 @@ def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = _query_vector(spark, sf_dir, 0)
     path = _ivfpq_index_path(sf_dir, "ivfpq-v1:k8:m8:ks16:it2")
-    if not os.path.exists(os.path.join(path, S.IVFPQ_META_FILE)):
-        S.write_ivfpq_index(emb, path, k_coarse=8, m=8, k_sub=16, n_iter=2)
+    _ensure_ivfpq_index(emb, path, k_coarse=8, m=8, k_sub=16, n_iter=2)
     out = S.ivfpq_topk_indexed(
         spark, path, q, k=10, n_probe=4, rerank=100, emb=emb, exclude_id=0
     )
@@ -912,8 +958,7 @@ def streaming_ivfpq_ingest_embeddings(
     q = _query_vector(spark, sf_dir, 0)
     # train-once: the same persisted index (and meta) ann_ivfpq_indexed uses
     idx_path = _ivfpq_index_path(sf_dir, "ivfpq-v1:k8:m8:ks16:it2")
-    if not os.path.exists(os.path.join(idx_path, S.IVFPQ_META_FILE)):
-        S.write_ivfpq_index(emb, idx_path, k_coarse=8, m=8, k_sub=16, n_iter=2)
+    _ensure_ivfpq_index(emb, idx_path, k_coarse=8, m=8, k_sub=16, n_iter=2)
     meta = S.read_ivfpq_meta(idx_path)
 
     # single-file source dir => exactly one availableNow micro-batch
@@ -926,9 +971,9 @@ def streaming_ivfpq_ingest_embeddings(
         f"ivfpq-stream-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
         f"{getattr(st, 'st_size', 0)}".encode()
     ).hexdigest()[:12]
-    stream_src = os.path.join("/tmp", f"spark_graft_emb_stream_{tag}")
-    codes = os.path.join("/tmp", f"spark_graft_ivfpq_stream_codes_{tag}")
-    ckpt = os.path.join("/tmp", f"spark_graft_ivfpq_stream_ckpt_{tag}")
+    stream_src = os.path.join(_scratch_dir(), f"spark_graft_emb_stream_{tag}")
+    codes = os.path.join(_scratch_dir(), f"spark_graft_ivfpq_stream_codes_{tag}")
+    ckpt = os.path.join(_scratch_dir(), f"spark_graft_ivfpq_stream_ckpt_{tag}")
     if not os.path.exists(os.path.join(stream_src, "_SUCCESS")):
         emb.coalesce(1).write.mode("overwrite").parquet(stream_src)
 
@@ -1457,7 +1502,7 @@ def _events_stream_dir(sf_dir: str) -> str:
 
     src = os.path.realpath(f"{sf_dir}/events.parquet")
     stream_dir = os.path.join(
-        "/tmp",
+        _scratch_dir(),
         f"spark_graft_events_stream_{hashlib.md5(src.encode()).hexdigest()[:12]}",
     )
     os.makedirs(stream_dir, exist_ok=True)
@@ -1500,7 +1545,7 @@ def _dup_events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
         f"dup-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
         f"{getattr(st, 'st_size', 0)}".encode()
     ).hexdigest()[:12]
-    out = os.path.join("/tmp", f"spark_graft_events_dup_stream_{tag}")
+    out = os.path.join(_scratch_dir(), f"spark_graft_events_dup_stream_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev = load(spark, sf_dir, "events")
         ev.unionByName(ev.filter(F.col("event_id") % 10 == 0)).coalesce(
@@ -1649,8 +1694,8 @@ def streaming_upsert_windowed_events(
         f"upsert-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
         f"{getattr(st, 'st_size', 0)}".encode()
     ).hexdigest()[:12]
-    table = os.path.join("/tmp", f"spark_graft_upsert_tbl_{tag}")
-    ckpt = os.path.join("/tmp", f"spark_graft_upsert_ckpt_{tag}")
+    table = os.path.join(_scratch_dir(), f"spark_graft_upsert_tbl_{tag}")
+    ckpt = os.path.join(_scratch_dir(), f"spark_graft_upsert_ckpt_{tag}")
 
     keys = ["window_start", "event_type"]
     if not os.path.exists(table):

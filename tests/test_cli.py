@@ -128,3 +128,54 @@ def test_cli_index_lifecycle(spark, tmp_path, capsys):
         "index", "probe", "--path", dest, "--embeddings", emb_path,
         "--query-id", "99999999",
     ]) == 2
+
+
+def test_cli_index_generational_root_flip(spark, tmp_path, capsys):
+    """`index compact/delete --root`: dest defaults to the next
+    gen-<n> dir under the root and the current-generation pointer is
+    flipped atomically after the write; `index current` resolves it."""
+    import os
+
+    from ngafid_cpat_spark.operators import similarity as S
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    root = str(tmp_path / "root")
+    gen1 = os.path.join(root, "gen-000001")
+    assert main([
+        "index", "build", "--embeddings", emb_path, "--path", gen1,
+        "--k-coarse", "4", "--m", "4", "--k-sub", "4", "--n-iter", "1",
+    ]) == 0
+    capsys.readouterr()
+    S.set_current_generation(root, "gen-000001")
+
+    # compact an EMPTY stream (degenerates to copying the base) with
+    # auto-dest under the root; the pointer must flip to gen-000002
+    empty_stream = str(tmp_path / "empty_stream")
+    os.makedirs(empty_stream)
+    assert main([
+        "index", "compact", "--root", root, "--stream", empty_stream,
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "pointer flipped" in out
+    assert S.resolve_index_dir(root).endswith("gen-000002")
+    assert main(["index", "current", "--root", root]) == 0
+    assert capsys.readouterr().out.strip().endswith("gen-000002")
+
+    # delete with --root: auto-dest gen-000003, pointer flips, and a
+    # probe through the ROOT no longer returns the deleted id
+    assert main([
+        "index", "delete", "--root", root, "--ids", "0",
+    ]) == 0
+    assert "pointer flipped" in capsys.readouterr().out
+    assert S.resolve_index_dir(root).endswith("gen-000003")
+    assert main([
+        "index", "probe", "--path", root, "--embeddings", emb_path,
+        "--query-id", "1", "--k", "5", "--n-probe", "4", "--rerank", "20",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "cosine" in out
+    # vec_id 0 was retracted; it may not appear as a neighbor
+    import re
+
+    ids = {int(m) for m in re.findall(r"^\|(\d+)\s*\|", out, re.M)}
+    assert 0 not in ids

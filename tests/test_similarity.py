@@ -545,3 +545,119 @@ def test_write_ivfpq_index_cluster_files_bounds_files_per_cell(
                 if f.endswith(".parquet")
             ])
             assert n_files == 1, (d, n_files)
+
+
+def test_generation_pointer_probe_sees_old_or_new_never_mixed(
+    spark, emb, tmp_path
+):
+    """Generational index root: probes resolve the _ivfpq_current
+    pointer FIRST and then read one immutable generation, so a probe
+    racing a compaction/deletion returns the complete old answer or
+    the complete new answer — never rows from both. The pointer flip
+    (set_current_generation) is the atomic commit: resolution before
+    the flip still yields the old generation even though the new
+    generation's files already exist."""
+    root = str(tmp_path / "root")
+    gen1 = f"{root}/gen-000001"
+    q = [float(x) for x in VECS[9]]
+    S.write_ivfpq_index(emb, gen1, k_coarse=4, m=4, k_sub=4, n_iter=1)
+    S.set_current_generation(root, "gen-000001")
+    assert S.resolve_index_dir(root) == gen1
+
+    def probe(path):
+        return S.ivfpq_topk_indexed(
+            spark, path, q, k=5, n_probe=4, rerank=20, emb=emb, exclude_id=9
+        )
+
+    old_answer = probe(root).collect()
+    assert old_answer == probe(gen1).collect() and len(old_answer) == 5
+
+    # a probe PLAN built against the root before the flip is pinned to
+    # gen1 (resolution is eager); collect it after the flip below
+    pre_flip_probe = probe(root)
+
+    # new generation: delete the top hit, write gen2 — pointer NOT yet
+    # flipped, so the root still resolves to gen1 (commit semantics)
+    victim = old_answer[0]["vec_id"]
+    gen2 = f"{root}/gen-000002"
+    S.delete_from_ivfpq_index(spark, root, [victim], gen2)
+    assert S.resolve_index_dir(root) == gen1
+    assert probe(root).collect() == old_answer
+
+    S.set_current_generation(root, "gen-000002")
+    assert S.resolve_index_dir(root) == gen2
+    new_answer = probe(root).collect()
+    assert victim not in {r["vec_id"] for r in new_answer}
+    assert new_answer == probe(gen2).collect()
+    # the pre-flip probe still returns the complete OLD generation —
+    # gen1 is immutable, nothing was overwritten under it
+    assert pre_flip_probe.collect() == old_answer
+    # exactly one answer set or the other, never a mixture
+    assert {r["vec_id"] for r in new_answer} == (
+        {r["vec_id"] for r in old_answer} - {victim}
+    ) | ({r["vec_id"] for r in new_answer} - {r["vec_id"] for r in old_answer})
+
+
+def test_generation_pointer_flip_is_monotonic_and_prunes(tmp_path):
+    """Pointer protocol invariants (no Spark needed): flips create
+    strictly increasing pointer numbers, readers take the max, and
+    superseded pointer files are pruned best-effort."""
+    import os
+
+    root = str(tmp_path / "proot")
+    os.makedirs(root)
+    S.set_current_generation(root, "gen-a")
+    S.set_current_generation(root, "gen-b")
+    ptrs = [
+        n for n in os.listdir(root) if n.startswith(S.IVFPQ_CURRENT_PREFIX)
+    ]
+    assert len(ptrs) == 1  # old pointer pruned
+    assert S.current_generation(root).endswith("/gen-b")
+    # a plain dir with no pointer resolves to itself
+    assert S.resolve_index_dir(root + "_missing") == root + "_missing"
+
+
+def test_compact_and_delete_refuse_dest_equal_to_source(spark, emb, tmp_path):
+    """mode('overwrite') into the directory a lazy read is scanning
+    would destroy the base generation — both lifecycle ops must
+    refuse dest == base (and compact also dest == stream)."""
+    base = str(tmp_path / "gidx")
+    S.write_ivfpq_index(emb, base, k_coarse=4, m=4, k_sub=4, n_iter=1)
+    stream = str(tmp_path / "gstream")
+    with pytest.raises(ValueError, match="NEW generation"):
+        S.delete_from_ivfpq_index(spark, base, [1], base)
+    with pytest.raises(ValueError, match="NEW generation"):
+        S.compact_ivfpq_index(spark, base, stream, base)
+    with pytest.raises(ValueError, match="stream"):
+        S.compact_ivfpq_index(spark, base, stream, stream)
+
+
+def test_ivfpq_batch_qid_type_stable_across_empty_and_live(
+    spark, emb, tmp_path
+):
+    """The empty-input early return types qid long; the live path
+    must agree (F.lit on small ints is otherwise IntegerType) — the
+    schema-drift class the cosine empty_score fix closed."""
+    path = str(tmp_path / "qidx")
+    S.write_ivfpq_index(emb, path, k_coarse=4, m=4, k_sub=4, n_iter=1)
+    queries = [(3, [float(x) for x in VECS[3]])]
+    live = S.ivfpq_topk_indexed_batch(
+        spark, path, queries, k=3, n_probe=2, rerank=10, emb=emb
+    )
+    empty = S.ivfpq_topk_indexed_batch(
+        spark, path, [], k=3, n_probe=2, rerank=10, emb=emb
+    )
+    assert [f.dataType for f in live.schema.fields] == [
+        f.dataType for f in empty.schema.fields
+    ]
+    assert live.schema["qid"].dataType.simpleString() == "bigint"
+    # ADC-only variant too
+    live2 = S.ivfpq_topk_indexed_batch(
+        spark, path, queries, k=3, n_probe=2, rerank=None
+    )
+    empty2 = S.ivfpq_topk_indexed_batch(
+        spark, path, [], k=3, n_probe=2, rerank=None
+    )
+    assert [f.dataType for f in live2.schema.fields] == [
+        f.dataType for f in empty2.schema.fields
+    ]
