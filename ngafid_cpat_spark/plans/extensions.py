@@ -1655,6 +1655,155 @@ def streaming_dedup_windowed_events(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "streaming_incremental_dedup_docs",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fp FROM norm WHERE doc_id % 3 <> 0),
+    bounds AS (
+      SELECT CAST(FLOOR((MIN(doc_id) + MAX(doc_id)) / 2.0) AS BIGINT) AS mid
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    arrivals AS (
+      SELECT n.doc_id, n.fp FROM norm n WHERE n.doc_id % 3 = 0
+      UNION ALL
+      SELECT n.doc_id + 1000000, n.fp FROM norm n
+      WHERE n.doc_id % 3 <> 0 AND n.doc_id % 7 = 1
+      UNION ALL
+      SELECT n.doc_id + 2000000, n.fp FROM norm n, bounds b
+      WHERE n.doc_id % 3 = 0 AND n.doc_id <= b.mid AND n.doc_id % 5 = 0
+      UNION ALL
+      SELECT n.doc_id + 4000000, n.fp FROM norm n, bounds b
+      WHERE n.doc_id % 3 = 0 AND n.doc_id > b.mid AND n.doc_id % 11 = 0
+    )
+    SELECT MIN(a.doc_id) AS doc_id, a.fp
+    FROM arrivals a
+    WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = a.fp)
+    GROUP BY a.fp
+    """,
+)
+def streaming_incremental_dedup_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental dedup over a GROWING corpus, run as a real stream
+    (streaming/foreach_batch.stream_incremental_dedup): the corpus
+    history (docs with doc_id % 3 != 0) participates only as its
+    fingerprint table; arrivals come in TWO id-ordered micro-batches
+    (maxFilesPerTrigger=1 over mtime-ordered fixture files) seeded
+    with three duplicate populations a crawler actually produces —
+    re-crawls of history docs under fresh ids (+1e6), re-crawls of
+    batch-1 arrivals landing in batch 2 (+2e6), and within-batch
+    copies (+4e6). All three must be dropped: the first by the
+    history anti-join, the second by the fingerprint history GROWING
+    as batch 1 commits, the third by within-batch min-id grouping.
+    The surviving (doc_id, fp) set equals the one-shot batch dedup of
+    the full arrival stream — the strict oracle at left — and the
+    batch-twin equality is also pinned in tests/test_streaming.py.
+
+    Scale: per micro-batch cost is one fingerprint projection + one
+    anti-join against a fingerprint set (16-byte keys, bloom-
+    prefilterable via operators/bloom.py); the corpus body is never
+    rescanned. Fixture dirs are content-keyed; a replay over the
+    existing checkpoint emits nothing and leaves the converged
+    keepers store."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..streaming.foreach_batch import stream_incremental_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        st = None
+    tag = hashlib.md5(
+        f"incrdedup-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
+        f"{getattr(st, 'st_size', 0)}".encode()
+    ).hexdigest()[:12]
+    base = _scratch_dir()
+    stream_dir = os.path.join(base, f"spark_graft_docs_arrivals_{tag}")
+    hist_fp = os.path.join(base, f"spark_graft_docs_histfp_{tag}")
+    keepers = os.path.join(base, f"spark_graft_docs_keepers_{tag}")
+    ckpt = os.path.join(base, f"spark_graft_docs_incr_ckpt_{tag}")
+
+    if not os.path.exists(os.path.join(hist_fp, "_SUCCESS")):
+        (
+            docs.filter(F.col("doc_id") % 3 != 0)
+            .select(T.fingerprint_md5("text").alias("fp"))
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(hist_fp)
+        )
+
+    new = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    if not os.path.exists(os.path.join(stream_dir, "_READY")):
+        # bounded collect: two scalars
+        b = new.agg(
+            F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+        ).first()
+        mid = (int(b["mn"]) + int(b["mx"])) // 2
+        lo = new.filter(F.col("doc_id") <= mid)
+        hi = new.filter(F.col("doc_id") > mid)
+        hist_docs = docs.filter(F.col("doc_id") % 3 != 0)
+        batch1 = lo.unionByName(
+            hist_docs.filter(F.col("doc_id") % 7 == 1).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        batch2 = (
+            hi.unionByName(
+                lo.filter(F.col("doc_id") % 5 == 0).select(
+                    (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+                )
+            ).unionByName(
+                hi.filter(F.col("doc_id") % 11 == 0).select(
+                    (F.col("doc_id") + 4000000).alias("doc_id"), "text"
+                )
+            )
+        )
+        os.makedirs(stream_dir, exist_ok=True)
+        for name, df, mtime in (
+            ("arrivals_00.parquet", batch1, 1_000_000_000),
+            ("arrivals_01.parquet", batch2, 1_000_000_100),
+        ):
+            tmp = os.path.join(stream_dir, f".tmp_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stream_dir, name)
+            shutil.copy(os.path.join(tmp, part), dst)
+            # fixed mtimes pin micro-batch ORDER (FileStreamSource
+            # takes oldest-first): batch 1 = low ids, batch 2 = high
+            # ids + dups of batch 1 — the id-monotonic arrival the
+            # convergence contract assumes
+            os.utime(dst, (mtime, mtime))
+            shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(stream_dir, "_READY"), "w") as f:
+            f.write("ok")
+
+    schema = spark.read.parquet(
+        os.path.join(stream_dir, "arrivals_00.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    stream_incremental_dedup(
+        stream, hist_fp, keepers, ckpt,
+        query_name="streaming_incremental_dedup_docs",
+    )
+    return spark.read.parquet(keepers).select("doc_id", "fp")
+
+
+@register(
     "streaming_upsert_windowed_events",
     """
     SELECT date_trunc('hour', ts) AS window_start,

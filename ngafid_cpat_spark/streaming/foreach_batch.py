@@ -125,3 +125,68 @@ def stream_ivfpq_ingest(
     )
     q.awaitTermination()
     return q
+
+
+def stream_incremental_dedup(
+    docs: DataFrame,
+    history_fp_path: str,
+    keepers_path: str,
+    checkpoint_dir: str,
+    query_name: str = "incremental_dedup",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Incremental exact dedup over a GROWING corpus, as a stream:
+    each micro-batch of arriving documents is deduped against the
+    union of (a) the pre-existing corpus's fingerprint table at
+    ``history_fp_path`` and (b) every PRIOR batch's keepers — then
+    its keepers (doc_id, fp) land under a batch-keyed subdirectory:
+
+        keepers_path/batch=<epoch>/part-*.parquet
+
+    This is the piece batch incremental_dedup (operators/corpus.py)
+    leaves to the caller at 100 TB: the fingerprint history GROWS as
+    batches commit, so a duplicate arriving two micro-batches after
+    its original is still dropped, while the corpus body is never
+    rescanned — history participates only as 16-byte fingerprints
+    (broadcast- or shuffle-joined, bloom-prefilterable).
+
+    Idempotence: a replayed epoch recomputes against history WITHOUT
+    its own previous output (the ``batch != epoch_id`` filter) and
+    overwrites its own batch directory — byte-identical contents, the
+    stream_upsert restart contract. Convergence: after availableNow
+    drains an id-monotonic source (earlier files hold smaller ids),
+    the union of batch keepers equals the one-shot batch dedup of ALL
+    arrivals against the same history — the oracle equality
+    tests/test_streaming.py pins."""
+    import os
+
+    from ..operators import corpus as C
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hist = spark.read.parquet(history_fp_path).select("fp")
+        has_prior = os.path.isdir(keepers_path) and any(
+            d.startswith("batch=") for d in os.listdir(keepers_path)
+        )
+        if has_prior:
+            prior = (
+                spark.read.parquet(keepers_path)
+                .filter(F.col("batch") != epoch_id)
+                .select("fp")
+            )
+            hist = hist.unionByName(prior)
+        C.incremental_dedup(
+            batch_df, history_fp=hist, id_col=id_col, text_col=text_col
+        ).write.mode("overwrite").parquet(f"{keepers_path}/batch={epoch_id}")
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .foreachBatch(_apply)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -507,3 +507,98 @@ def test_compact_ivfpq_index_with_empty_stream_copies_base(spark, tmp_path):
         for r in spark.read.parquet(dest).collect()
     )
     assert a == b
+
+
+def test_stream_incremental_dedup_matches_batch_twin_and_replays(
+    spark, tmp_path
+):
+    """stream_incremental_dedup over id-monotonic micro-batches must
+    converge to the ONE-SHOT batch dedup of all arrivals against the
+    same fingerprint history (incremental_dedup), with the
+    cross-batch duplicate dropped only because the fingerprint
+    history GREW as batch 1 committed; a checkpoint replay emits
+    nothing and leaves the identical keepers store."""
+    import os
+
+    from ngafid_cpat_spark.operators import corpus as C
+    from ngafid_cpat_spark.streaming.foreach_batch import (
+        stream_incremental_dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(100, "old corpus doc"), (101, "another history doc")],
+        "doc_id long, text string",
+    )
+    # batch 1: one fresh doc, one re-crawl of history (must drop)
+    b1 = spark.createDataFrame(
+        [(1, "fresh one"), (2, "old corpus doc")],
+        "doc_id long, text string",
+    )
+    # batch 2: one fresh doc, a re-crawl of batch 1's keeper (must
+    # drop via the GROWN history), and a within-batch dup pair
+    b2 = spark.createDataFrame(
+        [(10, "fresh two"), (11, "fresh one"), (12, "twin"), (13, "twin")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    for name, df, mtime in (
+        ("a0.parquet", b1, 1_000_000_000),
+        ("a1.parquet", b2, 1_000_000_100),
+    ):
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, name)
+        import shutil
+
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+    hist_fp = str(tmp_path / "hist_fp")
+    C.incremental_dedup(hist, hist.limit(0)).select("fp").write.parquet(
+        hist_fp
+    )
+    keepers = str(tmp_path / "keepers")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(os.path.join(src, "a0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_incremental_dedup(stream, hist_fp, keepers, ckpt,
+                             query_name="sid_test")
+
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in spark.read.parquet(keepers).select("doc_id", "fp").collect()
+    }
+    want = {
+        (r["doc_id"], r["fp"])
+        for r in C.incremental_dedup(
+            b1.unionByName(b2), history_fp=spark.read.parquet(hist_fp)
+        ).collect()
+    }
+    assert got == want
+    assert {d for d, _ in got} == {1, 10, 12}  # 2,11,13 all dropped
+    # two micro-batches actually ran (maxFilesPerTrigger honored)
+    dirs = sorted(
+        d for d in os.listdir(keepers) if d.startswith("batch=")
+    )
+    assert len(dirs) == 2
+    # replay: no new batch dirs, identical contents
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_incremental_dedup(stream2, hist_fp, keepers, ckpt,
+                             query_name="sid_test2")
+    assert sorted(
+        d for d in os.listdir(keepers) if d.startswith("batch=")
+    ) == dirs
+    got2 = {
+        (r["doc_id"], r["fp"])
+        for r in spark.read.parquet(keepers).select("doc_id", "fp").collect()
+    }
+    assert got2 == got
