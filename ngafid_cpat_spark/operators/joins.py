@@ -250,7 +250,7 @@ GRID_DEG = 0.5  # ~55 km cells; nearest-airport search radius
 def nearest_gridded(
     points: DataFrame,
     dims: DataFrame,
-    point_key: str,
+    point_key: str | list[str],
     lat_col: str = "latitude",
     lon_col: str = "longitude",
     dim_lat: str = "latitude",
@@ -266,8 +266,12 @@ def nearest_gridded(
     point. At 100 TB of points this keeps the shuffle linear in the
     points and never materializes a cross product. Falls back to
     Manhattan-degree metric like the reference (FlightAnalysis.py:356).
+
+    ``point_key`` may be one column or a composite key list (e.g. the
+    telemetry tick key (flight, time)).
     """
     assert_dim_bounded(dims)  # 9x-replicated build side must stay dim-sized
+    keys = [point_key] if isinstance(point_key, str) else list(point_key)
     dim_cols = dim_cols or [c for c in dims.columns]
     offsets = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -302,9 +306,9 @@ def nearest_gridded(
     )
     d = geo.manhattan_deg(lat_col, lon_col, "__d_lat", "__d_lon")
     best = _argmin_two_phase(
-        pts.select(point_key, lat_col, lon_col, "__cell"),
+        pts.select(*keys, lat_col, lon_col, "__cell"),
         lambda df: df.join(F.broadcast(dims_cells), on="__cell", how="left"),
-        [point_key], d, [f"__v_{c}" for c in dim_cols],
+        keys, d, [f"__v_{c}" for c in dim_cols],
     )
     # exactness guarantee (mirrors nearest_banded_1d): any dim within
     # cell_deg of a point is provably inside the 3x3 window, so a
@@ -313,23 +317,23 @@ def nearest_gridded(
     # could be nearer. Those points (and empty-neighborhood points)
     # fall back to the exact broadcast argmin over the raw dims.
     resolved = best.filter(F.col("__dist") <= cell_deg)
-    rest_keys = pts.select(point_key, lat_col, lon_col).join(
-        resolved.select(point_key), on=point_key, how="left_anti"
+    rest_keys = pts.select(*keys, lat_col, lon_col).join(
+        resolved.select(*keys), on=keys, how="left_anti"
     )
     d_raw = geo.manhattan_deg(lat_col, lon_col, "__d_lat", "__d_lon")
     rest_best = _argmin_two_phase(
         rest_keys,
         lambda df: df.join(F.broadcast(dims_sel), how="cross"),
-        [point_key], d_raw, [f"__v_{c}" for c in dim_cols],
+        keys, d_raw, [f"__v_{c}" for c in dim_cols],
     )
     all_best = resolved.unionByName(rest_best)
     return points.join(
         all_best.select(
-            point_key,
+            *keys,
             F.col("__dist").alias("nearest_dist"),
             *[F.col(f"__best.__v_{c}").alias(f"nearest_{c}") for c in dim_cols],
         ),
-        on=point_key,
+        on=keys,
         how="left",
     )
 

@@ -96,6 +96,15 @@ class Thresholds:
 # expression tree well inside Janino limits.
 FOLD_MAX_AIRPORTS = 64
 
+# At or above this many airports, with_nearest_airport switches from
+# the broadcast cross-fan argmin (per-tick work linear in |airports|)
+# to the gridded cell equi-join (per-tick work = local cell
+# population). Crossover measured at sf0.1 telemetry x the real
+# 15,165-airport Airports.csv — see SCALE.md "nearest-airport @ real
+# dim"; below this the 3x3 replication + fallback plumbing costs more
+# than the fan it saves.
+GRID_MIN_AIRPORTS = 2048
+
 
 def _nearest_airport_fold(flight_df: DataFrame, rows) -> DataFrame:
     """Small-dim fast path: per tick, least() over one
@@ -156,16 +165,21 @@ def with_nearest_airport(
     airports: DataFrame,
     fold_max_dims: int = FOLD_MAX_AIRPORTS,
     fan_partitions: int | None = None,
+    grid_min_dims: int = GRID_MIN_AIRPORTS,
 ) -> DataFrame:
     """Per-tick nearest airport by Manhattan |dlat|+|dlon| degrees
     (FlightAnalysis.py:356-366). Two result-identical physical
     strategies (equivalence-tested):
 
+    THREE result-identical physical strategies, dispatched on the
+    usable dim count (equivalence-tested on the reference's real
+    15,165-airport dim, tests/test_airports_scale.py):
+
     * dim <= ``fold_max_dims`` rows: collect the (config-sized) dim
       and fold the argmin into one least()-over-structs expression —
       _nearest_airport_fold, no shuffle at all.
-    * otherwise (the reference's 15,165-airport dim and beyond):
-      broadcast cross join + two-phase hash-aggregable argmin
+    * ``fold_max_dims`` < dim < ``grid_min_dims``: broadcast cross
+      join + two-phase hash-aggregable argmin
       (operators/joins._argmin_two_phase — the single-pass
       min(struct) form plans a SortAggregate whose sort runs over
       the |ticks| x |airports| fan-out, superlinear spill; see
@@ -173,8 +187,16 @@ def with_nearest_airport(
       telemetry passthrough columns LEFT-rejoin on (flight, time):
       a tick with no finite-distance airport (empty/NULL-coordinate
       dim) keeps its row with NULL airport columns rather than
-      silently disappearing. At planetary dim counts switch to
-      operators.joins.nearest_gridded.
+      silently disappearing.
+    * dim >= ``grid_min_dims`` (the reference's actual
+      15,165-airport Airports.csv and beyond): two-phase GRIDDED
+      argmin (operators/joins.nearest_gridded) — dims replicate into
+      3x3 half-degree cells, ticks equi-join their own cell, and
+      only the sparse >cell_deg tail pays the full broadcast argmin.
+      Per-tick candidate count drops from |airports| to the local
+      cell population (~10^1), and the exactness fallback keeps the
+      result the global argmin. Measured at sf0.1 telemetry x the
+      real dim: see SCALE.md "nearest-airport @ real dim".
 
     PRECONDITION (join path): (flight, time) uniquely identifies a
     telemetry row (the reference's ordered scan implies the same,
@@ -210,6 +232,41 @@ def with_nearest_airport(
         ).limit(fold_max_dims + 1).collect()
         if len(probe) <= fold_max_dims:
             return _nearest_airport_fold(flight_df, probe)
+
+    # dim-sized capped count (one bounded action at plan-build, like
+    # the fold probe): at real national-registry cardinality the
+    # gridded equi-join replaces the |ticks| x |airports| fan
+    if (
+        grid_min_dims > 0
+        and usable.limit(grid_min_dims).count() >= grid_min_dims
+    ):
+        from ..operators.joins import nearest_gridded
+
+        pts = flight_df.select("flight", "time", "latitude", "longitude")
+        if fan_partitions is not None:
+            pts = pts.repartition(fan_partitions, "flight")
+        dim_cols = ["airport_code", "latitude", "longitude", "elevation_ft"]
+        g = nearest_gridded(
+            pts,
+            usable.select(*dim_cols),
+            ["flight", "time"],
+            dim_cols=dim_cols,
+        )
+        best = g.select(
+            "flight",
+            "time",
+            F.col("nearest_airport_code").alias("airport_code"),
+            F.col("nearest_latitude").alias("airport_lat"),
+            F.col("nearest_longitude").alias("airport_lon"),
+            F.col("nearest_elevation_ft").alias("airport_elev"),
+        )
+        return flight_df.join(best, on=["flight", "time"], how="left").select(
+            *flight_df.columns,
+            "airport_code",
+            "airport_lat",
+            "airport_lon",
+            "airport_elev",
+        )
 
     d = geo.manhattan_deg("latitude", "longitude", "ap_lat", "ap_lon")
     ap = F.broadcast(

@@ -197,3 +197,79 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+# --- Reference airport/runway dimension files (data/Airports.csv,
+# data/AirportsDetailed.csv — reference main.py:163-182) ---
+
+def _airports_schema() -> StructType:
+    from pyspark.sql.types import DoubleType, StringType, StructField
+
+    # data/Airports.csv header: Airport_Code, Airport Name, City,
+    # State_Code, Latitude, Longitude, Elevation_FT, Tower Freq.
+    # tower_freq is parsed but unused (the reference drops it too).
+    return StructType([
+        StructField("airport_code", StringType()),
+        StructField("airport_name", StringType()),
+        StructField("city", StringType()),
+        StructField("state_code", StringType()),
+        StructField("latitude", DoubleType()),
+        StructField("longitude", DoubleType()),
+        StructField("elevation_ft", DoubleType()),
+        StructField("tower_freq", StringType()),
+    ])
+
+
+def _runways_detailed_schema() -> StructType:
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+    )
+
+    # data/AirportsDetailed.csv header (27 columns), named not
+    # positional — the reference reads row[2]/row[10]/row[11]/
+    # row[12]/row[25]/row[26] by index (main.py:176-182)
+    d, s = DoubleType(), StringType()
+    names_types = [
+        ("orig_order", IntegerType()), ("priority_order", IntegerType()),
+        ("airport_code", s), ("airport_name", s), ("city", s),
+        ("state_code", s), ("latitude", d), ("longitude", d),
+        ("elevation_ft", d), ("tower_freq", s), ("runway_code", s),
+        ("magnetic_rwy_hdg", d), ("true_rwy_hdg", d), ("tdze", d),
+        ("vasi_gs", d), ("vasi_box_lat", d), ("vasi_box_long", d),
+        ("nw_lat", d), ("nw_long", d), ("ne_lat", d), ("ne_long", d),
+        ("sw_lat", d), ("sw_long", d), ("se_lat", d), ("se_long", d),
+        ("center_lat", d), ("center_long", d),
+    ]
+    return StructType([StructField(n, t) for n, t in names_types])
+
+
+def load_reference_airports(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's 15,165-row national airport dimension
+    (data/Airports.csv via main.py:168-174), in the column shape
+    plans/approach.with_nearest_airport consumes."""
+    return read_csv(spark, path, _airports_schema()).select(
+        "airport_code", "airport_name", "city", "state_code",
+        "latitude", "longitude", "elevation_ft",
+    )
+
+
+def load_reference_runways(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's per-runway detail file
+    (data/AirportsDetailed.csv via main.py:176-182), mapped to the
+    engine's runway shape. DELIBERATE divergence: the reference
+    passes row[6] — the airport LATITUDE — as the Runway's altitude
+    (main.py:181, a positional-indexing bug its dict-keyed lookup
+    never surfaces); here elevation_ft is TDZE (touchdown-zone
+    elevation, the field the runway actually carries)."""
+    return read_csv(spark, path, _runways_detailed_schema()).select(
+        "airport_code",
+        "runway_code",
+        "magnetic_rwy_hdg",
+        "true_rwy_hdg",
+        "center_lat",
+        "center_long",
+        F.col("tdze").alias("elevation_ft"),
+    )

@@ -126,6 +126,72 @@ def profile_approach(sf_dir: str) -> None:
         print(f"| {name} | {dt} | {n} |")
 
 
+def profile_nearest_real_airports(sf_dir: str) -> None:
+    """The reference's dominant cost at its REAL dim size: the
+    15,165-airport nearest-neighbor scan (FlightAnalysis.py:347-367,
+    data/Airports.csv). Times with_nearest_airport's two large-dim
+    physical strategies — broadcast cross-fan two-phase argmin vs
+    gridded 3x3-cell equi-join — over the sf telemetry fixture,
+    interleaved runs to the noop sink (best of 2; the playbook's
+    box-load rule), plus the full analyze() end-to-end on the real
+    airports + real 164-runway detail table."""
+    from pyspark.sql import functions as F
+
+    from ngafid_cpat_spark.plans import approach as AP
+    from ngafid_cpat_spark.plans.extensions import _telemetry_fixture
+    from ngafid_cpat_spark.session import get_spark
+    from ngafid_cpat_spark.sources.tables import (
+        load_reference_airports,
+        load_reference_runways,
+    )
+
+    spark = get_spark("stage-profile-airports")
+    spark.sparkContext.setLogLevel("ERROR")
+    airports = load_reference_airports(
+        spark, "/root/reference/data/Airports.csv"
+    )
+    runways = load_reference_runways(
+        spark, "/root/reference/data/AirportsDetailed.csv"
+    )
+    tel = _telemetry_fixture(spark, sf_dir).na.drop(
+        subset=list(AP.TELEMETRY_COLS)
+    )
+    n_ticks = tel.count()
+    n_ap = airports.count()
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    noop(tel)  # warm the fixture scan
+
+    variants = {
+        "broadcast cross-fan two-phase argmin": dict(
+            fold_max_dims=0, grid_min_dims=0, fan_partitions=None
+        ),
+        "gridded 3x3-cell equi-join argmin": dict(
+            fold_max_dims=0, grid_min_dims=2048
+        ),
+    }
+    best: dict[str, float] = {}
+    for _ in range(2):  # interleaved A/B (ambient load drifts)
+        for name, kw in variants.items():
+            t0 = time.perf_counter()
+            noop(AP.with_nearest_airport(tel, airports, **kw))
+            dt = time.perf_counter() - t0
+            best[name] = min(best.get(name, 1e9), dt)
+    t0 = time.perf_counter()
+    noop(AP.analyze(tel, airports, runways))
+    e2e = time.perf_counter() - t0
+
+    print(f"## nearest-airport @ real dim ({n_ap} airports, "
+          f"{n_ticks} ticks, {sf_dir})\n")
+    print("| path | sec |")
+    print("|---|---|")
+    for name, dt in best.items():
+        print(f"| {name} | {round(dt, 2)} |")
+    print(f"| analyze() end-to-end, real airports+runways | {round(e2e, 2)} |")
+
+
 def profile_corpus_prep(sf_dir: str) -> None:
     """Stage breakdown of corpus_prep_pipeline_docs: quality gate,
     fingerprint keeper aggregate, dedup semi-join, temperature-mix
@@ -197,8 +263,13 @@ def main() -> None:
                     help="profile the approach pipeline instead of dedup")
     ap.add_argument("--corpus-prep", action="store_true",
                     help="profile corpus_prep_pipeline_docs stages")
+    ap.add_argument("--airports-real", action="store_true",
+                    help="nearest-airport paths at the real 15,165-dim")
     args = ap.parse_args()
 
+    if args.airports_real:
+        profile_nearest_real_airports(args.sf_dir)
+        return
     if args.approach:
         profile_approach(args.sf_dir)
         return
