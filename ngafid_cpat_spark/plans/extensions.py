@@ -3032,7 +3032,13 @@ TOLERANCE_ORACLES["ann_ivfpq_indexed"] = {
     # the persisted-index twin of ann_ivfpq_topk: same quantizer
     # math (shared helpers), same recall oracle and floor; a stale
     # or corrupt index, broken partition pruning, or a code/LUT
-    # off-by-one collapses recall toward ~0
+    # off-by-one collapses recall toward ~0. Floor 0.6 is justified
+    # by the committed r09 operating curve (tools/ann_recall_sweep.py,
+    # SCALE.md "ANN recall operating curve"): this query's operating
+    # point (n_probe=4, rerank=100) measures 0.805 mean recall@10
+    # over a 20-query panel at the gate sf (0.01), and structural
+    # breaks land in the 0.2-0.34 ADC-only band — 0.6 separates the
+    # two populations with margin on both sides
     "sql": TOLERANCE_ORACLES["pq_topk_trained_embeddings"]["sql"],
     "kind": "recall",
     "id_col": "vec_id",
