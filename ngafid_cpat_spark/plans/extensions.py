@@ -2403,6 +2403,14 @@ def approach_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import approach as AP
 
     telemetry = _telemetry_fixture(spark, sf_dir)
+    airports, runways = _demo_dims(spark)
+    return AP.analyze(telemetry, airports, runways)
+
+
+def _demo_dims(spark: SparkSession):
+    """The two-airport/two-runway literal dims the approach oracle's
+    VALUES CTEs mirror — shared by the batch demo and its streaming
+    work-queue twin so their plans see identical dimensions."""
     airports = spark.createDataFrame(
         [
             {"airport_code": "KAAA", "latitude": 40.0, "longitude": -85.0,
@@ -2421,7 +2429,114 @@ def approach_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
              "center_lat": 40.02, "center_long": -84.98},
         ]
     )
-    return AP.analyze(telemetry, airports, runways)
+    return airports, runways
+
+
+@register("streaming_approach_work_queue", _APPROACH_ORACLE)
+def streaming_approach_work_queue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's work-queue incremental pattern (main.py:27,
+    FlightAnalysis.py:32: new flights land, get analyzed, results
+    upserted) as a Structured Streaming flow: the telemetry fixture
+    arrives as TWO whole-flight files (flights never straddle a
+    micro-batch — the reference's unit of work is a flight), each
+    micro-batch runs the full approach pipeline (plans/approach.
+    analyze: nearest airport, takeoff, episode islands, final-band
+    predicates, runway theta-join, landing classification) on just
+    its arriving flights, and the per-flight results MERGE into a
+    bucketed table via the existing sink (sinks.upsert, keyed
+    (flight_id, approach_id) — the reference's INSERT..ON DUPLICATE
+    KEY UPDATE). Because every analyze() stage partitions by flight,
+    a flight's rows are identical whether it was analyzed alone or
+    with the whole fleet — so after availableNow drains the queue the
+    table equals approach_pipeline_demo's batch output EXACTLY, and
+    this query shares its strict oracle. Replay idempotence comes
+    from the MERGE (same keys, same rows).
+
+    Scale: this is the shape a 1000-executor deployment runs
+    continuously — per-trigger cost is bounded by arriving flights,
+    not fleet size, and the MERGE rewrites only touched buckets."""
+    import hashlib
+    import os
+
+    from .. import sinks
+    from . import approach as AP
+
+    airports, runways = _demo_dims(spark)
+    ev_path = os.path.realpath(f"{sf_dir}/events.parquet")
+    try:
+        st = os.stat(ev_path)
+    except OSError:
+        st = None
+    tag = hashlib.md5(
+        f"apwq-v1:{ev_path}:{getattr(st, 'st_mtime_ns', 0)}:"
+        f"{getattr(st, 'st_size', 0)}".encode()
+    ).hexdigest()[:12]
+    base = _scratch_dir()
+    stream_dir = os.path.join(base, f"spark_graft_apwq_stream_{tag}")
+    table = os.path.join(base, f"spark_graft_apwq_table_{tag}")
+    ckpt = os.path.join(base, f"spark_graft_apwq_ckpt_{tag}")
+
+    tel = _telemetry_fixture(spark, sf_dir)
+    if not os.path.exists(os.path.join(stream_dir, "_READY")):
+        import shutil
+
+        b = tel.agg(
+            F.min("flight").alias("mn"), F.max("flight").alias("mx")
+        ).first()
+        mid = (int(b["mn"]) + int(b["mx"])) // 2
+        os.makedirs(stream_dir, exist_ok=True)
+        for name, df, mtime in (
+            ("flights_00.parquet", tel.filter(F.col("flight") <= mid),
+             1_000_000_000),
+            ("flights_01.parquet", tel.filter(F.col("flight") > mid),
+             1_000_000_100),
+        ):
+            tmp = os.path.join(stream_dir, f".tmp_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stream_dir, name)
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (mtime, mtime))
+            shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(stream_dir, "_READY"), "w") as f:
+            f.write("ok")
+
+    keys = ["flight_id", "approach_id"]
+    result_cols = AP.analyze(
+        tel.limit(0), airports, runways, persist=False
+    ).columns
+    if not os.path.isdir(table):
+        sinks.create_table(
+            AP.analyze(tel.limit(0), airports, runways, persist=False),
+            table, keys=keys, n_buckets=4,
+        )
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        res = AP.analyze(batch_df, airports, runways, persist=False)
+        sinks.upsert(batch_df.sparkSession, res, table, keys=keys)
+
+    schema = spark.read.parquet(
+        os.path.join(stream_dir, "flights_00.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .queryName("streaming_approach_work_queue")
+        .foreachBatch(_apply)
+        .start()
+    )
+    q.awaitTermination()
+    return sinks.read_table(spark, table).select(*result_cols)
 
 
 @register(

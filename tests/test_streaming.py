@@ -602,3 +602,20 @@ def test_stream_incremental_dedup_matches_batch_twin_and_replays(
         for r in spark.read.parquet(keepers).select("doc_id", "fp").collect()
     }
     assert got2 == got
+
+
+def test_streaming_approach_work_queue_equals_batch_pipeline(spark):
+    """The streaming work-queue twin (whole-flight micro-batches ->
+    analyze -> MERGE) must converge to approach_pipeline_demo's batch
+    output EXACTLY — every column, every float bit (analyze()
+    partitions all stages by flight, so per-flight results are
+    membership-independent)."""
+    from ngafid_cpat_spark.plans.queries import QUERIES
+
+    got = QUERIES["streaming_approach_work_queue"](spark, SF_DIR)
+    want = QUERIES["approach_pipeline_demo"](spark, SF_DIR)
+    assert got.columns == want.columns
+    key = lambda r: (r["flight_id"], r["approach_id"])
+    grows = sorted(got.collect(), key=key)
+    wrows = sorted(want.collect(), key=key)
+    assert grows == wrows and len(grows) > 0
