@@ -169,14 +169,25 @@ def cmd_index(args: argparse.Namespace) -> int:
     spark = get_spark("ngafid-cpat-index")
     if args.index_cmd == "build":
         emb = _load_embeddings(spark, args.embeddings)
+        if args.root and args.path:
+            raise SystemExit("pass --path or --root, not both")
+        path = args.path or (
+            f"{args.root.rstrip('/')}/gen-000001" if args.root else None
+        )
+        if path is None:
+            raise SystemExit("--path or --root is required")
         meta = S.write_ivfpq_index(
-            emb, args.path,
+            emb, path,
             k_coarse=args.k_coarse, m=args.m, k_sub=args.k_sub,
             n_iter=args.n_iter, cluster_files=args.cluster_files,
         )
         n_cells = len(meta["coarse"])
-        print(f"built index at {args.path}: {n_cells} cells, "
-              f"m={meta['m']} x k={meta['k_sub']} residual PQ")
+        extra = ""
+        if args.root:
+            ptr = S.set_current_generation(args.root, "gen-000001", spark)
+            extra = f"; root pointer set ({ptr})"
+        print(f"built index at {path}: {n_cells} cells, "
+              f"m={meta['m']} x k={meta['k_sub']} residual PQ{extra}")
         return 0
     if args.index_cmd == "probe":
         emb = _load_embeddings(spark, args.embeddings)
@@ -279,7 +290,9 @@ def main(argv: list[str] | None = None) -> int:
     ixsub = ix.add_subparsers(dest="index_cmd", required=True)
     b = ixsub.add_parser("build", help="train quantizers + write codes")
     b.add_argument("--embeddings", required=True, help="vectors parquet")
-    b.add_argument("--path", required=True, help="index dir")
+    b.add_argument("--path", help="plain index dir")
+    b.add_argument("--root", help="generational root: writes gen-000001 "
+                                  "and sets the current-generation pointer")
     b.add_argument("--k-coarse", type=int, default=8)
     b.add_argument("--m", type=int, default=8)
     b.add_argument("--k-sub", type=int, default=16)

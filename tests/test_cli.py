@@ -140,13 +140,13 @@ def test_cli_index_generational_root_flip(spark, tmp_path, capsys):
 
     emb_path = "/root/testdata/sf0.001/embeddings.parquet"
     root = str(tmp_path / "root")
-    gen1 = os.path.join(root, "gen-000001")
     assert main([
-        "index", "build", "--embeddings", emb_path, "--path", gen1,
+        "index", "build", "--embeddings", emb_path, "--root", root,
         "--k-coarse", "4", "--m", "4", "--k-sub", "4", "--n-iter", "1",
     ]) == 0
-    capsys.readouterr()
-    S.set_current_generation(root, "gen-000001")
+    out = capsys.readouterr().out
+    assert "root pointer set" in out
+    assert S.resolve_index_dir(root).endswith("gen-000001")
 
     # compact an EMPTY stream (degenerates to copying the base) with
     # auto-dest under the root; the pointer must flip to gen-000002
