@@ -21,7 +21,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def sweep(sf_dir: str, n_queries: int) -> None:
+def sweep(sf_dir: str, n_queries: int, k_coarse: int = 8, n_probes=(1, 2, 4, 8)) -> None:
     from pyspark.sql import functions as F
 
     from ngafid_cpat_spark.operators import similarity as S
@@ -38,8 +38,9 @@ def sweep(sf_dir: str, n_queries: int) -> None:
         "embedding", F.col("embedding").cast("array<double>")
     )
     # the same content-keyed persisted index the catalog queries probe
-    path = _ivfpq_index_path(sf_dir, "ivfpq-v1:k8:m8:ks16:it2")
-    _ensure_ivfpq_index(emb, path, k_coarse=8, m=8, k_sub=16, n_iter=2)
+    # (k_coarse=8); other cell counts get their own keyed store
+    path = _ivfpq_index_path(sf_dir, f"ivfpq-v1:k{k_coarse}:m8:ks16:it2")
+    _ensure_ivfpq_index(emb, path, k_coarse=k_coarse, m=8, k_sub=16, n_iter=2)
 
     qrows = (
         emb.filter(F.col("vec_id") < n_queries)
@@ -61,10 +62,10 @@ def sweep(sf_dir: str, n_queries: int) -> None:
         }
 
     print(f"\n### recall@{k} @ {sf_dir} ({len(queries)}-query panel, "
-          f"k_coarse=8, m=8, k_sub=16)\n")
+          f"k_coarse={k_coarse}, m=8, k_sub=16)\n")
     print("| n_probe | rerank=0 (ADC only) | rerank=50 | rerank=100 |")
     print("|---|---|---|---|")
-    for n_probe in (1, 2, 4, 8):
+    for n_probe in n_probes:
         cells = []
         for rerank in (None, 50, 100):
             got = S.ivfpq_topk_indexed_batch(
@@ -85,9 +86,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dirs", default="/root/testdata/sf0.01,/root/testdata/sf0.1")
     ap.add_argument("--n-queries", type=int, default=20)
+    ap.add_argument("--k-coarse", type=int, default=8)
+    ap.add_argument("--n-probes", default="1,2,4,8")
     args = ap.parse_args()
+    probes = tuple(int(x) for x in args.n_probes.split(","))
     for sf_dir in args.sf_dirs.split(","):
-        sweep(sf_dir.strip(), args.n_queries)
+        sweep(sf_dir.strip(), args.n_queries, args.k_coarse, probes)
 
 
 if __name__ == "__main__":
