@@ -293,7 +293,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--path", help="plain index dir")
     b.add_argument("--root", help="generational root: writes gen-000001 "
                                   "and sets the current-generation pointer")
-    b.add_argument("--k-coarse", type=int, default=8)
+    b.add_argument(
+        "--k-coarse",
+        type=lambda v: v if v == "auto" else int(v),
+        default=8,
+        help="coarse cell count, or 'auto' for max(8, round(sqrt(N)))",
+    )
     b.add_argument("--m", type=int, default=8)
     b.add_argument("--k-sub", type=int, default=16)
     b.add_argument("--n-iter", type=int, default=2)

