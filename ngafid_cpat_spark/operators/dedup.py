@@ -162,6 +162,93 @@ def minhash_signature(text_col, k: int = 3, num_hashes: int = 32) -> Column:
     ])
 
 
+def minhash_sig_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """MinHash signature table: (id, h0..h{n-1}, s) where s is the
+    document's shingle-hash set (rides the SAME groupBy, so exact
+    verification downstream never re-shingles). This is the table a
+    100 TB deployment PERSISTS and maintains incrementally — both
+    minhash_lsh_pairs (self-join dedup) and incremental_minhash_dedup
+    (new-vs-history) consume it.
+
+    Signature via exploded shingles + one partial-aggregated groupBy:
+    computing 32 array_min(transform(...)) expressions inline blows
+    up codegen (9+ MB task binaries, ~100x slower) — the explode
+    form is one pass and map-side combines before the shuffle.
+    F.expr strings, not Column-op chains: every Column operator is
+    a py4j round-trip, and 32x4 of them cost whole seconds of
+    driver time per query construction (see functions/vector.py).
+    Lazy localCheckpoint: every consumer (band-join sides +
+    verification sets) reads one materialization — without it,
+    column pruning specializes the aggregate per branch and the
+    shingle pipeline runs twice.
+
+    ``hash_family``: "xxhash64" (hot path) or "md5km"
+    (Kirsch-Mitzenmeier h_i = a + i*b from one md5 per shingle — the
+    cross-engine-reproducible family the DuckDB oracles pair with)."""
+    if hash_family == "md5km":
+        sh = _shingle_sets(df, id_col, text_col, k, as_string=True)
+        # one md5 per distinct (id, shingle) — the projection split
+        # guarantees single evaluation (expression-level CSE is not);
+        # set membership still rides 8-byte xxhash64 keys
+        # (intersection sizes are identical on the text sets —
+        # distinctness-equivalent)
+        shab = sh.select(
+            "id", F.md5("sh").alias("m"), F.xxhash64("sh").alias("shh")
+        ).select(
+            "id",
+            F.expr("cast(conv(substr(m, 1, 14), 16, 10) as bigint)").alias("ha"),
+            F.expr("cast(conv(substr(m, 15, 13), 16, 10) as bigint)").alias("hb"),
+            "shh",
+        )
+        return shab.groupBy("id").agg(
+            *[
+                F.expr(f"min(ha + {i}L * hb) AS h{i}")
+                for i in range(num_hashes)
+            ],
+            F.collect_set("shh").alias("s"),
+        ).localCheckpoint(eager=False)
+    if hash_family == "xxhash64":
+        sh = _shingle_sets(df, id_col, text_col, k)
+        return sh.groupBy("id").agg(
+            *[
+                F.expr(f"min(xxhash64(sh, {i})) AS h{i}")
+                for i in range(num_hashes)
+            ],
+            F.collect_set("sh").alias("s"),
+        ).localCheckpoint(eager=False)
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
+
+
+def minhash_band_table(
+    sig: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bucket) LSH banding of a signature table: bucket =
+    xxhash64 of the band's concatenated signature values. Bucket
+    equality stands in for band equality (64-bit collisions are
+    vanishing), which turns candidate generation into a plain
+    equi-join on (band, bucket)."""
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"cast(h{b * rows_per_band + r} as string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return sig.select(
+        "id", F.expr(f"explode(array({band_structs})) AS bb")
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -193,68 +280,11 @@ def minhash_lsh_pairs(
         a + 31*b < 2^58, far from bigint overflow on either engine.
     """
     rows_per_band = num_hashes // bands
-    # signature via exploded shingles + one partial-aggregated groupBy:
-    # computing 32 array_min(transform(...)) expressions inline blows
-    # up codegen (9+ MB task binaries, ~100x slower) — the explode
-    # form is one pass and map-side combines before the shuffle.
-    # collect_set rides the SAME groupBy, so the verification step
-    # below needs no second tokenize/shingle pass — every consumer of
-    # `sig` shares one shingle pipeline (and one ReusedExchange).
-    # F.expr strings, not Column-op chains: every Column operator is
-    # a py4j round-trip, and 32x4 of them cost whole seconds of
-    # driver time per query construction (see functions/vector.py)
-    if hash_family == "md5km":
-        sh = _shingle_sets(df, id_col, text_col, k, as_string=True)
-        # one md5 per distinct (id, shingle) — the projection split
-        # guarantees single evaluation (expression-level CSE is not);
-        # set membership still rides 8-byte xxhash64 keys
-        # (intersection sizes are identical on the text sets —
-        # distinctness-equivalent)
-        shab = sh.select(
-            "id", F.md5("sh").alias("m"), F.xxhash64("sh").alias("shh")
-        ).select(
-            "id",
-            F.expr("cast(conv(substr(m, 1, 14), 16, 10) as bigint)").alias("ha"),
-            F.expr("cast(conv(substr(m, 15, 13), 16, 10) as bigint)").alias("hb"),
-            "shh",
-        )
-        sig = shab.groupBy("id").agg(
-            *[
-                F.expr(f"min(ha + {i}L * hb) AS h{i}")
-                for i in range(num_hashes)
-            ],
-            F.collect_set("shh").alias("s"),
-        ).localCheckpoint(eager=False)
-    elif hash_family == "xxhash64":
-        sh = _shingle_sets(df, id_col, text_col, k)
-        sig = sh.groupBy("id").agg(
-            *[
-                F.expr(f"min(xxhash64(sh, {i})) AS h{i}")
-                for i in range(num_hashes)
-            ],
-            F.collect_set("sh").alias("s"),
-        ).localCheckpoint(eager=False)
-    else:
-        raise ValueError(f"unknown hash_family: {hash_family!r}")
-    # lazy localCheckpoint: the signature table materializes once and
-    # every consumer (both band-join sides + verification sets) reads
-    # the cached copy — without it, column pruning specializes the
-    # aggregate per branch and the shingle pipeline runs twice. Same
-    # shape as at 100 TB, where the signature table is persisted
-    # before LSH banding.
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {cols})))".format(
-            b=b,
-            cols=", ".join(
-                f"cast(h{b * rows_per_band + r} as string)"
-                for r in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
+    sig = minhash_sig_table(
+        df, id_col=id_col, text_col=text_col, k=k,
+        num_hashes=num_hashes, hash_family=hash_family,
     )
-    banded = sig.select(
-        "id", F.expr(f"explode(array({band_structs})) AS bb")
-    ).select("id", "bb.band", "bb.bucket")
+    banded = minhash_band_table(sig, bands, rows_per_band)
     cands = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bucket"])
@@ -277,6 +307,81 @@ def minhash_lsh_pairs(
         .select("id1", "id2", "jaccard")
     )
     return out
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    history: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    verify_threshold: float = 0.05,
+    hash_family: str = "xxhash64",
+    history_sig: DataFrame | None = None,
+) -> DataFrame:
+    """NEAR-dup incremental dedup: from a NEW batch, the documents
+    that are not a verified near-duplicate (banded-LSH candidate AND
+    exact Jaccard >= ``verify_threshold``) of ANY document in the
+    already-ingested corpus — the MinHash companion of
+    operators/corpus.incremental_dedup (exact fingerprints). Real
+    crawl pipelines dedup each incoming batch against the corpus with
+    exactly this shape: the corpus participates only as its PERSISTED
+    signature table (pass ``history_sig`` — minhash_sig_table's
+    output, maintained by appending each batch's keeper signatures),
+    candidates come from a (band, bucket) equi-join of the small new
+    side against the history banding, and only candidates pay the
+    exact set-intersection verify. The corpus text is never
+    rescanned; nothing is all-pairs.
+
+    Within-batch near-dups are deliberately NOT collapsed here (a
+    near-dup CLUSTER needs survivorship rules — compose with
+    dedup_clusters/keep_best for that); documents too short to carry
+    a k-shingle can never match and are always kept.
+
+    Returns the keeper ids (one ``id_col`` column)."""
+    rows_per_band = num_hashes // bands
+    new_sig = minhash_sig_table(
+        new_docs, id_col=id_col, text_col=text_col, k=k,
+        num_hashes=num_hashes, hash_family=hash_family,
+    )
+    if history_sig is None:
+        if history is None:
+            raise ValueError(
+                "pass history_sig (preferred at scale) or history"
+            )
+        history_sig = minhash_sig_table(
+            history, id_col=id_col, text_col=text_col, k=k,
+            num_hashes=num_hashes, hash_family=hash_family,
+        )
+    new_banded = minhash_band_table(new_sig, bands, rows_per_band)
+    hist_banded = minhash_band_table(history_sig, bands, rows_per_band)
+    cands = (
+        new_banded.alias("n")
+        .join(hist_banded.alias("h"), on=["band", "bucket"])
+        .select(F.col("n.id").alias("nid"), F.col("h.id").alias("hid"))
+        .distinct()
+    )
+    nsets = new_sig.select(F.col("id").alias("nid"), F.col("s").alias("s1"))
+    hsets = history_sig.select(
+        F.col("id").alias("hid"), F.col("s").alias("s2")
+    )
+    matched = (
+        cands.join(nsets, "nid")
+        .join(hsets, "hid")
+        .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
+        .filter(
+            F.col("inter")
+            / (F.size("s1") + F.size("s2") - F.col("inter"))
+            >= verify_threshold
+        )
+        .select(F.col("nid").alias(id_col))
+        .distinct()
+    )
+    return new_docs.select(id_col).distinct().join(
+        matched, id_col, "left_anti"
+    )
 
 
 # NOTE: there is deliberately NO per-row `simhash(text_col)` column

@@ -347,6 +347,71 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
 
 
+@register(
+    "dedup_incremental_minhash_docs",
+    f"""
+    WITH {_SHINGLE_SQL},
+    hh AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT) AS a,
+             CAST(concat('0x', substr(md5(s), 15, 13)) AS BIGINT) AS b
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL} FROM hh GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT x.doc_id AS nid, y.doc_id AS hid
+      FROM sig x JOIN sig y ON x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
+      WHERE {_MINHASH_BAND_SQL}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS nid, b.doc_id AS hid, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+      GROUP BY 1, 2
+    ),
+    matched AS (
+      SELECT DISTINCT cand.nid
+      FROM cand
+        JOIN common ON cand.nid = common.nid AND cand.hid = common.hid
+        JOIN sizes s1 ON cand.nid = s1.doc_id
+        JOIN sizes s2 ON cand.hid = s2.doc_id
+      WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {JACCARD_THRESHOLD}
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 3 = 0
+      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.nid = d.doc_id)
+    """,
+)
+def dedup_incremental_minhash_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEAR-dup incremental dedup (operators/dedup.
+    incremental_minhash_dedup): new docs (doc_id % 3 == 0) are
+    LSH-banded against the corpus history's signature table
+    (doc_id % 3 != 0) and kept only if no candidate passes the exact
+    Jaccard verify — the MinHash companion to the exact-fingerprint
+    `dedup_incremental_docs` and the crawl-batch shape real LLM
+    pipelines run (the 16 genuine cross-class near-dup pairs in the
+    documents table at sf0.01 make this a live filter, not a
+    pass-through). md5km hash family so the DuckDB oracle reproduces
+    the exact signatures, band candidates, and verify; the xxhash64
+    hot path is equivalence-tested in tests/test_dedup."""
+    docs = load(spark, sf_dir, "documents")
+    out = D.incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        history=docs.filter(F.col("doc_id") % 3 != 0),
+        k=SHINGLE_K,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        verify_threshold=JACCARD_THRESHOLD,
+        hash_family="md5km",
+    )
+    return out.select("doc_id")
+
+
 _SIMHASH_MAXH = 12
 _SIMHASH_VOTE_SQL = ", ".join(
     [f"SUM((hlo >> {b}) & 1) AS b{b}" for b in range(32)]

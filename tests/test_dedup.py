@@ -342,3 +342,53 @@ def test_edit1_pairs_hot_variant_cap(spark):
         df, id_col="id", text_col="name", max_variant_freq=None
     ).count()
     assert uncapped == 200 * 199 // 2 + 1
+
+
+@pytest.mark.parametrize("family", ["xxhash64", "md5km"])
+def test_incremental_minhash_dedup_drops_near_dups_of_history(
+    spark, docs, family
+):
+    """New batch vs a corpus history: exact and NEAR dups of history
+    are dropped, novel docs and sub-shingle-length docs are kept, and
+    within-batch near-dups are deliberately retained (cluster
+    survivorship is a separate operator)."""
+    history = docs.filter(F.col("doc_id").isin(1, 5))  # BASE + OTHER
+    new = docs.filter(F.col("doc_id").isin(2, 3, 4, 6)).unionByName(
+        spark.createDataFrame(
+            [{"doc_id": 7, "text": "a completely different document "
+                                   "about distributed query engines"}]
+        )
+    )
+    kept = {
+        r["doc_id"]
+        for r in D.incremental_minhash_dedup(
+            new, history=history, verify_threshold=0.3, hash_family=family
+        ).collect()
+    }
+    # 2 (exact dup of 1), 3 (dup after normalize), 4 (near-dup) all
+    # match history; 6 is too short to shingle; 7 is novel
+    assert kept == {6, 7}
+
+
+def test_incremental_minhash_dedup_history_sig_path_identical(spark, docs):
+    """Passing the PERSISTED signature table (the at-scale calling
+    convention) returns exactly what deriving it from raw history
+    text returns — and no history at all raises."""
+    history = docs.filter(F.col("doc_id").isin(1, 5))
+    new = docs.filter(F.col("doc_id").isin(2, 4, 6))
+    hist_sig = D.minhash_sig_table(history)
+    via_sig = {
+        r["doc_id"]
+        for r in D.incremental_minhash_dedup(
+            new, history_sig=hist_sig, verify_threshold=0.3
+        ).collect()
+    }
+    via_text = {
+        r["doc_id"]
+        for r in D.incremental_minhash_dedup(
+            new, history=history, verify_threshold=0.3
+        ).collect()
+    }
+    assert via_sig == via_text == {6}
+    with pytest.raises(ValueError):
+        D.incremental_minhash_dedup(new)
