@@ -320,6 +320,8 @@ def incremental_minhash_dedup(
     verify_threshold: float = 0.05,
     hash_family: str = "xxhash64",
     history_sig: DataFrame | None = None,
+    new_sig: DataFrame | None = None,
+    return_signatures: bool = False,
 ) -> DataFrame:
     """NEAR-dup incremental dedup: from a NEW batch, the documents
     that are not a verified near-duplicate (banded-LSH candidate AND
@@ -340,12 +342,20 @@ def incremental_minhash_dedup(
     dedup_clusters/keep_best for that); documents too short to carry
     a k-shingle can never match and are always kept.
 
-    Returns the keeper ids (one ``id_col`` column)."""
+    Returns the keeper ids (one ``id_col`` column).
+    ``return_signatures=True`` additionally LEFT-joins each keeper's
+    signature columns (h0..h{n-1}, s — NULL for sub-shingle-length
+    docs): exactly what a caller appends to the persisted signature
+    table so the NEXT batch dedups against these keepers too (the
+    streaming ingest loop, streaming/foreach_batch.
+    stream_incremental_minhash_dedup). ``new_sig`` lets such a caller
+    reuse a signature table it already built for this batch."""
     rows_per_band = num_hashes // bands
-    new_sig = minhash_sig_table(
-        new_docs, id_col=id_col, text_col=text_col, k=k,
-        num_hashes=num_hashes, hash_family=hash_family,
-    )
+    if new_sig is None:
+        new_sig = minhash_sig_table(
+            new_docs, id_col=id_col, text_col=text_col, k=k,
+            num_hashes=num_hashes, hash_family=hash_family,
+        )
     if history_sig is None:
         if history is None:
             raise ValueError(
@@ -379,9 +389,14 @@ def incremental_minhash_dedup(
         .select(F.col("nid").alias(id_col))
         .distinct()
     )
-    return new_docs.select(id_col).distinct().join(
+    keepers = new_docs.select(id_col).distinct().join(
         matched, id_col, "left_anti"
     )
+    if return_signatures:
+        return keepers.join(
+            new_sig.withColumnRenamed("id", id_col), id_col, "left"
+        )
+    return keepers
 
 
 # NOTE: there is deliberately NO per-row `simhash(text_col)` column

@@ -1869,6 +1869,156 @@ def streaming_incremental_dedup_docs(
 
 
 @register(
+    "streaming_incremental_minhash_docs",
+    f"""
+    WITH {_SHINGLE_SQL},
+    hh AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT) AS a,
+             CAST(concat('0x', substr(md5(s), 15, 13)) AS BIGINT) AS b
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL} FROM hh GROUP BY doc_id
+    ),
+    bounds AS (
+      SELECT CAST(FLOOR((MIN(doc_id) + MAX(doc_id)) / 2.0) AS BIGINT) AS mid
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT x.doc_id AS xid, y.doc_id AS yid
+      FROM sig x JOIN sig y ON x.doc_id <> y.doc_id
+        JOIN common ON common.id1 = x.doc_id AND common.id2 = y.doc_id
+        JOIN sizes s1 ON x.doc_id = s1.doc_id
+        JOIN sizes s2 ON y.doc_id = s2.doc_id
+      WHERE ({_MINHASH_BAND_SQL})
+        AND CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {JACCARD_THRESHOLD}
+    ),
+    k1 AS (
+      SELECT d.doc_id FROM documents d, bounds b
+      WHERE d.doc_id % 3 = 0 AND d.doc_id <= b.mid
+        AND NOT EXISTS (SELECT 1 FROM verified v
+                        WHERE v.xid = d.doc_id AND v.yid % 3 <> 0)
+    ),
+    k2 AS (
+      SELECT d.doc_id FROM documents d, bounds b
+      WHERE d.doc_id % 3 = 0 AND d.doc_id > b.mid
+        AND NOT EXISTS (
+          SELECT 1 FROM verified v
+          WHERE v.xid = d.doc_id
+            AND (v.yid % 3 <> 0
+                 OR v.yid IN (SELECT doc_id FROM k1)))
+    )
+    SELECT doc_id FROM k1 UNION ALL SELECT doc_id FROM k2
+    """,
+)
+def streaming_incremental_minhash_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEAR-dup incremental dedup of crawl batches against a GROWING
+    corpus, as a real stream (streaming/foreach_batch.
+    stream_incremental_minhash_dedup): the corpus history
+    (doc_id % 3 != 0) participates only as its PERSISTED MinHash
+    signature table; arrivals come in two id-ordered micro-batches —
+    batch 2 additionally carries EXACT re-crawls (+5e6 ids) of every
+    shingle-bearing batch-1 doc, all of which must be dropped: copies
+    of batch-1 keepers only because the signature history GREW when
+    batch 1 committed, copies of batch-1 non-keepers via the same
+    history doc their original matched. The strict oracle replays the
+    sequential-greedy semantics in SQL (k1 = batch-1 survivors vs
+    history; k2 = batch-2 survivors vs history + k1), using the md5km
+    hash family so signatures, band candidates, and the exact-Jaccard
+    verify reproduce bit-for-bit across engines.
+
+    Scale: per micro-batch cost is one signature pass over the batch
+    plus a (band, bucket) equi-join against the history banding —
+    the corpus body is never rescanned, nothing is all-pairs, and
+    the history grows by a few hundred BYTES per kept doc."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..streaming.foreach_batch import stream_incremental_minhash_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        st = None
+    tag = hashlib.md5(
+        f"incrmh-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
+        f"{getattr(st, 'st_size', 0)}".encode()
+    ).hexdigest()[:12]
+    base = _scratch_dir()
+    stream_dir = os.path.join(base, f"spark_graft_docs_mh_arrivals_{tag}")
+    hist_sig = os.path.join(base, f"spark_graft_docs_mh_histsig_{tag}")
+    keepers = os.path.join(base, f"spark_graft_docs_mh_keepers_{tag}")
+    ckpt = os.path.join(base, f"spark_graft_docs_mh_ckpt_{tag}")
+
+    if not os.path.exists(os.path.join(hist_sig, "_SUCCESS")):
+        D.minhash_sig_table(
+            docs.filter(F.col("doc_id") % 3 != 0),
+            k=SHINGLE_K, num_hashes=_MINHASH_N, hash_family="md5km",
+        ).coalesce(1).write.mode("overwrite").parquet(hist_sig)
+
+    new = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    if not os.path.exists(os.path.join(stream_dir, "_READY")):
+        b = new.agg(
+            F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+        ).first()
+        mid = (int(b["mn"]) + int(b["mx"])) // 2
+        lo = new.filter(F.col("doc_id") <= mid)
+        hi = new.filter(F.col("doc_id") > mid)
+        # exact re-crawls of every SHINGLE-BEARING batch-1 doc (>= k
+        # normalized tokens — sub-shingle docs can never match, so a
+        # copy of one would survive and diverge from the oracle)
+        recrawls = lo.filter(
+            F.size(T.tokens("text")) >= SHINGLE_K
+        ).select((F.col("doc_id") + 5000000).alias("doc_id"), "text")
+        batch2 = hi.unionByName(recrawls)
+        os.makedirs(stream_dir, exist_ok=True)
+        for name, df, mtime in (
+            ("arrivals_00.parquet", lo, 1_000_000_000),
+            ("arrivals_01.parquet", batch2, 1_000_000_100),
+        ):
+            tmp = os.path.join(stream_dir, f".tmp_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stream_dir, name)
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (mtime, mtime))
+            shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(stream_dir, "_READY"), "w") as f:
+            f.write("ok")
+
+    schema = spark.read.parquet(
+        os.path.join(stream_dir, "arrivals_00.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    stream_incremental_minhash_dedup(
+        stream, hist_sig, keepers, ckpt,
+        query_name="streaming_incremental_minhash_docs",
+        k=SHINGLE_K, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS,
+        verify_threshold=JACCARD_THRESHOLD, hash_family="md5km",
+    )
+    # seeded re-crawls must ALL have been dropped (ids stay original)
+    return spark.read.parquet(keepers).select("doc_id")
+
+
+@register(
     "streaming_upsert_windowed_events",
     """
     SELECT date_trunc('hour', ts) AS window_start,

@@ -190,3 +190,87 @@ def stream_incremental_dedup(
     )
     q.awaitTermination()
     return q
+
+
+def stream_incremental_minhash_dedup(
+    docs: DataFrame,
+    history_sig_path: str,
+    keepers_path: str,
+    checkpoint_dir: str,
+    query_name: str = "incremental_minhash_dedup",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    verify_threshold: float = 0.05,
+    hash_family: str = "xxhash64",
+):
+    """NEAR-dup incremental dedup over a GROWING corpus, as a stream —
+    the MinHash companion of stream_incremental_dedup (exact
+    fingerprints). Each micro-batch of arriving documents is
+    LSH-deduped (operators/dedup.incremental_minhash_dedup) against
+    the union of (a) the corpus's PERSISTED signature table at
+    ``history_sig_path`` (minhash_sig_table's layout: id, h0..h{n-1},
+    s) and (b) every PRIOR batch's keeper signatures; its keepers
+    land WITH their signature columns under:
+
+        keepers_path/batch=<epoch>/part-*.parquet
+
+    so the signature history grows exactly by what survived — a
+    near-duplicate arriving two micro-batches after its original is
+    dropped, and the corpus text is never rescanned (history
+    participates only as the few-hundred-byte-per-doc signature
+    rows). Sub-shingle-length keepers carry NULL signatures and are
+    excluded from the history side (they can never match anything).
+
+    Idempotence: a replayed epoch recomputes against history WITHOUT
+    its own previous output (``batch != epoch_id``) and overwrites
+    its own batch directory. Sequential-greedy convergence semantics
+    (batch N dedups vs history + keepers of batches < N) are pinned
+    against a SQL oracle by the registered catalog query."""
+    import os
+
+    from ..operators import dedup as D
+
+    sig_cols = [f"h{i}" for i in range(num_hashes)]
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hist = spark.read.parquet(history_sig_path)
+        has_prior = os.path.isdir(keepers_path) and any(
+            d.startswith("batch=") for d in os.listdir(keepers_path)
+        )
+        if has_prior:
+            prior = (
+                spark.read.parquet(keepers_path)
+                .filter(F.col("batch") != epoch_id)
+                .filter(F.col("s").isNotNull())
+                .select(
+                    F.col(id_col).alias("id"), *sig_cols, "s"
+                )
+            )
+            hist = hist.unionByName(prior)
+        D.incremental_minhash_dedup(
+            batch_df,
+            history_sig=hist,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+            verify_threshold=verify_threshold,
+            hash_family=hash_family,
+            return_signatures=True,
+        ).write.mode("overwrite").parquet(f"{keepers_path}/batch={epoch_id}")
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .foreachBatch(_apply)
+        .start()
+    )
+    q.awaitTermination()
+    return q

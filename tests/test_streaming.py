@@ -619,3 +619,98 @@ def test_streaming_approach_work_queue_equals_batch_pipeline(spark):
     grows = sorted(got.collect(), key=key)
     wrows = sorted(want.collect(), key=key)
     assert grows == wrows and len(grows) > 0
+
+
+def test_stream_incremental_minhash_dedup_growth_and_replay(spark, tmp_path):
+    """The MinHash streaming dedup drops a batch-2 NEAR-dup of a
+    batch-1 keeper ONLY because the signature history grew when
+    batch 1 committed (the corpus signature table alone would not
+    match it); replaying the checkpoint adds no batch dirs and leaves
+    identical keepers."""
+    import os
+    import shutil
+
+    from ngafid_cpat_spark.operators import dedup as D
+    from ngafid_cpat_spark.streaming.foreach_batch import (
+        stream_incremental_minhash_dedup,
+    )
+
+    base_text = ("the quick brown fox jumps over the lazy dog near the "
+                 "old barn by the river bank at dawn")
+    hist = spark.createDataFrame(
+        [(100, "an entirely different corpus document about query "
+               "engines and distributed execution plans")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, base_text), (2, "short")], "doc_id long, text string"
+    )
+    # 11 is a NEAR-dup of batch-1 keeper 1 (one appended token);
+    # 12 matches history; 13 is novel
+    b2 = spark.createDataFrame(
+        [(11, base_text + " tonight"),
+         (12, "an entirely different corpus document about query "
+              "engines and distributed execution plans indeed"),
+         (13, "completely novel content with no overlap whatsoever "
+              "to anything seen before")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    for name, df, mtime in (
+        ("a0.parquet", b1, 1_000_000_000),
+        ("a1.parquet", b2, 1_000_000_100),
+    ):
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, name)
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+    hist_sig = str(tmp_path / "hist_sig")
+    D.minhash_sig_table(hist).write.parquet(hist_sig)
+    keepers = str(tmp_path / "keepers")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(os.path.join(src, "a0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_incremental_minhash_dedup(
+        stream, hist_sig, keepers, ckpt,
+        query_name="simh_test", verify_threshold=0.3,
+    )
+    kept = {
+        r["doc_id"] for r in spark.read.parquet(keepers).collect()
+    }
+    # 1 kept (novel vs hist); 2 kept (sub-shingle); 11 DROPPED via the
+    # grown history (near-dup of keeper 1); 12 dropped via hist;
+    # 13 kept
+    assert kept == {1, 2, 13}
+    # the drop of 11 is genuinely growth: vs the corpus table alone
+    # it would have been kept
+    alone = {
+        r["doc_id"]
+        for r in D.incremental_minhash_dedup(
+            b2, history=hist, verify_threshold=0.3
+        ).collect()
+    }
+    assert 11 in alone
+    dirs = sorted(d for d in os.listdir(keepers) if d.startswith("batch="))
+    assert len(dirs) == 2
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_incremental_minhash_dedup(
+        stream2, hist_sig, keepers, ckpt,
+        query_name="simh_test2", verify_threshold=0.3,
+    )
+    assert sorted(
+        d for d in os.listdir(keepers) if d.startswith("batch=")
+    ) == dirs
+    assert {
+        r["doc_id"] for r in spark.read.parquet(keepers).collect()
+    } == kept
