@@ -131,6 +131,18 @@ def main() -> None:
     def jaccard(docs):
         return D.jaccard_pairs(docs, k=3, threshold=0.5)
 
+    def incr_minhash(docs):
+        # crawl-batch shape: 1/3 of the corpus arrives, 2/3 is the
+        # history it dedups against — both sides scale together, so
+        # a superlinear band join or verify shows up as ratio blowup
+        from pyspark.sql import functions as F
+
+        return D.incremental_minhash_dedup(
+            docs.filter(F.col("doc_id") % 3 == 0),
+            history=docs.filter(F.col("doc_id") % 3 != 0),
+            verify_threshold=0.5,
+        )
+
     def nn_join(ev):
         dim = spark.range(500).select(
             F.col("id").alias("site_id"),
@@ -376,6 +388,7 @@ def main() -> None:
         "episode_islands_chunked": ("events", islands_chunked),
         "dedup_exact": ("docs", dedup_exact),
         "jaccard_pairs": ("docs", jaccard),
+        "incremental_minhash": ("docs", incr_minhash),
         "nearest_join": ("events", nn_join),
         "nearest_join_ref_dims": ("events", nn_join_ref_dims),
         "bloom_semi_join": ("events", bloom_semi),
