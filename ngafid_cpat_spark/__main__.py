@@ -171,6 +171,18 @@ def cmd_index(args: argparse.Namespace) -> int:
         emb = _load_embeddings(spark, args.embeddings)
         if args.root and args.path:
             raise SystemExit("pass --path or --root, not both")
+        if args.root and (
+            S.current_generation(args.root, spark) is not None
+            or S._fs_glob(args.root, "gen-*", spark)
+        ):
+            # rebuilding gen-000001 and flipping back to it would
+            # silently undo every compaction/retraction the root has
+            # accumulated (deleted ids become probe-able again)
+            raise SystemExit(
+                f"root {args.root} already carries generations; "
+                "build into a fresh root, or use 'index compact/"
+                "delete --root' to advance this one"
+            )
         path = args.path or (
             f"{args.root.rstrip('/')}/gen-000001" if args.root else None
         )
@@ -245,6 +257,17 @@ def _gen_base_dest(spark, args, S):
     if args.root:
         base = args.base or S.resolve_index_dir(args.root, spark)
         if args.dest:
+            import os
+
+            # the pointer stores a generation NAME under the root; a
+            # dest elsewhere would flip the pointer to a dangling dir
+            # and brick every probe through the root
+            parent = os.path.dirname(os.path.realpath(args.dest.rstrip("/")))
+            if parent != os.path.realpath(args.root.rstrip("/")):
+                raise SystemExit(
+                    f"--dest must be directly under --root ({args.root}); "
+                    f"got {args.dest}"
+                )
             dest = args.dest
         else:
             gens = S._fs_glob(args.root, "gen-*", spark)

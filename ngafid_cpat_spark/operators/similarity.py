@@ -1190,26 +1190,36 @@ def _fs_glob(dir_str: str, pattern: str, spark=None) -> list[str]:
     return [st.getPath().getName() for st in statuses]
 
 
+def _parse_pointers(names: list[str]) -> list[tuple[int, str]]:
+    """(n, gen_name) pairs from ``_ivfpq_current.<n>.<gen>`` pointer
+    file names; malformed names are ignored."""
+    out = []
+    for n in names:
+        rest = n[len(IVFPQ_CURRENT_PREFIX):]
+        num, _, gen = rest.partition(".")
+        if num.isdigit() and gen:
+            out.append((int(num), gen))
+    return out
+
+
 def set_current_generation(root: str, gen_name: str, spark=None) -> str:
     """Atomically flip an index root's current-generation pointer to
     ``gen_name`` (a generation directory under ``root``). Protocol:
-    the pointer is the HIGHEST-numbered ``_ivfpq_current.<n>`` file;
-    a flip writes the new pointer's content to a temp name OUTSIDE
-    the pointer namespace, then renames it in as ``<max+1>``. Rename
-    to a FRESH name is atomic on local FS and HDFS (no
-    overwrite-rename semantics needed anywhere), so a racing probe
-    sees either the old pointer or the new one — never a torn or
-    half-written pointer. Old pointer files are tiny and pruned
-    opportunistically (best-effort; readers only ever take the max).
-    Returns the new pointer file name."""
+    the pointer is the file ``_ivfpq_current.<n>.<gen_name>`` with
+    the highest ``<n>`` — the target generation is encoded IN THE
+    FILE NAME, so readers resolve with one directory listing and
+    never open a pointer file (a reader racing a flip-plus-prune
+    cannot hit a deleted file). A flip creates the new pointer under
+    a temp name outside the pointer namespace, then renames it in;
+    rename to a FRESH name is atomic on local FS and HDFS, and two
+    concurrent flips that compute the same ``<n>`` produce two
+    distinct file names (no overwrite) with a deterministic winner
+    (max (n, gen) lexicographically). Superseded pointers are pruned
+    best-effort. Returns the new pointer file name."""
     existing = _fs_glob(root, f"{IVFPQ_CURRENT_PREFIX}*", spark)
-    nums = [
-        int(n[len(IVFPQ_CURRENT_PREFIX):])
-        for n in existing
-        if n[len(IVFPQ_CURRENT_PREFIX):].isdigit()
-    ]
-    nxt = (max(nums) + 1) if nums else 1
-    ptr = f"{IVFPQ_CURRENT_PREFIX}{nxt:012d}"
+    parsed = _parse_pointers(existing)
+    nxt = (max(n for n, _ in parsed) + 1) if parsed else 1
+    ptr = f"{IVFPQ_CURRENT_PREFIX}{nxt:012d}.{gen_name}"
     tmp = f"{root.rstrip('/')}/_ptr_tmp_{nxt:012d}_{gen_name}"
     _fs_write_text(tmp, gen_name, spark)
     spark = spark or _active_spark()
@@ -1224,7 +1234,8 @@ def set_current_generation(root: str, gen_name: str, spark=None) -> str:
         )
         if not fs.rename(src, dst):
             raise IOError(f"pointer flip rename failed: {tmp} -> {ptr}")
-    # best-effort prune of superseded pointers (keep the newest)
+    # best-effort prune of superseded pointers (readers never open
+    # pointer files, so pruning can never fault a racing reader)
     for name in existing:
         try:
             if spark is None:
@@ -1242,21 +1253,14 @@ def set_current_generation(root: str, gen_name: str, spark=None) -> str:
 def current_generation(root: str, spark=None) -> str | None:
     """Resolve an index root's current generation dir (absolute
     path), or None when ``root`` carries no pointer — i.e. it IS a
-    plain single-generation index directory."""
+    plain single-generation index directory. Resolution is a single
+    directory listing (the generation is encoded in the pointer file
+    NAME), so it cannot race a concurrent flip's prune."""
     names = _fs_glob(root, f"{IVFPQ_CURRENT_PREFIX}*", spark)
-    nums = sorted(
-        (
-            int(n[len(IVFPQ_CURRENT_PREFIX):])
-            for n in names
-            if n[len(IVFPQ_CURRENT_PREFIX):].isdigit()
-        ),
-        reverse=True,
-    )
-    if not nums:
+    parsed = sorted(_parse_pointers(names), reverse=True)
+    if not parsed:
         return None
-    ptr = f"{root.rstrip('/')}/{IVFPQ_CURRENT_PREFIX}{nums[0]:012d}"
-    gen = _fs_read_text(ptr, spark).strip()
-    return f"{root.rstrip('/')}/{gen}"
+    return f"{root.rstrip('/')}/{parsed[0][1]}"
 
 
 def resolve_index_dir(path: str, spark=None) -> str:
@@ -1543,19 +1547,22 @@ def compact_ivfpq_index(
 
     # overwrite-into-source guard: dest == base (or == stream) would
     # have the overwrite clear the directory the lazy read is still
-    # scanning, destroying the base generation mid-compaction
+    # scanning, destroying the base generation mid-compaction. The
+    # base is compared AFTER pointer resolution — a caller passing
+    # the generational ROOT as base with dest pointing at the root's
+    # CURRENT generation is exactly this hazard in disguise
+    base_path = resolve_index_dir(base_path, spark)
     dest_real = os.path.realpath(dest_path)
     if dest_real == os.path.realpath(base_path):
         raise ValueError(
             "compact_ivfpq_index: dest_path must be a NEW generation "
-            f"dir, not the base index itself ({base_path})"
+            f"dir, not the (resolved) base index itself ({base_path})"
         )
     if dest_real == os.path.realpath(stream_path):
         raise ValueError(
             "compact_ivfpq_index: dest_path must not be the stream "
             f"store ({stream_path})"
         )
-    base_path = resolve_index_dir(base_path, spark)
     if meta is None:
         meta = read_ivfpq_meta(base_path, spark)
     base = spark.read.parquet(base_path).select(
@@ -1629,12 +1636,15 @@ def delete_from_ivfpq_index(
     import json
     import os
 
+    # guard AFTER pointer resolution (see compact_ivfpq_index): a
+    # dest equal to the root's CURRENT generation must be refused too
+    base_path = resolve_index_dir(base_path, spark)
     if os.path.realpath(dest_path) == os.path.realpath(base_path):
         raise ValueError(
             "delete_from_ivfpq_index: dest_path must be a NEW "
-            f"generation dir, not the base index itself ({base_path})"
+            "generation dir, not the (resolved) base index itself "
+            f"({base_path})"
         )
-    base_path = resolve_index_dir(base_path, spark)
     if meta is None:
         meta = read_ivfpq_meta(base_path, spark)
     if isinstance(ids, DataFrame):

@@ -168,8 +168,7 @@ def with_nearest_airport(
     grid_min_dims: int = GRID_MIN_AIRPORTS,
 ) -> DataFrame:
     """Per-tick nearest airport by Manhattan |dlat|+|dlon| degrees
-    (FlightAnalysis.py:356-366). Two result-identical physical
-    strategies (equivalence-tested):
+    (FlightAnalysis.py:356-366).
 
     THREE result-identical physical strategies, dispatched on the
     usable dim count (equivalence-tested on the reference's real

@@ -59,7 +59,47 @@ def _scratch_dir() -> str:
             tempfile.gettempdir(), f"spark_graft_{getpass.getuser()}"
         )
     os.makedirs(base, mode=0o700, exist_ok=True)
+    # the path is still predictable, so a PRE-EXISTING dir must be
+    # proven ours: makedirs(exist_ok=True) neither applies the mode
+    # nor checks ownership, and accepting a squatter's world-writable
+    # dir would let them swap index/fixture parquet under us (the
+    # tempfile safe-dir rule)
+    st = os.stat(base)
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"scratch dir {base} is owned by uid {st.st_uid}, not us; "
+            "set SPARK_GRAFT_TMP to a directory you own"
+        )
+    if st.st_mode & 0o077:
+        os.chmod(base, 0o700)
     return base
+
+
+def _write_ordered_stream_fixture(stream_dir: str, parts) -> None:
+    """Materialize a deterministic multi-micro-batch file-stream
+    fixture: each (name, df, mtime) in ``parts`` becomes ONE parquet
+    file in ``stream_dir`` with a pinned mtime, so a
+    maxFilesPerTrigger=1 source replays the batches in a fixed order
+    (FileStreamSource takes oldest-first). A ``_READY`` sentinel is
+    written LAST as the commit marker; callers skip the build when it
+    exists. Shared by the incremental-dedup and approach work-queue
+    stream fixtures."""
+    import os
+    import shutil
+
+    if os.path.exists(os.path.join(stream_dir, "_READY")):
+        return
+    os.makedirs(stream_dir, exist_ok=True)
+    for name, df, mtime in parts:
+        tmp = os.path.join(stream_dir, f".tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(stream_dir, name)
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(stream_dir, "_READY"), "w") as f:
+        f.write("ok")
 
 
 def _plane_component(i: int, d: int) -> float:
@@ -957,10 +997,31 @@ def _ensure_ivfpq_index(emb: DataFrame, path: str, **params) -> None:
     S.write_ivfpq_index(emb, tmp, **params)
     try:
         os.rename(tmp, path)
+        return
     except OSError:
-        # lost the race — the winner's index is content-identical
-        # (same corpus key, same params, deterministic training)
+        pass
+    # rename failed because path exists. Usually that means we lost
+    # the race and the winner's index is content-identical (same
+    # corpus key, same params, deterministic training) — but it can
+    # also be a STALE meta-less directory from a crashed pre-atomic
+    # build, which would otherwise make every future call discard its
+    # good candidate and then fail reading the meta, forever. Verify
+    # the commit marker; repair by clearing the junk and retrying.
+    if os.path.exists(os.path.join(path, S.IVFPQ_META_FILE)):
         shutil.rmtree(tmp, ignore_errors=True)
+        return
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # a concurrent repair won the second race; trust its result
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, S.IVFPQ_META_FILE)):
+            raise RuntimeError(
+                f"index build could not commit to {path}: directory "
+                "exists without a meta commit marker and could not be "
+                "replaced"
+            )
 
 
 @register("ann_ivfpq_indexed", None)  # approx ids => recall oracle
@@ -1776,7 +1837,6 @@ def streaming_incremental_dedup_docs(
     keepers store."""
     import hashlib
     import os
-    import shutil
 
     from ..streaming.foreach_batch import stream_incremental_dedup
 
@@ -1832,26 +1892,13 @@ def streaming_incremental_dedup_docs(
                 )
             )
         )
-        os.makedirs(stream_dir, exist_ok=True)
-        for name, df, mtime in (
+        # fixed mtimes pin micro-batch ORDER: batch 1 = low ids,
+        # batch 2 = high ids + dups of batch 1 — the id-monotonic
+        # arrival the convergence contract assumes
+        _write_ordered_stream_fixture(stream_dir, (
             ("arrivals_00.parquet", batch1, 1_000_000_000),
             ("arrivals_01.parquet", batch2, 1_000_000_100),
-        ):
-            tmp = os.path.join(stream_dir, f".tmp_{name}")
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = os.path.join(stream_dir, name)
-            shutil.copy(os.path.join(tmp, part), dst)
-            # fixed mtimes pin micro-batch ORDER (FileStreamSource
-            # takes oldest-first): batch 1 = low ids, batch 2 = high
-            # ids + dups of batch 1 — the id-monotonic arrival the
-            # convergence contract assumes
-            os.utime(dst, (mtime, mtime))
-            shutil.rmtree(tmp, ignore_errors=True)
-        with open(os.path.join(stream_dir, "_READY"), "w") as f:
-            f.write("ok")
+        ))
 
     schema = spark.read.parquet(
         os.path.join(stream_dir, "arrivals_00.parquet")
@@ -1942,7 +1989,6 @@ def streaming_incremental_minhash_docs(
     the history grows by a few hundred BYTES per kept doc."""
     import hashlib
     import os
-    import shutil
 
     from ..streaming.foreach_batch import stream_incremental_minhash_dedup
 
@@ -1983,22 +2029,10 @@ def streaming_incremental_minhash_docs(
             F.size(T.tokens("text")) >= SHINGLE_K
         ).select((F.col("doc_id") + 5000000).alias("doc_id"), "text")
         batch2 = hi.unionByName(recrawls)
-        os.makedirs(stream_dir, exist_ok=True)
-        for name, df, mtime in (
+        _write_ordered_stream_fixture(stream_dir, (
             ("arrivals_00.parquet", lo, 1_000_000_000),
             ("arrivals_01.parquet", batch2, 1_000_000_100),
-        ):
-            tmp = os.path.join(stream_dir, f".tmp_{name}")
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = os.path.join(stream_dir, name)
-            shutil.copy(os.path.join(tmp, part), dst)
-            os.utime(dst, (mtime, mtime))
-            shutil.rmtree(tmp, ignore_errors=True)
-        with open(os.path.join(stream_dir, "_READY"), "w") as f:
-            f.write("ok")
+        ))
 
     schema = spark.read.parquet(
         os.path.join(stream_dir, "arrivals_00.parquet")
@@ -2695,30 +2729,16 @@ def streaming_approach_work_queue(
 
     tel = _telemetry_fixture(spark, sf_dir)
     if not os.path.exists(os.path.join(stream_dir, "_READY")):
-        import shutil
-
         b = tel.agg(
             F.min("flight").alias("mn"), F.max("flight").alias("mx")
         ).first()
         mid = (int(b["mn"]) + int(b["mx"])) // 2
-        os.makedirs(stream_dir, exist_ok=True)
-        for name, df, mtime in (
+        _write_ordered_stream_fixture(stream_dir, (
             ("flights_00.parquet", tel.filter(F.col("flight") <= mid),
              1_000_000_000),
             ("flights_01.parquet", tel.filter(F.col("flight") > mid),
              1_000_000_100),
-        ):
-            tmp = os.path.join(stream_dir, f".tmp_{name}")
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = os.path.join(stream_dir, name)
-            shutil.copy(os.path.join(tmp, part), dst)
-            os.utime(dst, (mtime, mtime))
-            shutil.rmtree(tmp, ignore_errors=True)
-        with open(os.path.join(stream_dir, "_READY"), "w") as f:
-            f.write("ok")
+        ))
 
     keys = ["flight_id", "approach_id"]
     result_cols = AP.analyze(

@@ -159,16 +159,16 @@ def stream_incremental_dedup(
     the union of batch keepers equals the one-shot batch dedup of ALL
     arrivals against the same history — the oracle equality
     tests/test_streaming.py pins."""
-    import os
-
     from ..operators import corpus as C
+    from ..operators.similarity import _fs_glob
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         hist = spark.read.parquet(history_fp_path).select("fp")
-        has_prior = os.path.isdir(keepers_path) and any(
-            d.startswith("batch=") for d in os.listdir(keepers_path)
-        )
+        # Hadoop-FS listing, not os.listdir: on an hdfs://s3a://
+        # keepers store a local-FS probe would be silently False and
+        # the grown-history dedup would quietly stop deduplicating
+        has_prior = bool(_fs_glob(keepers_path, "batch=*", spark))
         if has_prior:
             prior = (
                 spark.read.parquet(keepers_path)
@@ -229,18 +229,17 @@ def stream_incremental_minhash_dedup(
     its own batch directory. Sequential-greedy convergence semantics
     (batch N dedups vs history + keepers of batches < N) are pinned
     against a SQL oracle by the registered catalog query."""
-    import os
-
     from ..operators import dedup as D
+    from ..operators.similarity import _fs_glob
 
     sig_cols = [f"h{i}" for i in range(num_hashes)]
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         hist = spark.read.parquet(history_sig_path)
-        has_prior = os.path.isdir(keepers_path) and any(
-            d.startswith("batch=") for d in os.listdir(keepers_path)
-        )
+        # Hadoop-FS listing (see stream_incremental_dedup): a remote
+        # keepers store must still grow the dedup history
+        has_prior = bool(_fs_glob(keepers_path, "batch=*", spark))
         if has_prior:
             prior = (
                 spark.read.parquet(keepers_path)

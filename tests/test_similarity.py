@@ -684,3 +684,21 @@ def test_write_ivfpq_index_auto_cells(spark, emb, tmp_path):
         spark, path, q, k=5, n_probe=4, rerank=20, emb=emb, exclude_id=2
     ).collect()
     assert len(got) == 5
+
+
+def test_compact_refuses_dest_equal_to_resolved_generation(
+    spark, emb, tmp_path
+):
+    """Passing the generational ROOT as base with dest set to the
+    root's CURRENT generation is the overwrite-into-source hazard in
+    disguise — the guard must compare dest against the RESOLVED
+    base, not the root path."""
+    root = str(tmp_path / "rroot")
+    gen1 = f"{root}/gen-000001"
+    S.write_ivfpq_index(emb, gen1, k_coarse=4, m=4, k_sub=4, n_iter=1)
+    S.set_current_generation(root, "gen-000001")
+    stream = str(tmp_path / "rstream")
+    with pytest.raises(ValueError, match="NEW generation"):
+        S.compact_ivfpq_index(spark, root, stream, gen1)
+    with pytest.raises(ValueError, match="NEW generation"):
+        S.delete_from_ivfpq_index(spark, root, [1], gen1)
