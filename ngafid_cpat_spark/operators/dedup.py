@@ -322,6 +322,7 @@ def incremental_minhash_dedup(
     history_sig: DataFrame | None = None,
     new_sig: DataFrame | None = None,
     return_signatures: bool = False,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """NEAR-dup incremental dedup: from a NEW batch, the documents
     that are not a verified near-duplicate (banded-LSH candidate AND
@@ -349,7 +350,15 @@ def incremental_minhash_dedup(
     table so the NEXT batch dedups against these keepers too (the
     streaming ingest loop, streaming/foreach_batch.
     stream_incremental_minhash_dedup). ``new_sig`` lets such a caller
-    reuse a signature table it already built for this batch."""
+    reuse a signature table it already built for this batch.
+
+    ``broadcast_new`` (default True) hints the NEW side — its banding,
+    its sets, and the candidate pairs they bound — as broadcast: the
+    incremental contract is that an arriving batch is small relative
+    to the corpus (ingestion-cadence-bounded), so the history is
+    never shuffled; only its banding is scanned through the broadcast
+    hash join. Pass False for backfill-sized batches that outgrow a
+    broadcast — the joins then shuffle both sides (sort-merge)."""
     rows_per_band = num_hashes // bands
     if new_sig is None:
         new_sig = minhash_sig_table(
@@ -367,8 +376,9 @@ def incremental_minhash_dedup(
         )
     new_banded = minhash_band_table(new_sig, bands, rows_per_band)
     hist_banded = minhash_band_table(history_sig, bands, rows_per_band)
+    nb = F.broadcast(new_banded) if broadcast_new else new_banded
     cands = (
-        new_banded.alias("n")
+        nb.alias("n")
         .join(hist_banded.alias("h"), on=["band", "bucket"])
         .select(F.col("n.id").alias("nid"), F.col("h.id").alias("hid"))
         .distinct()
@@ -377,9 +387,18 @@ def incremental_minhash_dedup(
     hsets = history_sig.select(
         F.col("id").alias("hid"), F.col("s").alias("s2")
     )
+    cn = cands.join(
+        F.broadcast(nsets) if broadcast_new else nsets, "nid"
+    )
+    if broadcast_new:
+        # candidate pairs are new-batch-bounded (LSH bucket occupancy
+        # keeps them ~|near-dup arrivals|): broadcast them into the
+        # history sets instead of shuffling the corpus-sized hsets
+        joined = hsets.join(F.broadcast(cn), "hid")
+    else:
+        joined = cn.join(hsets, "hid")
     matched = (
-        cands.join(nsets, "nid")
-        .join(hsets, "hid")
+        joined
         .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
         .filter(
             F.col("inter")
@@ -389,6 +408,8 @@ def incremental_minhash_dedup(
         .select(F.col("nid").alias(id_col))
         .distinct()
     )
+    if broadcast_new:
+        matched = F.broadcast(matched)  # new-batch-bounded
     keepers = new_docs.select(id_col).distinct().join(
         matched, id_col, "left_anti"
     )
