@@ -853,6 +853,80 @@ def embedding_neardup_lsh(
     )
 
 
+def embedding_incremental_neardup(
+    new_emb: DataFrame,
+    history_emb: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Embedding-space incremental near-dup dedup: from a NEW batch
+    of vectors, the ids with no history vector above ``threshold``
+    cosine — the third member of the incremental-dedup family (exact
+    fingerprints: corpus.incremental_dedup; text MinHash:
+    incremental_minhash_dedup). Candidates come from a hyperplane-LSH
+    bucket equi-join of the small new side against the history's
+    bucket assignment (the artifact a deployment maintains alongside
+    the vectors), verified by exact cosine — only cross-side
+    candidate pairs are ever scored, never all-pairs, and the history
+    is never shuffled when ``broadcast_new`` holds (the incremental
+    contract: an arriving batch is ingestion-cadence-bounded).
+
+    Zero vectors can never match (cosine undefined); they are
+    excluded from candidate generation on both sides and therefore
+    always kept. Within-batch near-dups are retained by design (see
+    incremental_minhash_dedup). Returns the keeper ids."""
+    from .similarity import lsh_bucket_assignments
+
+    def _live(df):
+        self_dot = F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x,
+        )
+        return df.filter(self_dot > 0)
+
+    nb = lsh_bucket_assignments(
+        _live(new_emb), planes, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col(id_col).alias("__nid"), F.col(vec_col).alias("__nv"), "bucket"
+    )
+    hb = lsh_bucket_assignments(
+        _live(history_emb), planes, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col(vec_col).alias("__hv"), "bucket"
+    )
+    if broadcast_new:
+        nb = F.broadcast(nb)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__nv"),
+            F.col("__hv"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(c), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+        )
+    )
+    matched = (
+        nb.join(hb, "bucket")
+        .filter(dot / (norm("__nv") * norm("__hv")) >= threshold)
+        .select(F.col("__nid").alias(id_col))
+        .distinct()
+    )
+    if broadcast_new:
+        matched = F.broadcast(matched)
+    return new_emb.select(id_col).distinct().join(
+        matched, id_col, "left_anti"
+    )
+
+
 def blocked_hamming_pairs(
     sig: DataFrame,
     id_col: str = "id",

@@ -657,6 +657,47 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_incremental_neardup",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), live AS (
+      SELECT vec_id, v, ({_plane_bucket_sql('v')}) AS bucket
+      FROM e WHERE list_dot_product(v, v) > 0
+    ), matched AS (
+      SELECT DISTINCT n.vec_id
+      FROM live n JOIN live h ON n.bucket = h.bucket
+      WHERE n.vec_id % 3 = 0 AND h.vec_id % 3 <> 0
+        AND {_COS_SQL.format(a='n.v', b='h.v')} >= 0.35
+    )
+    SELECT e.vec_id FROM e
+    WHERE e.vec_id % 3 = 0
+      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.vec_id = e.vec_id)
+    """,
+)
+def embedding_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space incremental near-dup dedup (operators/dedup.
+    embedding_incremental_neardup): new vectors (vec_id % 3 == 0) are
+    hyperplane-LSH bucketed against the corpus history's bucket
+    assignment (vec_id % 3 != 0) and kept only when no cross-side
+    candidate verifies at cosine >= 0.35 — completes the incremental
+    family (exact fingerprint, MinHash text, embedding cosine). The
+    deterministic literal planes make even the LSH candidate step
+    exactly reproducible in the DuckDB oracle. Zero vectors never
+    match and are always kept."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = D.embedding_incremental_neardup(
+        emb.filter(F.col("vec_id") % 3 == 0),
+        emb.filter(F.col("vec_id") % 3 != 0),
+        LSH_PLANES,
+        threshold=0.35,
+    )
+    return out.select("vec_id")
+
+
+@register(
     "ann_topk_batch",
     """
     WITH q AS (

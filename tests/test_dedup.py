@@ -392,3 +392,42 @@ def test_incremental_minhash_dedup_history_sig_path_identical(spark, docs):
     assert via_sig == via_text == {6}
     with pytest.raises(ValueError):
         D.incremental_minhash_dedup(new)
+
+
+def test_embedding_incremental_neardup(spark):
+    """New vectors near a history vector (cosine >= threshold) drop;
+    novel directions and zero vectors are kept; within-batch
+    near-dups are retained by design."""
+    hist = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, [0.99, 0.05, 0.0, 0.0]),   # near hist 100 -> drop
+            (2, [2.0, 0.0, 0.0, 0.0]),     # scaled copy of 100 -> drop
+            (3, [0.0, 0.0, 1.0, 0.0]),     # novel -> keep
+            (4, [0.0, 0.0, 0.98, 0.1]),    # near 3 (within batch) -> keep
+            (5, [0.0, 0.0, 0.0, 0.0]),     # zero vector -> keep
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    planes = [
+        [1.0, -0.3, 0.2, 0.7], [-0.5, 1.0, 0.4, -0.2],
+        [0.3, 0.6, -1.0, 0.1], [0.2, -0.8, 0.5, 1.0],
+    ]
+    kept = {
+        r["vec_id"]
+        for r in D.embedding_incremental_neardup(
+            new, hist, planes, threshold=0.9
+        ).collect()
+    }
+    assert kept == {3, 4, 5}
+    # broadcast_new=False (backfill mode) is result-identical
+    kept2 = {
+        r["vec_id"]
+        for r in D.embedding_incremental_neardup(
+            new, hist, planes, threshold=0.9, broadcast_new=False
+        ).collect()
+    }
+    assert kept2 == kept
