@@ -756,3 +756,110 @@ def incremental_dedup(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "fp")
     )
+
+
+def classifier_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic, engine-portable document features for the
+    quality-classifier trainer: every feature is an exact rational of
+    INTEGER counts over the normalized text (token count capped at
+    512 and scaled, mean token length via chars-minus-spaces, unique-
+    token ratio), so Spark and any SQL oracle compute bit-identical
+    doubles — no regexes beyond the shared whitespace normalize, no
+    transcendentals. Returns (id, x1, x2, x3)."""
+    norm = T.normalize(text_col)
+    toks = F.split(norm, " ")
+    n_tok = F.size(toks).cast("double")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        (F.least(F.size(toks), F.lit(512)).cast("double") / 512.0).alias(
+            "x1"
+        ),
+        (
+            ((F.length(norm).cast("double") - (n_tok - 1.0)) / n_tok) / 10.0
+        ).alias("x2"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias("x3"),
+    )
+
+
+def train_linear_classifier(
+    feats: DataFrame,
+    label_col: str = "y",
+    eta: float = 0.5,
+    n_iter: int = 4,
+) -> dict:
+    """Distributed BATCH-GRADIENT-DESCENT training of a linear
+    classifier with a HARD-sigmoid link — iterative model training as
+    a first-class, ORACLE-PAIRABLE engine operation (the Lloyd-k-means
+    doctrine applied to supervised learning):
+
+      * link: p = clamp(0.25*z + 0.5, 0, 1) — the standard
+        hard-sigmoid approximation, chosen over exp() DELIBERATELY:
+        libm exp differs by ulps across engines and a 1-ulp flip at a
+        rounding boundary would break cross-engine bit-equality; the
+        hard sigmoid is pure +/x/clamp on doubles, exact everywhere.
+      * weights live as INTEGER MICROS; each iteration computes, per
+        row, micro-quantized gradient components
+        CAST(ROUND((y - p) * x_j * 1e6) AS BIGINT), sums them as
+        BIGINT (summation order can never move a bit — the cents-sum
+        doctrine), and steps
+        W_j += ROUND(eta * G_j / N) (micros). Every iteration is ONE
+        map-side-combining aggregate + a 1-row collect, exactly the
+        BPE/Lloyd driver-sync shape — 100 TB-safe (no per-row state
+        on the driver, n_iter passes over a frame the caller should
+        checkpoint).
+
+    ``feats``: (id, x1..x3, y in {0.0, 1.0}) — classifier_features +
+    a label. Returns {"weights_micro": [bias, w1, w2, w3], "n": N,
+    "train_correct": C} where C counts rows the FINAL weights
+    classify correctly (p >= 0.5 vs y)."""
+    import math
+
+    xs = ["x1", "x2", "x3"]
+    w = [0, 0, 0, 0]  # integer micros: bias, w1..w3
+    n = None
+
+    def _z():
+        z = F.lit(w[0] / 1e6)
+        for j, c in enumerate(xs):
+            z = z + F.lit(w[j + 1] / 1e6) * F.col(c)
+        return z
+
+    def _p():
+        return F.least(
+            F.greatest(0.25 * _z() + 0.5, F.lit(0.0)), F.lit(1.0)
+        )
+
+    for _ in range(n_iter):
+        resid = F.col(label_col) - _p()
+        aggs = [
+            F.sum(
+                F.round(resid * 1000000.0, 0).cast("long")
+            ).alias("g0"),
+            *[
+                F.sum(
+                    F.round(resid * F.col(c) * 1000000.0, 0).cast("long")
+                ).alias(f"g{j + 1}")
+                for j, c in enumerate(xs)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        ]
+        row = feats.agg(*aggs).first()  # 1-row driver sync per pass
+        n = int(row["n"])
+        for j in range(4):
+            # SQL ROUND semantics (half away from zero) — Python's
+            # built-in round is half-EVEN and would diverge from the
+            # oracle's ROUND(0.5 * g / n, 0) at exact .5 boundaries
+            step = eta * int(row[f"g{j}"]) / n
+            w[j] += int(math.floor(abs(step) + 0.5)) * (
+                1 if step >= 0 else -1
+            )
+    correct = feats.agg(
+        F.sum(
+            F.when(
+                (_p() >= 0.5) == (F.col(label_col) == 1.0), 1
+            ).otherwise(0)
+        ).alias("c")
+    ).first()["c"]
+    return {"weights_micro": w, "n": n, "train_correct": int(correct)}

@@ -697,6 +697,108 @@ def embedding_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("vec_id")
 
 
+def _lr_oracle() -> str:
+    """Unrolled-CTE DuckDB oracle for the 4-iteration hard-sigmoid
+    GD trainer: weights carried as BIGINT micros in 1-row CTEs, each
+    iteration one micro-quantized gradient aggregate — the
+    kmeans/BPE unrolled-iteration pattern. feat is MATERIALIZED
+    (referenced by 4 gradient passes + the accuracy pass; default
+    inlining re-expands the chain per reference)."""
+    feat = """
+    feat AS MATERIALIZED (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             LEAST(len(toks), 512) / 512.0 AS x1,
+             ((length(norm) - (len(toks) - 1.0)) / len(toks)) / 10.0 AS x2,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS x3
+      FROM (
+        SELECT lang, norm, string_split(norm, ' ') AS toks
+        FROM (
+          SELECT lang,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+          FROM documents
+        )
+      )
+    ),
+    it0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS w1,
+                   CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"""
+    p_expr = (
+        "LEAST(GREATEST(0.25 * (i.b/1e6 + i.w1/1e6*x1 + i.w2/1e6*x2 "
+        "+ i.w3/1e6*x3) + 0.5, 0.0), 1.0)"
+    )
+    its = []
+    for t in range(4):
+        its.append(f"""
+    g{t} AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(ROUND((y - p) * 1000000.0, 0) AS BIGINT)) AS g0,
+             SUM(CAST(ROUND((y - p) * x1 * 1000000.0, 0) AS BIGINT)) AS gx1,
+             SUM(CAST(ROUND((y - p) * x2 * 1000000.0, 0) AS BIGINT)) AS gx2,
+             SUM(CAST(ROUND((y - p) * x3 * 1000000.0, 0) AS BIGINT)) AS gx3
+      FROM (SELECT f.*, {p_expr} AS p FROM feat f, it{t} i)
+    ),
+    it{t + 1} AS (
+      SELECT i.b + CAST(ROUND(0.5 * g.g0 / g.n, 0) AS BIGINT) AS b,
+             i.w1 + CAST(ROUND(0.5 * g.gx1 / g.n, 0) AS BIGINT) AS w1,
+             i.w2 + CAST(ROUND(0.5 * g.gx2 / g.n, 0) AS BIGINT) AS w2,
+             i.w3 + CAST(ROUND(0.5 * g.gx3 / g.n, 0) AS BIGINT) AS w3
+      FROM it{t} i, g{t} g
+    )""")
+    return f"""
+    WITH {feat},{','.join(its)},
+    acc AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
+               AS correct
+      FROM (SELECT f.*, {p_expr} AS p FROM feat f, it4 i)
+    )
+    SELECT param, CAST(value AS BIGINT) AS value FROM (
+      SELECT 'bias' AS param, b AS value FROM it4
+      UNION ALL SELECT 'w1', w1 FROM it4
+      UNION ALL SELECT 'w2', w2 FROM it4
+      UNION ALL SELECT 'w3', w3 FROM it4
+      UNION ALL SELECT 'n', n FROM acc
+      UNION ALL SELECT 'train_correct', correct FROM acc
+    )
+    """
+
+
+@register("lr_quality_train_docs", _lr_oracle())
+def lr_quality_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model training as a first-class engine operation:
+    a hard-sigmoid linear classifier (predicting lang == 'en' from
+    exact-rational length/shape features — the quality-classifier
+    TRAINING MECHANICS, with a deliberately simple target) fit by
+    4 rounds of batch gradient descent, each round ONE map-side-
+    combining aggregate + a 1-row driver sync (operators/corpus.
+    train_linear_classifier — the Lloyd/BPE iterative shape).
+    Deterministic and ORACLE-PAIRED end to end: integer-micro
+    weights, micro-quantized BIGINT gradient sums (summation order
+    can never move a bit), a transcendental-free link (libm exp
+    differs across engines by ulps; clamp(0.25z+0.5) does not), and
+    half-away rounding on both sides. The DuckDB oracle replays all
+    4 iterations as unrolled CTEs and hash-matches weights, row
+    count, and training accuracy."""
+    from ..operators import corpus as C
+
+    docs = load(spark, sf_dir, "documents")
+    feats = C.classifier_features(docs).join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        ),
+        "id",
+    ).localCheckpoint(eager=False)  # 5 passes share one materialization
+    model = C.train_linear_classifier(feats, n_iter=4)
+    w = model["weights_micro"]
+    return spark.createDataFrame(
+        [
+            ("bias", w[0]), ("w1", w[1]), ("w2", w[2]), ("w3", w[3]),
+            ("n", model["n"]), ("train_correct", model["train_correct"]),
+        ],
+        "param string, value long",
+    )
+
+
 @register(
     "ann_topk_batch",
     """

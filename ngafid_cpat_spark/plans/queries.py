@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (158 queries: 151 strict oracles + 7 bounded-error).
+the full catalog (159 queries: 152 strict oracles + 7 bounded-error).
 """
 
 from __future__ import annotations
@@ -35,6 +35,7 @@ PRIORITY = [
     "dedup_incremental_minhash_docs",
     "streaming_incremental_minhash_docs",
     "embedding_incremental_neardup",
+    "lr_quality_train_docs",
     # plan changed this round (per-user scratch base + atomic index
     # build guard; with_nearest_airport gridded dispatch)
     "ann_ivfpq_indexed",
@@ -83,7 +84,6 @@ PRIORITY = [
     "islands_chunked_events",
     "join_anti_customers",
     "latest_snapshot_events",
-    "min_acctbal_customer_per_nation",
 ]
 
 

@@ -362,3 +362,41 @@ def test_exact_isqrt_matches_math_isqrt_at_float_boundaries(spark):
         for r in df.select("n", exact_isqrt(F.col("n")).alias("iq")).collect()
     }
     assert got == {n: math.isqrt(n) for n in ns}
+
+
+def test_train_linear_classifier_learns_separable_data(spark):
+    """On linearly separable features the GD trainer must beat the
+    majority baseline and reach perfect training accuracy; weights
+    move in the gradient direction (positive feature weight for the
+    positive class's large feature)."""
+    from ngafid_cpat_spark.operators import corpus as C
+
+    rows = []
+    for i in range(40):
+        y = 1.0 if i % 2 == 0 else 0.0
+        x = 0.9 if y == 1.0 else 0.1
+        rows.append((i, x, x, x, y))
+    feats = spark.createDataFrame(
+        rows, "id long, x1 double, x2 double, x3 double, y double"
+    )
+    model = C.train_linear_classifier(feats, n_iter=8)
+    assert model["n"] == 40
+    assert model["train_correct"] == 40  # separable -> perfect
+    b, w1, w2, w3 = model["weights_micro"]
+    assert w1 > 0 and w2 > 0 and w3 > 0  # big features => positive
+
+
+def test_classifier_features_exact_rationals(spark):
+    """Features are exact rationals of integer counts: token cap,
+    chars-minus-spaces mean length, distinct ratio."""
+    from ngafid_cpat_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "x")], "doc_id long, text string"
+    )
+    got = {r["id"]: (r["x1"], r["x2"], r["x3"])
+           for r in C.classifier_features(docs).collect()}
+    # doc 1: 3 tokens, norm len 8, 2 spaces -> mean tok len 2;
+    # distinct 2/3
+    assert got[1] == (3 / 512, (8 - 2) / 3 / 10, 2 / 3)
+    assert got[2] == (1 / 512, 1 / 10, 1.0)
