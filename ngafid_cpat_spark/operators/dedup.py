@@ -900,23 +900,14 @@ def embedding_incremental_neardup(
     )
     if broadcast_new:
         nb = F.broadcast(nb)
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("__nv"),
-            F.col("__hv"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.col(c), F.lit(0.0), lambda a, x: a + x.cast("double") * x
-        )
-    )
+    from .similarity import cosine_q
+
     matched = (
         nb.join(hb, "bucket")
-        .filter(dot / (norm("__nv") * norm("__hv")) >= threshold)
+        # cosine_q: exact integer-micro dots, bit-stable vs any SQL
+        # oracle (a float-dot threshold can flip cross-engine at ulp
+        # distance from the boundary)
+        .filter(cosine_q("__nv", "__hv") >= threshold)
         .select(F.col("__nid").alias(id_col))
         .distinct()
     )

@@ -45,6 +45,41 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+VEC_QUANT = 1_000_000.0  # 1e-6 component quantum for exact cross-engine dots
+PLANE_QUANT = 1_000.0  # LSH plane components are k/1000 rationals
+
+
+def _vq(vec_col) -> "F.Column":
+    """Vector components quantized to integer micros (as integer-
+    valued DOUBLES): round(x * 1e6). Dots over these are sums of
+    integers far below 2^53, so they are EXACT in any summation
+    order on any engine — the fix for the cross-engine float
+    near-miss class (two libms' multi-term float dots differ by
+    ulps; at sf0.1 one flipped an LSH sign bit and a round-4 rank
+    boundary in knn_graph_embeddings)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(c, lambda x: F.round(x.cast("double") * VEC_QUANT, 0))
+
+
+def _dotq(a, b) -> "F.Column":
+    """Exact dot of two integer-valued-double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def cosine_q(vec_a, vec_b) -> "F.Column":
+    """Cross-engine bit-stable cosine: exact integer-micro dots, then
+    one division and two correctly-rounded sqrts — every step is an
+    IEEE correctly-rounded scalar op on identical inputs, so Spark,
+    numpy and DuckDB agree to the last bit (the 1e6 scale factors
+    cancel). Quantization shifts the value by O(1e-6) relative to
+    the unquantized cosine — far inside every threshold/round the
+    catalog uses."""
+    qa, qb = _vq(vec_a), _vq(vec_b)
+    return _dotq(qa, qb) / (F.sqrt(_dotq(qa, qa)) * F.sqrt(_dotq(qb, qb)))
+
+
 def lsh_bucket_assignments(
     emb: DataFrame,
     planes: list[list[float]],
@@ -53,10 +88,23 @@ def lsh_bucket_assignments(
 ) -> DataFrame:
     """Random-hyperplane LSH: sign bits of dot(v, plane_i) packed into
     a bucket id. Vectors in the same bucket are near in angle with
-    high probability; near-dup search joins within buckets only."""
+    high probability; near-dup search joins within buckets only.
+
+    The sign test runs on EXACT integer dots (components at the 1e-6
+    quantum x plane components at the 1e-3 quantum — LSH_PLANES'
+    construction grid), not float dots: a float dot within an ulp of
+    zero evaluates to opposite signs on different engines, silently
+    moving the vector to a different bucket and changing every
+    candidate set downstream (observed at sf0.1). Plane components
+    are contractually 1e-3 rationals; arbitrary float planes would be
+    quantized to that grid here."""
     bucket = F.lit(0).cast("long")
+    vq = _vq(vec_col)
     for i, p in enumerate(planes):
-        bit = (V.dot_literal(vec_col, p) > 0).cast("long")
+        p_int = F.array(
+            *[F.lit(float(round(x * PLANE_QUANT))) for x in p]
+        )
+        bit = (_dotq(vq, p_int) > 0).cast("long")
         bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
     return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
@@ -113,17 +161,21 @@ def knn_graph_lsh(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nv"),
     )
-    from ..functions import vector as V
-
     scored = (
         a.join(c, "bucket")
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
-            F.round(
-                V.dot("qv", "nv") / (V.norm("qv") * V.norm("nv")), 4
-            ).alias("cosine"),
+            # cosine_q, not a float dot: the round-4 rank key must be
+            # bit-identical across engines or the k-th neighbor flips
+            # at a rounding boundary. The + 0.0 normalizes NEGATIVE
+            # ZERO: Spark's round(-3.7e-5, 4) yields +0.0 but
+            # DuckDB's yields -0.0, and the driver hashes float BITS
+            # (-0.0 != 0.0 there) — the actual sf0.1 failure
+            (F.round(cosine_q("qv", "nv"), 4) + F.lit(0.0)).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("qid").orderBy(
@@ -174,20 +226,27 @@ def cosine_pairs_in_groups(
         if len(pdf) < 2:
             return empty
         ids = pdf[id_col].to_numpy()
+        # integer-micro quantization BEFORE the matmul (cosine_q's
+        # contract): Q @ Q.T sums integer-valued float64 far below
+        # 2^53, so BLAS accumulation order cannot move a bit and the
+        # values match the SQL oracle's quantized dots exactly; the
+        # normalize-then-matmul float form differed from another
+        # engine's dot by ulps (the sf0.1 near-miss class)
         M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        nrm = np.sqrt((M * M).sum(axis=1))
-        nrm[nrm == 0.0] = np.nan
-        U = M / nrm[:, None]
+        Q = np.round(M * 1e6)
+        n = (Q * Q).sum(axis=1)
+        sn = np.sqrt(n)
+        sn[sn == 0.0] = np.nan
         if split_col is not None and key[0] != key[1]:
             a = pdf[split_col].to_numpy() == key[0]
             if not a.any() or a.all():
                 return empty
-            S = U[a] @ U[~a].T
+            S = (Q[a] @ Q[~a].T) / (sn[a][:, None] * sn[~a][None, :])
             i1, i2 = np.nonzero(S >= threshold)
             x, y = ids[a][i1], ids[~a][i2]
             c = S[i1, i2]
         else:
-            S = U @ U.T
+            S = (Q @ Q.T) / (sn[:, None] * sn[None, :])
             i1, i2 = np.triu_indices(len(ids), k=1)
             c = S[i1, i2]
             keep = c >= threshold

@@ -118,16 +118,33 @@ _COS_SQL = (
     "(SQRT(list_dot_product({a}, {a})) * SQRT(list_dot_product({b}, {b})))"
 )
 
+# Quantized-exact cosine (mirrors similarity.cosine_q): components
+# rounded to integer micros BEFORE the dot, so every dot is a sum of
+# integers far below 2^53 — exact in any summation order on any
+# engine. The raw-float _COS_SQL variant diverged from Spark by an
+# ulp at sf0.1 and flipped a round-4 rank boundary in the k-NN graph.
+_VQ_SQL = "list_transform({v}, x -> ROUND(x * 1000000.0, 0))"
+_COS_Q_SQL = (
+    f"list_dot_product({_VQ_SQL.format(v='{a}')}, {_VQ_SQL.format(v='{b}')}) / "
+    f"(SQRT(list_dot_product({_VQ_SQL.format(v='{a}')}, {_VQ_SQL.format(v='{a}')})) * "
+    f"SQRT(list_dot_product({_VQ_SQL.format(v='{b}')}, {_VQ_SQL.format(v='{b}')})))"
+)
+
 
 def _plane_bucket_sql(vec: str) -> str:
     """Sign-bit bucket id of ``vec`` vs LSH_PLANES as a SQL expr —
-    mirrors similarity.lsh_bucket_assignments bit for bit (same
-    sequential dot-product order, same 2^i packing)."""
+    mirrors similarity.lsh_bucket_assignments bit for bit: the SAME
+    integer-quantized dot (vector micros x plane milli-grid), so the
+    sign test is exact on both engines (a raw float dot within an ulp
+    of zero flipped a bucket at sf0.1), same 2^i packing."""
+    vq = _VQ_SQL.format(v=vec)
     bits = []
     for i, p in enumerate(LSH_PLANES):
-        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        lit = "[" + ", ".join(
+            repr(float(round(x * 1000))) for x in p
+        ) + "]"
         bits.append(
-            f"CASE WHEN list_dot_product({vec}, {lit}) > 0 THEN {1 << i} ELSE 0 END"
+            f"CASE WHEN list_dot_product({vq}, {lit}) > 0 THEN {1 << i} ELSE 0 END"
         )
     return " + ".join(bits)
 
@@ -511,16 +528,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_neardup_pairs",
-    """
+    f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     )
     SELECT a.vec_id AS id1, b.vec_id AS id2,
-           ROUND(list_dot_product(a.v, b.v) /
-                 (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 4) AS cosine
+           ROUND({_COS_Q_SQL.format(a='a.v', b='b.v')}, 4) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) /
-          (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) >= 0.35
+    WHERE {_COS_Q_SQL.format(a='a.v', b='b.v')} >= 0.35
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,9 +654,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, v, ({_plane_bucket_sql('v')}) AS bucket FROM e
     )
     SELECT a.vec_id AS id1, c.vec_id AS id2,
-           ROUND({_COS_SQL.format(a='a.v', b='c.v')}, 4) AS cosine
+           ROUND({_COS_Q_SQL.format(a='a.v', b='c.v')}, 4) AS cosine
     FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE {_COS_SQL.format(a='a.v', b='c.v')} >= 0.35
+    WHERE {_COS_Q_SQL.format(a='a.v', b='c.v')} >= 0.35
     """,
 )
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -668,7 +683,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT n.vec_id
       FROM live n JOIN live h ON n.bucket = h.bucket
       WHERE n.vec_id % 3 = 0 AND h.vec_id % 3 <> 0
-        AND {_COS_SQL.format(a='n.v', b='h.v')} >= 0.35
+        AND {_COS_Q_SQL.format(a='n.v', b='h.v')} >= 0.35
     )
     SELECT e.vec_id FROM e
     WHERE e.vec_id % 3 = 0
@@ -4151,7 +4166,7 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, v, ({_plane_bucket_sql('v')}) AS bucket FROM e
     ), scored AS (
       SELECT a.vec_id AS qid, c.vec_id AS nid,
-             ROUND({_COS_SQL.format(a='a.v', b='c.v')}, 4) AS cosine
+             ROUND({_COS_Q_SQL.format(a='a.v', b='c.v')}, 4) + 0.0 AS cosine
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
     )
     SELECT qid, nid, cosine FROM (

@@ -118,21 +118,27 @@ def test_knn_graph_lsh_matches_numpy_within_buckets(emb):
     for r in S.knn_graph_lsh(emb, planes, k=3).collect():
         got.setdefault(r["qid"], []).append((r["nid"], r["cosine"]))
 
-    P = np.array(planes)
-    buckets = ((VECS @ P.T) > 0).astype(int) @ (2 ** np.arange(4))
-    nrm = np.linalg.norm(VECS, axis=1)
+    # mirror the operator's quantized-exact contract: integer-micro
+    # vectors, milli-grid planes, and +0.0 negative-zero normalization
+    Q = np.round(VECS * 1e6)
+    P = np.round(np.array(planes) * 1e3)
+    buckets = ((Q @ P.T) > 0).astype(int) @ (2 ** np.arange(4))
+    nq = (Q * Q).sum(axis=1)
     for q in range(N):
         cand = [i for i in range(N) if i != q and buckets[i] == buckets[q]]
         sims = sorted(
             (
                 (
-                    -round(float(VECS[q] @ VECS[i] / (nrm[q] * nrm[i])), 4),
+                    -(round(
+                        float(Q[q] @ Q[i] / (np.sqrt(nq[q]) * np.sqrt(nq[i]))),
+                        4,
+                    ) + 0.0),
                     i,
                 )
                 for i in cand
             ),
         )[:3]
-        want = [(i, -s) for s, i in sims]
+        want = [(i, -s + 0.0) for s, i in sims]
         assert got.get(q, []) == want, f"qid {q}"
 
 
