@@ -38,7 +38,12 @@ def cosine_topk(
     )
     scored = emb.filter(self_dot > 0).select(
         F.col(id_col),
-        F.round(V.cosine_literal(vec_col, query), 6).alias("cosine"),
+        # quantized-exact cosine + zero-sign normalization: the
+        # round-6 rank/display key is bit-identical on every engine
+        # (see cosine_q / SCALE.md's r09 harness catches)
+        (F.round(cosine_literal_q(vec_col, query), 6) + F.lit(0.0)).alias(
+            "cosine"
+        ),
     )
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
@@ -78,6 +83,20 @@ def cosine_q(vec_a, vec_b) -> "F.Column":
     catalog uses."""
     qa, qb = _vq(vec_a), _vq(vec_b)
     return _dotq(qa, qb) / (F.sqrt(_dotq(qa, qa)) * F.sqrt(_dotq(qb, qb)))
+
+
+def cosine_literal_q(vec_col, query: list[float]) -> "F.Column":
+    """cosine_q against a driver-side constant query vector: the
+    query's integer-micro components become array literals, its norm
+    is computed EXACTLY in Python integers (then one correctly-
+    rounded math.sqrt — bit-equal to SQL SQRT on the same integer).
+    Every engine computing this formula over the same rows returns
+    the same double bits."""
+    q_ints = [int(round(x * VEC_QUANT)) for x in query]
+    qn = math.sqrt(sum(v * v for v in q_ints))
+    q_arr = F.array(*[F.lit(float(v)) for v in q_ints])
+    vq = _vq(vec_col)
+    return _dotq(vq, q_arr) / (F.sqrt(_dotq(vq, vq)) * F.lit(qn))
 
 
 def lsh_bucket_assignments(
@@ -297,9 +316,12 @@ def assign_centroids(
     """Map-side nearest-centroid assignment over a literal codebook:
     each per-centroid cosine evaluated once into a (sim, cid) struct,
     array_max = argmax (linear expression size in |centroids|)."""
+    # cosine_literal_q, not a float cosine: the argmax must pick the
+    # same cell on every engine (and on every re-encode of the same
+    # vector) — see SCALE.md's r09 cross-engine bit-stability rule
     sim_structs = F.array(*[
         F.struct(
-            V.cosine_literal(vec_col, cvec).alias("sim"),
+            cosine_literal_q(vec_col, cvec).alias("sim"),
             F.lit(cid).alias("cid"),
         )
         for cid, cvec in centroids
@@ -344,12 +366,16 @@ def _nearest_probes(
     query: list[float], centroids: list[tuple[int, list[float]]], n_probe: int
 ) -> list[int]:
     """The n_probe centroid ids closest (cosine) to the query —
-    driver-side; the codebook is tiny by construction."""
+    driver-side; the codebook is tiny by construction. Quantized
+    integer-micro arithmetic so the probe set matches any SQL
+    oracle's quantized ORDER BY exactly."""
 
     def cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(x * x for x in b) ** 0.5
+        qa = [int(round(float(x) * VEC_QUANT)) for x in a]
+        qb = [int(round(float(x) * VEC_QUANT)) for x in b]
+        num = sum(x * y for x, y in zip(qa, qb))
+        na = math.sqrt(sum(x * x for x in qa))
+        nb = math.sqrt(sum(x * x for x in qb))
         return num / (na * nb) if na and nb else 0.0
 
     return [
@@ -1780,7 +1806,7 @@ def ivfpq_topk_indexed_batch(
     sub = len(books[0][0][1])
     m = len(books)
     kk = len(books[0])
-    probe_sets, qcs, luts, qns, qids, qvs = [], [], [], [], [], []
+    probe_sets, qcs, luts, qns, qnqs, qids, qvs = [], [], [], [], [], [], []
     for qid, qv in queries:
         probe_sets.append(_nearest_probes(qv, coarse, n_probe))
         qcs.append(_qc_micro(qv, coarse))
@@ -1788,10 +1814,23 @@ def ivfpq_topk_indexed_batch(
         for s, book in enumerate(books):
             flat.extend(_lut_micro(qv, book, s * sub))
         luts.append(flat)
-        # same left-assoc python accumulation as cosine_literal's qnorm
+        # TWO query norms, different scales for different phases: the
+        # ADC scorer divides `approx / 1e6` by the RAW-scale norm
+        # (Spark-internal only — the stored `norm` column is raw
+        # too), while the exact re-rank divides micro-scaled dots by
+        # the micro-scale norm, mirroring cosine_literal_q so the
+        # tail stays bit-identical to the single-query probe's
+        # cosine_topk
         qns.append(sum(float(x) * float(x) for x in qv) ** 0.5)
+        qnqs.append(
+            math.sqrt(
+                sum(
+                    int(round(float(x) * VEC_QUANT)) ** 2 for x in qv
+                )
+            )
+        )
         qids.append(int(qid))
-        qvs.append([float(x) for x in qv])
+        qvs.append([float(round(float(x) * VEC_QUANT)) for x in qv])
     all_cells = sorted({c for p in probe_sets for c in p})
     codes = spark.read.parquet(path).filter(
         F.col("centroid_id").isin(all_cells)
@@ -1805,6 +1844,7 @@ def ivfpq_topk_indexed_batch(
     QC = F.array(*[F.array(*[F.lit(v) for v in qc]) for qc in qcs])
     LUT = F.array(*[F.array(*[F.lit(v) for v in lut]) for lut in luts])
     QN = F.array(*[F.lit(n) for n in qns])
+    QNQ = F.array(*[F.lit(n) for n in qnqs])
     fan = codes.withColumn(
         "__qi", F.explode(F.sequence(F.lit(1), F.lit(len(queries))))
     ).filter(
@@ -1842,26 +1882,18 @@ def ivfpq_topk_indexed_batch(
         F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
     )
     joined = emb.filter(self_dot > 0).join(F.broadcast(short), id_col)
+    # quantized-exact re-rank + zero-sign normalization: QV/QN carry
+    # integer micros, the vector side quantizes identically, so this
+    # is bit-for-bit cosine_topk's tail (the single-probe parity the
+    # tests assert) on every engine
     exact = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.element_at(QV, F.col("qi")),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        _dotq(_vq(vec_col), F.element_at(QV, F.col("qi")))
         / (
-            F.sqrt(
-                F.aggregate(
-                    F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x
-                )
-            )
-            * F.element_at(QN, F.col("qi"))
+            F.sqrt(_dotq(_vq(vec_col), _vq(vec_col)))
+            * F.element_at(QNQ, F.col("qi"))
         ),
         6,
-    )
+    ) + F.lit(0.0)
     rescored = joined.select("qid", F.col(id_col), exact.alias("cosine"))
     w2 = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()

@@ -617,17 +617,16 @@ def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[flo
 
 @register(
     "ann_cosine_topk",
-    """
+    f"""
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-          WHERE vec_id <> 0 AND list_dot_product(embedding, embedding) > 0)
-    SELECT vec_id,
-           ROUND(list_dot_product(v, qv) /
-                 (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(qv, qv))), 4) AS cosine
-    FROM e, q
-    ORDER BY ROUND(list_dot_product(v, qv) /
-                 (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(qv, qv))), 6) DESC,
-             vec_id
+          WHERE vec_id <> 0 AND list_dot_product(embedding, embedding) > 0),
+         s AS (SELECT vec_id,
+                      ROUND({_COS_Q_SQL.format(a='v', b='qv')}, 6) + 0.0 AS c6
+               FROM e, q)
+    SELECT vec_id, ROUND(c6, 4) + 0.0 AS cosine
+    FROM s
+    ORDER BY c6 DESC, vec_id
     LIMIT 10
     """,
 )
@@ -641,8 +640,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vector(spark, sf_dir, 0)
     out = S.cosine_topk(emb, q, k=10, exclude_id=0)
     return out.select(
-        "vec_id", F.round("cosine", 4).alias("cosine")
-    ).orderBy(F.round(F.col("cosine"), 4).desc(), F.col("vec_id"))
+        "vec_id", (F.round("cosine", 4) + F.lit(0.0)).alias("cosine")
+    ).orderBy(F.col("cosine").desc(), F.col("vec_id"))
 
 
 @register(
@@ -826,8 +825,7 @@ def lr_quality_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE list_dot_product(embedding, embedding) > 0
     ), scored AS (
       SELECT qid, vec_id,
-             ROUND(list_dot_product(v, qv) /
-                   (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(qv, qv))), 4) AS cosine
+             ROUND(list_dot_product(list_transform(v, x -> ROUND(x * 1000000.0, 0)), list_transform(qv, x -> ROUND(x * 1000000.0, 0))) / (SQRT(list_dot_product(list_transform(v, x -> ROUND(x * 1000000.0, 0)), list_transform(v, x -> ROUND(x * 1000000.0, 0)))) * SQRT(list_dot_product(list_transform(qv, x -> ROUND(x * 1000000.0, 0)), list_transform(qv, x -> ROUND(x * 1000000.0, 0))))), 4) + 0.0 AS cosine
       FROM e, q WHERE vec_id <> qid
     )
     SELECT qid, vec_id, cosine FROM (
@@ -859,9 +857,11 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            F.round(
-                V.dot("v", "qv") / (V.norm("v") * V.norm("qv")), 4
-            ).alias("cosine"),
+            # quantized-exact cosine + zero-sign normalization (the
+            # r09 cross-engine bit-stability doctrine, SCALE.md)
+            (F.round(S.cosine_q("v", "qv"), 4) + F.lit(0.0)).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -884,18 +884,19 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
     ), assign AS (
       SELECT e.vec_id, e.v,
-             arg_max(c.cid, {_COS_SQL.format(a='e.v', b='c.cv')}) AS cid
+             arg_max(c.cid, {_COS_Q_SQL.format(a='e.v', b='c.cv')}) AS cid
       FROM e CROSS JOIN c GROUP BY e.vec_id, e.v
     ), probes AS (
       SELECT cid FROM c, q
-      ORDER BY {_COS_SQL.format(a='c.cv', b='qv')} DESC, cid LIMIT 2
+      ORDER BY {_COS_Q_SQL.format(a='c.cv', b='qv')} DESC, cid LIMIT 2
     )
-    SELECT vec_id, ROUND(cos, 4) AS cosine FROM (
-      SELECT a.vec_id, {_COS_SQL.format(a='a.v', b='qv')} AS cos
+    SELECT vec_id, ROUND(c6, 4) + 0.0 AS cosine FROM (
+      SELECT a.vec_id,
+             ROUND({_COS_Q_SQL.format(a='a.v', b='qv')}, 6) + 0.0 AS c6
       FROM assign a JOIN probes p ON a.cid = p.cid, q
-      ORDER BY ROUND(cos, 6) DESC, vec_id LIMIT 10
+      ORDER BY c6 DESC, vec_id LIMIT 10
     )
-    ORDER BY ROUND(cos, 4) DESC, vec_id
+    ORDER BY ROUND(c6, 4) + 0.0 DESC, vec_id
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -914,8 +915,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seeds]
     out = S.ivf_topk(emb, q, centroids, k=10, n_probe=2)
     return out.select(
-        "vec_id", F.round("cosine", 4).alias("cosine")
-    ).orderBy(F.round(F.col("cosine"), 4).desc(), F.col("vec_id"))
+        "vec_id", (F.round("cosine", 4) + F.lit(0.0)).alias("cosine")
+    ).orderBy(F.col("cosine").desc(), F.col("vec_id"))
 
 
 # PQ parameters: 64-dim embeddings -> 4 subspaces x 16 dims, 4 seed
@@ -1204,7 +1205,7 @@ def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.col("embedding").cast("array<double>")
     )
     q = _query_vector(spark, sf_dir, 0)
-    path = _ivfpq_index_path(sf_dir, "ivfpq-v1:k8:m8:ks16:it2")
+    path = _ivfpq_index_path(sf_dir, "ivfpq-v2:k8:m8:ks16:it2")
     _ensure_ivfpq_index(emb, path, k_coarse=8, m=8, k_sub=16, n_iter=2)
     out = S.ivfpq_topk_indexed(
         spark, path, q, k=10, n_probe=4, rerank=100, emb=emb, exclude_id=0
@@ -1241,7 +1242,7 @@ def streaming_ivfpq_ingest_embeddings(
     )
     q = _query_vector(spark, sf_dir, 0)
     # train-once: the same persisted index (and meta) ann_ivfpq_indexed uses
-    idx_path = _ivfpq_index_path(sf_dir, "ivfpq-v1:k8:m8:ks16:it2")
+    idx_path = _ivfpq_index_path(sf_dir, "ivfpq-v2:k8:m8:ks16:it2")
     _ensure_ivfpq_index(emb, idx_path, k_coarse=8, m=8, k_sub=16, n_iter=2)
     meta = S.read_ivfpq_meta(idx_path)
 

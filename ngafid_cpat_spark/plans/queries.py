@@ -37,10 +37,15 @@ PRIORITY = [
     "embedding_incremental_neardup",
     "lr_quality_train_docs",
     # plan changed this round (per-user scratch base + atomic index
-    # build guard; with_nearest_airport gridded dispatch)
+    # build guard; with_nearest_airport gridded dispatch; quantized-
+    # exact cosine/LSH family — SCALE.md r09 harness catches)
     "ann_ivfpq_indexed",
     "streaming_ivfpq_ingest_embeddings",
     "approach_pipeline_demo",
+    "knn_graph_embeddings",
+    "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
+    "ann_ivf_topk",
     # oldest driver evidence (r04) — the full remaining r04 cohort
     "q9_product_profit",
     "q11_important_parts",
@@ -80,10 +85,6 @@ PRIORITY = [
     "fuzzy_name_pairs_customers",
     "global_ids_docs",
     "grouping_sets_orders",
-    "interval_join_click_counts",
-    "islands_chunked_events",
-    "join_anti_customers",
-    "latest_snapshot_events",
 ]
 
 
