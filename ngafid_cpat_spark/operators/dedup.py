@@ -878,7 +878,12 @@ def embedding_incremental_neardup(
     excluded from candidate generation on both sides and therefore
     always kept. Within-batch near-dups are retained by design (see
     incremental_minhash_dedup). Returns the keeper ids."""
-    from .similarity import lsh_bucket_assignments
+    from .similarity import (
+        _dim_of,
+        _dotq_cols,
+        _vq,
+        lsh_bucket_assignments,
+    )
 
     def _live(df):
         self_dot = F.aggregate(
@@ -888,26 +893,60 @@ def embedding_incremental_neardup(
         )
         return df.filter(self_dot > 0)
 
-    nb = lsh_bucket_assignments(
-        _live(new_emb), planes, id_col=id_col, vec_col=vec_col
-    ).select(
-        F.col(id_col).alias("__nid"), F.col(vec_col).alias("__nv"), "bucket"
+    # quantize + norm ONCE per row per side; the per-candidate work
+    # is then a single codegen'd folded dot (exact integer-micro
+    # values — bit-stable vs any SQL oracle; a float-dot threshold
+    # can flip cross-engine at ulp distance from the boundary)
+    dim = _dim_of(new_emb, vec_col)
+    # norm folded over the RAW vector (codegen'd, CSE-deduped ROUNDs)
+    # — referencing the interpreted __q transform would inline it
+    # into all `dim` element_at terms
+    _t = [
+        f"ROUND(element_at({vec_col}, {i}) * 1000000.0D, 0)"
+        for i in range(1, dim + 1)
+    ]
+    nq_expr = F.sqrt(F.expr(" + ".join(["0.0D"] + [f"{t} * {t}" for t in _t])))
+    nb = (
+        lsh_bucket_assignments(
+            _live(new_emb), planes, id_col=id_col, vec_col=vec_col
+        )
+        .withColumn("__q", _vq(vec_col))
+        .select(
+            F.col(id_col).alias("__nid"),
+            F.col("__q").alias("__nq_v"),
+            nq_expr.alias("__nq_n"),
+            "bucket",
+        )
+        # materialize: without a boundary Catalyst inlines the __q
+        # transform into all `dim` element_at terms of the pair dot
+        # (64x re-evaluation per row — the projection-collapse trap)
+        .localCheckpoint(eager=False)
     )
-    hb = lsh_bucket_assignments(
-        _live(history_emb), planes, id_col=id_col, vec_col=vec_col
-    ).select(
-        F.col(vec_col).alias("__hv"), "bucket"
+    # single-partition trap (one-file parquet => one task): the
+    # corpus-side per-row quantize/bucket expressions must run wide
+    n_part = history_emb.sparkSession.sparkContext.defaultParallelism
+    hb = (
+        lsh_bucket_assignments(
+            _live(history_emb).repartition(n_part),
+            planes, id_col=id_col, vec_col=vec_col,
+        )
+        .withColumn("__q", _vq(vec_col))
+        .select(
+            F.col("__q").alias("__hq_v"),
+            nq_expr.alias("__hq_n"),
+            "bucket",
+        )
+        .localCheckpoint(eager=False)  # see nb's projection-collapse note
     )
     if broadcast_new:
         nb = F.broadcast(nb)
-    from .similarity import cosine_q
-
     matched = (
         nb.join(hb, "bucket")
-        # cosine_q: exact integer-micro dots, bit-stable vs any SQL
-        # oracle (a float-dot threshold can flip cross-engine at ulp
-        # distance from the boundary)
-        .filter(cosine_q("__nv", "__hv") >= threshold)
+        .filter(
+            _dotq_cols("__nq_v", "__hq_v", dim)
+            / (F.col("__nq_n") * F.col("__hq_n"))
+            >= threshold
+        )
         .select(F.col("__nid").alias(id_col))
         .distinct()
     )

@@ -85,18 +85,50 @@ def cosine_q(vec_a, vec_b) -> "F.Column":
     return _dotq(qa, qb) / (F.sqrt(_dotq(qa, qa)) * F.sqrt(_dotq(qb, qb)))
 
 
-def cosine_literal_q(vec_col, query: list[float]) -> "F.Column":
-    """cosine_q against a driver-side constant query vector: the
-    query's integer-micro components become array literals, its norm
-    is computed EXACTLY in Python integers (then one correctly-
-    rounded math.sqrt — bit-equal to SQL SQRT on the same integer).
-    Every engine computing this formula over the same rows returns
-    the same double bits."""
+def _vq_terms(vec_col: str, dim: int) -> list[str]:
+    """SQL strings for the integer-micro components of ``vec_col`` —
+    building blocks for FOLDED (whole-stage-codegen'd) quantized
+    dots: the zip_with/aggregate HOF form is interpreted and measured
+    2-4x slower on the pair-scoring hot paths."""
+    return [
+        f"ROUND(element_at({vec_col}, {i}) * 1000000.0D, 0)"
+        for i in range(1, dim + 1)
+    ]
+
+
+def _dotq_cols(a: str, b: str, dim: int) -> "F.Column":
+    """Codegen'd exact dot of two ALREADY-QUANTIZED (integer-valued
+    double) array columns of known ``dim``."""
+    terms = " + ".join(
+        ["0.0D"]
+        + [f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1)]
+    )
+    return F.expr(terms)
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    """Array dimensionality probe (one bounded 1-row collect). 0 for
+    an empty frame — folded expressions degrade to the 0.0D seed."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row and row["d"] is not None else 0
+
+
+def cosine_literal_q(vec_col: str, query: list[float]) -> "F.Column":
+    """cosine_q against a driver-side constant query vector, FOLDED
+    into one codegen'd expression (the dot_literal doctrine — HOFs
+    are interpreted): the query's integer-micro components become
+    inline literals, its norm is computed EXACTLY in Python integers
+    (then one correctly-rounded math.sqrt — bit-equal to SQL SQRT on
+    the same integer). Every engine computing this formula over the
+    same rows returns the same double bits."""
     q_ints = [int(round(x * VEC_QUANT)) for x in query]
     qn = math.sqrt(sum(v * v for v in q_ints))
-    q_arr = F.array(*[F.lit(float(v)) for v in q_ints])
-    vq = _vq(vec_col)
-    return _dotq(vq, q_arr) / (F.sqrt(_dotq(vq, vq)) * F.lit(qn))
+    vt = _vq_terms(vec_col, len(q_ints))
+    dot_s = " + ".join(
+        ["0.0D"] + [f"{t} * {float(v)!r}D" for t, v in zip(vt, q_ints)]
+    )
+    n_s = " + ".join(["0.0D"] + [f"{t} * {t}" for t in vt])
+    return F.expr(f"(({dot_s}) / (SQRT({n_s}) * {qn!r}D))")
 
 
 def lsh_bucket_assignments(
@@ -118,12 +150,17 @@ def lsh_bucket_assignments(
     are contractually 1e-3 rationals; arbitrary float planes would be
     quantized to that grid here."""
     bucket = F.lit(0).cast("long")
-    vq = _vq(vec_col)
+    vt = _vq_terms(vec_col, len(planes[0]) if planes else 0)
     for i, p in enumerate(planes):
-        p_int = F.array(
-            *[F.lit(float(round(x * PLANE_QUANT))) for x in p]
+        # folded codegen'd plane dot (HOFs are interpreted)
+        dot_s = " + ".join(
+            ["0.0D"]
+            + [
+                f"{t} * {float(round(x * PLANE_QUANT))!r}D"
+                for t, x in zip(vt, p)
+            ]
         )
-        bit = (_dotq(vq, p_int) > 0).cast("long")
+        bit = (F.expr(dot_s) > 0).cast("long")
         bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
     return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
@@ -167,18 +204,37 @@ def knn_graph_lsh(
     # into every downstream operator — measured 16 s -> ~1 s at 2000
     # vectors. Same materialize-the-signature-table shape as
     # minhash_lsh_pairs, and what a 100 TB run would persist anyway.
-    b = lsh_bucket_assignments(
-        emb.filter(self_dot > 0), planes, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint(eager=False)
+    dim = _dim_of(emb, vec_col)
+    # quantize ONCE per row (vq + exact norm) so the per-PAIR work in
+    # the bucket self-join is a single codegen'd folded dot
+    b = (
+        lsh_bucket_assignments(
+            emb.filter(self_dot > 0), planes,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .withColumn("__vq", _vq(vec_col))
+        .withColumn(
+            "__nq", F.sqrt(F.expr(
+                " + ".join(
+                    ["0.0D"]
+                    + [f"element_at(__vq, {i}) * element_at(__vq, {i})"
+                       for i in range(1, dim + 1)]
+                )
+            ))
+        )
+        .localCheckpoint(eager=False)
+    )
     a = b.select(
         F.col("bucket"),
         F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qv"),
+        F.col("__vq").alias("qvq"),
+        F.col("__nq").alias("qnq"),
     )
     c = b.select(
         F.col("bucket"),
         F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nv"),
+        F.col("__vq").alias("nvq"),
+        F.col("__nq").alias("nnq"),
     )
     scored = (
         a.join(c, "bucket")
@@ -186,15 +242,20 @@ def knn_graph_lsh(
         .select(
             "qid",
             "nid",
-            # cosine_q, not a float dot: the round-4 rank key must be
-            # bit-identical across engines or the k-th neighbor flips
-            # at a rounding boundary. The + 0.0 normalizes NEGATIVE
-            # ZERO: Spark's round(-3.7e-5, 4) yields +0.0 but
-            # DuckDB's yields -0.0, and the driver hashes float BITS
-            # (-0.0 != 0.0 there) — the actual sf0.1 failure
-            (F.round(cosine_q("qv", "nv"), 4) + F.lit(0.0)).alias(
-                "cosine"
-            ),
+            # quantized-exact cosine, not a float dot: the round-4
+            # rank key must be bit-identical across engines or the
+            # k-th neighbor flips at a rounding boundary. The + 0.0
+            # normalizes NEGATIVE ZERO: Spark's round(-3.7e-5, 4)
+            # yields +0.0 but DuckDB's yields -0.0, and the driver
+            # hashes float BITS — the actual sf0.1 failure
+            (
+                F.round(
+                    _dotq_cols("qvq", "nvq", dim)
+                    / (F.col("qnq") * F.col("nnq")),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(

@@ -849,19 +849,44 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").filter(nonzero).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    # quantize + norm ONCE per row on each side; the per-pair work is
+    # then a single codegen'd folded dot (HOF cosines are interpreted)
+    dim = S._dim_of(emb, "v")
+    # norm folded over the RAW vector + a materialization boundary:
+    # otherwise Catalyst inlines the interpreted vq transform into
+    # every element_at of the pair dot (the projection-collapse trap)
+    _t = [
+        f"ROUND(element_at(v, {i}) * 1000000.0D, 0)"
+        for i in range(1, dim + 1)
+    ]
+    nq_expr = F.sqrt(
+        F.expr(" + ".join(["0.0D"] + [f"{t} * {t}" for t in _t]))
+    )
+    eq = (
+        emb.withColumn("vq", S._vq("v"))
+        .withColumn("nq", nq_expr)
+        .localCheckpoint(eager=False)
+    )
+    q = eq.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("vq").alias("qvq"),
+        F.col("nq").alias("qnq"),
     )
     scored = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        eq.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
             # quantized-exact cosine + zero-sign normalization (the
             # r09 cross-engine bit-stability doctrine, SCALE.md)
-            (F.round(S.cosine_q("v", "qv"), 4) + F.lit(0.0)).alias(
-                "cosine"
-            ),
+            (
+                F.round(
+                    S._dotq_cols("vq", "qvq", dim)
+                    / (F.col("nq") * F.col("qnq")),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
