@@ -59,7 +59,20 @@ HEADLINE = [
     "text_quality",
     "json_extract_events",
     "events_tumbling_window",
+    # r10: the engine's flagship surfaces, so the driver artifact
+    # tracks them round-over-round (the r09 judge's ask — the
+    # ann_ivfpq_topk drift was invisible to the headline set)
+    "ann_ivfpq_indexed",
+    "corpus_prep_pipeline_docs",
+    "streaming_approach_work_queue",
 ]
+
+# Self-recorded full results from the previous bench run (committed).
+# The driver's BENCH_r*.json artifacts truncate the full line, so
+# round-over-round extra-query comparison uses this file instead.
+SELF_RECORD = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
+)
 
 
 def main() -> None:
@@ -156,6 +169,17 @@ def main() -> None:
     # pure box-load noise (see SCALE.md's noise note)
     extra_timings, extra_errors = run_set(extra, runs=2)
     errors.update(extra_errors)
+
+    # the slowest decile gets a THIRD trial (min-of-3): these are the
+    # queries whose drift matters most and whose long runtimes make a
+    # stray GC pause look like a real regression (the r09 judge's
+    # de-noising ask)
+    merged = {**timings, **extra_timings}
+    slowest = sorted(merged, key=merged.get, reverse=True)[:15]
+    third, third_err = run_set(slowest, runs=1)
+    for name, dt in third.items():
+        tgt = timings if name in timings else extra_timings
+        tgt[name] = min(tgt[name], dt)
     # a failing headline query must INFLATE the metric, never deflate
     # it (a regression-into-exception would otherwise read as a
     # speedup): each error adds a 1000 s penalty to the total
@@ -175,6 +199,42 @@ def main() -> None:
     out["extra_queries"] = extra_timings
     if errors:
         out["errors"] = errors
+
+    # round-over-round drift detection against the committed previous
+    # self-record: any query >1.3x its prior min-of-N time AND >0.3 s
+    # absolute (sub-0.3 s timings are dominated by fixed job-launch
+    # cost, where 1.3x is jitter) is listed under "regressions" — the
+    # repo catches its own drifts instead of waiting for a judge run.
+    regressions: dict[str, list[float]] = {}
+    try:
+        with open(SELF_RECORD) as f:
+            prev = json.load(f)
+        prev_all = {**prev.get("queries", {}), **prev.get("extra_queries", {})}
+        cur_all = {**timings, **extra_timings}
+        for name, t in sorted(cur_all.items()):
+            p = prev_all.get(name)
+            if p is not None and t > 0.3 and p > 0 and t / p > 1.3:
+                regressions[name] = [p, t]
+    except (OSError, ValueError):
+        pass
+    compact["regressions"] = regressions
+    out["regressions"] = regressions
+    try:
+        with open(SELF_RECORD, "w") as f:
+            json.dump(
+                {
+                    "sf": compact["sf"],
+                    "value": total,
+                    "queries": timings,
+                    "extra_queries": extra_timings,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+    except OSError:
+        pass
     # The driver captures only the output TAIL, so the compact
     # headline line (~1 KB) must be LAST to survive truncation of the
     # 150+-entry full line. Print the full catalog line first, the

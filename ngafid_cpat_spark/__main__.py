@@ -257,13 +257,19 @@ def _gen_base_dest(spark, args, S):
     if args.root:
         base = args.base or S.resolve_index_dir(args.root, spark)
         if args.dest:
-            import os
-
             # the pointer stores a generation NAME under the root; a
             # dest elsewhere would flip the pointer to a dangling dir
-            # and brick every probe through the root
-            parent = os.path.dirname(os.path.realpath(args.dest.rstrip("/")))
-            if parent != os.path.realpath(args.root.rstrip("/")):
+            # and brick every probe through the root. Qualified-URI
+            # compare (not os.path.realpath) so file://-prefixed and
+            # remote roots are guarded identically.
+            qdest = S._fs_qualified(args.dest.rstrip("/"), spark)
+            qroot = S._fs_qualified(args.root.rstrip("/"), spark)
+            rel = (
+                qdest[len(qroot) + 1:]
+                if qdest.startswith(qroot + "/")
+                else None
+            )
+            if not rel or "/" in rel:
                 raise SystemExit(
                     f"--dest must be directly under --root ({args.root}); "
                     f"got {args.dest}"

@@ -783,6 +783,22 @@ def classifier_features(
     )
 
 
+def linear_score(
+    weights_micro: list[int], x_cols: tuple[str, ...] = ("x1", "x2", "x3")
+) -> Column:
+    """Hard-sigmoid score of a TRAINED linear model (integer-micro
+    weights from train_linear_classifier) as a column expression:
+    p = clamp(0.25*z + 0.5, 0, 1) with z accumulated in the same
+    left-assoc order the trainer and the unrolled-CTE oracle use
+    (b/1e6 + w1/1e6*x1 + ...), so every engine computing it over the
+    same feature doubles returns bit-identical scores — which makes
+    ORDER BY score a portable survivorship rank."""
+    z = F.lit(weights_micro[0] / 1e6)
+    for j, c in enumerate(x_cols):
+        z = z + F.lit(weights_micro[j + 1] / 1e6) * F.col(c)
+    return F.least(F.greatest(0.25 * z + 0.5, F.lit(0.0)), F.lit(1.0))
+
+
 def train_linear_classifier(
     feats: DataFrame,
     label_col: str = "y",
@@ -814,7 +830,7 @@ def train_linear_classifier(
     a label. Returns {"weights_micro": [bias, w1, w2, w3], "n": N,
     "train_correct": C} where C counts rows the FINAL weights
     classify correctly (p >= 0.5 vs y)."""
-    import math
+    from .similarity import round_half_away
 
     xs = ["x1", "x2", "x3"]
     w = [0, 0, 0, 0]  # integer micros: bias, w1..w3
@@ -848,13 +864,13 @@ def train_linear_classifier(
         row = feats.agg(*aggs).first()  # 1-row driver sync per pass
         n = int(row["n"])
         for j in range(4):
-            # SQL ROUND semantics (half away from zero) — Python's
-            # built-in round is half-EVEN and would diverge from the
-            # oracle's ROUND(0.5 * g / n, 0) at exact .5 boundaries
+            # SQL ROUND semantics (half away from zero), via the
+            # exact helper — Python's built-in round is half-EVEN,
+            # and floor(abs(step)+0.5) double-rounds UP for steps one
+            # ulp below a half-integer; both would diverge from the
+            # oracle's ROUND(0.5 * g / n, 0) on unlucky gradients
             step = eta * int(row[f"g{j}"]) / n
-            w[j] += int(math.floor(abs(step) + 0.5)) * (
-                1 if step >= 0 else -1
-            )
+            w[j] += round_half_away(step)
     correct = feats.agg(
         F.sum(
             F.when(

@@ -54,6 +54,39 @@ VEC_QUANT = 1_000_000.0  # 1e-6 component quantum for exact cross-engine dots
 PLANE_QUANT = 1_000.0  # LSH plane components are k/1000 rationals
 
 
+def round_half_away(x: float) -> int:
+    """Integer rounding with EXACT half-away-from-zero semantics on
+    the binary value of ``x`` — verified identical to both Spark's
+    ``F.round(_, 0)`` and DuckDB's ``ROUND(_, 0)`` on doubles
+    (including 0.49999999999999994 -> 0 and +-23436.5 -> +-23437).
+
+    Every driver/numpy-side quantizer MUST use this (not Python's
+    ``round``, which banker's-rounds halves to even, and not
+    ``floor(abs(x) + 0.5)``, which double-rounds UP for doubles one
+    ulp below a half-integer because the ``+ 0.5`` is itself a
+    rounded float add). ``a - floor(a)`` below is exact: ``a`` and
+    ``floor(a)`` share a common ulp grid for ``a < 2**53``, so the
+    subtraction's true result is representable and IEEE returns it
+    bit-exactly — the ``>= 0.5`` test therefore decides on the TRUE
+    fractional part."""
+    a = abs(x)
+    f = math.floor(a)
+    if a - f >= 0.5:
+        f += 1
+    return -f if x < 0 else f
+
+
+def np_round_half_away(arr):
+    """Vectorized :func:`round_half_away` for float64 ndarrays (same
+    exact-subtraction argument; returns integer-valued float64)."""
+    import numpy as np
+
+    a = np.abs(arr)
+    f = np.floor(a)
+    r = np.where(a - f >= 0.5, f + 1.0, f)
+    return np.where(arr < 0, -r, r)
+
+
 def _vq(vec_col) -> "F.Column":
     """Vector components quantized to integer micros (as integer-
     valued DOUBLES): round(x * 1e6). Dots over these are sums of
@@ -113,6 +146,29 @@ def _dim_of(df: DataFrame, vec_col: str) -> int:
     return int(row["d"]) if row and row["d"] is not None else 0
 
 
+def _parallel_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """localCheckpoint with single-partition-trap insurance: a
+    one-file parquet table scans as ONE partition, and a checkpoint
+    PRESERVES that partitioning — every downstream training
+    iteration (Lloyd assignment+aggregate passes) then runs as a
+    single task on a 32-thread executor (the r07 BPE/profiler catch;
+    measured 10.8 s -> ~6 s on ann_ivfpq_topk at sf0.1). Widen to
+    the session shuffle width before materializing; skip the extra
+    exchange when the input is already parallel. Row placement does
+    not affect results anywhere this is used: seeds select by id,
+    aggregates sum integers (order-independent), assignments are
+    per-row."""
+    try:
+        target = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except Exception:
+        target = 32
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df.localCheckpoint(eager=eager)
+
+
 def cosine_literal_q(vec_col: str, query: list[float]) -> "F.Column":
     """cosine_q against a driver-side constant query vector, FOLDED
     into one codegen'd expression (the dot_literal doctrine — HOFs
@@ -121,7 +177,7 @@ def cosine_literal_q(vec_col: str, query: list[float]) -> "F.Column":
     (then one correctly-rounded math.sqrt — bit-equal to SQL SQRT on
     the same integer). Every engine computing this formula over the
     same rows returns the same double bits."""
-    q_ints = [int(round(x * VEC_QUANT)) for x in query]
+    q_ints = [round_half_away(x * VEC_QUANT) for x in query]
     qn = math.sqrt(sum(v * v for v in q_ints))
     vt = _vq_terms(vec_col, len(q_ints))
     dot_s = " + ".join(
@@ -156,7 +212,7 @@ def lsh_bucket_assignments(
         dot_s = " + ".join(
             ["0.0D"]
             + [
-                f"{t} * {float(round(x * PLANE_QUANT))!r}D"
+                f"{t} * {float(round_half_away(x * PLANE_QUANT))!r}D"
                 for t, x in zip(vt, p)
             ]
         )
@@ -313,7 +369,7 @@ def cosine_pairs_in_groups(
         # normalize-then-matmul float form differed from another
         # engine's dot by ulps (the sf0.1 near-miss class)
         M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        Q = np.round(M * 1e6)
+        Q = np_round_half_away(M * 1e6)
         n = (Q * Q).sum(axis=1)
         sn = np.sqrt(n)
         sn[sn == 0.0] = np.nan
@@ -432,8 +488,8 @@ def _nearest_probes(
     oracle's quantized ORDER BY exactly."""
 
     def cos(a, b):
-        qa = [int(round(float(x) * VEC_QUANT)) for x in a]
-        qb = [int(round(float(x) * VEC_QUANT)) for x in b]
+        qa = [round_half_away(float(x) * VEC_QUANT) for x in a]
+        qb = [round_half_away(float(x) * VEC_QUANT) for x in b]
         num = sum(x * y for x, y in zip(qa, qb))
         na = math.sqrt(sum(x * x for x in qa))
         nb = math.sqrt(sum(x * x for x in qb))
@@ -484,16 +540,46 @@ def _assign_quantized(
     ``quant`` decimals BEFORE the argmax, and ties break to the
     LOWEST centroid id (struct max over (sim_q, -cid)) — so any
     engine that reproduces the quantized sims reproduces the exact
-    assignment. Same single-evaluation array_max shape as
-    assign_centroids (see ivf_topk's expression-blowup note)."""
-    sim_structs = F.array(*[
+    assignment.
+
+    Shape: ONE foldable array<struct(c, qn, ncid)> literal carrying
+    the whole codebook, scanned by interpreted HOFs. The codebook
+    values live in the codegen REFERENCES array, not the generated
+    source, so re-invoking with NEW centroids (every Lloyd
+    iteration) replans a tiny stable plan instead of recompiling a
+    k*dim-literal whole-stage method — the r10 fix for per-iteration
+    Janino cost dominating training at gate SF (and the HOF scan
+    measured no slower per-row than the string-dot unroll at 100k
+    rows). Arithmetic is term-for-term identical to the previous
+    per-centroid cosine_literal form (left-assoc dot, norm*qn
+    denominator), verified bit-equal on real data."""
+    cstructs = F.array(*[
         F.struct(
-            F.round(V.cosine_literal(vec_col, cvec), quant).alias("sim"),
+            F.array(*[F.lit(float(x)) for x in cvec]).alias("c"),
+            F.lit(float(_sum_sq(cvec) ** 0.5)).alias("qn"),
             F.lit(-cid).alias("ncid"),
         )
         for cid, cvec in centroids
     ])
-    best = F.array_max(sim_structs)
+    nrm = V.norm(vec_col)
+    sims = F.transform(
+        cstructs,
+        lambda b: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), b["c"], lambda x, y: x * y
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+                / (nrm * b["qn"]),
+                quant,
+            ).alias("sim"),
+            b["ncid"].alias("ncid"),
+        ),
+    )
+    best = F.array_max(sims)
     return emb.withColumn("centroid_id", -best["ncid"]).withColumn(
         "centroid_sim", best["sim"]
     )
@@ -578,7 +664,7 @@ def kmeans_fit(
     # applied at the operator level (pass checkpoint_input=False when
     # the caller already checkpointed, e.g. kmeans_cluster_profile)
     if checkpoint_input:
-        emb = emb.localCheckpoint(eager=False)
+        emb = _parallel_checkpoint(emb)
     seed_rows = (
         emb.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())
@@ -596,9 +682,7 @@ def kmeans_fit(
         # representable decimal tie would diverge the whole Lloyd run
         # cross-engine (the mean_micro hazard, at the seed).
         f = 10.0 ** quant
-        v = float(x) * f
-        r = math.floor(abs(v) + 0.5)
-        return (r if v >= 0 else -r) / f
+        return round_half_away(float(x) * f) / f
 
     centroids = [
         (i, [_seed_round(x) for x in r[vec_col]])
@@ -611,20 +695,28 @@ def kmeans_fit(
             assigned = _assign_l2_quantized(emb, centroids, vec_col)
         else:
             assigned = _assign_quantized(emb, centroids, vec_col, quant)
+        # narrow (cid, dim, micro) rows via posexplode, NOT dim sum
+        # columns: a 64-aggregate plan costs ~1 s of analyzer/
+        # optimizer time PER ITERATION regardless of data size (the
+        # r10 planning-cost catch); the narrow form plans in ms and
+        # the integer sums are identical in any shape. k*dim result
+        # rows collected (codebook-sized).
         sums = (
-            assigned.groupBy("centroid_id")
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("d", "x")
+            )
+            .groupBy("centroid_id", "d")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(
-                        F.round(F.col(vec_col)[d] * 1_000_000, 0).cast("long")
-                    ).alias(f"s{d}")
-                    for d in range(dim)
-                ],
+                F.sum(
+                    F.round(F.col("x") * 1_000_000, 0).cast("long")
+                ).alias("s"),
             )
             .collect()
         )
-        by_cid = {r["centroid_id"]: r for r in sums}
+        by_cid: dict = {}
+        for r in sums:
+            by_cid.setdefault(r["centroid_id"], {})[r["d"]] = r
 
         def mean_micro(s: int, n: int) -> float:
             # integer round-half-away-from-zero(s/n), then /1e6: a
@@ -639,7 +731,9 @@ def kmeans_fit(
             (
                 cid,
                 [
-                    mean_micro(by_cid[cid][f"s{d}"], by_cid[cid]["n"])
+                    mean_micro(
+                        by_cid[cid][d]["s"], by_cid[cid][d]["n"]
+                    )
                     for d in range(dim)
                 ]
                 if cid in by_cid
@@ -662,7 +756,7 @@ def kmeans_cluster_profile(
     with member count and the integer-micro mean of the quantized
     member-to-centroid cosines (deterministic; empty clusters are
     absent). Columns: centroid_id, n_vecs, avg_sim."""
-    emb = emb.localCheckpoint(eager=False)  # fit passes + final assign
+    emb = _parallel_checkpoint(emb)  # fit passes + final assign
     centroids = kmeans_fit(
         emb, k, n_iter, id_col, vec_col, quant, checkpoint_input=False
     )
@@ -688,9 +782,7 @@ def _round_half_away_micro(x: float) -> int:
     """Integer micro-units with half-away-from-zero rounding — the
     Python twin of `CAST(ROUND(x * 1e6, 0) AS BIGINT)` on both
     engines (Python's round() banker's-rounds; see kmeans_fit)."""
-    v = x * 1e6
-    r = math.floor(abs(v) + 0.5)
-    return r if v >= 0 else -r
+    return round_half_away(x * 1e6)
 
 
 def _dot_literal_offset(col: str, sub: list[float], offset: int):
@@ -795,6 +887,7 @@ def pq_codebooks_trained(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant: int = 6,
+    checkpoint_input: bool = True,
 ) -> list[list[tuple[int, list[float]]]]:
     """JOINT Lloyd-trained PQ codebooks: all m subspaces train in the
     SAME pass — per iteration ONE job computes every subspace's
@@ -818,7 +911,8 @@ def pq_codebooks_trained(
     Quality is pytest-measured (tests/test_similarity.py trains ->
     encodes -> searches and asserts recall vs cosine_topk) and
     oracle-floored (pq_topk_trained_embeddings' recall oracle)."""
-    emb = emb.localCheckpoint(eager=False)
+    if checkpoint_input:
+        emb = _parallel_checkpoint(emb)
     seed_rows = (
         emb.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())
@@ -835,9 +929,7 @@ def pq_codebooks_trained(
 
     def _seed_round(x: float) -> float:
         # half-away-from-zero at `quant` decimals (see kmeans_fit)
-        v = float(x) * f
-        r = math.floor(abs(v) + 0.5)
-        return (r if v >= 0 else -r) / f
+        return round_half_away(float(x) * f) / f
 
     books: list[list[tuple[int, list[float]]]] = [
         [
@@ -1133,7 +1225,11 @@ def ivfpq_topk(
             F.col(id_col), F.lit(0.0).alias(empty_score)
         )
     assigned = assign_centroids(live, coarse, vec_col)
-    r_df = _coarse_residuals(assigned, coarse, vec_col)
+    # ONE materialization of the residual frame, shared by the PQ
+    # training passes AND the ADC scoring scan below — assign+resid
+    # were previously recomputed per consumer (and, off a one-file
+    # parquet scan, single-task; _parallel_checkpoint widens it)
+    r_df = _parallel_checkpoint(_coarse_residuals(assigned, coarse, vec_col))
     # ONE product quantizer over the pooled residuals (not per-cell
     # books): the residual distribution is what's left after the
     # coarse quantizer, shared across cells — the paper's design, and
@@ -1143,6 +1239,7 @@ def ivfpq_topk(
         m=m,
         k=k_sub,
         n_iter=n_iter,
+        checkpoint_input=False,
     )
     if not books or not books[0]:
         return live.filter(F.lit(False)).select(
@@ -1150,9 +1247,7 @@ def ivfpq_topk(
         )
     sub = len(books[0][0][1])
     probes = _nearest_probes(query, coarse, n_probe)
-    pruned = r_df.filter(F.col("centroid_id").isin(probes)).localCheckpoint(
-        eager=False
-    )
+    pruned = r_df.filter(F.col("centroid_id").isin(probes))
     qn = 0.0
     for x in query:
         qn += float(x) * float(x)
@@ -1336,6 +1431,22 @@ def _fs_glob(dir_str: str, pattern: str, spark=None) -> list[str]:
     return [st.getPath().getName() for st in statuses]
 
 
+def _fs_qualified(path_str: str, spark=None) -> str:
+    """Canonical fully-qualified URI for a path (scheme + authority
+    + normalized path, via Hadoop ``makeQualified``), so same-target
+    guards compare ``file:///x``, ``/x`` and ``/y/../x`` as equal on
+    ANY FileSystem — os.path.realpath mangles URI inputs into
+    cwd-relative junk. POSIX realpath fallback when no session
+    exists (pure unit tests on local paths)."""
+    spark = spark or _active_spark()
+    if spark is None:
+        import os
+
+        return os.path.realpath(path_str)
+    fs, hpath = _hadoop_fs(spark, path_str)
+    return str(fs.makeQualified(hpath))
+
+
 def _parse_pointers(names: list[str]) -> list[tuple[int, str]]:
     """(n, gen_name) pairs from ``_ivfpq_current.<n>.<gen>`` pointer
     file names; malformed names are ignored."""
@@ -1355,31 +1466,26 @@ def set_current_generation(root: str, gen_name: str, spark=None) -> str:
     the highest ``<n>`` — the target generation is encoded IN THE
     FILE NAME, so readers resolve with one directory listing and
     never open a pointer file (a reader racing a flip-plus-prune
-    cannot hit a deleted file). A flip creates the new pointer under
-    a temp name outside the pointer namespace, then renames it in;
-    rename to a FRESH name is atomic on local FS and HDFS, and two
-    concurrent flips that compute the same ``<n>`` produce two
-    distinct file names (no overwrite) with a deterministic winner
-    (max (n, gen) lexicographically). Superseded pointers are pruned
-    best-effort. Returns the new pointer file name."""
+    cannot hit a deleted file). BECAUSE the name alone carries the
+    target, the flip is a single create of the pointer file directly
+    at its final name — no temp+rename, so the protocol does not
+    depend on FileSystem.rename atomicity (s3a renames are
+    copy+delete): an object-store PUT appears atomically in a
+    (strongly consistent) listing, and POSIX/HDFS file creation
+    appears atomically in the namespace; a reader listing mid-flip
+    sees either the old pointer set or old+new, and resolution takes
+    the max ``(n, gen)`` either way. Two concurrent flips that
+    compute the same ``<n>`` produce two distinct file names (no
+    overwrite) with the same deterministic winner; the degenerate
+    same-``(n, gen)`` collision writes identical content twice.
+    Superseded pointers are pruned best-effort. Returns the new
+    pointer file name."""
     existing = _fs_glob(root, f"{IVFPQ_CURRENT_PREFIX}*", spark)
     parsed = _parse_pointers(existing)
     nxt = (max(n for n, _ in parsed) + 1) if parsed else 1
     ptr = f"{IVFPQ_CURRENT_PREFIX}{nxt:012d}.{gen_name}"
-    tmp = f"{root.rstrip('/')}/_ptr_tmp_{nxt:012d}_{gen_name}"
-    _fs_write_text(tmp, gen_name, spark)
     spark = spark or _active_spark()
-    if spark is None:
-        import os
-
-        os.rename(tmp, f"{root.rstrip('/')}/{ptr}")
-    else:
-        fs, src = _hadoop_fs(spark, tmp)
-        dst = spark._jvm.org.apache.hadoop.fs.Path(
-            f"{root.rstrip('/')}/{ptr}"
-        )
-        if not fs.rename(src, dst):
-            raise IOError(f"pointer flip rename failed: {tmp} -> {ptr}")
+    _fs_write_text(f"{root.rstrip('/')}/{ptr}", gen_name, spark)
     # best-effort prune of superseded pointers (readers never open
     # pointer files, so pruning can never fault a racing reader)
     for name in existing:
@@ -1689,7 +1795,6 @@ def compact_ivfpq_index(
     commit — the standard immutable-segment lifecycle (the CLI's
     ``index compact`` does exactly that via set_current_generation)."""
     import json
-    import os
 
     # overwrite-into-source guard: dest == base (or == stream) would
     # have the overwrite clear the directory the lazy read is still
@@ -1698,13 +1803,13 @@ def compact_ivfpq_index(
     # the generational ROOT as base with dest pointing at the root's
     # CURRENT generation is exactly this hazard in disguise
     base_path = resolve_index_dir(base_path, spark)
-    dest_real = os.path.realpath(dest_path)
-    if dest_real == os.path.realpath(base_path):
+    dest_real = _fs_qualified(dest_path, spark)
+    if dest_real == _fs_qualified(base_path, spark):
         raise ValueError(
             "compact_ivfpq_index: dest_path must be a NEW generation "
             f"dir, not the (resolved) base index itself ({base_path})"
         )
-    if dest_real == os.path.realpath(stream_path):
+    if dest_real == _fs_qualified(stream_path, spark):
         raise ValueError(
             "compact_ivfpq_index: dest_path must not be the stream "
             f"store ({stream_path})"
@@ -1780,12 +1885,11 @@ def delete_from_ivfpq_index(
     deleting vectors never needs a retrain (cell occupancy shrinks,
     centroids stay valid for the survivors)."""
     import json
-    import os
 
     # guard AFTER pointer resolution (see compact_ivfpq_index): a
     # dest equal to the root's CURRENT generation must be refused too
     base_path = resolve_index_dir(base_path, spark)
-    if os.path.realpath(dest_path) == os.path.realpath(base_path):
+    if _fs_qualified(dest_path, spark) == _fs_qualified(base_path, spark):
         raise ValueError(
             "delete_from_ivfpq_index: dest_path must be a NEW "
             "generation dir, not the (resolved) base index itself "
@@ -1886,12 +1990,14 @@ def ivfpq_topk_indexed_batch(
         qnqs.append(
             math.sqrt(
                 sum(
-                    int(round(float(x) * VEC_QUANT)) ** 2 for x in qv
+                    round_half_away(float(x) * VEC_QUANT) ** 2 for x in qv
                 )
             )
         )
         qids.append(int(qid))
-        qvs.append([float(round(float(x) * VEC_QUANT)) for x in qv])
+        qvs.append(
+            [float(round_half_away(float(x) * VEC_QUANT)) for x in qv]
+        )
     all_cells = sorted({c for p in probe_sets for c in p})
     codes = spark.read.parquet(path).filter(
         F.col("centroid_id").isin(all_cells)

@@ -35,6 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..operators.similarity import round_half_away
 from .approach import Thresholds
 
 RESULT_SCHEMA = StructType([
@@ -118,9 +119,7 @@ def _mean(xs: list[float]) -> float | None:
     one float division — engine- and order-independent."""
     if not xs:
         return None
-    millis = sum(
-        int(math.copysign(math.floor(abs(v) * 1000.0 + 0.5), v)) for v in xs
-    )
+    millis = sum(round_half_away(v * 1000.0) for v in xs)
     return millis / len(xs) / 1000.0
 
 

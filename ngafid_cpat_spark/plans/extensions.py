@@ -141,7 +141,7 @@ def _plane_bucket_sql(vec: str) -> str:
     bits = []
     for i, p in enumerate(LSH_PLANES):
         lit = "[" + ", ".join(
-            repr(float(round(x * 1000))) for x in p
+            repr(float(S.round_half_away(x * 1000))) for x in p
         ) + "]"
         bits.append(
             f"CASE WHEN list_dot_product({vq}, {lit}) > 0 THEN {1 << i} ELSE 0 END"
@@ -711,23 +711,22 @@ def embedding_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("vec_id")
 
 
-def _lr_oracle() -> str:
-    """Unrolled-CTE DuckDB oracle for the 4-iteration hard-sigmoid
-    GD trainer: weights carried as BIGINT micros in 1-row CTEs, each
-    iteration one micro-quantized gradient aggregate — the
-    kmeans/BPE unrolled-iteration pattern. feat is MATERIALIZED
-    (referenced by 4 gradient passes + the accuracy pass; default
-    inlining re-expands the chain per reference)."""
-    feat = """
+# Shared pieces of the unrolled-CTE GD oracle: feat (MATERIALIZED —
+# referenced by every gradient pass; default inlining re-expands the
+# chain per reference), the hard-sigmoid p, and the it0..it4 weight
+# chain. _lr_oracle composes them for the trainer query;
+# dedup_keep_best_scored reuses the SAME chain to score survivors.
+_LR_FEAT_CTE = """
     feat AS MATERIALIZED (
-      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
              LEAST(len(toks), 512) / 512.0 AS x1,
              ((length(norm) - (len(toks) - 1.0)) / len(toks)) / 10.0 AS x2,
              len(list_distinct(toks)) * 1.0 / len(toks) AS x3
       FROM (
-        SELECT lang, norm, string_split(norm, ' ') AS toks
+        SELECT doc_id, lang, norm, string_split(norm, ' ') AS toks
         FROM (
-          SELECT lang,
+          SELECT doc_id, lang,
                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
           FROM documents
         )
@@ -735,12 +734,16 @@ def _lr_oracle() -> str:
     ),
     it0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS w1,
                    CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"""
-    p_expr = (
-        "LEAST(GREATEST(0.25 * (i.b/1e6 + i.w1/1e6*x1 + i.w2/1e6*x2 "
-        "+ i.w3/1e6*x3) + 0.5, 0.0), 1.0)"
-    )
+
+_LR_P_EXPR = (
+    "LEAST(GREATEST(0.25 * (i.b/1e6 + i.w1/1e6*x1 + i.w2/1e6*x2 "
+    "+ i.w3/1e6*x3) + 0.5, 0.0), 1.0)"
+)
+
+
+def _lr_iter_ctes(n_iter: int = 4) -> str:
     its = []
-    for t in range(4):
+    for t in range(n_iter):
         its.append(f"""
     g{t} AS (
       SELECT COUNT(*) AS n,
@@ -748,7 +751,7 @@ def _lr_oracle() -> str:
              SUM(CAST(ROUND((y - p) * x1 * 1000000.0, 0) AS BIGINT)) AS gx1,
              SUM(CAST(ROUND((y - p) * x2 * 1000000.0, 0) AS BIGINT)) AS gx2,
              SUM(CAST(ROUND((y - p) * x3 * 1000000.0, 0) AS BIGINT)) AS gx3
-      FROM (SELECT f.*, {p_expr} AS p FROM feat f, it{t} i)
+      FROM (SELECT f.*, {_LR_P_EXPR} AS p FROM feat f, it{t} i)
     ),
     it{t + 1} AS (
       SELECT i.b + CAST(ROUND(0.5 * g.g0 / g.n, 0) AS BIGINT) AS b,
@@ -757,8 +760,17 @@ def _lr_oracle() -> str:
              i.w3 + CAST(ROUND(0.5 * g.gx3 / g.n, 0) AS BIGINT) AS w3
       FROM it{t} i, g{t} g
     )""")
+    return ",".join(its)
+
+
+def _lr_oracle() -> str:
+    """Unrolled-CTE DuckDB oracle for the 4-iteration hard-sigmoid
+    GD trainer: weights carried as BIGINT micros in 1-row CTEs, each
+    iteration one micro-quantized gradient aggregate — the
+    kmeans/BPE unrolled-iteration pattern."""
+    p_expr = _LR_P_EXPR
     return f"""
-    WITH {feat},{','.join(its)},
+    WITH {_LR_FEAT_CTE},{_lr_iter_ctes(4)},
     acc AS (
       SELECT COUNT(*) AS n,
              SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
@@ -810,6 +822,108 @@ def lr_quality_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("n", model["n"]), ("train_correct", model["train_correct"]),
         ],
         "param string, value long",
+    )
+
+
+@register(
+    "dedup_keep_best_scored",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh_cut a JOIN sh_cut b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM common
+        JOIN sizes s1 ON common.id1 = s1.doc_id
+        JOIN sizes s2 ON common.id2 = s2.doc_id
+      WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {{JACCARD_THRESHOLD}}
+    ),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ),
+    reach(id, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY id
+    ),{{_LR_FEAT_CTE}},{{_LR_ITERS}},
+    model_scored AS (
+      SELECT f.doc_id, {{_LR_P_EXPR}} AS p FROM feat f, it4 i
+    ),
+    ranked AS (
+      SELECT c.cluster_id, s.doc_id, s.p,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY s.p DESC, s.doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+      FROM clusters c JOIN model_scored s USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS keeper_id, ROUND(p, 6) AS keeper_score,
+           cluster_size
+    FROM ranked WHERE rn = 1
+    """.replace("{JACCARD_THRESHOLD}", str(JACCARD_THRESHOLD))
+    .replace("{_LR_FEAT_CTE}", _LR_FEAT_CTE)
+    .replace("{_LR_ITERS}", _lr_iter_ctes(4))
+    .replace("{_LR_P_EXPR}", _LR_P_EXPR),
+)
+def dedup_keep_best_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-WEIGHTED dedup survivorship (the r09 verdict's stretch
+    ask): when a near-dup cluster collapses, keep the member the
+    TRAINED quality model scores highest — dedup_cluster_keep_best's
+    hand-picked n_chars rank replaced by lr_quality_train_docs'
+    4-round-GD classifier. Deterministic end to end, so even the
+    model-in-the-loop pipeline is STRICT-oracle-paired: the GD
+    weights are a deterministic fixpoint (integer-micro updates), the
+    hard-sigmoid score is transcendental-free left-assoc double
+    arithmetic over exact-rational features (bit-identical on every
+    engine — operators/corpus.linear_score), and ties break to the
+    lowest doc id. The DuckDB oracle replays the cluster chain AND
+    all 4 training iterations as unrolled CTEs, then ranks by the
+    same score. Scale shape: training is n_iter one-aggregate passes
+    (Lloyd/BPE economics), scoring is one map-side projection, and
+    survivorship is one window over cluster-sized groups — the
+    model never joins row-pairs."""
+    from ..operators import corpus as C
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, k=SHINGLE_K, threshold=JACCARD_THRESHOLD)
+    clusters = D.connected_components(
+        pairs, docs.select("doc_id"), id_col="doc_id"
+    )
+    feats = C.classifier_features(docs).join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        ),
+        "id",
+    ).localCheckpoint(eager=False)  # 4 GD passes + scoring share one
+    model = C.train_linear_classifier(feats, n_iter=4)
+    scored = feats.select(
+        F.col("id").alias("doc_id"),
+        C.linear_score(model["weights_micro"]).alias("p"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("p").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(scored, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_id"),
+            F.round("p", 6).alias("keeper_score"),
+            "cluster_size",
+        )
     )
 
 
@@ -1141,6 +1255,20 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+# One source of truth for the persisted-index content-key version +
+# quantizer params. tools/ann_recall_sweep.py imports _ivfpq_tag so
+# the committed recall curve is measured on the SAME index store the
+# catalog queries probe (an earlier hardcoded 'ivfpq-v1' sweep tag
+# silently measured a parallel store after the catalog moved to v2).
+IVFPQ_TAG_VERSION = "ivfpq-v2"
+
+
+def _ivfpq_tag(
+    k_coarse: int = 8, m: int = 8, k_sub: int = 16, n_iter: int = 2
+) -> str:
+    return f"{IVFPQ_TAG_VERSION}:k{k_coarse}:m{m}:ks{k_sub}:it{n_iter}"
+
+
 def _ivfpq_index_path(sf_dir: str, tag_version: str) -> str:
     """Content-keyed index location under the per-user scratch base
     (_scratch_dir): keyed on the embeddings parquet's mtime+size (the
@@ -1230,7 +1358,7 @@ def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.col("embedding").cast("array<double>")
     )
     q = _query_vector(spark, sf_dir, 0)
-    path = _ivfpq_index_path(sf_dir, "ivfpq-v2:k8:m8:ks16:it2")
+    path = _ivfpq_index_path(sf_dir, _ivfpq_tag())
     _ensure_ivfpq_index(emb, path, k_coarse=8, m=8, k_sub=16, n_iter=2)
     out = S.ivfpq_topk_indexed(
         spark, path, q, k=10, n_probe=4, rerank=100, emb=emb, exclude_id=0
@@ -1267,7 +1395,7 @@ def streaming_ivfpq_ingest_embeddings(
     )
     q = _query_vector(spark, sf_dir, 0)
     # train-once: the same persisted index (and meta) ann_ivfpq_indexed uses
-    idx_path = _ivfpq_index_path(sf_dir, "ivfpq-v2:k8:m8:ks16:it2")
+    idx_path = _ivfpq_index_path(sf_dir, _ivfpq_tag())
     _ensure_ivfpq_index(emb, idx_path, k_coarse=8, m=8, k_sub=16, n_iter=2)
     meta = S.read_ivfpq_meta(idx_path)
 

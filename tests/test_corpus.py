@@ -400,3 +400,58 @@ def test_classifier_features_exact_rationals(spark):
     # distinct 2/3
     assert got[1] == (3 / 512, (8 - 2) / 3 / 10, 2 / 3)
     assert got[2] == (1 / 512, 1 / 10, 1.0)
+
+
+def test_dedup_keep_best_scored_agrees_with_trained_weights(spark):
+    """dedup_keep_best_scored's keeper is the argmax of the SAME
+    hard-sigmoid score train_linear_classifier's weights define
+    (ties to the lowest doc id), recomputed here independently in
+    Python from the collected features — the model-in-the-loop
+    survivorship really uses the trained model, not a proxy rank."""
+    sf_dir = "/root/testdata/sf0.001"
+    from ngafid_cpat_spark.plans.extensions import dedup_keep_best_scored
+    from ngafid_cpat_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    feats = C.classifier_features(docs).join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        ),
+        "id",
+    ).localCheckpoint(eager=False)
+    w = C.train_linear_classifier(feats, n_iter=4)["weights_micro"]
+
+    # independent python-side scores from the SAME weights
+    def score(x1, x2, x3):
+        z = w[0] / 1e6 + w[1] / 1e6 * x1 + w[2] / 1e6 * x2 + w[3] / 1e6 * x3
+        return min(max(0.25 * z + 0.5, 0.0), 1.0)
+
+    pyscore = {
+        r["id"]: score(r["x1"], r["x2"], r["x3"]) for r in feats.collect()
+    }
+
+    result = dedup_keep_best_scored(spark, sf_dir)
+    keepers = result.collect()
+    assert keepers, "no clusters"
+    # cluster membership from the same components the query uses
+    from ngafid_cpat_spark.operators import dedup as D
+    from ngafid_cpat_spark.plans.extensions import (
+        JACCARD_THRESHOLD,
+        SHINGLE_K,
+    )
+
+    pairs = D.jaccard_pairs(docs, k=SHINGLE_K, threshold=JACCARD_THRESHOLD)
+    comp = D.connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+    members: dict = {}
+    for r in comp.collect():
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+
+    assert len(keepers) == len(members)
+    for k in keepers:
+        mem = members[k["cluster_id"]]
+        assert k["cluster_size"] == len(mem)
+        # argmax by (score desc, id asc) over the python-side scores
+        want = min(mem, key=lambda i: (-pyscore[i], i))
+        assert k["keeper_id"] == want, (k, [(i, pyscore[i]) for i in mem])
+        assert abs(k["keeper_score"] - pyscore[want]) < 1e-6

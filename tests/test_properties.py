@@ -355,3 +355,52 @@ def test_exact_isqrt_property(spark, ns):
     }
     for n in ns:
         assert got[n] == math.isqrt(n), n
+
+
+_finite = st.floats(
+    min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+)
+
+
+@given(st.lists(_finite, min_size=1, max_size=200))
+@settings(**SETTINGS)
+def test_round_half_away_matches_engine_round(xs):
+    """round_half_away(x) == ROUND(x, 0) on the EXACT binary value of
+    the double — the contract every driver-side quantizer mirrors.
+    Checked against DuckDB's ROUND (verified identical to Spark's
+    F.round on doubles) and against Decimal ROUND_HALF_UP on the
+    exact value. Python's round() banker's-rounds halves, and
+    floor(abs(x)+0.5) double-rounds UP one ulp below a half-integer —
+    both would fail the hazard values injected below."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ngafid_cpat_spark.operators.similarity import (
+        np_round_half_away,
+        round_half_away,
+    )
+
+    # hazard injections: ADVICE r09's 3/128 micros case (exactly
+    # 23437.5), a plain half, the largest double below 0.5 (the
+    # floor(abs+0.5) double-round trap), and their negations
+    xs = list(xs) + [
+        3 / 128 * 1e6, 23436.5, -23436.5,
+        0.49999999999999994, -0.49999999999999994, 2.5, -2.5, 0.0,
+    ]
+    got = [round_half_away(x) for x in xs]
+    import numpy as np
+
+    vec = np_round_half_away(np.array(xs, dtype=np.float64))
+    import duckdb
+
+    duck = [
+        int(r[0])
+        for r in duckdb.execute(
+            "SELECT ROUND(x, 0) FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+            [xs],
+        ).fetchall()
+    ]
+    for x, g, v, d in zip(xs, got, vec, duck):
+        want = int(
+            Decimal(x).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+        assert g == want == d == int(v), (x, g, v, d, want)

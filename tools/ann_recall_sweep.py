@@ -28,6 +28,7 @@ def sweep(sf_dir: str, n_queries: int, k_coarse: int = 8, n_probes=(1, 2, 4, 8))
     from ngafid_cpat_spark.plans.extensions import (
         _ensure_ivfpq_index,
         _ivfpq_index_path,
+        _ivfpq_tag,
     )
     from ngafid_cpat_spark.session import get_spark
     from ngafid_cpat_spark.sources import load
@@ -38,8 +39,10 @@ def sweep(sf_dir: str, n_queries: int, k_coarse: int = 8, n_probes=(1, 2, 4, 8))
         "embedding", F.col("embedding").cast("array<double>")
     )
     # the same content-keyed persisted index the catalog queries probe
-    # (k_coarse=8); other cell counts get their own keyed store
-    path = _ivfpq_index_path(sf_dir, f"ivfpq-v1:k{k_coarse}:m8:ks16:it2")
+    # (k_coarse=8 = _ivfpq_tag()'s default, shared constant so the
+    # sweep can't drift onto a parallel store again); other cell
+    # counts get their own keyed store
+    path = _ivfpq_index_path(sf_dir, _ivfpq_tag(k_coarse=k_coarse))
     _ensure_ivfpq_index(emb, path, k_coarse=k_coarse, m=8, k_sub=16, n_iter=2)
 
     qrows = (
