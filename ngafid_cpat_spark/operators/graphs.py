@@ -89,3 +89,68 @@ def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def pagerank_micro(
+    edges: DataFrame, n_iter: int = 3, u: str = "u", v: str = "v"
+) -> DataFrame:
+    """PageRank over an undirected simple graph given as distinct
+    (u < v) pairs, with EXACT integer-micro arithmetic so every
+    engine reproduces the ranks bit-for-bit (the Lloyd/GD doctrine
+    applied to the classic iterative graph algorithm):
+
+      * ranks are BIGINT micros, sum-to-N convention (r0 = 1e6 per
+        node);
+      * a node's per-edge contribution is ``r DIV deg`` (integer
+        division — both engines truncate identically on nonnegative
+        BIGINTs);
+      * the damped update is pure integer arithmetic too:
+        r' = 150000 + (17 * sum_contribs) DIV 20   (d = 0.85 = 17/20,
+        (1-d) = 0.15 -> 150000 micros).
+
+    Unlike Lloyd/GD there is NO driver sync: each iteration is a
+    join + groupBy on DataFrames, so ``n_iter`` rounds compose into
+    ONE lazy plan — Catalyst sees the whole pipeline. Scale shape:
+    per iteration one shuffle join of edges with the (node, rank)
+    table on the source key and one map-side-combining groupBy on
+    the destination key; the rank state is one row per node, never
+    driver-resident. Isolated nodes are out of scope (no edges =>
+    not in the graph), and every graph node has deg >= 1 by
+    construction, so there is no dangling-mass term.
+
+    Returns (node, rank_micro BIGINT)."""
+    de = edges.select(F.col(u).alias("s"), F.col(v).alias("t")).unionByName(
+        edges.select(F.col(v).alias("s"), F.col(u).alias("t"))
+    )
+    deg = de.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # one materialization: the directed edge+degree table feeds every
+    # iteration's join (and, single-partition parquet upstream, the
+    # widening matters — see similarity._parallel_checkpoint)
+    from .similarity import _parallel_checkpoint
+
+    dd = _parallel_checkpoint(de.join(deg, "s"))
+    ranks = deg.select(
+        F.col("s").alias("node"), F.lit(1_000_000).cast("long").alias("r")
+    )
+    for _ in range(n_iter):
+        contribs = (
+            dd.join(ranks, dd["s"] == ranks["node"])
+            .select(
+                F.col("t").alias("node2"),
+                F.expr("r DIV deg").alias("c"),
+            )
+            .groupBy("node2")
+            .agg(F.sum("c").alias("cs"))
+        )
+        ranks = (
+            deg.select(F.col("s").alias("node"))
+            .join(contribs, F.col("node") == F.col("node2"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(150_000).cast("long")
+                    + F.expr("(17 * coalesce(cs, CAST(0 AS LONG))) DIV 20")
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_micro"))

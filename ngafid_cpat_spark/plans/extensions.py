@@ -3235,6 +3235,150 @@ def triangle_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges).withColumnRenamed("node", "user_id")
 
 
+def _pagerank_iter_sql(prev: str, idx: int) -> str:
+    """One unrolled integer-micro PageRank iteration as CTEs (see
+    operators/graphs.pagerank_micro for the arithmetic contract:
+    BIGINT micros, r DIV deg contributions, 17/20 damping)."""
+    return f"""
+    pc{idx} AS (
+      SELECT de.t AS node, SUM(r.r // dd.deg) AS cs
+      FROM de JOIN {prev} r ON r.node = de.s JOIN d dd ON dd.s = de.s
+      GROUP BY de.t
+    ),
+    pr{idx} AS (
+      SELECT d.s AS node,
+             CAST(150000 + (17 * COALESCE(c.cs, 0)) // 20 AS BIGINT) AS r
+      FROM d LEFT JOIN pc{idx} c ON c.node = d.s
+    )"""
+
+
+@register(
+    "pagerank_events",
+    f"""
+    WITH cells AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+    ), de AS (
+      SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e
+    ), d AS (
+      SELECT s, COUNT(*) AS deg FROM de GROUP BY s
+    ), pr0 AS (
+      SELECT s AS node, CAST(1000000 AS BIGINT) AS r FROM d
+    ),{_pagerank_iter_sql('pr0', 1)},{_pagerank_iter_sql('pr1', 2)},
+    {_pagerank_iter_sql('pr2', 3)}
+    SELECT node AS user_id, r AS rank_micro FROM pr3
+    """,
+)
+def pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 damped iterations, d = 17/20) over the purchase
+    co-occurrence graph — the influence-ranking companion of
+    triangle_counts_events, and the catalog's demonstration that a
+    CLASSIC iterative graph algorithm can be both fully declarative
+    (no driver sync: all 3 iterations compose into one lazy plan)
+    and STRICT-oracle-paired: ranks live as BIGINT micros, per-edge
+    contributions are integer divisions, and the damping factor is
+    the rational 17/20 — every engine computes identical integers
+    (operators/graphs.pagerank_micro). The DuckDB oracle unrolls the
+    3 iterations as CTEs. Scale shape: per iteration one edge join on
+    the source key + one map-side-combining groupBy on the
+    destination key; rank state is one row per node."""
+    from ..operators.graphs import pagerank_micro
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 600).alias("h"),
+        )
+        .distinct()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    return pagerank_micro(edges, n_iter=3).withColumnRenamed(
+        "node", "user_id"
+    )
+
+
+@register(
+    "semantic_dedup_embeddings",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             list_transform(v, x -> ROUND(x, 6)) AS c
+      FROM e ORDER BY vec_id LIMIT {{_KMEANS_K}}
+    ),{{_ITER1}},{{_ITER2}},
+    af AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {{_FINAL_SIMQ}} DESC, c.cid ASC) AS rn
+        FROM e CROSS JOIN c2 c) WHERE rn = 1
+    ),
+    live AS (
+      SELECT * FROM af WHERE list_dot_product(v, v) > 0
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM live a JOIN live b
+        ON a.cid = b.cid AND b.vec_id < a.vec_id
+      WHERE {{_COSQ}} >= 0.35
+    )
+    SELECT l.vec_id, l.cid AS centroid_id FROM live l
+    WHERE NOT EXISTS (SELECT 1 FROM dropped dr WHERE dr.vec_id = l.vec_id)
+    """.replace("{_KMEANS_K}", str(_KMEANS_K))
+    .replace("{_ITER1}", _kmeans_iter_sql("c0", 1))
+    .replace("{_ITER2}", _kmeans_iter_sql("c1", 2))
+    .replace("{_FINAL_SIMQ}", _KMEANS_FINAL_SIMQ)
+    .replace("{_COSQ}", _COS_Q_SQL.format(a="a.v", b="b.v")),
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then drop
+    near-duplicates WITHIN each cluster only — the clustering bounds
+    the pair search so the 100 TB cost is |cluster|^2 per cluster
+    (choose k ~ N / target_cluster_size), never corpus-all-pairs.
+    Survivorship is greedy-by-id (a vector is dropped iff a LOWER-id
+    cluster-mate matches at quantized cosine >= 0.35), which makes
+    the whole model-in-the-loop pipeline deterministic and
+    STRICT-oracle-paired: the DuckDB oracle replays both Lloyd
+    iterations (kmeans_clusters_embeddings' unrolled CTEs), the
+    quantized-cosine assignment with id tie-breaks, and the
+    within-cluster pair test with the same integer-micro dots.
+    Spark-side pairing is the Arrow-batched blocked matmul
+    (cosine_pairs_in_groups, grouped by cluster id — one of the
+    documented pandas whitelist sites). Zero vectors are degenerate
+    (no direction) and excluded."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = S.kmeans_fit(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER)
+    assigned = S._assign_quantized(emb, cents, "embedding", 6)
+    self_dot = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x
+    )
+    live = assigned.filter(self_dot > 0).localCheckpoint(eager=False)
+    pairs = S.cosine_pairs_in_groups(
+        live, ["centroid_id"], threshold=0.35
+    )
+    dropped = pairs.select(F.col("id2").alias("vec_id")).distinct()
+    return live.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", "centroid_id"
+    )
+
+
 @register(
     "heavy_hitters_rollup_docs",
     f"""

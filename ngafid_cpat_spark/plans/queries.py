@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (160 queries: 153 strict oracles + 7 bounded-error).
+the full catalog (162 queries: 155 strict oracles + 7 bounded-error).
 """
 
 from __future__ import annotations
@@ -31,6 +31,8 @@ from . import tpch_extra as _tpch_extra  # noqa: F401  (registers)
 PRIORITY = [
     # never driver-windowed: new this round (r10)
     "dedup_keep_best_scored",
+    "pagerank_events",
+    "semantic_dedup_embeddings",
     # plan changed this round (driver/numpy quantizers moved to exact
     # half-away-from-zero rounding — ADVICE r09 medium; the strict-
     # oracle members of the touched cosine/LSH/kmeans/GD family
@@ -85,8 +87,6 @@ PRIORITY = [
     "lateral_topk_orders",
     "listagg_customers_per_nation",
     "pq_codes_embeddings",
-    "profile_columns_events",
-    "q18_big_orders",
 ]
 
 

@@ -52,3 +52,45 @@ def test_triangle_counts_with_ids_beyond_packing_range(spark):
                        (b + 3, b + 4), (5, b + 1)])
     out = {r["node"]: r["n_triangles"] for r in G.triangle_counts(g).collect()}
     assert out == {b + 1: 1, b + 2: 1, b + 3: 1}
+
+
+def _pagerank_py(pairs, n_iter=3):
+    """Independent integer-micro PageRank reference (pure python,
+    same arithmetic contract as pagerank_micro)."""
+    adj: dict = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {n: len(ms) for n, ms in adj.items()}
+    r = {n: 1_000_000 for n in adj}
+    for _ in range(n_iter):
+        contrib = {n: 0 for n in adj}
+        for u, ms in adj.items():
+            c = r[u] // deg[u]
+            for v in ms:
+                contrib[v] += c
+        r = {n: 150_000 + (17 * contrib[n]) // 20 for n in adj}
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    """pagerank_micro == the pure-python integer recipe on an
+    irregular graph (hub + chain + isolated pair): bit-exact BIGINT
+    micros, no float tolerance needed."""
+    pairs = [(1, 2), (1, 3), (1, 4), (1, 5), (5, 6), (6, 7), (8, 9)]
+    out = {
+        r["node"]: r["rank_micro"]
+        for r in G.pagerank_micro(_edges(spark, pairs), n_iter=3).collect()
+    }
+    assert out == _pagerank_py(pairs, 3)
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # star graph: the hub accumulates its leaves' full contributions
+    pairs = [(0, i) for i in range(1, 6)]
+    out = {
+        r["node"]: r["rank_micro"]
+        for r in G.pagerank_micro(_edges(spark, pairs), n_iter=3).collect()
+    }
+    assert out[0] > max(out[i] for i in range(1, 6))
+    assert len({out[i] for i in range(1, 6)}) == 1  # leaves symmetric

@@ -753,3 +753,55 @@ def test_index_lifecycle_over_file_uri_scheme(spark, emb, tmp_path):
         S.compact_ivfpq_index(
             spark, f"{root_local}/gen-000002", str(tmp_path / "s"), gen2
         )
+
+
+def test_semantic_dedup_greedy_by_id_within_clusters(spark):
+    """semantic_dedup_embeddings' survivorship equals the greedy
+    keep-lowest-id rule recomputed independently: a live vector
+    survives iff NO lower-id member of ITS cluster matches at
+    quantized cosine >= 0.35. Cross-cluster near-dups are kept by
+    design (SemDeDup's recall/cost trade)."""
+    sf_dir = "/root/testdata/sf0.001"
+    import numpy as np
+
+    from ngafid_cpat_spark.plans.extensions import (
+        _KMEANS_ITER,
+        _KMEANS_K,
+        semantic_dedup_embeddings,
+    )
+    from ngafid_cpat_spark.sources import load
+
+    kept = {
+        r["vec_id"]: r["centroid_id"]
+        for r in semantic_dedup_embeddings(spark, sf_dir).collect()
+    }
+    full = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = S.kmeans_fit(full, k=_KMEANS_K, n_iter=_KMEANS_ITER)
+    rows = S._assign_quantized(full, cents, "embedding", 6).collect()
+    live = [
+        (r["vec_id"], r["centroid_id"], np.array(r["embedding"]))
+        for r in rows
+        if float(np.dot(r["embedding"], r["embedding"])) > 0
+    ]
+    by_cluster: dict = {}
+    for vid, cid, v in live:
+        by_cluster.setdefault(cid, []).append((vid, v))
+
+    def cosq(a, b):
+        qa = S.np_round_half_away(a * 1e6)
+        qb = S.np_round_half_away(b * 1e6)
+        return float(qa @ qb) / (
+            float(qa @ qa) ** 0.5 * float(qb @ qb) ** 0.5
+        )
+
+    want = {}
+    for cid, members in by_cluster.items():
+        for vid, v in sorted(members):
+            if not any(
+                cosq(w, v) >= 0.35 for wid, w in sorted(members) if wid < vid
+            ):
+                want[vid] = cid
+    assert kept == want
+    assert 0 < len(kept) < len(live)  # non-trivial: some drops happen
