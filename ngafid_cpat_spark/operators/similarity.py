@@ -2070,3 +2070,67 @@ def ivfpq_topk_indexed_batch(
         .filter(F.col("__rn") <= k)
         .select("qid", id_col, "cosine")
     )
+
+
+def power_iteration_milli(
+    emb: DataFrame,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Dominant eigenvector direction of the (uncentered) Gram matrix
+    X^T X by power iteration — the embedding-space analysis primitive
+    behind whitening / dominant-direction removal — with EXACT
+    integer arithmetic so the iterate is bit-identical on every
+    engine (the Lloyd/GD/PageRank doctrine):
+
+      * components quantize to BIGINT millis: xm_d = round(x_d*1e3);
+      * per row the matvec term is the exact integer dot
+        dq = sum_d xm_d * v_d  (v in millis — products ~1e12, row-
+        local, N-independent);
+      * s_d = SUM(dq * xm_d) accumulates as DECIMAL(38,0)/HUGEINT —
+        exact at any corpus size, no 2^63 ceiling;
+      * renormalization is max-norm INTEGER division TRUNCATED
+        toward zero: v'_d = sign(s_d) * (|s_d| * 1000 DIV max|s|).
+        (Power iteration converges under any positive scaling.
+        DuckDB's ``//`` truncates toward zero on integers while
+        Python's ``//`` floors — they disagree on negatives, so the
+        driver computes sign * (abs // mx) explicitly.)
+
+    The output is DEFINED as the n_iter-th iterate from the all-ones
+    milli seed — convergence improves direction quality, never
+    correctness. One aggregate + a dim-row driver sync per iteration
+    (the Lloyd shape). Returns the v_milli list (len = dim)."""
+    dim = _dim_of(emb, vec_col)
+    if dim == 0:
+        return []
+    emb = _parallel_checkpoint(emb)
+    xm = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1000.0, 0).cast("long"),
+    )
+    v = [1000] * dim
+    for _ in range(n_iter):
+        V = F.array(*[F.lit(int(vd)).cast("long") for vd in v])
+        dq = F.aggregate(
+            F.zip_with(xm, V, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, t: a + t,
+        )
+        rows = (
+            emb.select(dq.alias("dq"), F.posexplode(xm).alias("d", "xmv"))
+            .groupBy("d")
+            .agg(
+                F.sum(
+                    (F.col("dq") * F.col("xmv")).cast("decimal(38,0)")
+                ).alias("s")
+            )
+            .collect()
+        )
+        s = {int(r["d"]): int(r["s"]) for r in rows}
+        mx = max((abs(s.get(d, 0)) for d in range(dim)), default=0) or 1
+        v = [
+            (1 if s.get(d, 0) >= 0 else -1) * (abs(s.get(d, 0)) * 1000 // mx)
+            for d in range(dim)
+        ]
+    return v

@@ -3379,6 +3379,71 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _power_iter_sql(prev: str, idx: int) -> str:
+    """One unrolled power iteration as CTEs (see operators/
+    similarity.power_iteration_milli): exact integer matvec
+    dq = sum_d xm_d * v_d (HUGEINT), DECIMAL-exact per-dimension
+    sums, truncating max-norm renormalization."""
+    return f"""
+    pd{idx} AS (
+      SELECT vec_id, SUM(xm.xm * v.v) AS dq
+      FROM xm JOIN {prev} v USING (d) GROUP BY vec_id
+    ),
+    ps{idx} AS (
+      SELECT xm.d, SUM(CAST(p.dq AS HUGEINT) * xm.xm) AS s
+      FROM xm JOIN pd{idx} p USING (vec_id) GROUP BY xm.d
+    ),
+    pv{idx} AS (
+      SELECT d,
+             (CASE WHEN s >= 0 THEN 1 ELSE -1 END) *
+             ((ABS(s) * 1000) //
+              GREATEST((SELECT MAX(ABS(s)) FROM ps{idx}), 1)) AS v
+      FROM ps{idx}
+    )"""
+
+
+@register(
+    "pca_power_iteration_embeddings",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    xm AS (
+      SELECT vec_id, t.i AS d,
+             CAST(ROUND(v[t.i + 1] * 1000, 0) AS BIGINT) AS xm
+      FROM e, range(0, 64) t(i)
+    ),
+    pv0 AS (
+      SELECT t.i AS d, CAST(1000 AS HUGEINT) AS v FROM range(0, 64) t(i)
+    ),{_power_iter_sql('pv0', 1)},{_power_iter_sql('pv1', 2)},
+    {_power_iter_sql('pv2', 3)}
+    SELECT d, CAST(v AS BIGINT) AS v_milli FROM pv3 ORDER BY d
+    """,
+)
+def pca_power_iteration_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dominant principal direction of the embedding corpus (top
+    eigenvector of the uncentered Gram matrix X^T X) by 3 power
+    iterations — the analysis primitive behind embedding whitening /
+    dominant-direction removal, and the catalog's third iterative-
+    fixpoint family member (Lloyd, GD, now power iteration). Fully
+    STRICT-oracle-paired because every step is exact integer
+    arithmetic: milli-quantized components, integer matvec dots,
+    DECIMAL(38)/HUGEINT per-dimension sums (no 2^63 ceiling at any
+    corpus size), truncating max-norm renormalization
+    (operators/similarity.power_iteration_milli). Scale shape: one
+    map-side matvec + one narrow posexplode aggregate per iteration,
+    dim-row driver state."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    v = S.power_iteration_milli(emb, n_iter=3)
+    return spark.createDataFrame(
+        [(d, int(x)) for d, x in enumerate(v)], "d long, v_milli long"
+    ).orderBy("d")
+
+
 @register(
     "heavy_hitters_rollup_docs",
     f"""

@@ -805,3 +805,34 @@ def test_semantic_dedup_greedy_by_id_within_clusters(spark):
                 want[vid] = cid
     assert kept == want
     assert 0 < len(kept) < len(live)  # non-trivial: some drops happen
+
+
+def test_power_iteration_matches_python_reference(spark):
+    """power_iteration_milli == a pure-python integer replay on a
+    small anisotropic batch (dominant direction along e0+e1), and the
+    iterate actually aligns with the planted direction."""
+    rows = [
+        (i, [float(a), float(b), float(c), float(d)])
+        for i, (a, b, c, d) in enumerate([
+            (2.0, 1.9, 0.1, -0.05), (1.5, 1.6, -0.2, 0.1),
+            (-2.2, -2.0, 0.05, 0.2), (0.4, 0.5, 0.01, -0.3),
+            (3.0, 2.8, -0.1, 0.0), (-1.0, -1.1, 0.3, 0.1),
+        ])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = S.power_iteration_milli(df, n_iter=3)
+
+    def rha(x):
+        return S.round_half_away(x)
+
+    xm = [[rha(x * 1000) for x in v] for _, v in rows]
+    v = [1000] * 4
+    for _ in range(3):
+        dq = [sum(r[d] * v[d] for d in range(4)) for r in xm]
+        s = [sum(dq[i] * xm[i][d] for i in range(len(xm))) for d in range(4)]
+        mx = max(abs(x) for x in s) or 1
+        v = [(1 if x >= 0 else -1) * (abs(x) * 1000 // mx) for x in s]
+    assert got == v
+    # planted direction: |v0| ~ |v1| >> |v2|, |v3|
+    assert abs(got[0]) == 1000 or abs(got[1]) == 1000
+    assert max(abs(got[2]), abs(got[3])) < 300

@@ -84,6 +84,14 @@ def main() -> None:
             # would ship the whole graph to every executor; SMJ (or
             # AQE's runtime BHJ at small SF) is the correct shape
             "triangle_counts_events",
+            # PageRank: every iteration joins edges with the node-
+            # sized rank table and re-aggregates per node — both
+            # sides are graph-scale (edges O(m), ranks O(n)), so SMJ
+            # is the correct static shape at 100 TB; AQE converts to
+            # BHJ at small SF. The scored survivorship's components
+            # inherit dedup_clusters' node-sized joins.
+            "pagerank_events",
+            "dedup_keep_best_scored",
         }
         if a["smj"] and name not in expected_smj:
             issues.append(
@@ -99,6 +107,10 @@ def main() -> None:
             "multimodal_meta",
             "embedding_neardup_pairs",
             "embedding_neardup_lsh",
+            # SemDeDup within-cluster pairing reuses the same blocked
+            # numpy matmul (cosine_pairs_in_groups) grouped by the
+            # kmeans cell id
+            "semantic_dedup_embeddings",
         }
         if a["python_udf"] and name not in intended_pandas:
             issues.append(f"- `{name}`: Python eval in the plan (UDF in hot path?)")
