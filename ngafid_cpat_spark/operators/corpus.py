@@ -836,16 +836,12 @@ def train_linear_classifier(
     w = [0, 0, 0, 0]  # integer micros: bias, w1..w3
     n = None
 
-    def _z():
-        z = F.lit(w[0] / 1e6)
-        for j, c in enumerate(xs):
-            z = z + F.lit(w[j + 1] / 1e6) * F.col(c)
-        return z
-
     def _p():
-        return F.least(
-            F.greatest(0.25 * _z() + 0.5, F.lit(0.0)), F.lit(1.0)
-        )
+        # the ONE scoring expression (linear_score) — the trainer and
+        # every downstream scorer (dedup_keep_best_scored) must build
+        # the identical Column tree or the bit-exactness contract
+        # silently forks
+        return linear_score(w, tuple(xs))
 
     for _ in range(n_iter):
         resid = F.col(label_col) - _p()

@@ -129,7 +129,11 @@ def pagerank_micro(
     from .similarity import _parallel_checkpoint
 
     dd = _parallel_checkpoint(de.join(deg, "s"))
-    ranks = deg.select(
+    # node list derived from the CHECKPOINTED edge table (and itself
+    # checkpointed): the raw `deg` would re-run the whole upstream
+    # edge pipeline + degree groupBy once per iteration
+    nodes = dd.select("s").distinct().localCheckpoint(eager=False)
+    ranks = nodes.select(
         F.col("s").alias("node"), F.lit(1_000_000).cast("long").alias("r")
     )
     for _ in range(n_iter):
@@ -143,7 +147,7 @@ def pagerank_micro(
             .agg(F.sum("c").alias("cs"))
         )
         ranks = (
-            deg.select(F.col("s").alias("node"))
+            nodes.select(F.col("s").alias("node"))
             .join(contribs, F.col("node") == F.col("node2"), "left")
             .select(
                 "node",

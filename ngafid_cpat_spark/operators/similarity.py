@@ -649,10 +649,13 @@ def kmeans_fit(
         byte-identical to the compare key pq_encode assigns codes
         with, so trained codebooks and encoded codes agree.
 
-    Scale shape: per iteration ONE wide map-side-combining groupBy
-    (k rows x dim partial-sum columns out — no posexplode of the
-    corpus into |vectors| x dim rows) and a k x dim driver collect
-    (config-sized, same bounded-transfer class as the bloom words).
+    Scale shape: per iteration one NARROW posexplode aggregate —
+    (cid, dim, micro) rows whose map-side combine collapses each
+    partition to <= k*dim rows before the shuffle — and a k x dim
+    driver collect (config-sized, same bounded-transfer class as the
+    bloom words). The earlier k-row x dim-column WIDE aggregate
+    carried the same integer sums but cost ~1 s of analyzer/optimizer
+    time per iteration regardless of data volume (SCALE.md r10).
     n_iter+1 passes over the vectors — persist the input upstream for
     big n_iter. Pass ``vec_col`` pre-cast to array<double>: float
     components would square in float32 on the Spark side while any
@@ -1447,6 +1450,35 @@ def _fs_qualified(path_str: str, spark=None) -> str:
     return str(fs.makeQualified(hpath))
 
 
+def _same_target(a: str, b: str, spark=None) -> bool:
+    """True when two path strings denote the same storage location.
+    Two layers: qualified-URI equality (scheme/authority/.. — works
+    on any FileSystem), PLUS local-realpath equality for file-scheme
+    paths, because makeQualified normalizes '..' but never resolves
+    SYMLINKS — a dest symlinked onto the base generation would slip
+    past a URI-only compare and let mode('overwrite') clear the
+    directory a lazy read is scanning (the guard realpath used to
+    provide before the URI-aware rewrite)."""
+    import os
+
+    qa, qb = _fs_qualified(a, spark), _fs_qualified(b, spark)
+    if qa == qb:
+        return True
+
+    def _local(p: str) -> str | None:
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+            return p
+        return None if "://" in p else p
+
+    la, lb = _local(qa) or _local(a), _local(qb) or _local(b)
+    if la is not None and lb is not None:
+        return os.path.realpath(la) == os.path.realpath(lb)
+    return False
+
+
 def _parse_pointers(names: list[str]) -> list[tuple[int, str]]:
     """(n, gen_name) pairs from ``_ivfpq_current.<n>.<gen>`` pointer
     file names; malformed names are ignored."""
@@ -1803,13 +1835,12 @@ def compact_ivfpq_index(
     # the generational ROOT as base with dest pointing at the root's
     # CURRENT generation is exactly this hazard in disguise
     base_path = resolve_index_dir(base_path, spark)
-    dest_real = _fs_qualified(dest_path, spark)
-    if dest_real == _fs_qualified(base_path, spark):
+    if _same_target(dest_path, base_path, spark):
         raise ValueError(
             "compact_ivfpq_index: dest_path must be a NEW generation "
             f"dir, not the (resolved) base index itself ({base_path})"
         )
-    if dest_real == _fs_qualified(stream_path, spark):
+    if _same_target(dest_path, stream_path, spark):
         raise ValueError(
             "compact_ivfpq_index: dest_path must not be the stream "
             f"store ({stream_path})"
@@ -1889,7 +1920,7 @@ def delete_from_ivfpq_index(
     # guard AFTER pointer resolution (see compact_ivfpq_index): a
     # dest equal to the root's CURRENT generation must be refused too
     base_path = resolve_index_dir(base_path, spark)
-    if _fs_qualified(dest_path, spark) == _fs_qualified(base_path, spark):
+    if _same_target(dest_path, base_path, spark):
         raise ValueError(
             "delete_from_ivfpq_index: dest_path must be a NEW "
             "generation dir, not the (resolved) base index itself "
@@ -2117,12 +2148,18 @@ def power_iteration_milli(
             F.lit(0).cast("long"),
             lambda a, t: a + t,
         )
+        # dq casts to DECIMAL *before* the product: dq*xmv in LONG
+        # wraps for component magnitudes past ~1.2e4 (dq ~ 7.7e11 x
+        # xmv ~ 1.2e7 > 2^63) while the DuckDB oracle multiplies in
+        # HUGEINT exactly — the decimal product keeps both engines
+        # exact to 38 digits. dq itself stays LONG-safe for any
+        # |component| <= ~1e11 (row-local, N-independent).
         rows = (
             emb.select(dq.alias("dq"), F.posexplode(xm).alias("d", "xmv"))
             .groupBy("d")
             .agg(
                 F.sum(
-                    (F.col("dq") * F.col("xmv")).cast("decimal(38,0)")
+                    F.col("dq").cast("decimal(38,0)") * F.col("xmv")
                 ).alias("s")
             )
             .collect()

@@ -813,7 +813,8 @@ def lr_quality_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
         ),
         "id",
-    ).localCheckpoint(eager=False)  # 5 passes share one materialization
+    )
+    feats = S._parallel_checkpoint(feats)  # 5 passes share one (parallel) materialization
     model = C.train_linear_classifier(feats, n_iter=4)
     w = model["weights_micro"]
     return spark.createDataFrame(
@@ -901,7 +902,8 @@ def dedup_keep_best_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
         ),
         "id",
-    ).localCheckpoint(eager=False)  # 4 GD passes + scoring share one
+    )
+    feats = S._parallel_checkpoint(feats)  # 4 GD passes + scoring share one
     model = C.train_linear_classifier(feats, n_iter=4)
     scored = feats.select(
         F.col("id").alias("doc_id"),
@@ -1260,7 +1262,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the committed recall curve is measured on the SAME index store the
 # catalog queries probe (an earlier hardcoded 'ivfpq-v1' sweep tag
 # silently measured a parallel store after the catalog moved to v2).
-IVFPQ_TAG_VERSION = "ivfpq-v2"
+# v3: r10 moved the driver-side seed/LUT quantizers to exact
+# half-away rounding (round_half_away) — identical on all gate data,
+# but the content-key contract says ANY quantizer-params change
+# rebuilds rather than silently reusing a stale store
+IVFPQ_TAG_VERSION = "ivfpq-v3"
 
 
 def _ivfpq_tag(
@@ -3369,7 +3375,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     self_dot = F.aggregate(
         F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x
     )
-    live = assigned.filter(self_dot > 0).localCheckpoint(eager=False)
+    live = S._parallel_checkpoint(assigned.filter(self_dot > 0))
     pairs = S.cosine_pairs_in_groups(
         live, ["centroid_id"], threshold=0.35
     )

@@ -836,3 +836,20 @@ def test_power_iteration_matches_python_reference(spark):
     # planted direction: |v0| ~ |v1| >> |v2|, |v3|
     assert abs(got[0]) == 1000 or abs(got[1]) == 1000
     assert max(abs(got[2]), abs(got[3])) < 300
+
+
+def test_overwrite_guard_sees_through_symlinks(spark, emb, tmp_path):
+    """The dest==base guard must catch a dest that is a SYMLINK onto
+    the base generation (qualified-URI comparison alone can't —
+    makeQualified normalizes '..' but never resolves links; this was
+    a realpath behavior the URI-aware rewrite briefly dropped)."""
+    import os
+
+    base = str(tmp_path / "symidx")
+    S.write_ivfpq_index(emb, base, k_coarse=4, m=4, k_sub=4, n_iter=1)
+    link = str(tmp_path / "current")
+    os.symlink(base, link)
+    with pytest.raises(ValueError, match="NEW generation"):
+        S.delete_from_ivfpq_index(spark, base, [1], link)
+    with pytest.raises(ValueError, match="NEW generation"):
+        S.delete_from_ivfpq_index(spark, link, [1], base)
