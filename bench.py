@@ -201,10 +201,14 @@ def main() -> None:
         out["errors"] = errors
 
     # round-over-round drift detection against the committed previous
-    # self-record: any query >1.3x its prior min-of-N time AND >0.3 s
-    # absolute (sub-0.3 s timings are dominated by fixed job-launch
-    # cost, where 1.3x is jitter) is listed under "regressions" — the
-    # repo catches its own drifts instead of waiting for a judge run.
+    # self-record: a query is flagged when it is >1.3x its prior
+    # min-of-N time AND the absolute delta exceeds 0.75 s. The delta
+    # floor is measured, not arbitrary: back-to-back full runs on
+    # this box (ambient load 2-4) flag DISJOINT sets of ~10 sub-1.5 s
+    # queries at 1.3-2.0x with deltas <= 0.55 s — pure noise — while
+    # the one real historical drift (ann_ivfpq_topk 6.4 -> 10.7 s)
+    # carries a 4.3 s delta. Sub-0.75 s drifts stay visible in the
+    # per-query dicts; this key is the alarm, not the record.
     regressions: dict[str, list[float]] = {}
     try:
         with open(SELF_RECORD) as f:
@@ -213,7 +217,7 @@ def main() -> None:
         cur_all = {**timings, **extra_timings}
         for name, t in sorted(cur_all.items()):
             p = prev_all.get(name)
-            if p is not None and t > 0.3 and p > 0 and t / p > 1.3:
+            if p is not None and p > 0 and t / p > 1.3 and t - p > 0.75:
                 regressions[name] = [p, t]
     except (OSError, ValueError):
         pass
