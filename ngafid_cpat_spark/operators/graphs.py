@@ -123,12 +123,26 @@ def pagerank_micro(
         edges.select(F.col(v).alias("s"), F.col(u).alias("t"))
     )
     deg = de.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    # one materialization: the directed edge+degree table feeds every
-    # iteration's join (and, single-partition parquet upstream, the
-    # widening matters — see similarity._parallel_checkpoint)
-    from .similarity import _parallel_checkpoint
-
-    dd = _parallel_checkpoint(de.join(deg, "s"))
+    # ONE materialization of the static edge side, HASH-PARTITIONED
+    # AND SORTED on the join key before the checkpoint: every
+    # iteration's rank join is an SMJ on `s`, and localCheckpoint
+    # preserves outputPartitioning/ordering — so the 2m-row edge
+    # table is shuffled and sorted ONCE instead of once per
+    # iteration (the GraphX edge-partitioning pattern; the
+    # round-robin _parallel_checkpoint variant re-sorted per
+    # iteration and went superlinear at 10x in tools/scale_smoke —
+    # 165 s -> 105 s at 60M directed edges x 3 iterations)
+    sess = edges.sparkSession
+    try:
+        n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_part = 32
+    dd = (
+        de.join(deg, "s")
+        .repartition(n_part, "s")
+        .sortWithinPartitions("s")
+        .localCheckpoint(eager=False)
+    )
     # node list derived from the CHECKPOINTED edge table (and itself
     # checkpointed): the raw `deg` would re-run the whole upstream
     # edge pipeline + degree groupBy once per iteration

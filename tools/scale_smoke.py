@@ -294,9 +294,7 @@ def main() -> None:
             _RECURSIVE_CHAIN_SQL.format(supplier="__scale_supplier")
         )
 
-    def triangles(ev):
-        from ngafid_cpat_spark.operators import graphs as G
-
+    def _synth_edges(ev):
         # 3 deterministic out-edges per node into a 100-node-wide
         # local neighborhood => bounded average degree, plenty of
         # closed wedges; 10% of edges rewired onto hub 0 so the
@@ -318,10 +316,59 @@ def main() -> None:
                     F.greatest(F.col("u"), tgt).alias("v"),
                 )
             )
-        edges = parts[0].unionByName(parts[1]).unionByName(parts[2]).filter(
+        return parts[0].unionByName(parts[1]).unionByName(parts[2]).filter(
             F.col("u") < F.col("v")
         ).distinct()
-        return G.triangle_counts(edges)
+
+    def triangles(ev):
+        from ngafid_cpat_spark.operators import graphs as G
+
+        return G.triangle_counts(_synth_edges(ev))
+
+    def pagerank(ev):
+        from ngafid_cpat_spark.operators import graphs as G
+
+        # 3 iterations over the same hub-skewed bounded-degree graph:
+        # each iteration is one edge join + one node groupBy, rank
+        # state one row per node — time should track |edges|; the
+        # hub's fan-in lands in a map-side-combining SUM, so the
+        # skewed node cannot serialize an iteration
+        return G.pagerank_micro(_synth_edges(ev), n_iter=3)
+
+    def semantic_dedup(emb):
+        from ngafid_cpat_spark.operators import similarity as S
+
+        # SemDeDup's scale contract: k grows WITH the corpus so
+        # cluster size stays ~constant (n/k ~ 1250) and the
+        # within-cluster pair matmul cost k*(n/k)^2 = n*1250 stays
+        # linear — fixed k would make it quadratic (the LSH-plane
+        # occupancy contract's clustering twin)
+        n = emb.count()
+        k = max(4, n // 1250)
+        cents = S.kmeans_fit(emb, k=k, n_iter=1)
+        assigned = S._assign_quantized(emb, cents, "embedding", 6)
+        live = assigned.filter(
+            F.aggregate(
+                F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x
+            ) > 0
+        )
+        pairs = S.cosine_pairs_in_groups(
+            live, ["centroid_id"], threshold=0.35
+        )
+        dropped = pairs.select(F.col("id2").alias("vec_id")).distinct()
+        return live.join(dropped, "vec_id", "left_anti").select(
+            "vec_id", "centroid_id"
+        )
+
+    def power_iteration(emb):
+        from ngafid_cpat_spark.operators import similarity as S
+
+        # 3 exact-integer matvec passes + dim-row driver syncs;
+        # time should track |vectors|
+        v = S.power_iteration_milli(emb, n_iter=3)
+        return emb.sparkSession.createDataFrame(
+            [(d, int(x)) for d, x in enumerate(v)], "d long, v long"
+        )
 
     def bpe(docs):
         from ngafid_cpat_spark.operators.corpus import bpe_train_merges
@@ -402,6 +449,9 @@ def main() -> None:
         "hll_union": ("events", hll_union),
         "recursive_cte_chain": ("events", recursive_cte),
         "triangle_counts": ("events", triangles),
+        "pagerank": ("events", pagerank),
+        "semantic_dedup": ("emb", semantic_dedup),
+        "power_iteration": ("emb", power_iteration),
         "bpe_train": ("docs", bpe),
         "bpe_train_16": ("docs", bpe16),
         "ivfpq_indexed_probe": ("emb", ivfpq_indexed_probe, ivfpq_index_build),
