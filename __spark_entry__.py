@@ -5,7 +5,7 @@ queries()      every implemented operator from SURVEY.md §2 as
                (spark, sf_dir) -> DataFrame.
 oracle_sql()   DuckDB-equivalent ANSI SQL per query (same column
                aliases; computed doubles rounded identically on both
-               sides). As of r10, 156 of 163 queries carry a strict
+               sides). As of r10, 157 of 164 queries carry a strict
                oracle (minhash/simhash use cross-engine md5 hash
                families); the seven approximate queries (HLL
                distinct, HLL sketch-union rollup, GK quantiles,

@@ -799,6 +799,24 @@ def linear_score(
     return F.least(F.greatest(0.25 * z + 0.5, F.lit(0.0)), F.lit(1.0))
 
 
+def quality_weighted_sample(
+    scored: DataFrame, id_col: str = "doc_id", score_col: str = "p"
+) -> DataFrame:
+    """Keep each row with probability equal to its MODEL score — the
+    classifier-weighted corpus-curation sampler (quality-weighted
+    retention, the score-thresholding generalization modern corpus
+    pipelines run after quality-classifier scoring). Deterministic
+    and engine-portable, like every sampler here: the 'coin' is the
+    id's permille bucket (sample_hash — no RNG, no seed plumbing),
+    kept iff bucket < ROUND(score * 1000). Rerunning, re-sharding or
+    re-engine-ing yields the identical subset; expected retention is
+    the mean score. Map-side only, no shuffle."""
+    keep = sample_hash(id_col) < F.round(
+        F.col(score_col) * 1000.0, 0
+    )
+    return scored.filter(keep)
+
+
 def train_linear_classifier(
     feats: DataFrame,
     label_col: str = "y",

@@ -826,6 +826,57 @@ def lr_quality_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.corpus import SAMPLE_HASH_SQL as _SAMPLE_HASH_SQL  # noqa: E402
+
+
+@register(
+    "quality_weighted_sample_docs",
+    f"""
+    WITH {{_LR_FEAT_CTE}},{{_LR_ITERS}},
+    scored AS (
+      SELECT f.doc_id, {{_LR_P_EXPR}} AS p FROM feat f, it4 i
+    )
+    SELECT doc_id, ROUND(p, 6) AS keep_score
+    FROM scored
+    WHERE {{_HASH}} < ROUND(p * 1000.0, 0)
+    """.replace("{_LR_FEAT_CTE}", _LR_FEAT_CTE)
+    .replace("{_LR_ITERS}", _lr_iter_ctes(4))
+    .replace("{_LR_P_EXPR}", _LR_P_EXPR)
+    .replace("{_HASH}", _SAMPLE_HASH_SQL("doc_id")),
+)
+def quality_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-weighted corpus sampling (operators/corpus.
+    quality_weighted_sample): train the 4-round-GD quality model,
+    then keep each document with probability equal to its score —
+    the quality-weighted retention step modern corpus-curation
+    pipelines run after classifier scoring, here fully deterministic
+    (the coin is the id's permille hash bucket, the score is the
+    bit-exact hard-sigmoid) and therefore STRICT-oracle-paired: the
+    DuckDB oracle replays the 4 training iterations AND the same
+    bucket-vs-ROUND(score*1000) test. Scale shape: training is
+    n_iter one-aggregate passes; the sample itself is one map-side
+    filter, no shuffle, no RNG state."""
+    from ..operators import corpus as C
+
+    docs = load(spark, sf_dir, "documents")
+    feats = C.classifier_features(docs).join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        ),
+        "id",
+    )
+    feats = S._parallel_checkpoint(feats)
+    model = C.train_linear_classifier(feats, n_iter=4)
+    scored = feats.select(
+        F.col("id").alias("doc_id"),
+        C.linear_score(model["weights_micro"]).alias("p"),
+    )
+    return C.quality_weighted_sample(scored, "doc_id", "p").select(
+        "doc_id", F.round("p", 6).alias("keep_score")
+    )
+
+
 @register(
     "dedup_keep_best_scored",
     f"""

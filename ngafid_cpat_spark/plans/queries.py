@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (163 queries: 156 strict oracles + 7 bounded-error).
+the full catalog (164 queries: 157 strict oracles + 7 bounded-error).
 """
 
 from __future__ import annotations
@@ -34,6 +34,7 @@ PRIORITY = [
     "pagerank_events",
     "semantic_dedup_embeddings",
     "pca_power_iteration_embeddings",
+    "quality_weighted_sample_docs",
     # plan changed this round (driver/numpy quantizers moved to exact
     # half-away-from-zero rounding — ADVICE r09 medium; the strict-
     # oracle members of the touched cosine/LSH/kmeans/GD family
@@ -86,7 +87,6 @@ PRIORITY = [
     "islands_auto_events",
     "lang_id_docs",
     "lateral_topk_orders",
-    "listagg_customers_per_nation",
 ]
 
 

@@ -455,3 +455,53 @@ def test_dedup_keep_best_scored_agrees_with_trained_weights(spark):
         want = min(mem, key=lambda i: (-pyscore[i], i))
         assert k["keeper_id"] == want, (k, [(i, pyscore[i]) for i in mem])
         assert abs(k["keeper_score"] - pyscore[want]) < 1e-6
+
+
+def test_quality_weighted_sample_matches_python_replay(spark):
+    """quality_weighted_sample keeps exactly the rows whose permille
+    hash bucket falls under ROUND(score*1000) — replayed in python
+    from the same trained weights; retention is non-trivial (neither
+    empty nor everything)."""
+    sf_dir = "/root/testdata/sf0.001"
+    from ngafid_cpat_spark.operators.corpus import (
+        _SAMPLE_MULT,
+        _SAMPLE_OFFSET,
+        _SAMPLE_PRIME,
+    )
+    from ngafid_cpat_spark.operators.similarity import round_half_away
+    from ngafid_cpat_spark.plans.extensions import (
+        quality_weighted_sample_docs,
+    )
+    from ngafid_cpat_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    feats = C.classifier_features(docs).join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        ),
+        "id",
+    ).localCheckpoint(eager=False)
+    w = C.train_linear_classifier(feats, n_iter=4)["weights_micro"]
+
+    def score(r):
+        z = (
+            w[0] / 1e6 + w[1] / 1e6 * r["x1"] + w[2] / 1e6 * r["x2"]
+            + w[3] / 1e6 * r["x3"]
+        )
+        return min(max(0.25 * z + 0.5, 0.0), 1.0)
+
+    def bucket(i):
+        return ((i % _SAMPLE_PRIME) * _SAMPLE_MULT + _SAMPLE_OFFSET) % 1000
+
+    want = {
+        r["id"]
+        for r in feats.collect()
+        if bucket(r["id"]) < round_half_away(score(r) * 1000.0)
+    }
+    got = {
+        r["doc_id"] for r in quality_weighted_sample_docs(spark, sf_dir).collect()
+    }
+    assert got == want
+    n_all = feats.count()
+    assert 0 < len(got) < n_all
