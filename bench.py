@@ -180,6 +180,10 @@ def main() -> None:
     for name, dt in third.items():
         tgt = timings if name in timings else extra_timings
         tgt[name] = min(tgt[name], dt)
+    # a third-trial failure keeps the query's min-of-2 timing (it
+    # never deflates), but it must be VISIBLE: an intermittent
+    # regression-into-exception on exactly the slow queries the
+    # extra trial watches would otherwise vanish
     # a failing headline query must INFLATE the metric, never deflate
     # it (a regression-into-exception would otherwise read as a
     # speedup): each error adds a 1000 s penalty to the total
@@ -199,6 +203,9 @@ def main() -> None:
     out["extra_queries"] = extra_timings
     if errors:
         out["errors"] = errors
+    if third_err:
+        compact["third_run_errors"] = third_err
+        out["third_run_errors"] = third_err
 
     # round-over-round drift detection against the committed previous
     # self-record: a query is flagged when it is >1.3x its prior

@@ -1473,7 +1473,12 @@ def _same_target(a: str, b: str, spark=None) -> bool:
             return p
         return None if "://" in p else p
 
-    la, lb = _local(qa) or _local(a), _local(qb) or _local(b)
+    # realpath only applies to paths the QUALIFIED URI says are
+    # local: falling back to the raw string would treat an un-schemed
+    # input as local even when makeQualified resolved it to a remote
+    # default filesystem (hdfs://), wrongly equating a remote base
+    # with a same-pathed file:// dest and over-blocking the operation
+    la, lb = _local(qa), _local(qb)
     if la is not None and lb is not None:
         return os.path.realpath(la) == os.path.realpath(lb)
     return False

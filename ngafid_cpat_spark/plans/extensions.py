@@ -1462,8 +1462,15 @@ def streaming_ivfpq_ingest_embeddings(
         st = os.stat(src)
     except OSError:
         st = None
+    # the streamed codes/checkpoint stores are keyed by the SAME
+    # quantizer-params tag as the batch index (_ivfpq_tag): a
+    # quantizer version bump that rebuilds the batch index must also
+    # invalidate the streamed store, or a pre-existing codes dir
+    # encoded under the old quantizers would be silently reused (the
+    # checkpoint makes replays no-ops) and probed against the new meta
     tag = __import__("hashlib").md5(
-        f"ivfpq-stream-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
+        f"ivfpq-stream-v1:{_ivfpq_tag()}:{src}:"
+        f"{getattr(st, 'st_mtime_ns', 0)}:"
         f"{getattr(st, 'st_size', 0)}".encode()
     ).hexdigest()[:12]
     stream_src = os.path.join(_scratch_dir(), f"spark_graft_emb_stream_{tag}")
@@ -3048,6 +3055,167 @@ def _demo_dims(spark: SparkSession):
         ]
     )
     return airports, runways
+
+
+# --- approach pipeline at the REFERENCE's real national dims -------------
+#
+# The engine's dominant-cost scenario (SURVEY §6): the reference scans
+# ALL 15,165 airports per telemetry tick (FlightAnalysis.py:347-367);
+# with_nearest_airport dispatches that argmin to the gridded cell
+# equi-join at >= GRID_MIN_AIRPORTS dims. The demo telemetry's track
+# (lat 40+v/5000, lon -85+v/5000) sits >= 5 mi from every real
+# airport — dist_mi < 1.0 would never fire — so the query anchors each
+# flight's track onto a real airport by a pure translation: even
+# flights onto GFK (Grand Forks Intl — whose real 9L/9R runways sit
+# inside the 20-degree band of the synthetic heading 90, exercising
+# the runway theta-join against data/AirportsDetailed.csv), odd
+# flights onto I22 (Randolph County — no runway rows, exercising the
+# P6 relaxation path). The translation preserves the demo's proven
+# episode geometry while the nearest-airport argmin competes over the
+# FULL 15,165-row dim: at sf0.01 five distinct real airports win
+# ticks (GFK, I22, IN45, II73, MN81).
+_REAL_AIRPORTS_CSV = "/root/reference/data/Airports.csv"
+_REAL_RUNWAYS_CSV = "/root/reference/data/AirportsDetailed.csv"
+# (lat, lon, elevation_ft) copied verbatim from data/Airports.csv so
+# the SQL literals and the CSV-parsed doubles are the same values
+_ANCHOR_EVEN = (47.947267, -97.173781, 845.0)   # GFK
+_ANCHOR_ODD = (40.168333, -84.926667, 1117.0)   # I22
+
+# oracle = the demo oracle with three asserted string replacements:
+# (1) the anchor translation injected between raw and t, (2) the
+# two-airport CASE argmin replaced by a min(struct) argmin over
+# read_csv(Airports.csv) — the same (d, code, lat, lon, elev)
+# lexicographic tie-break as operators/joins._argmin_two_phase's
+# phase-2 min(struct(payload)) — and (3) the VALUES runway dim
+# replaced by read_csv(AirportsDetailed.csv). Everything downstream
+# of `pv` is byte-identical to the demo oracle, so the two queries
+# can never drift apart stage-wise. The +-2.0-degree prefilter on the
+# airport dim is provably lossless: every tick lies within Manhattan
+# 0.196 deg of its anchor (track span 0.098+0.098), so the true
+# argmin distance is <= 0.196 + eps, while every pruned airport is
+# >= 2.0 - 0.196 > 1.8 deg from every tick.
+_OLD_RAW_TO_T = """  FROM events
+), t AS (
+  SELECT * FROM raw
+"""
+_NEW_RAW_TO_T = f"""  FROM events
+), anch AS (
+  SELECT flight, time,
+    (msl_altitude - 800.0) + CASE WHEN flight % 2 = 0
+        THEN {_ANCHOR_EVEN[2]} ELSE {_ANCHOR_ODD[2]} END AS msl_altitude,
+    indicated_airspeed, vertical_airspeed, heading,
+    CASE WHEN flight % 2 = 0 THEN {_ANCHOR_EVEN[0]}
+         ELSE {_ANCHOR_ODD[0]} END + (latitude - 40.0) AS latitude,
+    CASE WHEN flight % 2 = 0 THEN {_ANCHOR_EVEN[1]}
+         ELSE {_ANCHOR_ODD[1]} END + (longitude - (-85.0)) AS longitude
+  FROM raw
+), t AS (
+  SELECT * FROM anch
+"""
+_OLD_NEAR_AP = """), near AS (
+  SELECT *,
+    abs(latitude - 40.0) + abs(longitude - (-85.0)) AS d_a,
+    abs(latitude - 40.02) + abs(longitude - (-84.98)) AS d_b
+  FROM t
+), ap AS (
+  SELECT * EXCLUDE (d_a, d_b),
+    CASE WHEN d_b < d_a THEN 'KBBB' ELSE 'KAAA' END AS airport_code,
+    CASE WHEN d_b < d_a THEN 40.02 ELSE 40.0 END AS airport_lat,
+    CASE WHEN d_b < d_a THEN -84.98 ELSE -85.0 END AS airport_lon,
+    CASE WHEN d_b < d_a THEN 820.0 ELSE 800.0 END AS airport_elev
+  FROM near
+), pv AS (
+"""
+_NEW_NEAR_AP = f"""), apt AS (
+  SELECT Airport_Code AS airport_code, Latitude AS ap_lat,
+         Longitude AS ap_lon, CAST(Elevation_FT AS DOUBLE) AS ap_elev
+  FROM read_csv('{_REAL_AIRPORTS_CSV}', header=true)
+  WHERE Airport_Code IS NOT NULL AND Latitude IS NOT NULL
+    AND Longitude IS NOT NULL
+    AND (abs(Latitude - {_ANCHOR_EVEN[0]})
+           + abs(Longitude - ({_ANCHOR_EVEN[1]})) < 2.0
+         OR abs(Latitude - {_ANCHOR_ODD[0]})
+           + abs(Longitude - ({_ANCHOR_ODD[1]})) < 2.0)
+), bestap AS (
+  SELECT t.flight, t.time,
+    min({{'d': abs(t.latitude - a.ap_lat) + abs(t.longitude - a.ap_lon),
+         'code': a.airport_code, 'lat': a.ap_lat, 'lon': a.ap_lon,
+         'elev': a.ap_elev}}) AS b
+  FROM t, apt a GROUP BY t.flight, t.time
+), ap AS (
+  SELECT t.*, b.b.code AS airport_code, b.b.lat AS airport_lat,
+         b.b.lon AS airport_lon, b.b.elev AS airport_elev
+  FROM t JOIN bestap b USING (flight, time)
+), pv AS (
+"""
+_OLD_RWYS = """), rwys(airport_code, runway_code, magnetic_rwy_hdg, true_rwy_hdg,
+        center_lat, center_long) AS (
+  VALUES ('KAAA', '09', 90.0, 90.0, 40.0, -85.0),
+         ('KBBB', '08', 85.0, 85.0, 40.02, -84.98)
+), rw_cand AS (
+"""
+_NEW_RWYS = f"""), rwys AS (
+  SELECT Airport_Code AS airport_code, Runway AS runway_code,
+         MagneticRwyHdg AS magnetic_rwy_hdg, TrueRwyHdg AS true_rwy_hdg,
+         CenterLat AS center_lat, CenterLong AS center_long
+  FROM read_csv('{_REAL_RUNWAYS_CSV}', header=true)
+), rw_cand AS (
+"""
+for _old in (_OLD_RAW_TO_T, _OLD_NEAR_AP, _OLD_RWYS):
+    assert _APPROACH_ORACLE.count(_old) == 1, "demo oracle drifted"
+_APPROACH_REAL_ORACLE = (
+    _APPROACH_ORACLE
+    .replace(_OLD_RAW_TO_T, _NEW_RAW_TO_T)
+    .replace(_OLD_NEAR_AP, _NEW_NEAR_AP)
+    .replace(_OLD_RWYS, _NEW_RWYS)
+)
+
+
+@register("approach_pipeline_real_airports", _APPROACH_REAL_ORACLE)
+def approach_pipeline_real_airports(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """approach_pipeline_demo at the reference's REAL dims: the same
+    telemetry fixture, anchor-translated per flight onto GFK / I22
+    (see the module comment above), analyzed against all 15,165
+    airports of data/Airports.csv and all 164 runways of
+    data/AirportsDetailed.csv. with_nearest_airport's auto-dispatch
+    takes the gridded cell equi-join here (dim >= GRID_MIN_AIRPORTS)
+    — the scale path the engine was built around (SCALE.md
+    "nearest-airport @ real dim": gridded 1.99 s vs broadcast fan
+    15.44 s at sf0.1 x 15,165 dims) — under the SAME strict oracle
+    shape as the demo (the gridded and broadcast paths are
+    pinned-identical, tests/test_airports_scale.py)."""
+    from ..sources.tables import (
+        load_reference_airports,
+        load_reference_runways,
+    )
+    from . import approach as AP
+
+    telemetry = _telemetry_fixture(spark, sf_dir)
+    even = F.col("flight") % 2 == 0
+    anchor_lat = F.when(even, F.lit(_ANCHOR_EVEN[0])).otherwise(
+        F.lit(_ANCHOR_ODD[0])
+    )
+    anchor_lon = F.when(even, F.lit(_ANCHOR_EVEN[1])).otherwise(
+        F.lit(_ANCHOR_ODD[1])
+    )
+    anchor_elev = F.when(even, F.lit(_ANCHOR_EVEN[2])).otherwise(
+        F.lit(_ANCHOR_ODD[2])
+    )
+    telemetry = telemetry.select(
+        "flight",
+        "time",
+        ((F.col("msl_altitude") - 800.0) + anchor_elev).alias("msl_altitude"),
+        "indicated_airspeed",
+        "vertical_airspeed",
+        "heading",
+        (anchor_lat + (F.col("latitude") - 40.0)).alias("latitude"),
+        (anchor_lon + (F.col("longitude") - (-85.0))).alias("longitude"),
+    )
+    airports = load_reference_airports(spark, _REAL_AIRPORTS_CSV)
+    runways = load_reference_runways(spark, _REAL_RUNWAYS_CSV)
+    return AP.analyze(telemetry, airports, runways)
 
 
 @register("streaming_approach_work_queue", _APPROACH_ORACLE)
