@@ -172,3 +172,130 @@ def pagerank_micro(
             )
         )
     return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+def incremental_connected_components(
+    history: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    new_nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental connected components against a GROWING edge log:
+    given ``history`` — the (node, cluster) labeling of every edge
+    batch seen so far, with the min-label invariant
+    operators/dedup.connected_components produces (cluster =
+    smallest reachable node id) — fold in one arriving batch of
+    undirected ``new_edges`` and return the updated labeling. The
+    graph analog of the incremental-dedup family
+    (operators/corpus.incremental_dedup and friends): arrivals are
+    processed against persisted state, never by re-running the
+    from-scratch algorithm over the whole log.
+
+    EXACTNESS (not an approximation): the result equals from-scratch
+    min-label CC over (history's graph + new edges). Proof shape:
+    contract every history component to its representative label.
+    New edges connect representatives; min-label CC over that
+    CONTRACTED graph — whose size is bounded by the new batch, never
+    by history — yields, for each merged group, the min over member
+    components' minima = the min reachable id in the full graph.
+    Induction over batches makes the update confluent: any split of
+    an edge log into arrival batches converges to the same labeling
+    as one batch (min over a union is order-free), and REPLAYING a
+    batch is a no-op (already-merged labels contract to self-loops),
+    the idempotence the streaming twin's restart contract needs.
+
+    Scale shape (100 TB): the contracted merge graph is collected
+    only through connected_components' bounded small-graph path (or
+    its distributed loop past SMALL_GRAPH_EDGES); history is touched
+    by exactly ONE map-side pass — a broadcast remap join on
+    cluster_col against the (changed labels only) merge map, no
+    shuffle of the store. On a cluster-keyed bucketed store the same
+    remap is a MERGE touching only buckets whose cluster appears in
+    the map, the streaming-upsert pattern (sinks.upsert).
+
+    Self-loop rows (u, u) in ``new_edges`` are tolerated and act as
+    node arrivals: they register the endpoint (so an edge-less new
+    node appears as a singleton) without merging anything —
+    ``new_nodes`` is the explicit form of the same thing.
+
+    Returns (id_col, cluster_col) covering history nodes plus every
+    new-edge endpoint / new node.
+    """
+    from .dedup import connected_components
+
+    e = new_edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    )
+    endpoints = e.select(F.col("u").alias("nid")).unionByName(
+        e.select(F.col("v").alias("nid"))
+    )
+    if new_nodes is not None:
+        endpoints = endpoints.unionByName(
+            new_nodes.select(F.col(id_col).alias("nid"))
+        )
+    endpoints = endpoints.distinct()
+
+    # arriving endpoints resolve to their current representative:
+    # history label if known, own id if new. The arriving side is
+    # the bounded one — broadcast it so the history store streams
+    # map-side (one pass, no shuffle).
+    lbl = (
+        history.select(
+            F.col(id_col).alias("nid"), F.col(cluster_col).alias("lbl")
+        )
+        .join(F.broadcast(endpoints), "nid", "right_outer")
+        .select(
+            "nid",
+            F.col("lbl").isNotNull().alias("known"),
+            F.coalesce("lbl", F.col("nid")).alias("lbl"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # contract: new edges between representatives (self-loops — both
+    # endpoints already share a component — merge nothing and drop)
+    lu = lbl.select(F.col("nid").alias("u"), F.col("lbl").alias("l1"))
+    lv = lbl.select(F.col("nid").alias("v"), F.col("lbl").alias("l2"))
+    label_edges = (
+        e.join(F.broadcast(lu), "u")
+        .join(F.broadcast(lv), "v")
+        .filter(F.col("l1") != F.col("l2"))
+        .select(F.col("l1").alias("id1"), F.col("l2").alias("id2"))
+        .distinct()
+    )
+    label_nodes = lbl.select(F.col("lbl").alias("id")).distinct()
+    merged = connected_components(label_edges, label_nodes, id_col="id")
+
+    # remap: only labels the merge actually changed rebind history
+    # rows; the broadcast map is bounded by the contracted graph
+    changed = merged.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias("old_lbl"), F.col("cluster_id").alias("new_lbl")
+    )
+    out_hist = (
+        history.select(id_col, cluster_col)
+        .join(
+            F.broadcast(changed),
+            F.col(cluster_col) == F.col("old_lbl"),
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("new_lbl", F.col(cluster_col)).alias(cluster_col),
+        )
+    )
+    # arrivals unknown to history append as fresh rows (their own id
+    # was a contracted-graph node, so the merge map covers them) —
+    # the `known` flag from the resolve join above spares a second
+    # pass over the store
+    appended = (
+        lbl.filter(~F.col("known"))
+        .join(F.broadcast(merged), lbl["lbl"] == merged["id"], "left")
+        .select(
+            F.col("nid").alias(id_col),
+            F.coalesce("cluster_id", F.col("lbl")).alias(cluster_col),
+        )
+    )
+    return out_hist.unionByName(appended)

@@ -3534,6 +3534,193 @@ def pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental connected components: the graph member of the
+# incremental family (exact / minhash / embedding dedup keep history
+# as fingerprints; CC keeps it as a LABEL STORE). Cell width 120 s —
+# at the 600 s width pagerank/triangles use, the sf0.01 purchase
+# graph is already one near-complete component and the incremental
+# merge would be trivial; at 120 s it has 85 edges / 66 final
+# clusters with 71 nodes relabeled across the split. The oracle is
+# deliberately CUT-FREE — from-scratch reachability over the FULL
+# edge log — because the operator's contract is exactness: folding
+# the post-cut batch into the pre-cut labeling must land on the same
+# fixpoint as never splitting at all.
+_INCR_CC_ORACLE = """
+    WITH RECURSIVE cells AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 120) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+    ), edges AS (
+      SELECT u AS src, v AS dst FROM e UNION SELECT v, u FROM e
+    ), nodes AS (
+      SELECT DISTINCT user_id FROM cells
+    ),
+    reach(id, root) AS (
+      SELECT user_id, user_id FROM nodes
+      UNION
+      SELECT ed.dst, r.root FROM reach r JOIN edges ed ON ed.src = r.id
+    )
+    SELECT id AS user_id, MIN(root) AS cluster_id
+    FROM reach GROUP BY id
+"""
+
+
+def _cc_event_parts(spark: SparkSession, sf_dir: str):
+    """Shared derivation for the incremental-CC twins: the purchase
+    co-occurrence graph (120 s cells) split at the midpoint hour
+    into the PRE-CUT graph (whose from-scratch CC labeling seeds the
+    history store) and the POST-CUT arrival edges — which further
+    split at their own midpoint into two micro-batch halves for the
+    streaming twin. Arrival frames carry self-loop rows per active
+    user so edge-less arrivals register as singletons
+    (incremental_connected_components' node-arrival encoding).
+    Returns (history_labels, [arrival_edges_lo, arrival_edges_hi]);
+    the one-shot batch arrival set is the union of the halves (cells
+    are atomic to a half, so no edge is lost across the split)."""
+    from ..operators.dedup import connected_components
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 120).alias("h"),
+        )
+        .distinct()
+    )
+    bounds = cells.agg(
+        F.expr("(min(h) + max(h)) DIV 2").alias("cut"),
+        F.expr("((min(h) + max(h)) DIV 2 + max(h)) DIV 2").alias("cut2"),
+    )
+    cells = cells.crossJoin(F.broadcast(bounds))
+
+    def _cooccur(cs):
+        a, b = cs.alias("a"), cs.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.user_id") < F.col("b.user_id")),
+            )
+            .select(
+                F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+            )
+            .distinct()
+        )
+
+    def _arrivals(cs):
+        return _cooccur(cs).unionByName(
+            cs.select(
+                F.col("user_id").alias("u"), F.col("user_id").alias("v")
+            ).distinct()
+        )
+
+    old_cells = cells.filter(F.col("h") < F.col("cut"))
+    history = connected_components(
+        _cooccur(old_cells),
+        old_cells.select("user_id").distinct(),
+        id_col="user_id",
+        src_col="u",
+        dst_col="v",
+    )
+    lo = _arrivals(
+        cells.filter((F.col("h") >= F.col("cut")) & (F.col("h") < F.col("cut2")))
+    )
+    hi = _arrivals(cells.filter(F.col("h") >= F.col("cut2")))
+    return history, [lo, hi]
+
+
+@register("incremental_cc_events", _INCR_CC_ORACLE)
+def incremental_cc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components maintained INCREMENTALLY against a
+    growing edge log (operators/graphs.
+    incremental_connected_components): the pre-cut purchase
+    co-occurrence graph is labeled from scratch once (the history
+    store a deployment persists), then the post-cut arrival edges
+    fold in by label contraction — per-batch work bounded by the
+    arrivals, one map-side broadcast-remap pass over the store,
+    never a re-run over the full log. Strict oracle: from-scratch
+    reachability over ALL edges — exactness of the incremental
+    fixpoint IS the contract under test."""
+    from ..operators.graphs import incremental_connected_components
+
+    history, arrivals = _cc_event_parts(spark, sf_dir)
+    new_edges = arrivals[0].unionByName(arrivals[1])
+    return incremental_connected_components(
+        history,
+        new_edges,
+        id_col="user_id",
+        src_col="u",
+        dst_col="v",
+    )
+
+
+@register("streaming_incremental_cc_events", _INCR_CC_ORACLE)
+def streaming_incremental_cc_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """incremental_cc_events as a real stream (streaming/
+    foreach_batch.stream_incremental_cc): the post-cut arrival edges
+    land in TWO mtime-ordered micro-batches over a generation-keyed
+    label store seeded with the pre-cut labeling. Min-label merging
+    is confluent, so the drained store equals the one-shot batch
+    fold — both twins share the cut-free from-scratch oracle, and
+    the generation protocol makes replays byte-identical no-ops
+    (each epoch reads the highest generation strictly below its own
+    and overwrites its target)."""
+    import hashlib
+    import os
+
+    from ..streaming.foreach_batch import stream_incremental_cc
+
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        st = None
+    tag = hashlib.md5(
+        f"incrcc-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
+        f"{getattr(st, 'st_size', 0)}".encode()
+    ).hexdigest()[:12]
+    base = _scratch_dir()
+    stream_dir = os.path.join(base, f"spark_graft_cc_arrivals_{tag}")
+    labels_root = os.path.join(base, f"spark_graft_cc_labels_{tag}")
+    ckpt = os.path.join(base, f"spark_graft_cc_ckpt_{tag}")
+
+    history, arrivals = _cc_event_parts(spark, sf_dir)
+    seed = os.path.join(labels_root, "gen-0")
+    if not os.path.exists(os.path.join(seed, "_SUCCESS")):
+        history.write.mode("overwrite").parquet(seed)
+    _write_ordered_stream_fixture(stream_dir, (
+        ("arrivals_00.parquet", arrivals[0], 1_000_000_000),
+        ("arrivals_01.parquet", arrivals[1], 1_000_000_100),
+    ))
+
+    schema = spark.read.parquet(
+        os.path.join(stream_dir, "arrivals_00.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    stream_incremental_cc(
+        stream, labels_root, ckpt,
+        query_name="streaming_incremental_cc_events",
+    )
+    from ..operators.similarity import _fs_glob
+
+    latest = max(
+        int(name.split("-", 1)[1])
+        for name in _fs_glob(labels_root, "gen-*", spark)
+        if name.split("-", 1)[1].isdigit()
+    )
+    return spark.read.parquet(f"{labels_root}/gen-{latest}")
+
+
 @register(
     "semantic_dedup_embeddings",
     f"""

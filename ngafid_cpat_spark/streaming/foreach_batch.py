@@ -273,3 +273,70 @@ def stream_incremental_minhash_dedup(
     )
     q.awaitTermination()
     return q
+
+
+def stream_incremental_cc(
+    edges: DataFrame,
+    labels_root: str,
+    checkpoint_dir: str,
+    query_name: str = "incremental_cc",
+    id_col: str = "user_id",
+    src_col: str = "u",
+    dst_col: str = "v",
+):
+    """Incremental connected components over a GROWING edge log, as a
+    stream: each micro-batch of arriving undirected edges folds into
+    a persisted (node, cluster) label store via
+    operators/graphs.incremental_connected_components — the graph
+    analog of stream_incremental_dedup (fingerprint history) and
+    stream_ivfpq_ingest (codes store). Self-loop rows register
+    edge-less node arrivals.
+
+    Generation protocol: the store lives at
+    ``labels_root/gen-<n>`` where n = epoch_id + 1 and gen-0 is the
+    caller-seeded initial labeling (the CC of the pre-stream graph,
+    or an empty frame). Each batch reads the HIGHEST generation
+    strictly below its own target and overwrites its target dir —
+    so a replayed epoch re-reads exactly the pre-epoch state and
+    rewrites byte-identical labels (the incremental merge is
+    idempotent: already-merged endpoints contract to self-loops).
+    Listing is Hadoop-FS (_fs_glob), never os.listdir — the store
+    may be s3a/hdfs.
+
+    Convergence contract (pinned in tests/test_streaming.py): after
+    availableNow drains the source, the highest generation equals
+    the one-shot batch incremental_connected_components over ALL
+    arrivals — min-label merging is confluent, so any micro-batch
+    split of the edge log lands on the same fixpoint."""
+    from ..operators.graphs import incremental_connected_components
+    from ..operators.similarity import _fs_glob
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = int(epoch_id) + 1
+        gens = sorted(
+            int(name.split("-", 1)[1])
+            for name in _fs_glob(labels_root, "gen-*", spark)
+            if name.split("-", 1)[1].isdigit()
+        )
+        prior = max(g for g in gens if g < target)
+        hist = spark.read.parquet(f"{labels_root}/gen-{prior}")
+        out = incremental_connected_components(
+            hist,
+            batch_df,
+            id_col=id_col,
+            src_col=src_col,
+            dst_col=dst_col,
+        )
+        out.write.mode("overwrite").parquet(f"{labels_root}/gen-{target}")
+
+    q = (
+        edges.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .foreachBatch(_apply)
+        .start()
+    )
+    q.awaitTermination()
+    return q

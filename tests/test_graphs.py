@@ -94,3 +94,84 @@ def test_pagerank_hub_outranks_leaves(spark):
     }
     assert out[0] > max(out[i] for i in range(1, 6))
     assert len({out[i] for i in range(1, 6)}) == 1  # leaves symmetric
+
+
+def _labels(df):
+    return {r[0]: r[1] for r in df.collect()}
+
+
+def _cc_py(pairs, nodes):
+    """From-scratch min-label CC (pure python union-find)."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def test_incremental_cc_equals_from_scratch(spark):
+    """Folding an arrival batch into the old graph's labeling lands
+    on exactly the from-scratch CC of the union — including a merge
+    of two old components, an extension of one, and a brand-new
+    component."""
+    from ngafid_cpat_spark.operators.dedup import connected_components
+
+    old = [(1, 2), (3, 4), (10, 11)]
+    new = [(2, 3), (11, 12), (20, 21)]  # merge, extend, brand-new
+    old_nodes = spark.createDataFrame(
+        [(n,) for n in {1, 2, 3, 4, 10, 11}], ["id"]
+    )
+    hist = connected_components(
+        _edges(spark, old), old_nodes, id_col="id", src_col="u", dst_col="v"
+    )
+    out = _labels(
+        G.incremental_connected_components(
+            hist, _edges(spark, new), id_col="id", src_col="u", dst_col="v"
+        )
+    )
+    assert out == _cc_py(old + new, {1, 2, 3, 4, 10, 11})
+
+
+def test_incremental_cc_replay_is_noop(spark):
+    """Re-applying the same batch to the already-updated store
+    changes nothing (already-merged endpoints contract to
+    self-loops) — the streaming restart contract."""
+    hist = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5)], ["id", "cluster_id"]
+    )
+    batch = _edges(spark, [(2, 5), (7, 7)])
+    once = G.incremental_connected_components(
+        hist, batch, id_col="id", src_col="u", dst_col="v"
+    )
+    twice = G.incremental_connected_components(
+        once, batch, id_col="id", src_col="u", dst_col="v"
+    )
+    assert _labels(once) == _labels(twice) == {1: 1, 2: 1, 5: 1, 7: 7}
+
+
+def test_incremental_cc_selfloop_registers_singleton(spark):
+    """A (u, u) arrival registers an edge-less node as a singleton;
+    new_nodes is the explicit spelling of the same thing."""
+    hist = spark.createDataFrame([(1, 1)], ["id", "cluster_id"])
+    via_loop = G.incremental_connected_components(
+        hist, _edges(spark, [(9, 9)]), id_col="id", src_col="u", dst_col="v"
+    )
+    via_nodes = G.incremental_connected_components(
+        hist,
+        _edges(spark, [(9, 9)]).limit(0),  # empty edge batch
+        id_col="id",
+        src_col="u",
+        dst_col="v",
+        new_nodes=spark.createDataFrame([(9,)], ["id"]),
+    )
+    assert _labels(via_loop) == _labels(via_nodes) == {1: 1, 9: 9}

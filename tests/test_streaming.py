@@ -714,3 +714,84 @@ def test_stream_incremental_minhash_dedup_growth_and_replay(spark, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(keepers).collect()
     } == kept
+
+
+def test_stream_incremental_cc_converges_and_replays(spark, tmp_path):
+    """stream_incremental_cc over two micro-batches must converge to
+    the one-shot batch fold of all arrival edges into the seeded
+    labeling (min-label merging is confluent), and a checkpoint
+    replay over a fresh checkpoint dir re-reads pre-epoch generations
+    and leaves identical labels."""
+    import os
+    import shutil
+
+    from ngafid_cpat_spark.operators.graphs import (
+        incremental_connected_components,
+    )
+    from ngafid_cpat_spark.streaming.foreach_batch import (
+        stream_incremental_cc,
+    )
+
+    seed = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 4)], "user_id long, cluster_id long"
+    )
+    b1 = spark.createDataFrame([(2, 3), (7, 7)], "u long, v long")
+    b2 = spark.createDataFrame([(3, 4), (7, 8)], "u long, v long")
+
+    src = str(tmp_path / "edges")
+    os.makedirs(src)
+    for name, df, mtime in (
+        ("e0.parquet", b1, 1_000_000_000),
+        ("e1.parquet", b2, 1_000_000_100),
+    ):
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, name)
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    labels_root = str(tmp_path / "labels")
+    seed.write.parquet(os.path.join(labels_root, "gen-0"))
+    schema = spark.read.parquet(os.path.join(src, "e0.parquet")).schema
+
+    def _run(ckpt_name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_incremental_cc(
+            stream, labels_root, str(tmp_path / ckpt_name),
+            query_name=f"cc_{ckpt_name}", id_col="user_id",
+        )
+
+    _run("ckpt1")
+    gens = sorted(
+        int(d.split("-")[1]) for d in os.listdir(labels_root)
+        if d.startswith("gen-")
+    )
+    assert gens == [0, 1, 2]
+    got = {
+        (r.user_id, r.cluster_id)
+        for r in spark.read.parquet(f"{labels_root}/gen-2").collect()
+    }
+    want = {
+        (r.user_id, r.cluster_id)
+        for r in incremental_connected_components(
+            seed, b1.unionByName(b2), id_col="user_id", src_col="u",
+            dst_col="v",
+        ).collect()
+    }
+    assert got == want
+    # 1-2-3-4 merged via the two batches; 7-8 is a new component
+    assert want == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (8, 7)}
+
+    # fresh-checkpoint replay: both epochs re-run against their
+    # pre-epoch generations and rewrite identical labels
+    _run("ckpt2")
+    again = {
+        (r.user_id, r.cluster_id)
+        for r in spark.read.parquet(f"{labels_root}/gen-2").collect()
+    }
+    assert again == got
