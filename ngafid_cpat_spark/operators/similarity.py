@@ -2176,3 +2176,69 @@ def power_iteration_milli(
             for d in range(dim)
         ]
     return v
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int | str = "auto",
+    *,
+    threshold: float = 0.35,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cell_rows: int = 1250,
+    quant: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space
+    (kmeans_fit — deterministic, quantized, oracle-pairable), then
+    drop near-duplicates WITHIN each cluster only, survivorship
+    greedy-by-id (a vector is dropped iff a LOWER-id cluster-mate
+    matches at quantized cosine >= ``threshold``). Zero vectors are
+    degenerate (no direction) and excluded. Returns the survivors as
+    (id_col, centroid_id).
+
+    ``k="auto"`` (the default) sizes the clustering to the quantity
+    that actually bounds cost at 100 TB: pair search is
+    sum(|cluster|^2) per cell, so k tracks corpus growth as
+    k = clamp(round(N_live / target_cell_rows), 2, N_live) — the
+    expected cell stays ~``target_cell_rows`` rows and total pairing
+    work stays ~N * target_cell_rows, LINEAR in the corpus, where a
+    fixed k would be quadratic. Same bounded-count dispatch as
+    write_ivfpq_index's k_coarse="auto" (sqrt-N is the right rule
+    for a PROBE-cost/recall trade; N/target is the right rule for a
+    PAIRING-cost bound — see SCALE.md "SemDeDup auto-k"). Costs one
+    count() of the live vectors. Catalog gate queries pass an
+    explicit k instead: the DuckDB oracle unrolls Lloyd with literal
+    seed count, so the gate pins k while this dispatch serves real
+    deployments; pytest pins auto == explicit at fixed N.
+
+    Spark-side pairing is the Arrow-batched blocked matmul
+    (cosine_pairs_in_groups, grouped by cluster id — one of the
+    documented pandas whitelist sites)."""
+    import math
+
+    self_dot = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x
+    )
+    if k == "auto":
+        n_live = emb.filter(self_dot > 0).count()
+        k = max(2, min(int(round(n_live / target_cell_rows)), max(n_live, 2)))
+    cents = kmeans_fit(
+        emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, quant=quant
+    )
+    # assign only live rows: zero vectors would be dropped right
+    # after anyway, and their normless cosine is an ANSI
+    # divide-by-zero (the gate oracle's `live` CTE is the same cut)
+    assigned = _assign_quantized(
+        emb.filter(self_dot > 0), cents, vec_col, quant
+    )
+    live = _parallel_checkpoint(assigned)
+    pairs = cosine_pairs_in_groups(
+        live, ["centroid_id"], threshold=threshold,
+        id_col=id_col, vec_col=vec_col,
+    )
+    dropped = pairs.select(F.col("id2").alias(id_col)).distinct()
+    return live.join(dropped, id_col, "left_anti").select(
+        id_col, "centroid_id"
+    )

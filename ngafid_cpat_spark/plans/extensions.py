@@ -3776,18 +3776,13 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    cents = S.kmeans_fit(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER)
-    assigned = S._assign_quantized(emb, cents, "embedding", 6)
-    self_dot = F.aggregate(
-        F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x
-    )
-    live = S._parallel_checkpoint(assigned.filter(self_dot > 0))
-    pairs = S.cosine_pairs_in_groups(
-        live, ["centroid_id"], threshold=0.35
-    )
-    dropped = pairs.select(F.col("id2").alias("vec_id")).distinct()
-    return live.join(dropped, "vec_id", "left_anti").select(
-        "vec_id", "centroid_id"
+    # explicit k: the oracle unrolls Lloyd with _KMEANS_K literal
+    # seeds. Real deployments call semantic_dedup(k="auto") — the
+    # N/target_cell_rows dispatch that holds the |cluster|^2 pairing
+    # bound linear in the corpus (pinned auto == explicit in
+    # tests/test_similarity.py).
+    return S.semantic_dedup(
+        emb, k=_KMEANS_K, n_iter=_KMEANS_ITER, threshold=0.35
     )
 
 

@@ -853,3 +853,31 @@ def test_overwrite_guard_sees_through_symlinks(spark, emb, tmp_path):
         S.delete_from_ivfpq_index(spark, base, [1], link)
     with pytest.raises(ValueError, match="NEW generation"):
         S.delete_from_ivfpq_index(spark, link, [1], base)
+
+
+def test_semantic_dedup_auto_k_equals_explicit(spark):
+    """semantic_dedup(k='auto') resolves k = round(N_live /
+    target_cell_rows) and must produce bit-identical survivors to the
+    explicit k it lands on — the auto dispatch changes SIZING only,
+    never semantics (the verdict's SemDeDup auto-k ask)."""
+    import numpy as np
+
+    from ngafid_cpat_spark.operators import similarity as S
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # 32 vectors in 4 loose groups (near-parallel within a group)
+    for i in range(32):
+        base = rng.randn(8) + (i % 4) * 3.0
+        rows.append((i, [float(x) for x in base]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    auto = S.semantic_dedup(
+        emb, k="auto", target_cell_rows=8, n_iter=2, threshold=0.35
+    )
+    explicit = S.semantic_dedup(emb, k=4, n_iter=2, threshold=0.35)
+    a = {(r.vec_id, r.centroid_id) for r in auto.collect()}
+    e = {(r.vec_id, r.centroid_id) for r in explicit.collect()}
+    assert a == e
+    assert 0 < len(a) <= 32
