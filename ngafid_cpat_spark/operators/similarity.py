@@ -146,7 +146,9 @@ def _dim_of(df: DataFrame, vec_col: str) -> int:
     return int(row["d"]) if row and row["d"] is not None else 0
 
 
-def _parallel_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+def _parallel_checkpoint(
+    df: DataFrame, eager: bool = False, assume_parallel: bool = False
+) -> DataFrame:
     """localCheckpoint with single-partition-trap insurance: a
     one-file parquet table scans as ONE partition, and a checkpoint
     PRESERVES that partitioning — every downstream training
@@ -164,7 +166,13 @@ def _parallel_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
         )
     except Exception:
         target = 32
-    if df.rdd.getNumPartitions() < target:
+    # ``assume_parallel``: the caller guarantees the frame derives
+    # from an already-widened source by narrow ops only (partition
+    # count preserved), so skip the ``.rdd`` width probe — the probe
+    # is a FULL physical planning of the frame (measured 0.4-0.9 s
+    # on the IVFADC residual plan), pure waste when the answer is
+    # known by construction.
+    if not assume_parallel and df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
     return df.localCheckpoint(eager=eager)
 
@@ -553,31 +561,30 @@ def _assign_quantized(
     rows). Arithmetic is term-for-term identical to the previous
     per-centroid cosine_literal form (left-assoc dot, norm*qn
     denominator), verified bit-equal on real data."""
-    cstructs = F.array(*[
-        F.struct(
-            F.array(*[F.lit(float(x)) for x in cvec]).alias("c"),
-            F.lit(float(_sum_sq(cvec) ** 0.5)).alias("qn"),
-            F.lit(-cid).alias("ncid"),
+    # ONE parsed SQL string (the _l2_keys_hof convention): composing
+    # this literal through the Column API costs |k| * dim F.lit py4j
+    # round-trips PER INVOCATION (~0.3-0.5 s at k=8 x dim=64), and
+    # kmeans_fit invokes it every Lloyd iteration — measured as a
+    # first-order term of ann_ivfpq_topk's fixed latency. repr()
+    # double literals round-trip exactly (Java parseDouble is
+    # correctly rounded), so the plan holds the same Literal values
+    # as the previous F.lit form; expression shape and FP order are
+    # term-for-term identical.
+    entries = ", ".join(
+        "named_struct('c', array({cs}), 'qn', {qn!r}D, 'ncid', {ncid})".format(
+            cs=", ".join(f"{float(x)!r}D" for x in cvec),
+            qn=float(_sum_sq(cvec) ** 0.5),
+            ncid=-cid,
         )
         for cid, cvec in centroids
-    ])
-    nrm = V.norm(vec_col)
-    sims = F.transform(
-        cstructs,
-        lambda b: F.struct(
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col), b["c"], lambda x, y: x * y
-                    ),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
-                )
-                / (nrm * b["qn"]),
-                quant,
-            ).alias("sim"),
-            b["ncid"].alias("ncid"),
-        ),
+    )
+    sims = F.expr(
+        f"transform(array({entries}), b -> named_struct("
+        f"'sim', ROUND(aggregate(zip_with({vec_col}, b.c, "
+        f"(x, y) -> x * y), 0.0D, (a, v) -> a + v) / "
+        f"(SQRT(aggregate({vec_col}, 0.0D, (acc, x) -> acc + x * x)) "
+        f"* b.qn), {quant}), "
+        f"'ncid', b.ncid))"
     )
     best = F.array_max(sims)
     return emb.withColumn("centroid_id", -best["ncid"]).withColumn(
@@ -1188,6 +1195,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
+    input_parallel: bool = False,
 ) -> DataFrame:
     """IVFADC (Jegou et al., TPAMI 2011 §V): the full inverted-file +
     product-quantization search — coarse quantizer prunes the scan to
@@ -1231,8 +1239,15 @@ def ivfpq_topk(
     # ONE materialization of the residual frame, shared by the PQ
     # training passes AND the ADC scoring scan below — assign+resid
     # were previously recomputed per consumer (and, off a one-file
-    # parquet scan, single-task; _parallel_checkpoint widens it)
-    r_df = _parallel_checkpoint(_coarse_residuals(assigned, coarse, vec_col))
+    # parquet scan, single-task; _parallel_checkpoint widens it).
+    # ``input_parallel``: the caller already widened+checkpointed
+    # ``emb`` (the shared-training-frame pattern), so the residual
+    # frame inherits its width through narrow ops and the expensive
+    # ``.rdd`` width probe is skipped.
+    r_df = _parallel_checkpoint(
+        _coarse_residuals(assigned, coarse, vec_col),
+        assume_parallel=input_parallel,
+    )
     # ONE product quantizer over the pooled residuals (not per-cell
     # books): the residual distribution is what's left after the
     # coarse quantizer, shared across cells — the paper's design, and
@@ -1307,14 +1322,17 @@ def _coarse_residuals(
     the index writer (write_ivfpq_index) so both produce identical
     residuals."""
     by_cid = dict(coarse)
-    cents = F.array(*[
-        F.array(*[F.lit(float(x)) for x in by_cid[cid]])
+    # one parsed SQL string, not |coarse| * dim F.lit calls — see
+    # _assign_quantized's builder note (same values, same plan)
+    cents = ", ".join(
+        "array({})".format(
+            ", ".join(f"{float(x)!r}D" for x in by_cid[cid])
+        )
         for cid in range(len(coarse))
-    ])
-    resid = F.zip_with(
-        F.col(vec_col),
-        F.element_at(cents, F.col("centroid_id") + 1),
-        lambda x, y: x.cast("double") - y,
+    )
+    resid = F.expr(
+        f"zip_with({vec_col}, element_at(array({cents}), "
+        f"centroid_id + 1), (x, y) -> CAST(x AS DOUBLE) - y)"
     )
     return assigned.withColumn("__resid", resid)
 
