@@ -29,64 +29,66 @@ from . import tpch_extra as _tpch_extra  # noqa: F401  (registers)
 # `no_oracle` driver row is the documented proof they execute under
 # the gate (check_oracle.py holds their values to measured floors).
 PRIORITY = [
-    # never driver-windowed: new this round (r10)
-    "dedup_keep_best_scored",
-    "pagerank_events",
-    "semantic_dedup_embeddings",
-    "pca_power_iteration_embeddings",
-    "quality_weighted_sample_docs",
-    # plan changed this round (driver/numpy quantizers moved to exact
-    # half-away-from-zero rounding — ADVICE r09 medium; the strict-
-    # oracle members of the touched cosine/LSH/kmeans/GD family
-    # re-verify under the gate)
-    "ann_cosine_topk",
-    "ann_topk_batch",
-    "ann_ivf_topk",
-    "knn_graph_embeddings",
-    "embedding_neardup_pairs",
-    "embedding_neardup_lsh",
-    "embedding_incremental_neardup",
-    "lr_quality_train_docs",
+    # never driver-windowed: new this round (r11)
+    "approach_pipeline_real_airports",
+    "incremental_cc_events",
+    "streaming_incremental_cc_events",
+    # plan changed this round (r11 moved _assign_quantized /
+    # _coarse_residuals to string-built literal codebooks and the
+    # ANN training twins to one shared checkpointed frame — the
+    # strict members of the kmeans-assignment family re-verify under
+    # the gate; values must be bit-identical by construction)
     "kmeans_clusters_embeddings",
-    "pq_topk_embeddings",
-    # oldest driver evidence (r06) — the complete r06 cohort, so the
-    # CORRECTNESS_r10 histogram carries nothing older than r07
-    "interval_join_click_counts",
-    "islands_chunked_events",
-    "join_anti_customers",
-    "latest_snapshot_events",
-    "min_acctbal_customer_per_nation",
-    "nn_join_acctbal",
-    "ntile_distribution_orders",
-    "pack_sequences_docs",
-    "pivot_event_counts",
-    "q10_returned_revenue",
-    "q12_priority_by_flag",
-    "q14_promo_share",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "range_window_events",
-    "rollup_hourly_daily",
-    "sessionize_auto_events",
-    "sessionize_events",
-    "streaming_interval_join_events",
-    "streaming_sessions_events",
-    "stride_sample_events",
-    "string_functions_customers",
-    "unpivot_lineitem_measures",
-    # r07 back-fill (alphabetical; the remaining r07 rotate in r11)
-    "asof_nearest_click_purchase",
-    "asof_next_click_purchase",
-    "contamination_bloom_docs",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_keep_best",
-    "heavy_hitters_rollup_docs",
-    "heavy_hitters_tokens_docs",
-    "islands_auto_events",
-    "lang_id_docs",
-    "lateral_topk_orders",
+    "semantic_dedup_embeddings",
+    "ann_ivf_topk",
+    # oldest driver evidence — the COMPLETE r07 cohort (25), so the
+    # CORRECTNESS_r11 histogram carries nothing older than r08
+    "listagg_customers_per_nation",
+    "pq_codes_embeddings",
+    "pq_topk_trained_embeddings",
+    "profile_columns_events",
+    "q18_big_orders",
+    "q8_market_share",
+    "quantile_events",
+    "range_window_auto_events",
+    "recursive_chain_suppliers",
+    "scan_filter_project",
+    "session_event_ids",
+    "streaming_dedup_events",
+    "streaming_dedup_windowed_events",
+    "streaming_interval_join_left_events",
+    "streaming_upsert_windowed_events",
+    "text_quality",
+    "text_stats",
+    "tfidf_topk_terms",
+    "token_count_bpe",
+    "topk_customers_per_nation",
+    "unstable_subintervals",
+    "validity_probe_users",
+    "variant_json_events",
+    "vocab_topk",
+    "xml_roundtrip_events",
+    # r08 back-fill, oldest-next (ann_ivfpq_topk first — its plan
+    # also changed this round; then alphabetical)
+    "ann_ivfpq_topk",
+    "agg_rollup_orders",
+    "approx_quantile_events",
+    "bigram_logprob_docs",
+    "bpe_merges_docs",
+    "bpe_tokenize_docs",
+    "chunk_docs",
+    "conditional_agg_events",
+    "contamination_check_docs",
+    "corpus_mix_docs",
+    "corpus_prep_pipeline_docs",
+    "dedup_cluster_keep_best",
+    "events_tumbling_window",
+    "funnel_events",
+    "gapfill_locf_daily",
+    "geo_haversine_customers",
+    "hll_union_users_events",
+    "hof_value_arrays",
+    "join_outer_nation_counts",
 ]
 
 

@@ -338,26 +338,81 @@ def main() -> None:
     def semantic_dedup(emb):
         from ngafid_cpat_spark.operators import similarity as S
 
-        # SemDeDup's scale contract: k grows WITH the corpus so
-        # cluster size stays ~constant (n/k ~ 1250) and the
-        # within-cluster pair matmul cost k*(n/k)^2 = n*1250 stays
-        # linear — fixed k would make it quadratic (the LSH-plane
-        # occupancy contract's clustering twin)
-        n = emb.count()
-        k = max(4, n // 1250)
-        cents = S.kmeans_fit(emb, k=k, n_iter=1)
-        assigned = S._assign_quantized(emb, cents, "embedding", 6)
-        live = assigned.filter(
-            F.aggregate(
-                F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x
-            ) > 0
+        # the REGISTERED k='auto' dispatch (operators/similarity.
+        # semantic_dedup): k tracks the corpus so cluster size stays
+        # ~constant (n/k ~ target_cell_rows) and the within-cluster
+        # pair matmul cost k*(n/k)^2 = n*target stays linear — fixed
+        # k would be quadratic (the LSH-plane occupancy contract's
+        # clustering twin)
+        return S.semantic_dedup(
+            emb, k="auto", n_iter=1, threshold=0.35,
+            target_cell_rows=1250,
         )
-        pairs = S.cosine_pairs_in_groups(
-            live, ["centroid_id"], threshold=0.35
+
+    def quality_sample(docs):
+        from ngafid_cpat_spark.operators import corpus as C
+        from ngafid_cpat_spark.operators.similarity import (
+            _parallel_checkpoint,
         )
-        dropped = pairs.select(F.col("id2").alias("vec_id")).distinct()
-        return live.join(dropped, "vec_id", "left_anti").select(
-            "vec_id", "centroid_id"
+
+        # the registered quality_weighted_sample_docs chain:
+        # featurize -> 4-round GD training (one map-side-combining
+        # aggregate + 1-row collect per round) -> score -> one
+        # map-side filter; time should track corpus rows
+        feats = C.classifier_features(docs).join(
+            docs.select(
+                F.col("doc_id").alias("id"),
+                F.pmod(F.xxhash64("doc_id"), F.lit(2))
+                .cast("double")
+                .alias("y"),
+            ),
+            "id",
+        )
+        feats = _parallel_checkpoint(feats)
+        model = C.train_linear_classifier(feats, n_iter=4)
+        scored = feats.select(
+            F.col("id").alias("doc_id"),
+            C.linear_score(model["weights_micro"]).alias("p"),
+        )
+        return C.quality_weighted_sample(scored, "doc_id", "p")
+
+    _incr_cc_state: dict = {}
+
+    def incr_cc_prep(ev):
+        from ngafid_cpat_spark.operators.dedup import connected_components
+
+        # untimed: the persisted label store a deployment already
+        # has. Half the edge log (hash parity) is "history", labeled
+        # from scratch; the other half is the arrival batch the
+        # timed step folds in.
+        edges = _synth_edges(ev)
+        half = F.pmod(F.xxhash64("u", "v"), F.lit(2))
+        old = edges.filter(half == 0)
+        new = edges.filter(half == 1)
+        old_nodes = (
+            old.select(F.col("u").alias("id"))
+            .unionByName(old.select(F.col("v").alias("id")))
+            .distinct()
+        )
+        hist = connected_components(
+            old, old_nodes, id_col="id", src_col="u", dst_col="v"
+        )
+        _incr_cc_state[id(ev)] = (
+            hist.localCheckpoint(),
+            new.localCheckpoint(),
+        )
+
+    def incr_cc(ev):
+        from ngafid_cpat_spark.operators.graphs import (
+            incremental_connected_components,
+        )
+
+        # timed: ONLY the incremental fold — label resolve +
+        # contracted-graph CC + broadcast remap; should track the
+        # arrival batch, with one map-side pass over the store
+        hist, new = _incr_cc_state[id(ev)]
+        return incremental_connected_components(
+            hist, new, id_col="id", src_col="u", dst_col="v"
         )
 
     def power_iteration(emb):
@@ -452,6 +507,8 @@ def main() -> None:
         "pagerank": ("events", pagerank),
         "semantic_dedup": ("emb", semantic_dedup),
         "power_iteration": ("emb", power_iteration),
+        "quality_weighted_sample": ("docs", quality_sample),
+        "incremental_cc": ("events", incr_cc, incr_cc_prep),
         "bpe_train": ("docs", bpe),
         "bpe_train_16": ("docs", bpe16),
         "ivfpq_indexed_probe": ("emb", ivfpq_indexed_probe, ivfpq_index_build),
