@@ -65,6 +65,10 @@ HEADLINE = [
     "ann_ivfpq_indexed",
     "corpus_prep_pipeline_docs",
     "streaming_approach_work_queue",
+    # r11: the engine's reason-for-being at the REAL national dim —
+    # the gridded nearest-airport dispatch the r10 verdict asked to
+    # make a gate query; headline-tracked like the other flagships
+    "approach_pipeline_real_airports",
 ]
 
 # Self-recorded full results from the previous bench run (committed).
