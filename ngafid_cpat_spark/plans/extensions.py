@@ -3109,7 +3109,11 @@ _ANCHOR_ODD = (40.168333, -84.926667, 1117.0)   # I22
 # airport dim is provably lossless: every tick lies within Manhattan
 # 0.196 deg of its anchor (track span 0.098+0.098), so the true
 # argmin distance is <= 0.196 + eps, while every pruned airport is
-# >= 2.0 - 0.196 > 1.8 deg from every tick.
+# >= 2.0 - 0.196 > 1.8 deg from every tick. The argmin and
+# airport-enriched CTEs are AS MATERIALIZED: the demo oracle's
+# downstream CTEs fan out multiply, and DuckDB's default inlining
+# re-expands the 10^8-row candidate aggregate per reference
+# (measured 204 s -> 4.2 s at sf0.1 — the r08 BPE lesson again).
 _OLD_RAW_TO_T = """  FROM events
 ), t AS (
   SELECT * FROM raw
@@ -3152,13 +3156,13 @@ _NEW_NEAR_AP = f"""), apt AS (
            + abs(Longitude - ({_ANCHOR_EVEN[1]})) < 2.0
          OR abs(Latitude - {_ANCHOR_ODD[0]})
            + abs(Longitude - ({_ANCHOR_ODD[1]})) < 2.0)
-), bestap AS (
+), bestap AS MATERIALIZED (
   SELECT t.flight, t.time,
     min({{'d': abs(t.latitude - a.ap_lat) + abs(t.longitude - a.ap_lon),
          'code': a.airport_code, 'lat': a.ap_lat, 'lon': a.ap_lon,
          'elev': a.ap_elev}}) AS b
   FROM t, apt a GROUP BY t.flight, t.time
-), ap AS (
+), ap AS MATERIALIZED (
   SELECT t.*, b.b.code AS airport_code, b.b.lat AS airport_lat,
          b.b.lon AS airport_lon, b.b.elev AS airport_elev
   FROM t JOIN bestap b USING (flight, time)
