@@ -257,8 +257,16 @@ def nearest_gridded(
     dim_lon: str = "longitude",
     dim_cols: list[str] | None = None,
     cell_deg: float = GRID_DEG,
+    join_back: bool = True,
 ) -> DataFrame:
     """Grid-bucketed nearest neighbor for planetary-scale point sets.
+
+    ``join_back=False`` returns just the keyed winners
+    (keys + nearest_dist + nearest_<dim_cols>), skipping the final
+    points-side left join — for callers that re-attach their own
+    passthrough columns anyway (with_nearest_airport re-joins the
+    FULL telemetry frame, so the internal points join was a second
+    corpus-sized SMJ whose output was immediately re-keyed).
 
     Each dim row is replicated into its cell and the 8 surrounding
     cells (build side — small); each point maps to exactly one cell.
@@ -327,15 +335,14 @@ def nearest_gridded(
         keys, d_raw, [f"__v_{c}" for c in dim_cols],
     )
     all_best = resolved.unionByName(rest_best)
-    return points.join(
-        all_best.select(
-            *keys,
-            F.col("__dist").alias("nearest_dist"),
-            *[F.col(f"__best.__v_{c}").alias(f"nearest_{c}") for c in dim_cols],
-        ),
-        on=keys,
-        how="left",
+    named = all_best.select(
+        *keys,
+        F.col("__dist").alias("nearest_dist"),
+        *[F.col(f"__best.__v_{c}").alias(f"nearest_{c}") for c in dim_cols],
     )
+    if not join_back:
+        return named
+    return points.join(named, on=keys, how="left")
 
 
 def asof_join(

@@ -245,11 +245,15 @@ def with_nearest_airport(
         if fan_partitions is not None:
             pts = pts.repartition(fan_partitions, "flight")
         dim_cols = ["airport_code", "latitude", "longitude", "elevation_ft"]
+        # join_back=False: the keyed winners only — the telemetry
+        # passthrough join below is the ONE corpus-sized join-back
+        # (the internal points join would be a second one)
         g = nearest_gridded(
             pts,
             usable.select(*dim_cols),
             ["flight", "time"],
             dim_cols=dim_cols,
+            join_back=False,
         )
         best = g.select(
             "flight",
