@@ -241,16 +241,32 @@ def incremental_connected_components(
     # arriving endpoints resolve to their current representative:
     # history label if known, own id if new. The arriving side is
     # the bounded one — broadcast it so the history store streams
-    # map-side (one pass, no shuffle).
-    lbl = (
+    # map-side (one pass, no shuffle). Decomposed as inner + anti
+    # because an OUTER join can't build its preserved side: a
+    # broadcast hint on the right of a right_outer join is
+    # unsupported and silently ignored (Spark logs and falls back),
+    # which would shuffle — or worse, broadcast — the store. Inner
+    # BuildRight and LeftAnti BuildRight are both supported, so the
+    # store pass stays map-side; the checkpoint makes it run ONCE
+    # (the anti probe reuses `known` instead of re-scanning history).
+    known = (
         history.select(
             F.col(id_col).alias("nid"), F.col(cluster_col).alias("lbl")
         )
-        .join(F.broadcast(endpoints), "nid", "right_outer")
-        .select(
-            "nid",
-            F.col("lbl").isNotNull().alias("known"),
-            F.coalesce("lbl", F.col("nid")).alias("lbl"),
+        .join(F.broadcast(endpoints), "nid")
+        .localCheckpoint(eager=False)
+    )
+    unknown = endpoints.join(
+        F.broadcast(known.select("nid")), "nid", "left_anti"
+    )
+    lbl = (
+        known.select("nid", F.lit(True).alias("known"), "lbl")
+        .unionByName(
+            unknown.select(
+                "nid",
+                F.lit(False).alias("known"),
+                F.col("nid").alias("lbl"),
+            )
         )
         .localCheckpoint(eager=False)
     )

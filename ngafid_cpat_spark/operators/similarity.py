@@ -2213,8 +2213,16 @@ def semantic_dedup(
     drop near-duplicates WITHIN each cluster only, survivorship
     greedy-by-id (a vector is dropped iff a LOWER-id cluster-mate
     matches at quantized cosine >= ``threshold``). Zero vectors are
-    degenerate (no direction) and excluded. Returns the survivors as
-    (id_col, centroid_id).
+    degenerate (no direction): they are excluded from ASSIGNMENT,
+    pairing and the output, but k-means TRAINING runs over the
+    unfiltered frame — deliberately, because the gate oracle's
+    unrolled Lloyd CTEs train over every row. A zero vector among
+    the k smallest ids would seed a dead zero-norm centroid (its
+    cosine denominator is 0 — NULL sims, the cell never attracts
+    rows); pre-filter upstream if a corpus can carry zero vectors
+    in its low-id range. ``k="auto"``'s N is the LIVE count (the
+    quantity the pairing bound depends on). Returns the survivors
+    as (id_col, centroid_id).
 
     ``k="auto"`` (the default) sizes the clustering to the quantity
     that actually bounds cost at 100 TB: pair search is
@@ -2234,8 +2242,6 @@ def semantic_dedup(
     Spark-side pairing is the Arrow-batched blocked matmul
     (cosine_pairs_in_groups, grouped by cluster id — one of the
     documented pandas whitelist sites)."""
-    import math
-
     self_dot = F.aggregate(
         F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x
     )

@@ -3713,6 +3713,14 @@ def streaming_incremental_cc_events(
     history, arrivals = _cc_event_parts(spark, sf_dir)
     seed = os.path.join(labels_root, "gen-0")
     if not os.path.exists(os.path.join(seed, "_SUCCESS")):
+        # reseeding means the label store was absent/lost: a stale
+        # checkpoint's offsets would mark the arrival files consumed
+        # and the stream would silently fold NOTHING over the fresh
+        # seed (seed-only labels = wrong result, not an error) —
+        # drop the checkpoint with the store so arrivals re-fold
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
         history.write.mode("overwrite").parquet(seed)
     _write_ordered_stream_fixture(stream_dir, (
         ("arrivals_00.parquet", arrivals[0], 1_000_000_000),

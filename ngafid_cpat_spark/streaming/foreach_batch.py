@@ -319,7 +319,16 @@ def stream_incremental_cc(
             for name in _fs_glob(labels_root, "gen-*", spark)
             if name.split("-", 1)[1].isdigit()
         )
-        prior = max(g for g in gens if g < target)
+        prior_gens = [g for g in gens if g < target]
+        if not prior_gens:
+            raise ValueError(
+                f"stream_incremental_cc: no generation below {target} "
+                f"under {labels_root} (found {gens}) — the seed gen-0 "
+                "is missing. The label store was wiped while the "
+                "checkpoint survived; reseed gen-0 AND clear the "
+                "checkpoint so arrivals re-fold."
+            )
+        prior = max(prior_gens)
         hist = spark.read.parquet(f"{labels_root}/gen-{prior}")
         out = incremental_connected_components(
             hist,
