@@ -3206,12 +3206,18 @@ def approach_pipeline_real_airports(
     15.44 s at sf0.1 x 15,165 dims) — under the SAME strict oracle
     shape as the demo (the gridded and broadcast paths are
     pinned-identical, tests/test_airports_scale.py)."""
-    from ..sources.tables import (
-        load_reference_airports,
-        load_reference_runways,
-    )
     from . import approach as AP
 
+    telemetry = _real_anchor_telemetry(spark, sf_dir)
+    airports, runways = _real_dims(spark)
+    return AP.analyze(telemetry, airports, runways)
+
+
+def _real_anchor_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The telemetry fixture anchor-translated per flight onto the
+    real airports (even flights -> GFK, odd -> I22) — the exact
+    chain the _APPROACH_REAL_ORACLE's `anch` CTE replays. Shared by
+    the batch real-dims pipeline and its streaming work-queue twin."""
     telemetry = _telemetry_fixture(spark, sf_dir)
     even = F.col("flight") % 2 == 0
     anchor_lat = F.when(even, F.lit(_ANCHOR_EVEN[0])).otherwise(
@@ -3223,7 +3229,7 @@ def approach_pipeline_real_airports(
     anchor_elev = F.when(even, F.lit(_ANCHOR_EVEN[2])).otherwise(
         F.lit(_ANCHOR_ODD[2])
     )
-    telemetry = telemetry.select(
+    return telemetry.select(
         "flight",
         "time",
         ((F.col("msl_altitude") - 800.0) + anchor_elev).alias("msl_altitude"),
@@ -3233,9 +3239,18 @@ def approach_pipeline_real_airports(
         (anchor_lat + (F.col("latitude") - 40.0)).alias("latitude"),
         (anchor_lon + (F.col("longitude") - (-85.0))).alias("longitude"),
     )
-    airports = load_reference_airports(spark, _REAL_AIRPORTS_CSV)
-    runways = load_reference_runways(spark, _REAL_RUNWAYS_CSV)
-    return AP.analyze(telemetry, airports, runways)
+
+
+def _real_dims(spark: SparkSession):
+    from ..sources.tables import (
+        load_reference_airports,
+        load_reference_runways,
+    )
+
+    return (
+        load_reference_airports(spark, _REAL_AIRPORTS_CSV),
+        load_reference_runways(spark, _REAL_RUNWAYS_CSV),
+    )
 
 
 @register("streaming_approach_work_queue", _APPROACH_ORACLE)
@@ -3263,20 +3278,43 @@ def streaming_approach_work_queue(
     Scale: this is the shape a 1000-executor deployment runs
     continuously — per-trigger cost is bounded by arriving flights,
     not fleet size, and the MERGE rewrites only touched buckets."""
+    airports, runways = _demo_dims(spark)
+    return _approach_work_queue_run(
+        spark, sf_dir, _telemetry_fixture(spark, sf_dir),
+        airports, runways,
+        salt="apwq-v1", query_name="streaming_approach_work_queue",
+    )
+
+
+def _approach_work_queue_run(
+    spark: SparkSession,
+    sf_dir: str,
+    tel: DataFrame,
+    airports: DataFrame,
+    runways: DataFrame,
+    salt: str,
+    query_name: str,
+) -> DataFrame:
+    """Shared work-queue harness for the two streaming approach
+    twins (demo dims / real national dims): the telemetry arrives as
+    TWO whole-flight files split at the median flight id, each
+    micro-batch runs the full analyze() on just its arriving flights
+    against the given dims, results MERGE into a bucketed table via
+    sinks.upsert. Fixture/table/checkpoint dirs are content-keyed on
+    (salt, events parquet mtime+size)."""
     import hashlib
     import os
 
     from .. import sinks
     from . import approach as AP
 
-    airports, runways = _demo_dims(spark)
     ev_path = os.path.realpath(f"{sf_dir}/events.parquet")
     try:
         st = os.stat(ev_path)
     except OSError:
         st = None
     tag = hashlib.md5(
-        f"apwq-v1:{ev_path}:{getattr(st, 'st_mtime_ns', 0)}:"
+        f"{salt}:{ev_path}:{getattr(st, 'st_mtime_ns', 0)}:"
         f"{getattr(st, 'st_size', 0)}".encode()
     ).hexdigest()[:12]
     base = _scratch_dir()
@@ -3284,7 +3322,6 @@ def streaming_approach_work_queue(
     table = os.path.join(base, f"spark_graft_apwq_table_{tag}")
     ckpt = os.path.join(base, f"spark_graft_apwq_ckpt_{tag}")
 
-    tel = _telemetry_fixture(spark, sf_dir)
     if not os.path.exists(os.path.join(stream_dir, "_READY")):
         b = tel.agg(
             F.min("flight").alias("mn"), F.max("flight").alias("mx")
@@ -3323,12 +3360,38 @@ def streaming_approach_work_queue(
         stream.writeStream.outputMode("append")
         .trigger(availableNow=True)
         .option("checkpointLocation", ckpt)
-        .queryName("streaming_approach_work_queue")
+        .queryName(query_name)
         .foreachBatch(_apply)
         .start()
     )
     q.awaitTermination()
     return sinks.read_table(spark, table).select(*result_cols)
+
+
+@register("streaming_approach_work_queue_real", _APPROACH_REAL_ORACLE)
+def streaming_approach_work_queue_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's ACTUAL deployment scenario, both axes at once:
+    the work-queue incremental pattern (new flights land, get
+    analyzed, results upserted — main.py:27, FlightAnalysis.py:32)
+    against the REAL national dims (all 15,165 airports + 164
+    runways). Each micro-batch's analyze() dispatches the gridded
+    nearest-airport path on just its arriving flights; per-trigger
+    cost is bounded by the arrivals (the gridded join is linear in
+    ticks), and the MERGE rewrites only touched buckets. All analyze
+    stages partition by flight, so a flight's rows are identical
+    whether analyzed alone or with the fleet — after availableNow
+    drains the queue, the table equals
+    approach_pipeline_real_airports' batch output exactly, and the
+    twins share the strict real-dims oracle."""
+    airports, runways = _real_dims(spark)
+    return _approach_work_queue_run(
+        spark, sf_dir, _real_anchor_telemetry(spark, sf_dir),
+        airports, runways,
+        salt="apwq-real-v1",
+        query_name="streaming_approach_work_queue_real",
+    )
 
 
 @register(

@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (164 queries: 157 strict oracles + 7 bounded-error).
+the full catalog (168 queries: 161 strict oracles + 7 bounded-error).
 """
 
 from __future__ import annotations
@@ -31,6 +31,7 @@ from . import tpch_extra as _tpch_extra  # noqa: F401  (registers)
 PRIORITY = [
     # never driver-windowed: new this round (r11)
     "approach_pipeline_real_airports",
+    "streaming_approach_work_queue_real",
     "incremental_cc_events",
     "streaming_incremental_cc_events",
     # plan changed this round (r11 moved _assign_quantized /
@@ -88,7 +89,6 @@ PRIORITY = [
     "geo_haversine_customers",
     "hll_union_users_events",
     "hof_value_arrays",
-    "join_outer_nation_counts",
 ]
 
 
