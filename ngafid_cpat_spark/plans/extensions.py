@@ -3943,6 +3943,72 @@ def pca_power_iteration_embeddings(
 
 
 @register(
+    "debias_top_direction_embeddings",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    xm AS (
+      SELECT vec_id, t.i AS d,
+             CAST(ROUND(v[t.i + 1] * 1000, 0) AS BIGINT) AS xm
+      FROM e, range(0, 64) t(i)
+    ),
+    pv0 AS (
+      SELECT t.i AS d, CAST(1000 AS HUGEINT) AS v FROM range(0, 64) t(i)
+    ),{_power_iter_sql('pv0', 1)},{_power_iter_sql('pv1', 2)},
+    {_power_iter_sql('pv2', 3)},
+    vn AS (
+      SELECT SUM(v * v) AS n2 FROM pv3
+    ),
+    dots AS (
+      SELECT x.vec_id, SUM(x.xm * p.v) AS dot
+      FROM xm x JOIN pv3 p USING (d) GROUP BY x.vec_id
+    ),
+    corr AS (
+      SELECT x.vec_id, x.d, x.xm,
+        CASE WHEN dt.dot * p.v >= 0 THEN (dt.dot * p.v) // vn.n2
+             ELSE -((-(dt.dot * p.v)) // vn.n2) END AS c
+      FROM xm x JOIN pv3 p USING (d)
+        JOIN dots dt ON dt.vec_id = x.vec_id, vn
+    ),
+    resid AS (
+      SELECT vec_id, SUM((xm - c) * (xm - c)) AS rq
+      FROM corr GROUP BY vec_id
+    )
+    SELECT d0.vec_id,
+      CAST(CASE WHEN d0.dot >= 0 THEN (d0.dot * 1000) // vn.n2
+                ELSE -((-(d0.dot * 1000)) // vn.n2) END AS BIGINT)
+        AS coef_milli,
+      CAST(r.rq AS BIGINT) AS resid_q
+    FROM dots d0 JOIN resid r USING (vec_id), vn
+    """,
+)
+def debias_top_direction_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All-but-the-Top dominant-direction removal (Mu & Viswanath,
+    ICLR 2018) over the embedding corpus: train the top principal
+    direction with the exact-integer power iteration
+    (pca_power_iteration_embeddings' iterate), then project it out
+    of every vector map-side (operators/similarity.
+    project_out_direction) — the standard post-processing that
+    de-anisotropizes embedding spaces before similarity search.
+    Fully STRICT-oracle-paired end to end: the DuckDB oracle replays
+    the 3 unrolled power iterations AND the integer projection
+    (exact dot, truncated-toward-zero corrections, squared-residual
+    sums — HUGEINT intermediates equal Spark's longs because every
+    value is exact). Outputs per vector the removed component's
+    coefficient (milli) and the residual's exact squared milli-norm.
+    Scale shape: training is one map-side matvec + one narrow
+    aggregate per iteration; the transform is one map-side
+    projection, no shuffle."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.project_out_direction(emb, n_iter=3)
+
+
+@register(
     "heavy_hitters_rollup_docs",
     f"""
     WITH toks AS (

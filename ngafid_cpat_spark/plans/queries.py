@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (168 queries: 161 strict oracles + 7 bounded-error).
+the full catalog (169 queries: 162 strict oracles + 7 bounded-error).
 """
 
 from __future__ import annotations
@@ -34,6 +34,7 @@ PRIORITY = [
     "streaming_approach_work_queue_real",
     "incremental_cc_events",
     "streaming_incremental_cc_events",
+    "debias_top_direction_embeddings",
     # plan changed this round (r11 moved _assign_quantized /
     # _coarse_residuals to string-built literal codebooks and the
     # ANN training twins to one shared checkpointed frame — the
@@ -88,7 +89,6 @@ PRIORITY = [
     "gapfill_locf_daily",
     "geo_haversine_customers",
     "hll_union_users_events",
-    "hof_value_arrays",
 ]
 
 

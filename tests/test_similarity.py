@@ -881,3 +881,44 @@ def test_semantic_dedup_auto_k_equals_explicit(spark):
     e = {(r.vec_id, r.centroid_id) for r in explicit.collect()}
     assert a == e
     assert 0 < len(a) <= 32
+
+
+def test_project_out_direction_matches_integer_replay(spark):
+    """project_out_direction == a pure-python exact-integer replay
+    (milli quantization, truncated-toward-zero corrections), and the
+    residuals are near-orthogonal to the removed direction (bounded
+    by the per-dimension truncation error)."""
+    from ngafid_cpat_spark.operators import similarity as S
+
+    rows = [
+        (0, [1.0, 0.5, -0.25, 0.125]),
+        (1, [0.9, 0.55, -0.2, 0.1]),   # near-parallel to row 0
+        (2, [-0.1, 0.8, 0.3, -0.7]),
+        (3, [0.0, 0.0, 0.0, 0.0]),     # zero vector: dot 0, resid 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v = S.power_iteration_milli(emb, n_iter=3)
+    out = {
+        r.vec_id: (r.coef_milli, r.resid_q)
+        for r in S.project_out_direction(emb, v_milli=v).collect()
+    }
+
+    def trunc_div(a, b):
+        return abs(a) // b * (1 if a >= 0 else -1)
+
+    vn2 = sum(x * x for x in v)
+    for vid, vec in rows:
+        xm = [round(abs(x) * 1000) * (1 if x >= 0 else -1) for x in vec]
+        # python round() is banker's; components here are exact
+        # multiples of 0.125 so *1000 has no .5 ties — safe
+        dot = sum(a * b for a, b in zip(xm, v))
+        corr = [trunc_div(dot * vd, vn2) for vd in v]
+        resid = [a - c for a, c in zip(xm, corr)]
+        assert out[vid] == (trunc_div(dot * 1000, vn2),
+                            sum(r * r for r in resid))
+        # near-orthogonality: each corr_d is off by < 1 from the real
+        # projection, so |<resid, v>| < sum_d |v_d|
+        assert abs(sum(r * vd for r, vd in zip(resid, v))) < sum(
+            abs(x) for x in v
+        )
+    assert out[3] == (0, 0)
