@@ -249,13 +249,39 @@ def minhash_band_table(
     ).select("id", "bb.band", "bb.bucket")
 
 
+def lsh_bands_for_threshold(
+    num_hashes: int, threshold: float
+) -> int:
+    """Band count whose LSH S-curve pivots nearest the target
+    Jaccard threshold: with b bands of r = num_hashes/b rows, a pair
+    with true Jaccard j collides with prob 1-(1-j^r)^b, a sigmoid
+    whose 50%%-collision pivot sits at ~(1/b)^(1/r) (Mining of
+    Massive Datasets §3.4.3). Chooses, among the divisors of
+    num_hashes, the b minimizing |pivot - threshold| — the `auto`
+    knob for minhash_lsh_pairs: callers state the SIMILARITY
+    CONTRACT and the banding follows, instead of hand-tuning b per
+    corpus (too few bands -> misses true pairs above the threshold;
+    too many -> bucket floods of below-threshold candidates that the
+    exact-verify join then pays for)."""
+    best_b, best_err = 1, float("inf")
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        pivot = (1.0 / b) ** (1.0 / r)
+        err = abs(pivot - threshold)
+        if err < best_err:
+            best_b, best_err = b, err
+    return best_b
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 32,
-    bands: int = 16,
+    bands: int | str = 16,
     verify_threshold: float = 0.05,
     hash_family: str = "xxhash64",
 ) -> DataFrame:
@@ -279,6 +305,11 @@ def minhash_lsh_pairs(
         knn_graph_embeddings exactly checkable). The bit budgets keep
         a + 31*b < 2^58, far from bigint overflow on either engine.
     """
+    if bands == "auto":
+        # size the S-curve to the verification threshold (see
+        # lsh_bands_for_threshold) — the banding analog of
+        # semantic_dedup's k="auto" / the IVF writer's sqrt-N
+        bands = lsh_bands_for_threshold(num_hashes, verify_threshold)
     rows_per_band = num_hashes // bands
     sig = minhash_sig_table(
         df, id_col=id_col, text_col=text_col, k=k,

@@ -431,3 +431,32 @@ def test_embedding_incremental_neardup(spark):
         ).collect()
     }
     assert kept2 == kept
+
+
+def test_lsh_bands_auto_matches_explicit(spark):
+    """bands='auto' resolves via the S-curve pivot rule and must
+    produce the identical verified pair set as the explicit band
+    count it lands on — sizing only, never semantics. Pivot rule
+    sanity: more bands for looser thresholds, monotonically."""
+    from ngafid_cpat_spark.operators.dedup import (
+        lsh_bands_for_threshold,
+        minhash_lsh_pairs,
+    )
+
+    assert lsh_bands_for_threshold(32, 0.2) == 16
+    pivots = [lsh_bands_for_threshold(32, t) for t in (0.05, 0.3, 0.6, 0.9)]
+    assert pivots == sorted(pivots, reverse=True)
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dogs"),
+        (3, "a completely different sentence about spark engines"),
+        (4, "a completely different sentence about spark engine"),
+        (5, "nothing like the others at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    auto = minhash_lsh_pairs(docs, bands="auto", verify_threshold=0.2)
+    explicit = minhash_lsh_pairs(docs, bands=16, verify_threshold=0.2)
+    a = {(r.id1, r.id2) for r in auto.collect()}
+    e = {(r.id1, r.id2) for r in explicit.collect()}
+    assert a == e and len(a) >= 1
