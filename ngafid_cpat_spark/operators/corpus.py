@@ -893,3 +893,158 @@ def train_linear_classifier(
         ).alias("c")
     ).first()["c"]
     return {"weights_micro": w, "n": n, "train_correct": int(correct)}
+
+
+# DSIR-style importance selection. Public technique: Xie et al.,
+# "Data Selection for Language Models via Importance Resampling"
+# (NeurIPS 2023) — score raw documents by how target-like their
+# hashed n-gram distribution is, then resample proportionally to the
+# importance weight. This implementation is the INTEGER-EXACT variant
+# of that recipe (the repo's Lloyd/GD doctrine applied to data
+# selection): per-bucket weights are Laplace-smoothed integer ratios
+# rather than log-probability differences (rank-monotone in the
+# bucket's target affinity; log would drag libm portability into the
+# gate), a document's score is its per-gram AVERAGE weight (length-
+# normalized, integer division), and the resampling coin is the
+# deterministic permille hash quality_weighted_sample uses — so the
+# whole selection is reproducible bit-for-bit on any engine and
+# strictly oracle-pairable.
+DSIR_BUCKETS = 1024
+DSIR_WEIGHT_SCALE = 1_000_000
+
+
+def dsir_gram_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Explode a corpus into (id, bucket) hashed-n-gram feature rows
+    WITH multiplicity: unigrams plus bigrams of the normalized
+    whitespace tokens, each hashed to ``n_buckets`` via its first 8
+    md5 hex digits as a BIGINT (nonnegative, < 2^32) — the
+    engine-portable string hash the minhash md5km family uses (Spark
+    conv / DuckDB concat('0x', ...) twin). One narrow explode — the
+    shared feature extraction for dsir_importance_select's count and
+    score passes."""
+    base = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        T.tokens(text_col).alias("_toks"),
+    )
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.expr(
+            "transform(slice(_toks, 1, size(_toks) - 1), "
+            "(x, i) -> concat(x, ' ', _toks[i + 1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        id_col,
+        *extra_cols,
+        F.explode(F.concat(F.col("_toks"), bigrams)).alias("g"),
+    )
+    return grams.select(
+        id_col,
+        *extra_cols,
+        F.expr(
+            f"cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint) % {n_buckets}"
+        ).alias("b"),
+    )
+
+
+def dsir_importance_select(
+    docs: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-style data selection: keep documents with probability
+    proportional to how target-like their hashed-n-gram profile is.
+
+    ``target`` is a boolean Column marking the target-domain rows
+    INSIDE ``docs`` (the DSIR setup scores the raw pool against a
+    target sample; here the target sample is a labeled subset of the
+    same frame, so both distributions fall out of ONE conditional
+    aggregate — no second scan).
+
+    Stages, all integer-exact:
+      1. features: (doc, bucket) gram rows (dsir_gram_buckets),
+         checkpointed once — both passes below read it.
+      2. bucket weights: one groupBy(bucket) computing raw count r_b
+         and target count t_b together (conditional agg), then
+         w_b = ((t_b + 1) * 1e6) DIV (r_b + n_buckets) — the
+         Laplace-smoothed target/raw ratio in millionths. n_buckets
+         rows; broadcast.
+      3. doc scores: re-join the gram rows to the broadcast weight
+         dim, one groupBy(doc) summing w and counting grams;
+         score = SUM(w) DIV n_grams (per-gram average — length-
+         normalized so long docs aren't favored).
+      4. resample: min-max scale the score to a keep-permille
+         ((score - lo) * 1000) DIV (hi - lo + 1) against the one-row
+         broadcast (lo, hi) aggregate, and keep iff the id's
+         deterministic permille hash < keep_permille (the
+         quality_weighted_sample coin).
+
+    Min-max scaling (not DSIR-paper softmax-temperature) keeps the
+    whole chain in BIGINTs and makes the retention rate track the
+    RELATIVE spread of importance in the pool — on a pool whose
+    vocabulary barely separates from the target (this repo's
+    synthetic docs) raw ratio weights would all sit within ~1% of the
+    max and a raw-scaled coin would keep everything.
+
+    Scale shape (100 TB): explode -> two map-side-combining
+    aggregates (one keyed by the n_buckets-bounded bucket id, one by
+    doc), an n_buckets-row broadcast dim, a 1-row broadcast min/max,
+    and a map-side filter. No global sort, no driver-resident state
+    beyond the codebook-sized weight table, no skew hazard (bucket
+    key cardinality is fixed; partial aggregation collapses each
+    partition to <= n_buckets rows before the shuffle).
+
+    Returns kept rows: (id_col, w_avg, keep_permille).
+    """
+    feats = dsir_gram_buckets(
+        docs.select(id_col, text_col, target.alias("_t")),
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        extra_cols=("_t",),
+    )
+    from .similarity import _parallel_checkpoint
+
+    feats = _parallel_checkpoint(feats)
+    weights = (
+        feats.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("r"),
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("t"),
+        )
+        .select(
+            "b",
+            F.expr(
+                f"((t + 1) * {DSIR_WEIGHT_SCALE}) DIV (r + {n_buckets})"
+            ).alias("w"),
+        )
+    )
+    scores = (
+        feats.join(F.broadcast(weights), "b")
+        .groupBy(id_col)
+        .agg(
+            F.expr("sum(w) DIV count(1)").alias("w_avg"),
+        )
+    )
+    mm = scores.agg(
+        F.min("w_avg").alias("lo"), F.max("w_avg").alias("hi")
+    )
+    scaled = scores.crossJoin(F.broadcast(mm)).select(
+        id_col,
+        "w_avg",
+        F.expr("((w_avg - lo) * 1000) DIV (hi - lo + 1)").alias(
+            "keep_permille"
+        ),
+    )
+    return scaled.filter(
+        sample_hash(id_col) < F.col("keep_permille")
+    )

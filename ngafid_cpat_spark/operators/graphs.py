@@ -174,6 +174,84 @@ def pagerank_micro(
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
 
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    n_rounds: int | None = None,
+    u: str = "u",
+    v: str = "v",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling over an undirected
+    simple graph given as distinct (u < v) pairs: repeatedly delete
+    every node whose degree in the SURVIVING subgraph is < k, until
+    nothing changes. The classic web/social-graph quality filter
+    (Seidman 1983, "Network structure and minimum degree"; the
+    standard distributed formulation peels a round at a time) — in a
+    corpus pipeline the 2-core of a link/co-occurrence graph drops
+    leaf-and-chain spam tails while keeping the dense community.
+
+    Two modes:
+      * ``n_rounds=None`` (production): peel until fixpoint, checked
+        by a driver-side surviving-EDGE count per round (one scalar
+        per round, the Lloyd/GD bounded-sync shape), capped at
+        ``max_rounds`` (the true peel count never exceeds the graph's
+        degeneracy ordering depth; 64 covers any real co-occurrence
+        graph and the cap raises rather than silently truncates).
+      * ``n_rounds=N`` (oracle replay): exactly N peels composed into
+        ONE lazy plan, no driver sync at all — the pagerank_micro
+        pattern, giving the DuckDB oracle a fixed CTE unrolling.
+        Callers pin N ≥ the fixpoint depth at gate scale (tests
+        assert the fixpoint really is reached, so the pinned-round
+        result IS the k-core, not a truncation).
+
+    Per round: one map-side-combining degree groupBy + two
+    semi-joins re-keying the directed edge table on src then dst —
+    all shuffles on the same two keys every round, no fan-out join
+    anywhere, surviving-edge state only (never driver-resident).
+    Each round's edge table is lazily localCheckpointed so the plan
+    stays flat instead of doubling per round (the alive set is used
+    by two joins).
+
+    Returns (node, core_deg) for every node surviving all peels,
+    where core_deg is the node's degree within the k-core subgraph.
+    """
+    de = edges.select(F.col(u).alias("s"), F.col(v).alias("t")).unionByName(
+        edges.select(F.col(v).alias("s"), F.col(u).alias("t"))
+    )
+
+    def peel(d: DataFrame) -> DataFrame:
+        alive = (
+            d.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("s")
+        )
+        return d.join(alive, "s", "left_semi").join(
+            alive.withColumnRenamed("s", "t"), "t", "left_semi"
+        )
+
+    if n_rounds is not None:
+        for _ in range(n_rounds):
+            de = peel(de).localCheckpoint(eager=False)
+    else:
+        de = de.localCheckpoint(eager=False)
+        prev = de.count()
+        for _ in range(max_rounds):
+            de = peel(de).localCheckpoint(eager=False)
+            n = de.count()
+            if n == prev:
+                break
+            prev = n
+        else:
+            raise RuntimeError(
+                f"kcore: no fixpoint within max_rounds={max_rounds}"
+            )
+    return de.groupBy("s").agg(F.count(F.lit(1)).alias("core_deg")).select(
+        F.col("s").alias("node"), "core_deg"
+    )
+
+
 def incremental_connected_components(
     history: DataFrame,
     new_edges: DataFrame,

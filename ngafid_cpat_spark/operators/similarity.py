@@ -784,6 +784,88 @@ def kmeans_cluster_profile(
     )
 
 
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Per-label mean vectors (class prototypes) with the kmeans_fit
+    update arithmetic: one NARROW posexplode aggregate — (label, dim,
+    micro-sum, count) rows, map-side-combined to <= n_labels*dim rows
+    per partition before the shuffle — then integer-micro
+    round-half-away means on the driver (n_labels x dim rows
+    collected; codebook-sized, the bounded-transfer class). Returns
+    [(label, [mean components])] sorted by label, consumable anywhere
+    a kmeans_fit codebook is (assign/IVF/classify)."""
+    sums = (
+        emb.select(
+            F.col(label_col).alias("_lbl"),
+            F.posexplode(F.col(vec_col)).alias("d", "x"),
+        )
+        .groupBy("_lbl", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("x") * 1_000_000, 0).cast("long")).alias(
+                "s"
+            ),
+        )
+        .collect()
+    )
+    by_lbl: dict = {}
+    for r in sums:
+        by_lbl.setdefault(r["_lbl"], {})[r["d"]] = r
+
+    def mean_micro(s: int, n: int) -> float:
+        r = (2 * abs(s) + n) // (2 * n)
+        return (r if s >= 0 else -r) / 1e6
+
+    out = []
+    for lbl in sorted(by_lbl):
+        dims = by_lbl[lbl]
+        out.append(
+            (
+                lbl,
+                [
+                    mean_micro(dims[d]["s"], dims[d]["n"])
+                    for d in range(len(dims))
+                ],
+            )
+        )
+    return out
+
+
+def centroid_classify(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    quant: int = 6,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio / prototype) classification
+    self-evaluation: build one prototype per label (label_centroids),
+    assign every vector to its nearest prototype by quantized cosine
+    (ties to the lowest label — _assign_quantized's engine-portable
+    argmax), and report the confusion matrix as (label,
+    predicted_label, n_vecs) counts — the standard cheap linear probe
+    for judging whether an embedding column separates its classes,
+    run before spending on ANN indexes or trained classifiers over
+    100 TB of vectors.
+
+    Determinism chain: prototypes are integer-micro means (bit-stable
+    under any partitioning/engine), sims are round(cosine, quant), so
+    the confusion counts are exactly reproducible — STRICT-oracle
+    material despite the two-stage train/score shape. Scale: one
+    narrow posexplode aggregate + one broadcast-codebook map-side
+    assignment + one two-key groupBy; driver state is the
+    n_labels x dim prototype table."""
+    emb = _parallel_checkpoint(emb)  # prototype pass + assign pass
+    cents = label_centroids(emb, label_col, vec_col)
+    assigned = _assign_quantized(emb, cents, vec_col, quant)
+    return assigned.groupBy(
+        F.col(label_col).alias("label"),
+        F.col("centroid_id").alias("predicted_label"),
+    ).agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the memory-bound ANN scale path
 # ---------------------------------------------------------------------------

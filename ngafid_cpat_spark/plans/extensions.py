@@ -5114,3 +5114,204 @@ def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.col("embedding").cast("array<double>")
     )
     return S.knn_graph_lsh(emb, LSH_PLANES, k=3)
+
+
+# ---------------------------------------------------------------------------
+# r11 additions: k-core, DSIR-style selection, nearest-centroid classify
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4  # fixpoint at sf0.01 is round 3; tests pin it
+_KCORE_CELL = 300
+
+
+def _kcore_peel_sql(prev: str, idx: int) -> str:
+    """One unrolled peel round as CTEs: surviving-degree filter, then
+    keep only edges whose BOTH endpoints survive."""
+    return f"""
+    d{idx} AS (
+      SELECT s FROM {prev} GROUP BY s HAVING COUNT(*) >= {_KCORE_K}
+    ),
+    e{idx} AS (
+      SELECT s, t FROM {prev}
+      WHERE s IN (SELECT s FROM d{idx}) AND t IN (SELECT s FROM d{idx})
+    )"""
+
+
+@register(
+    "kcore_users_events",
+    f"""
+    WITH cells AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / {_KCORE_CELL}) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ), eu AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+    ), e0 AS (
+      SELECT u AS s, v AS t FROM eu UNION ALL SELECT v, u FROM eu
+    ),{_kcore_peel_sql('e0', 1)},{_kcore_peel_sql('e1', 2)},
+    {_kcore_peel_sql('e2', 3)},{_kcore_peel_sql('e3', 4)}
+    SELECT s AS user_id, COUNT(*) AS core_deg FROM e4 GROUP BY s
+    """,
+)
+def kcore_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the purchase co-occurrence graph (operators/graphs.
+    kcore) — iterative peeling: drop nodes with surviving degree < 2
+    until stable. The graph-side quality filter (leaf/chain spam tail
+    removal) joining CC / triangles / PageRank as the fourth classic
+    graph operator, and the second iterative-graph family member with
+    a FIXED-ROUND twin: the catalog pins 4 peels (fixpoint at gate SF
+    is 3 — tests assert rounds 3 and 4 agree, so this IS the k-core),
+    composed into one lazy plan, while the n_rounds=None production
+    mode peels to fixpoint with one scalar driver sync per round.
+    Cell width 300 s (not pagerank's 600) so the peeling is
+    non-trivial at sf0.01: 398 directed edges -> 326, 105 survivors.
+    The DuckDB oracle unrolls the same 4 rounds as CTEs. Scale shape:
+    per round one map-side-combining degree groupBy + two semi-joins
+    on the edge table's own keys — surviving-edge state only, nothing
+    driver-resident."""
+    from ..operators.graphs import kcore
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / _KCORE_CELL).alias("h"),
+        )
+        .distinct()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    return kcore(edges, k=_KCORE_K, n_rounds=_KCORE_ROUNDS).withColumnRenamed(
+        "node", "user_id"
+    )
+
+
+_DSIR_B = 1024
+
+
+@register(
+    "dsir_select_docs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split({NORM_SQL}, ' ') AS toks
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, lang, unnest(toks) AS g FROM d),
+    bi AS (
+      SELECT doc_id, lang, array_to_string(toks[i:i+1], ' ') AS g
+      FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+            FROM d WHERE len(toks) >= 2)
+    ),
+    grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    bg AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % {_DSIR_B} AS b
+      FROM grams
+    ),
+    cnt AS (
+      SELECT b, COUNT(*) AS r,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+      FROM bg GROUP BY b
+    ),
+    w AS (
+      SELECT b, CAST(((t + 1) * 1000000) // (r + {_DSIR_B}) AS BIGINT) AS w
+      FROM cnt
+    ),
+    sc AS (
+      SELECT doc_id, CAST(SUM(w) // COUNT(*) AS BIGINT) AS w_avg
+      FROM bg JOIN w USING (b) GROUP BY doc_id
+    ),
+    mm AS (SELECT MIN(w_avg) AS lo, MAX(w_avg) AS hi FROM sc)
+    SELECT doc_id, w_avg,
+           CAST(((w_avg - lo) * 1000) // (hi - lo + 1) AS BIGINT)
+             AS keep_permille
+    FROM sc, mm
+    WHERE {{_HASH}} < ((w_avg - lo) * 1000) // (hi - lo + 1)
+    """.replace("{_HASH}", _SAMPLE_HASH_SQL("doc_id")),
+)
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (operators/corpus.
+    dsir_importance_select; Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every
+    document by its hashed-n-gram (unigram+bigram, 1024 buckets via
+    the md5km engine-portable hash) affinity to the target domain
+    (lang='en'), then keep it with probability proportional to the
+    min-max-scaled importance weight — the deterministic-coin
+    resampling quality_weighted_sample uses, so the selected subset
+    is reproducible bit-for-bit. Integer-exact variant: Laplace-
+    smoothed integer ratio weights instead of log-likelihood ratios
+    (rank-monotone, no libm), per-gram average score (length-
+    normalized). The DuckDB oracle replays the whole chain. Scale:
+    explode -> bucket-keyed and doc-keyed map-side-combining
+    aggregates, a 1024-row broadcast weight dim, a 1-row broadcast
+    min/max, one map-side filter — no global sort, no RNG state."""
+    from ..operators import corpus as C
+
+    docs = load(spark, sf_dir, "documents")
+    return C.dsir_importance_select(
+        docs, target=F.col("lang") == "en", n_buckets=_DSIR_B
+    )
+
+
+_CENTROID_SIMQ = (
+    "ROUND(list_dot_product(e.v, c.c) / "
+    "(SQRT(list_dot_product(e.v, e.v)) * SQRT(list_dot_product(c.c, c.c)))"
+    ", 6)"
+)
+
+
+@register(
+    "centroid_classify_embeddings",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+      SELECT label, t.i AS i,
+             SUM(CAST(ROUND(v[t.i + 1] * 1000000, 0) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM e, range(0, {_KMEANS_DIM}) t(i)
+      GROUP BY label, t.i
+    ),
+    c AS (
+      SELECT label AS cid,
+             list(CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+                       ((2 * ABS(s) + n) // (2 * n)) AS DOUBLE)
+                  / 1000000.0 ORDER BY i) AS c
+      FROM s GROUP BY label
+    ),
+    a AS (
+      SELECT vec_id, label, cid FROM (
+        SELECT e.vec_id, e.label, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_CENTROID_SIMQ} DESC, c.cid ASC) AS rn
+        FROM e CROSS JOIN c) WHERE rn = 1
+    )
+    SELECT label, cid AS predicted_label, COUNT(*) AS n_vecs
+    FROM a GROUP BY 1, 2
+    """,
+)
+def centroid_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio/prototype) classification
+    self-evaluation over the labeled embeddings (operators/
+    similarity.centroid_classify): per-label integer-micro prototype
+    means, quantized-cosine argmax assignment (ties to the lowest
+    label), confusion-matrix counts — the cheap linear probe run to
+    judge embedding quality before building ANN indexes or training
+    classifiers at 100 TB. Same determinism chain as kmeans
+    (integer-micro means, round(cosine, 6)), so the confusion counts
+    are STRICT-oracle-paired. Scale: one narrow posexplode aggregate
+    (n_labels x dim driver codebook) + map-side broadcast-literal
+    assignment + one two-key groupBy."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.centroid_classify(emb)

@@ -505,3 +505,97 @@ def test_quality_weighted_sample_matches_python_replay(spark):
     assert got == want
     n_all = feats.count()
     assert 0 < len(got) < n_all
+
+
+def test_dsir_importance_select_deterministic_and_coin_consistent(spark):
+    """Every kept row satisfies the coin rule (permille hash <
+    keep_permille), keep_permille is the min-max scaling of w_avg,
+    and re-running yields the identical subset."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join broadcast shuffle spark", "en"),
+            (2, "spark join agg window sort", "en"),
+            (3, "valse tango salsa polka valse", "fr"),
+            (4, "tango polka salsa tango salsa", "fr"),
+            (5, "spark shuffle broadcast join window", "en"),
+            (6, "valse spark tango join polka", "de"),
+            (7, "window sort agg shuffle broadcast spark join", "en"),
+            (8, "salsa valse polka tango valse salsa", "es"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = C.dsir_importance_select(
+        docs, target=F.col("lang") == "en", n_buckets=64
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    rows2 = {r["doc_id"]: r for r in out.collect()}
+    assert {k: (v["w_avg"], v["keep_permille"]) for k, v in rows.items()} == {
+        k: (v["w_avg"], v["keep_permille"]) for k, v in rows2.items()
+    }
+    hashes = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", C.sample_hash("doc_id").alias("h")
+        ).collect()
+    }
+    assert rows  # the scaling guarantees the max-weight doc clears ~999
+    for did, r in rows.items():
+        assert 0 <= r["keep_permille"] <= 1000
+        assert hashes[did] < r["keep_permille"]
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    """Docs sharing the target domain's n-grams must get a strictly
+    higher importance weight than docs with disjoint vocabulary —
+    the DSIR ranking contract on a separable corpus."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta", "en"),
+            (2, "alpha beta beta gamma alpha", "en"),
+            (3, "zork quux blorb zork quux", "fr"),
+            (4, "quux blorb blorb zork", "fr"),
+            (5, "alpha beta gamma beta", "en"),
+            (6, "gamma alpha beta alpha", "de"),  # target-like pool doc
+            (7, "blorb zork quux blorb", "es"),   # target-unlike pool doc
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    feats = C.dsir_gram_buckets(
+        docs.select("doc_id", "text", (F.col("lang") == "en").alias("_t")),
+        extra_cols=("_t",),
+        n_buckets=256,
+    )
+    w = (
+        feats.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("r"),
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("t"),
+        )
+        .select("b", F.expr("((t + 1) * 1000000) DIV (r + 256)").alias("w"))
+    )
+    scores = {
+        r["doc_id"]: r["w_avg"]
+        for r in feats.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.expr("sum(w) DIV count(1)").alias("w_avg"))
+        .collect()
+    }
+    assert scores[6] > scores[7]
+    assert min(scores[i] for i in (1, 2, 5, 6)) > max(
+        scores[i] for i in (3, 4, 7)
+    )
+
+
+def test_dsir_gram_buckets_unigrams_plus_bigrams_with_multiplicity(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "solo")], ["doc_id", "text"]
+    )
+    n = (
+        C.dsir_gram_buckets(docs)
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    counts = {r["doc_id"]: r["count"] for r in n}
+    # doc 1: 3 unigrams + 2 bigrams ("a b", "b a"); doc 2: 1 unigram
+    assert counts == {1: 5, 2: 1}

@@ -175,3 +175,101 @@ def test_incremental_cc_selfloop_registers_singleton(spark):
         new_nodes=spark.createDataFrame([(9,)], ["id"]),
     )
     assert _labels(via_loop) == _labels(via_nodes) == {1: 1, 9: 9}
+
+
+# ---------------------------------------------------------------------------
+# k-core (operators/graphs.kcore)
+# ---------------------------------------------------------------------------
+
+def _kcore_py(pairs, k):
+    """Independent pure-python peeling reference."""
+    de = set()
+    for u, v in pairs:
+        de.add((u, v))
+        de.add((v, u))
+    while True:
+        deg: dict = {}
+        for s, _ in de:
+            deg[s] = deg.get(s, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        nxt = {(s, t) for s, t in de if s in alive and t in alive}
+        if nxt == de:
+            break
+        de = nxt
+    out: dict = {}
+    for s, _ in de:
+        out[s] = out.get(s, 0) + 1
+    return out
+
+
+def test_kcore_triangle_with_tail(spark):
+    # triangle {1,2,3} + tail 3-4-5: the tail peels off round by
+    # round (5 first, then 4), the triangle survives with core_deg 2
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    out = {
+        r["node"]: r["core_deg"]
+        for r in G.kcore(_edges(spark, pairs), k=2).collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_fixpoint_mode_matches_pinned_rounds(spark):
+    """n_rounds=None (driver-synced peeling to fixpoint) and a
+    pinned round count past the fixpoint depth must agree — the
+    catalog's oracle-replay contract."""
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6), (6, 4),
+             (7, 8)]
+    fix = {
+        r["node"]: r["core_deg"]
+        for r in G.kcore(_edges(spark, pairs), k=2).collect()
+    }
+    pinned = {
+        r["node"]: r["core_deg"]
+        for r in G.kcore(_edges(spark, pairs), k=2, n_rounds=5).collect()
+    }
+    assert fix == pinned == _kcore_py(pairs, 2)
+
+
+def test_kcore_gate_graph_fixpoint_within_pinned_rounds(spark):
+    """The catalog query pins 4 peel rounds; assert the sf0.001 gate
+    graph reaches its fixpoint within them (rounds 3 and 4 agree), so
+    the pinned-round result IS the k-core, not a truncation."""
+    from ngafid_cpat_spark.sources import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.floor(F.unix_timestamp("ts") / 300).alias("h"))
+        .distinct()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    r3 = {
+        (r["node"], r["core_deg"])
+        for r in G.kcore(edges, k=2, n_rounds=3).collect()
+    }
+    r4 = {
+        (r["node"], r["core_deg"])
+        for r in G.kcore(edges, k=2, n_rounds=4).collect()
+    }
+    fix = {
+        (r["node"], r["core_deg"])
+        for r in G.kcore(edges, k=2).collect()
+    }
+    assert r3 == r4 == fix
+
+
+def test_kcore_k3_drops_two_core_cycle(spark):
+    # a 4-cycle is a 2-core but has no 3-core; K4 survives k=3
+    cyc = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    k4 = [(5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8)]
+    out = {
+        r["node"]: r["core_deg"]
+        for r in G.kcore(_edges(spark, cyc + k4), k=3).collect()
+    }
+    assert out == {5: 3, 6: 3, 7: 3, 8: 3}

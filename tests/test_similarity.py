@@ -922,3 +922,66 @@ def test_project_out_direction_matches_integer_replay(spark):
             abs(x) for x in v
         )
     assert out[3] == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classification (centroid_classify / label_centroids)
+# ---------------------------------------------------------------------------
+
+def test_centroid_classify_separable_classes_diagonal(spark):
+    """Well-separated clusters self-classify perfectly: the confusion
+    matrix is diagonal with the class sizes."""
+    rows = []
+    for i in range(6):
+        rows.append({"vec_id": i, "label": 0,
+                     "embedding": [1.0, 0.02 * i, 0.0]})
+    for i in range(4):
+        rows.append({"vec_id": 10 + i, "label": 1,
+                     "embedding": [0.01 * i, 1.0, 0.0]})
+    for i in range(3):
+        rows.append({"vec_id": 20 + i, "label": 2,
+                     "embedding": [0.0, 0.01 * i, -1.0]})
+    emb = spark.createDataFrame(rows)
+    out = {
+        (r["label"], r["predicted_label"]): r["n_vecs"]
+        for r in S.centroid_classify(emb).collect()
+    }
+    assert out == {(0, 0): 6, (1, 1): 4, (2, 2): 3}
+
+
+def test_centroid_classify_tie_breaks_to_lowest_label(spark):
+    """Two labels with IDENTICAL prototypes: every member ties at
+    quantized cosine 1.0 against both, and the argmax must pick the
+    LOWEST label for all of them (the _assign_quantized contract)."""
+    rows = [
+        {"vec_id": 1, "label": 3, "embedding": [1.0, 0.0]},
+        {"vec_id": 2, "label": 5, "embedding": [1.0, 0.0]},
+        {"vec_id": 3, "label": 7, "embedding": [0.0, 1.0]},
+    ]
+    emb = spark.createDataFrame(rows)
+    out = {
+        (r["label"], r["predicted_label"]): r["n_vecs"]
+        for r in S.centroid_classify(emb).collect()
+    }
+    assert out == {(3, 3): 1, (5, 3): 1, (7, 7): 1}
+
+
+def test_label_centroids_integer_micro_means(spark):
+    """Prototype components are round-half-away integer-micro means
+    — not float averages: mean of (0.0000015, 0.0000020) micros
+    (1.5, 2.0 -> sum 3.5... stays integer: micros are 2 and 2 after
+    per-component rounding) — pin the exact arithmetic on a case
+    where float averaging would differ."""
+    emb = spark.createDataFrame(
+        [
+            {"vec_id": 1, "label": 0, "embedding": [0.0000015, 1.0]},
+            {"vec_id": 2, "label": 0, "embedding": [0.0000020, 0.0]},
+        ]
+    )
+    cents = S.label_centroids(emb)
+    assert len(cents) == 1
+    lbl, vec = cents[0]
+    assert lbl == 0
+    # micros: round_half_away(1.5)=2, round(2.0)=2 -> sum 4, n 2 ->
+    # mean_micro = 2 -> 0.000002 ; second dim (1e6+0)/2 = 500000
+    assert vec == [0.000002, 0.5]
