@@ -198,20 +198,28 @@ def kcore(
         ``max_rounds`` (the true peel count never exceeds the graph's
         degeneracy ordering depth; 64 covers any real co-occurrence
         graph and the cap raises rather than silently truncates).
-      * ``n_rounds=N`` (oracle replay): exactly N peels composed into
-        ONE lazy plan, no driver sync at all — the pagerank_micro
-        pattern, giving the DuckDB oracle a fixed CTE unrolling.
-        Callers pin N ≥ the fixpoint depth at gate scale (tests
-        assert the fixpoint really is reached, so the pinned-round
-        result IS the k-core, not a truncation).
+      * ``n_rounds=N`` (oracle replay): exactly N peels, giving the
+        DuckDB oracle a fixed CTE unrolling. Callers pin N ≥ the
+        fixpoint depth at gate scale (tests assert the fixpoint
+        really is reached, so the pinned-round result IS the k-core,
+        not a truncation).
 
     Per round: one map-side-combining degree groupBy + two
-    semi-joins re-keying the directed edge table on src then dst —
-    all shuffles on the same two keys every round, no fan-out join
-    anywhere, surviving-edge state only (never driver-resident).
-    Each round's edge table is lazily localCheckpointed so the plan
-    stays flat instead of doubling per round (the alive set is used
-    by two joins).
+    MERGE-hinted semi-joins re-keying the directed edge table on src
+    then dst — all shuffles on the same two keys every round, no
+    fan-out join anywhere, surviving-edge state only (never
+    driver-resident). Each round's edge table is EAGERLY
+    localCheckpointed: the alive set is used by two joins (without a
+    checkpoint the plan triples per round), and a chain of LAZY
+    checkpoints materializing in one final job is fragile at scale —
+    memory pressure evicts a not-yet-checkpointed block whose lineage
+    is already cut ("Block rdd_N does not exist", reproduced at 30M
+    directed edges in tools/scale_smoke) — so peeling pays one
+    bounded driver sync per round in both modes, the standard
+    iterative-graph trade (GraphX/Pregel materializes per superstep
+    for the same reason). Surviving-edge tables shrink monotonically,
+    bounding total checkpoint storage at rounds x first-round size,
+    disk-spillable.
 
     Returns (node, core_deg) for every node surviving all peels,
     where core_deg is the node's degree within the k-core subgraph.
@@ -227,18 +235,39 @@ def kcore(
             .filter(F.col("deg") >= k)
             .select("s")
         )
-        return d.join(alive, "s", "left_semi").join(
-            alive.withColumnRenamed("s", "t"), "t", "left_semi"
+        # merge-hint both semi-joins: the alive set is O(nodes) — at
+        # scale it must NOT broadcast, and without the hint AQE sees
+        # a just-under-threshold shuffle stat and pins one multi-
+        # hundred-MB broadcast PER ROUND for the whole job (measured
+        # OOM at 30M directed edges x 4 rounds in tools/scale_smoke);
+        # SMJ sorts-and-spills instead, and the s-side shuffle is
+        # shared with the degree groupBy's partitioning
+        return d.join(alive.hint("merge"), "s", "left_semi").join(
+            alive.withColumnRenamed("s", "t").hint("merge"),
+            "t",
+            "left_semi",
+        )
+
+    from pyspark import StorageLevel
+
+    def _ckpt(d: DataFrame) -> DataFrame:
+        # SERIALIZED memory+disk storage: the default deserialized
+        # level holds each round's surviving-edge table as JVM row
+        # objects — ~100 B/row of header overhead, measured heap OOM
+        # at 60M directed edges x 4 rounds on a 16 GiB local JVM;
+        # serialized UnsafeRow pages are ~16 B/row and spill cleanly
+        return d.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
         )
 
     if n_rounds is not None:
         for _ in range(n_rounds):
-            de = peel(de).localCheckpoint(eager=False)
+            de = _ckpt(peel(de))
     else:
-        de = de.localCheckpoint(eager=False)
+        de = _ckpt(de)
         prev = de.count()
         for _ in range(max_rounds):
-            de = peel(de).localCheckpoint(eager=False)
+            de = _ckpt(peel(de))
             n = de.count()
             if n == prev:
                 break

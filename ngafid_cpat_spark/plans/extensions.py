@@ -5163,8 +5163,10 @@ def kcore_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph operator, and the second iterative-graph family member with
     a FIXED-ROUND twin: the catalog pins 4 peels (fixpoint at gate SF
     is 3 — tests assert rounds 3 and 4 agree, so this IS the k-core),
-    composed into one lazy plan, while the n_rounds=None production
-    mode peels to fixpoint with one scalar driver sync per round.
+    while the n_rounds=None production mode peels to fixpoint with
+    one extra scalar driver sync per round (both modes materialize
+    per round — see operators/graphs.kcore on why lazy chaining is
+    fragile at scale).
     Cell width 300 s (not pagerank's 600) so the peeling is
     non-trivial at sf0.01: 398 directed edges -> 326, 105 survivors.
     The DuckDB oracle unrolls the same 4 rounds as CTEs. Scale shape:

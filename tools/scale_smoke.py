@@ -415,6 +415,36 @@ def main() -> None:
             hist, new, id_col="id", src_col="u", dst_col="v"
         )
 
+    def kcore_peel(ev):
+        from ngafid_cpat_spark.operators import graphs as G
+
+        # 4 pinned peel rounds (the catalog shape) over the same
+        # hub-skewed bounded-degree graph: per round one map-side-
+        # combining degree groupBy + two semi-joins on the edge
+        # table's own keys — time should track |edges| x rounds; the
+        # hub's degree lands in a partial-aggregated SUM, so the
+        # skewed node cannot serialize a round
+        return G.kcore(_synth_edges(ev), k=2, n_rounds=4)
+
+    def dsir_select(docs):
+        from ngafid_cpat_spark.operators import corpus as C
+
+        # explode -> 1024-bucket conditional aggregate -> broadcast
+        # weight dim -> per-doc aggregate -> 1-row min/max broadcast
+        # -> map-side coin filter: every stage linear in gram rows
+        return C.dsir_importance_select(
+            docs, target=F.col("doc_id") % 2 == 0
+        )
+
+    def centroid_cls(emb):
+        from ngafid_cpat_spark.operators import similarity as S
+
+        # one narrow posexplode aggregate (10 x dim driver codebook)
+        # + map-side literal-codebook assignment + two-key groupBy
+        return S.centroid_classify(
+            emb.withColumn("label", F.pmod(F.col("vec_id"), F.lit(10)))
+        )
+
     def power_iteration(emb):
         from ngafid_cpat_spark.operators import similarity as S
 
@@ -505,6 +535,9 @@ def main() -> None:
         "recursive_cte_chain": ("events", recursive_cte),
         "triangle_counts": ("events", triangles),
         "pagerank": ("events", pagerank),
+        "kcore": ("events", kcore_peel),
+        "dsir_select": ("docs", dsir_select),
+        "centroid_classify": ("emb", centroid_cls),
         "semantic_dedup": ("emb", semantic_dedup),
         "power_iteration": ("emb", power_iteration),
         "quality_weighted_sample": ("docs", quality_sample),
