@@ -1048,3 +1048,90 @@ def dsir_importance_select(
     return scaled.filter(
         sample_hash(id_col) < F.col("keep_permille")
     )
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1)
+# — the named rule-based document filter most corpus pipelines run
+# before any trained classifier. Every rule here is exact integer /
+# rational arithmetic (cross-multiplied bounds instead of float
+# ratios), so the composite is strict-oracle-pairable. The paper's
+# line-shape rules (ellipsis-ending / bullet-starting line fractions)
+# need newline structure the single-line gate corpus lacks; they are
+# omitted rather than stubbed — the repo's rule is no silent fakes.
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    min_stopwords: int = 2,
+    alpha_frac_num: int = 8,
+    alpha_frac_den: int = 10,
+    max_symbol_permille: int = 100,
+) -> DataFrame:
+    """Per-document Gopher rule evaluation: one row per doc with the
+    word count and an 0/1 flag per rule plus the composite. Defaults
+    are the paper's; callers tune them to their corpus (the gate
+    query pins corpus-appropriate bounds so both pass and fail
+    populations are non-empty at test SF).
+
+    Rules (all map-side column expressions over one tokenization —
+    zero shuffles, zero UDFs):
+      * r_count:  min_words <= n <= max_words
+      * r_wordlen: min_mean_len <= mean token length <= max_mean_len,
+        tested as min*n <= sum_len <= max*n (exact integers)
+      * r_stop:   >= min_stopwords stop-word OCCURRENCES (the paper
+        requires 2 of a fixed list; occurrences make the rule
+        monotone in doc length, same spirit)
+      * r_alpha:  alphabetic-token fraction >= num/den,
+        den*n_alpha >= num*n
+      * r_symbol: symbol-ish tokens ('#', '...') per word <=
+        max_symbol_permille/1000, 1000*n_sym <= permille*n
+    """
+    toks = T.tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).alias("n_words"),
+    )
+    sl = F.aggregate(
+        "_toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    sw = F.size(
+        F.filter("_toks", lambda x: x.isin(*GOPHER_STOPWORDS))
+    )
+    na = F.size(F.filter("_toks", lambda x: x.rlike("^[a-z]+$")))
+    sym = F.size(F.filter("_toks", lambda x: x.isin("#", "...")))
+    n = F.col("n_words")
+    flags = base.select(
+        id_col,
+        "n_words",
+        ((n >= min_words) & (n <= max_words)).cast("int").alias("r_count"),
+        ((sl >= min_mean_len * n.cast("long"))
+         & (sl <= max_mean_len * n.cast("long")))
+        .cast("int")
+        .alias("r_wordlen"),
+        (sw >= min_stopwords).cast("int").alias("r_stop"),
+        (alpha_frac_den * na >= alpha_frac_num * n)
+        .cast("int")
+        .alias("r_alpha"),
+        (1000 * sym <= max_symbol_permille * n)
+        .cast("int")
+        .alias("r_symbol"),
+    )
+    return flags.withColumn(
+        "passed",
+        (
+            F.col("r_count")
+            * F.col("r_wordlen")
+            * F.col("r_stop")
+            * F.col("r_alpha")
+            * F.col("r_symbol")
+        ).cast("int"),
+    )

@@ -5317,3 +5317,121 @@ def centroid_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.col("embedding").cast("array<double>")
     )
     return S.centroid_classify(emb)
+
+
+@register(
+    "gopher_rules_docs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split({NORM_SQL}, ' ') AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id, len(toks) AS n,
+             CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT)
+               AS sl,
+             len(list_filter(toks, t -> t IN
+                 ('the','a','of','to','and','in','is','it'))) AS sw,
+             len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+               AS na,
+             len(list_filter(toks, t -> t IN ('#','...'))) AS sym
+      FROM d
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+           CAST(n >= 20 AND n <= 80 AS INT) AS r_count,
+           CAST(sl >= 4 * n AND sl <= 5 * n AS INT) AS r_wordlen,
+           CAST(sw >= 2 AS INT) AS r_stop,
+           CAST(10 * na >= 8 * n AS INT) AS r_alpha,
+           CAST(1000 * sym <= 100 * n AS INT) AS r_symbol,
+           CAST(n >= 20 AND n <= 80 AND sl >= 4 * n AND sl <= 5 * n
+                AND sw >= 2 AND 10 * na >= 8 * n
+                AND 1000 * sym <= 100 * n AS INT) AS passed
+    FROM m
+    """,
+)
+def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (operators/corpus.
+    gopher_quality_flags; Rae et al. 2021 Appendix A1.1) — the named
+    rule set most corpus pipelines run before any trained classifier:
+    word-count bounds, mean-word-length bounds, stop-word presence,
+    alphabetic-token fraction, symbol-to-word ratio. Every rule is
+    exact integer/rational arithmetic (cross-multiplied bounds, no
+    float ratios), so the per-rule flags and the composite are
+    STRICT-oracle-paired. Bounds here are tuned to the gate corpus
+    (10-99 words, mean token length 3.7-5.3) so both pass and fail
+    populations are non-empty; the operator's defaults are the
+    paper's. Scale: one tokenization, all rules map-side column
+    expressions over it — zero shuffles, zero UDFs (PLANS.md xchg 0
+    for this query's pre-sort plan)."""
+    from ..operators import corpus as C
+
+    docs = load(spark, sf_dir, "documents")
+    out = C.gopher_quality_flags(
+        docs,
+        min_words=20,
+        max_words=80,
+        min_mean_len=4,
+        max_mean_len=5,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "r_count", "r_wordlen", "r_stop", "r_alpha", "r_symbol", "passed",
+    )
+
+
+from ..functions.layout import zorder_key_sql as _zk_sql  # noqa: E402
+
+_Z_BITS = 10
+_Z_X = "((user_id % 1024) + 1024) % 1024"
+_Z_Y_SPARK = "((CAST(unix_timestamp(ts) DIV 3600 AS BIGINT) % 1024) + 1024) % 1024"
+_Z_Y_DUCK = "((CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) % 1024) + 1024) % 1024"
+
+
+@register(
+    "zorder_layout_events",
+    f"""
+    WITH z AS (
+      SELECT {_zk_sql(_Z_X, _Z_Y_DUCK, _Z_BITS)} AS zkey,
+             {_Z_X} AS x, {_Z_Y_DUCK} AS y
+      FROM events
+    )
+    SELECT CAST(zkey >> 12 AS BIGINT) AS z_bucket,
+           COUNT(*) AS n_events,
+           CAST(MIN(x) AS BIGINT) AS min_user_cell,
+           CAST(MAX(x) AS BIGINT) AS max_user_cell,
+           CAST(MIN(y) AS BIGINT) AS min_hour_cell,
+           CAST(MAX(y) AS BIGINT) AS max_hour_cell
+    FROM z GROUP BY 1
+    """,
+)
+def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user bucket, hour
+    bucket) — the multi-dimensional layout technique lakehouse
+    OPTIMIZE ... ZORDER BY implements (functions/layout.zorder_key):
+    files sorted by the interleaved key give parquet min/max pruning
+    on EITHER dimension, where a lexicographic sort only prunes its
+    leading column. The query groups events by the key's top 8 bits
+    and reports each bucket's bounding rectangle: by construction
+    every bucket spans at most 2^6 = 64 cells in EACH dimension
+    (tests pin it) — the bounded-rectangle property that makes the
+    pruning work. Pure integer bit arithmetic as one parsed
+    expression on both engines, STRICT-oracle-paired. Scale: one
+    map-side key computation + one groupBy; writing data sorted by
+    zkey (sinks.write_layout cluster_by) is the production use."""
+    from ..functions.layout import zorder_key
+
+    ev = load(spark, sf_dir, "events")
+    z = ev.select(
+        zorder_key(_Z_X, _Z_Y_SPARK, _Z_BITS).alias("zkey"),
+        F.expr(_Z_X).alias("x"),
+        F.expr(_Z_Y_SPARK).alias("y"),
+    )
+    return z.groupBy(
+        F.expr("zkey >> 12").cast("long").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("x").cast("long").alias("min_user_cell"),
+        F.max("x").cast("long").alias("max_user_cell"),
+        F.min("y").cast("long").alias("min_hour_cell"),
+        F.max("y").cast("long").alias("max_hour_cell"),
+    )

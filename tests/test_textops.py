@@ -157,3 +157,81 @@ def test_bigram_logprob_semantics(spark, tmp_path):
     d2 = q(math.log10(1 / 3))
     assert got[1][0] == 3 and got[1][1] == pytest.approx(d1, abs=1e-6)
     assert got[2][0] == 1 and got[2][1] == pytest.approx(d2, abs=1e-6)
+
+
+def test_gopher_rules_each_rule_fails_independently(spark):
+    from ngafid_cpat_spark.operators.corpus import gopher_quality_flags
+
+    docs = spark.createDataFrame(
+        [
+            # passes every rule: 5 words in [3,8], mean len in [3,6],
+            # has 2 stopword occurrences, all alpha, no symbols
+            (1, "the cat sat on the mat"),
+            (2, "hi"),                                  # too short
+            (3, "the a " + " ".join(["supercalifragilistic"] * 4)),  # mean len too big
+            (4, "cat sat mat bat rat"),                 # no stopwords
+            (5, "the cat ... ... ... sat"),             # symbol-heavy
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(
+            docs, min_words=3, max_words=8,
+            min_mean_len=2, max_mean_len=6,
+        ).collect()
+    }
+    assert out[1]["passed"] == 1
+    assert out[2]["r_count"] == 0 and out[2]["passed"] == 0
+    assert out[3]["r_wordlen"] == 0 and out[3]["passed"] == 0
+    assert out[4]["r_stop"] == 0 and out[4]["passed"] == 0
+    assert out[5]["r_symbol"] == 0 and out[5]["passed"] == 0
+    # symbol tokens are also non-alphabetic: doc 5 fails r_alpha too
+    assert out[5]["r_alpha"] == 0
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from ngafid_cpat_spark.functions.layout import zorder_key, zorder_py
+
+    df = spark.range(200).select(
+        (F.col("id") % 17).alias("x"), (F.col("id") % 13).alias("y")
+    )
+    rows = df.select(
+        "x", "y", zorder_key("x", "y", bits=5).alias("z")
+    ).collect()
+    for r in rows:
+        assert r["z"] == zorder_py(r["x"], r["y"], bits=5)
+
+
+def test_zorder_buckets_are_bounded_rectangles(spark):
+    from ngafid_cpat_spark.functions.layout import zorder_key
+
+    # the pruning property: grouping by the key's top bits bounds the
+    # bucket's extent in BOTH dimensions (here top 4 bits of each of
+    # two 10-bit dims => spans <= 2^6 = 64 cells per dim)
+    df = spark.range(20000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1024))).alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1024))).alias("y"),
+    )
+    b = (
+        df.select(zorder_key("x", "y", 10).alias("z"), "x", "y")
+        .groupBy(F.expr("z >> 12").alias("b"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .agg(F.max("dx").alias("mx"), F.max("dy").alias("my"))
+        .first()
+    )
+    assert b["mx"] <= 63 and b["my"] <= 63
+
+
+def test_zorder_bits_validation():
+    import pytest as _pytest
+
+    from ngafid_cpat_spark.functions.layout import zorder_key_sql
+
+    with _pytest.raises(ValueError):
+        zorder_key_sql("x", "y", bits=0)
+    with _pytest.raises(ValueError):
+        zorder_key_sql("x", "y", bits=32)
