@@ -68,6 +68,20 @@ def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     probes the oriented edge set, so each triangle materializes
     exactly one row before the explode fans it back to its three
     corners."""
+    tri = _triangle_rows(edges, u, v)
+    return (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def _triangle_rows(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Every triangle exactly once as an (a, b, c) row, ord-ordered
+    (the degree-ordered compact-forward enumeration triangle_counts
+    and ktruss share)."""
     o = oriented_edges(edges, u, v)
     e1 = o.select(
         F.col("src").alias("a"),
@@ -81,14 +95,7 @@ def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     )
     wedges = e1.join(e2, "a").filter(F.col("b_ord") < F.col("c_ord"))
     closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closing, ["b", "c"])
-    return (
-        tri.select(
-            F.explode(F.array("a", "b", "c")).alias("node")
-        )
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    return wedges.join(closing, ["b", "c"]).select("a", "b", "c")
 
 
 def pagerank_micro(
@@ -279,6 +286,93 @@ def kcore(
     return de.groupBy("s").agg(F.count(F.lit(1)).alias("core_deg")).select(
         F.col("s").alias("node"), "core_deg"
     )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 4,
+    n_rounds: int | None = None,
+    u: str = "u",
+    v: str = "v",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """k-truss decomposition by edge-support peeling over an
+    undirected simple graph given as distinct (u < v) pairs:
+    repeatedly delete every edge in fewer than k-2 triangles of the
+    SURVIVING subgraph, until stable (Cohen 2008, "Trusses: cohesive
+    subgraphs for social network analysis") — the edge-cohesion
+    sharpening of kcore (a k-truss is always inside the (k-1)-core),
+    the standard dense-community/spam-tail filter one notch stronger
+    than degree peeling.
+
+    Per round: one degree-ordered triangle enumeration
+    (_triangle_rows — the arboricity-bounded wedge join
+    triangle_counts uses, never a naive neighbor-pair fan), each
+    triangle exploded to its three id-normalized edges, one
+    map-side-combining support count, and an inner join back to the
+    edge set (k >= 3 makes support >= 1 a requirement, so zero-
+    support edges drop by absence). Same two modes and the same
+    eager serialized per-round checkpoint discipline as kcore
+    (n_rounds pinned for the unrolled-CTE oracle — tests assert the
+    fixpoint is reached inside the pinned rounds; n_rounds=None
+    peels to fixpoint on a per-round edge-count sync).
+
+    Returns the surviving edges with their final in-truss support:
+    (u, v, support). At fixpoint the last peel's support IS the
+    final subgraph's support (the edge set no longer changes).
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3 for a k-truss, got {k}")
+    if n_rounds is not None and n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1 (the support column "
+                         "only exists after a peel)")
+    from pyspark import StorageLevel
+
+    def _ckpt(d: DataFrame) -> DataFrame:
+        return d.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+
+    e = edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+
+    def peel(d: DataFrame) -> DataFrame:
+        tri = _triangle_rows(d)
+        pair = lambda x, y: F.struct(  # noqa: E731
+            F.least(x, y).alias("u"), F.greatest(x, y).alias("v")
+        )
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        pair("a", "b"), pair("a", "c"), pair("b", "c")
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        return d.select("u", "v").join(sup, ["u", "v"]).filter(
+            F.col("support") >= k - 2
+        )
+
+    if n_rounds is not None:
+        for _ in range(n_rounds):
+            e = _ckpt(peel(e))
+    else:
+        e = _ckpt(e)
+        prev = e.count()
+        for _ in range(max_rounds):
+            e = _ckpt(peel(e))
+            n = e.count()
+            if n == prev:
+                break
+            prev = n
+        else:
+            raise RuntimeError(
+                f"ktruss: no fixpoint within max_rounds={max_rounds}"
+            )
+    return e.select("u", "v", "support")
 
 
 def incremental_connected_components(

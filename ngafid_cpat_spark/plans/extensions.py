@@ -5435,3 +5435,77 @@ def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").cast("long").alias("min_hour_cell"),
         F.max("y").cast("long").alias("max_hour_cell"),
     )
+
+
+_KTRUSS_K = 4
+_KTRUSS_ROUNDS = 3  # fixpoint at sf0.01 is round 2; tests pin it
+_KTRUSS_CELL = 600
+
+
+def _ktruss_round_sql(prev: str, idx: int) -> str:
+    """One unrolled support-peel round as CTEs: directed view,
+    common-neighbor support count (inner — zero-support edges drop
+    by absence), threshold filter keeping the support column."""
+    return f"""
+    d{idx} AS (
+      SELECT u AS s, v AS t FROM {prev}
+      UNION ALL SELECT v, u FROM {prev}
+    ),
+    s{idx} AS (
+      SELECT e.u, e.v, COUNT(*) AS support FROM {prev} e
+      JOIN d{idx} x ON x.s = e.u
+      JOIN d{idx} y ON y.s = e.v AND y.t = x.t
+      GROUP BY e.u, e.v
+    ),
+    t{idx} AS (
+      SELECT u, v, support FROM s{idx} WHERE support >= {_KTRUSS_K - 2}
+    )"""
+
+
+@register(
+    "ktruss_users_events",
+    f"""
+    WITH cells AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / {_KTRUSS_CELL}) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ), t0 AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+    ),{_ktruss_round_sql('t0', 1)},{_ktruss_round_sql('t1', 2)},
+    {_ktruss_round_sql('t2', 3)}
+    SELECT u, v, support FROM t3
+    """,
+)
+def ktruss_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the purchase co-occurrence graph (operators/graphs.
+    ktruss; Cohen 2008) — edge-support peeling: drop every edge in
+    fewer than 2 surviving triangles until stable. The edge-cohesion
+    sharpening of kcore_users_events (a k-truss lives inside the
+    (k-1)-core) and the fifth classic graph operator (CC, triangles,
+    PageRank, k-core, k-truss). Pins 3 peel rounds (fixpoint at gate
+    SF is 2 — tests assert rounds 2 and 3 agree); the DuckDB oracle
+    unrolls the same 3 rounds with common-neighbor support counts,
+    while the Spark side enumerates triangles degree-ordered
+    (arboricity-bounded wedge join, hub-proof) and explodes each into
+    its three edges — identical support integers, different join
+    shape by design. Non-trivial at sf0.01: 432 -> 33 -> 6 edges."""
+    from ..operators.graphs import ktruss
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / _KTRUSS_CELL).alias("h"),
+        )
+        .distinct()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    return ktruss(edges, k=_KTRUSS_K, n_rounds=_KTRUSS_ROUNDS)

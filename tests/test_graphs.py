@@ -273,3 +273,92 @@ def test_kcore_k3_drops_two_core_cycle(spark):
         for r in G.kcore(_edges(spark, cyc + k4), k=3).collect()
     }
     assert out == {5: 3, 6: 3, 7: 3, 8: 3}
+
+
+# ---------------------------------------------------------------------------
+# k-truss (operators/graphs.ktruss)
+# ---------------------------------------------------------------------------
+
+def _ktruss_py(pairs, k):
+    """Independent pure-python support-peeling reference."""
+    e = {tuple(sorted(p)) for p in pairs}
+    while True:
+        adj: dict = {}
+        for a, b in e:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {
+            (a, b): len(adj[a] & adj[b]) for a, b in e
+        }
+        nxt = {p for p in e if sup[p] >= k - 2}
+        if nxt == e:
+            return {p: sup[p] for p in e}
+        e = nxt
+
+
+def test_ktruss_k4_keeps_k4_drops_cycle_and_tail(spark):
+    # K4 {1,2,3,4}: every edge in 2 triangles -> survives k=4;
+    # the pendant triangle {4,5,6} (support 1 each) and the chordless
+    # square {7,8,9,10} (support 0) peel away
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tri = [(4, 5), (4, 6), (5, 6)]
+    sq = [(7, 8), (8, 9), (9, 10), (7, 10)]
+    out = {
+        (r["u"], r["v"]): r["support"]
+        for r in G.ktruss(_edges(spark, k4 + tri + sq), k=4).collect()
+    }
+    assert out == {p: 2 for p in k4}
+    assert out == _ktruss_py(k4 + tri + sq, 4)
+
+
+def test_ktruss_fixpoint_matches_pinned_rounds(spark):
+    # two K4s sharing a vertex + a noise path: pinned rounds past the
+    # fixpoint must agree with the driver-synced fixpoint mode and
+    # the python reference
+    g = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7),
+         (7, 8), (8, 9)]
+    fix = {
+        (r["u"], r["v"]): r["support"]
+        for r in G.ktruss(_edges(spark, g), k=4).collect()
+    }
+    pinned = {
+        (r["u"], r["v"]): r["support"]
+        for r in G.ktruss(_edges(spark, g), k=4, n_rounds=4).collect()
+    }
+    assert fix == pinned == _ktruss_py(g, 4)
+
+
+def test_ktruss_gate_graph_fixpoint_within_pinned_rounds(spark):
+    from ngafid_cpat_spark.sources import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.floor(F.unix_timestamp("ts") / 600).alias("h"))
+        .distinct()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    r2 = {(r["u"], r["v"]): r["support"]
+          for r in G.ktruss(edges, k=4, n_rounds=2).collect()}
+    r3 = {(r["u"], r["v"]): r["support"]
+          for r in G.ktruss(edges, k=4, n_rounds=3).collect()}
+    fix = {(r["u"], r["v"]): r["support"]
+           for r in G.ktruss(edges, k=4).collect()}
+    assert r2 == r3 == fix
+
+
+def test_ktruss_validates_parameters(spark):
+    import pytest as _pytest
+
+    e = _edges(spark, [(1, 2)])
+    with _pytest.raises(ValueError):
+        G.ktruss(e, k=2)
+    with _pytest.raises(ValueError):
+        G.ktruss(e, k=4, n_rounds=0)

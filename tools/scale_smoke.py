@@ -426,6 +426,16 @@ def main() -> None:
         # skewed node cannot serialize a round
         return G.kcore(_synth_edges(ev), k=2, n_rounds=4)
 
+    def ktruss_peel(ev):
+        from ngafid_cpat_spark.operators import graphs as G
+
+        # 2 pinned support-peel rounds: per round one degree-ordered
+        # triangle enumeration (arboricity-bounded wedge join) + one
+        # map-side-combining support count + one edge join — the
+        # triangle pass dominates and is the same shape the
+        # triangles smoke already proves linear
+        return G.ktruss(_synth_edges(ev), k=4, n_rounds=2)
+
     def dsir_select(docs):
         from ngafid_cpat_spark.operators import corpus as C
 
@@ -536,6 +546,7 @@ def main() -> None:
         "triangle_counts": ("events", triangles),
         "pagerank": ("events", pagerank),
         "kcore": ("events", kcore_peel),
+        "ktruss": ("events", ktruss_peel),
         "dsir_select": ("docs", dsir_select),
         "centroid_classify": ("emb", centroid_cls),
         "semantic_dedup": ("emb", semantic_dedup),
