@@ -1038,3 +1038,127 @@ def blocked_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+def allpairs_jaccard_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard >= t join with PREFIX FILTERING
+    (Bayardo, Ma & Srikant 2007, "Scaling Up All Pairs Similarity
+    Search") — the sharper pruning alternative to jaccard_pairs'
+    df-cut: instead of indexing every shingle (or dropping only
+    stop-phrases), each document indexes ONLY its prefix of
+    p = n - ceil(t*n) + 1 shingles under a global canonical order.
+    Soundness: Jaccard(x, y) >= t implies |x ∩ y| >= ceil(t*|x|)
+    (because |x ∪ y| >= |x|), so if x shared NO prefix shingle with
+    y, all overlap would sit in x's suffix of ceil(t*|x|) - 1 <
+    ceil(t*|x|) shingles — contradiction; symmetrically for y, so
+    every qualifying pair collides prefix-to-prefix. Candidates then
+    VERIFY against the full sets, making the result exactly the
+    brute-force join (the gate oracle IS brute force).
+
+    The canonical order is (document frequency asc, shingle) —
+    rarest-first puts the least-colliding shingles in the prefix,
+    the standard AP-SS choice; at t = 1/2 the index halves and the
+    candidate join touches only rare-token collisions. The order
+    affects only WHICH candidates form, never the verified result.
+
+    t is the exact rational threshold_num/threshold_den; the
+    qualifying test is cross-multiplied integers
+    (c * den >= num * (n1 + n2 - c)) — no float boundary.
+
+    Scale shape: shingle explode (one pass, checkpointed once for
+    its three consumers), one df aggregate, one per-doc window rank
+    (partitioned by doc — no global sort), prefix-prefix equi-join
+    on the shingle key, and a candidates-bounded verify join.
+    Returns (id1, id2, jaccard)."""
+    from pyspark.sql import Window
+
+    num, den = threshold_num, threshold_den
+    sh = _shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=False)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfr"))
+    w = Window.partitionBy("id").orderBy("dfr", "sh")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .join(sizes, "id")
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= F.col("n") - F.expr(f"(n * {num} + {den} - 1) DIV {den}") + 1
+    ).select("id", "sh", "dfr", "rnk", "n")
+
+    # candidate pairs with the PPJoin-style POSITIONAL filter (Xiao
+    # et al. 2008): per pair, take the collision FIRST in the
+    # canonical (dfr, sh) order — no shared shingle can precede it in
+    # EITHER doc (an earlier shared one would sit inside both
+    # prefixes and be an earlier collision), so
+    # overlap <= 1 + min(n1 - r1, n2 - r2). Jaccard >= num/den needs
+    # overlap >= alpha = ceil(num * (n1 + n2) / (num + den)); pairs
+    # whose bound can't reach alpha never enter the verify join —
+    # this is what keeps a single random rare-shingle collision from
+    # costing a verification.
+    coll = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.struct(
+                F.col("a.dfr").alias("dfr"),
+                F.col("sh").alias("sh"),
+                F.col("a.rnk").alias("r1"),
+                F.col("b.rnk").alias("r2"),
+            ).alias("o"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+    )
+    cand = (
+        coll.groupBy("id1", "id2")
+        .agg(
+            F.min("o").alias("first"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("n1") - F.col("first.r1"),
+                F.col("n2") - F.col("first.r2"),
+            )
+            >= F.expr(
+                f"(({num}) * (n1 + n2) + {num + den} - 1) DIV {num + den}"
+            )
+        )
+        .select("id1", "id2", "n1", "n2")
+    )
+
+    # verify against FULL sets as one row per candidate via
+    # array_intersect (JVM set semantics) — the earlier row-fan
+    # verify (candidates x set size exploded rows) was the
+    # superlinear term tools/scale_smoke caught at 50k docs
+    arrs = sh.groupBy("id").agg(F.collect_list("sh").alias("arr"))
+    a1 = arrs.select(F.col("id").alias("id1"), F.col("arr").alias("arr1"))
+    a2 = arrs.select(F.col("id").alias("id2"), F.col("arr").alias("arr2"))
+    return (
+        cand.join(a1, "id1")
+        .join(a2, "id2")
+        .withColumn(
+            "c", F.size(F.array_intersect("arr1", "arr2")).cast("long")
+        )
+        .filter(F.expr(f"c * {den} >= {num} * (n1 + n2 - c)"))
+        .select(
+            "id1",
+            "id2",
+            F.round(F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")), 6)
+            .alias("jaccard"),
+        )
+    )

@@ -5509,3 +5509,43 @@ def ktruss_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return ktruss(edges, k=_KTRUSS_K, n_rounds=_KTRUSS_ROUNDS)
+
+
+@register(
+    "allpairs_jaccard_prefix_docs",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) AS jaccard
+    FROM common
+      JOIN sizes s1 ON common.id1 = s1.doc_id
+      JOIN sizes s2 ON common.id2 = s2.doc_id
+    WHERE c * 2 >= 1 * (s1.n + s2.n - c)
+    """,
+)
+def allpairs_jaccard_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 1/2 all-pairs join via PREFIX FILTERING
+    (operators/dedup.allpairs_jaccard_prefix; Bayardo et al. 2007):
+    each doc indexes only its n - ceil(n/2) + 1 rarest shingles —
+    every qualifying pair provably collides in the pruned index, and
+    candidates verify against full sets, so the result is EXACTLY the
+    brute-force join. The oracle IS brute force (full inverted-index
+    self-join, no prefix, no df-cut): hash-matching it is the
+    exactness proof of the pruning, the same sound-approximation-
+    with-exact-contract doctrine as the gridded argmin's fallback.
+    Note the oracle's sh CTE is DISTINCT doc-shingles and the Spark
+    side sets as_string=False (hashed shingles) — the canonical
+    prefix ORDER differs across engines, but order only selects
+    candidates, never the verified result."""
+    from ..operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    return D.allpairs_jaccard_prefix(
+        docs, k=SHINGLE_K, threshold_num=1, threshold_den=2
+    )

@@ -460,3 +460,103 @@ def test_lsh_bands_auto_matches_explicit(spark):
     a = {(r.id1, r.id2) for r in auto.collect()}
     e = {(r.id1, r.id2) for r in explicit.collect()}
     assert a == e and len(a) >= 1
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered all-pairs jaccard (allpairs_jaccard_prefix)
+# ---------------------------------------------------------------------------
+
+def _brute_jaccard(spark, rows, k, t):
+    """Brute-force python shingle-set jaccard reference."""
+    import itertools
+
+    sets = {}
+    for did, text in rows:
+        toks = text.lower().split()
+        sets[did] = {
+            " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
+        }
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if u and i / u >= t:
+            out[(a, b)] = round(i / u, 6)
+    return out
+
+
+def test_allpairs_prefix_equals_brute_force(spark):
+    from ngafid_cpat_spark.operators.dedup import allpairs_jaccard_prefix
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (4, "pack my box with five dozen liquor jugs today"),
+        (5, "pack my box with five dozen liquor jugs"),       # near-dup of 4
+        (6, "entirely different words compose this one sentence here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in allpairs_jaccard_prefix(
+            docs, k=3, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    assert got == _brute_jaccard(spark, rows, 3, 0.5)
+    assert (1, 3) in got and got[(1, 3)] == 1.0
+
+
+def test_allpairs_prefix_exact_threshold_boundary(spark):
+    from ngafid_cpat_spark.operators.dedup import allpairs_jaccard_prefix
+
+    # doc pairs engineered to land exactly AT and just BELOW t=1/2:
+    # shingle sets of sizes 6 and 6 sharing 4 -> j = 4/8 = 0.5 (kept);
+    # sharing 3 -> j = 3/9 = 0.333 (dropped). 8 tokens => 6 3-shingles.
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    at = "w1 w2 w3 w4 w5 w6 x7 x8"     # shares shingles 1-4 of 6
+    below = "w1 w2 w3 w4 w5 y6 y7 y8"  # shares shingles 1-3 of 6
+    docs = spark.createDataFrame(
+        [(1, a), (2, at), (3, below)], ["doc_id", "text"]
+    )
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in allpairs_jaccard_prefix(
+            docs, k=3, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    assert got == _brute_jaccard(
+        spark, [(1, a), (2, at), (3, below)], 3, 0.5
+    )
+    assert (1, 2) in got and abs(got[(1, 2)] - 0.5) < 1e-9
+    assert (1, 3) not in got
+
+
+def test_allpairs_prefix_index_is_pruned(spark):
+    from ngafid_cpat_spark.operators.dedup import (
+        _shingle_sets,
+        allpairs_jaccard_prefix,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(20))) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    sh = _shingle_sets(docs, "doc_id", "text", 3)
+    full = sh.count()
+    # replicate the operator's prefix rule and check it indexes
+    # roughly half the shingles at t = 1/2
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfr"))
+    w = Window.partitionBy("id").orderBy("dfr", "sh")
+    pref = (
+        sh.join(dfreq, "sh").join(sizes, "id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= F.col("n") - F.expr("(n * 1 + 1) DIV 2") + 1)
+        .count()
+    )
+    assert pref < full * 0.6
+    # disjoint docs -> no pairs at all
+    assert allpairs_jaccard_prefix(docs, k=3).count() == 0

@@ -53,13 +53,24 @@ def synth_events(spark, n_rows: int, n_users: int):
 def synth_docs(spark, n_docs: int, dup_rate: int = 10):
     """Documents-shaped frame: ~60-token texts from a hash-mixed word
     sequence; every dup_rate-th doc repeats the previous doc's seed
-    (guaranteed exact+near duplicates)."""
+    (guaranteed exact+near duplicates).
+
+    Words are xxhash64-mixed per (seed, position) — the synth_emb
+    lesson applied to text: the earlier linear-congruential form
+    ((seed * 48271 + i * 16807) % 9973) made shingle values a LINEAR
+    function of (seed, position), so for every position delta there
+    was a seed delta with systematically colliding shingles — ~13M
+    candidate doc pairs at 50k docs where natural text (and random
+    words) give ~none beyond the planted dups. Aggregate-only
+    consumers (jaccard_pairs' groupBy) shrugged; anything that
+    materializes per-candidate state measured quadratic on data no
+    real corpus resembles."""
     seed = F.when(
         F.col("id") % dup_rate == 0, F.col("id") - 1
     ).otherwise(F.col("id"))
     word = lambda i: F.concat(  # noqa: E731
         F.lit("w"),
-        ((seed * 48271 + i * 16807) % 9973).cast("string"),
+        F.pmod(F.xxhash64(seed, F.lit(i)), F.lit(9973)).cast("string"),
     )
     return spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
@@ -130,6 +141,14 @@ def main() -> None:
 
     def jaccard(docs):
         return D.jaccard_pairs(docs, k=3, threshold=0.5)
+
+    def allpairs_prefix(docs):
+        # prefix-filtered exact jaccard >= 1/2: the pruned index join
+        # must stay linear in docs — candidates only form on
+        # rare-shingle collisions, verify is candidates-bounded
+        return D.allpairs_jaccard_prefix(
+            docs, k=3, threshold_num=1, threshold_den=2
+        )
 
     def incr_minhash(docs):
         # crawl-batch shape: 1/3 of the corpus arrives, 2/3 is the
@@ -530,6 +549,7 @@ def main() -> None:
         "episode_islands_chunked": ("events", islands_chunked),
         "dedup_exact": ("docs", dedup_exact),
         "jaccard_pairs": ("docs", jaccard),
+        "allpairs_prefix_jaccard": ("docs", allpairs_prefix),
         "incremental_minhash": ("docs", incr_minhash),
         "nearest_join": ("events", nn_join),
         "nearest_join_ref_dims": ("events", nn_join_ref_dims),
