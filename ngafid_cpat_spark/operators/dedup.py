@@ -1162,3 +1162,60 @@ def allpairs_jaccard_prefix(
             .alias("jaccard"),
         )
     )
+
+
+def snm_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "name",
+    window: int = 4,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Sorted-neighborhood blocking for entity resolution (Hernández
+    & Stolfo 1995, the merge/purge method): sort records by a
+    normalized key, compare each record only to the ``window - 1``
+    records after it in sort order, keep pairs within edit distance
+    ``max_dist``. The sort-based complement of edit1_pairs'
+    deletion-neighborhood hash blocking — catches prefix-preserving
+    typos and near-sorted-key duplicates with one sort instead of a
+    variant explode. Candidate recall is BY CONTRACT bounded to the
+    window (records whose keys sort far apart are never compared) —
+    the standard SNM trade; the output semantics ("window-adjacent
+    pairs within distance d") are deterministic and exactly
+    oracle-replayable.
+
+    Scale shape: one global numbering in sort order via
+    windows.global_row_number (range-partitioned rank + offsets —
+    NEVER the single-task empty-PARTITION-BY window), then the
+    neighborhood join as a pure EQUI-join: each left row explodes to
+    its window - 1 target rids and joins b.rid — no range join, no
+    BNLJ, linear in rows x window. Verify is exact levenshtein on
+    the candidate pair.
+
+    Returns (id1, id2, dist) with id1 < id2."""
+    from .windows import global_row_number
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("name")
+    ).withColumn("key", F.lower(F.col("name")))
+    r = global_row_number(base, ["key", "id"], out_col="rid")
+    left = r.select(
+        F.col("id").alias("la"),
+        F.col("name").alias("na"),
+        F.explode(
+            F.array(*[F.col("rid") + k for k in range(1, window)])
+        ).alias("rid"),
+    )
+    cand = left.join(
+        r.select("rid", F.col("id").alias("lb"), F.col("name").alias("nb")),
+        "rid",
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("na", "nb"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.least("la", "lb").alias("id1"),
+            F.greatest("la", "lb").alias("id2"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

@@ -5549,3 +5549,41 @@ def allpairs_jaccard_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.allpairs_jaccard_prefix(
         docs, k=SHINGLE_K, threshold_num=1, threshold_den=2
     )
+
+
+@register(
+    "snm_blocking_pairs_customers",
+    """
+    WITH c AS (
+      SELECT c_custkey AS id, c_name AS name FROM customer
+    ), r AS (
+      SELECT id, name,
+             ROW_NUMBER() OVER (ORDER BY lower(name), id) AS rid
+      FROM c
+    ), cand AS (
+      SELECT a.id AS ia, a.name AS na, b.id AS ib, b.name AS nb
+      FROM r a JOIN r b ON b.rid BETWEEN a.rid + 1 AND a.rid + 3
+    )
+    SELECT LEAST(ia, ib) AS id1, GREATEST(ia, ib) AS id2,
+           CAST(levenshtein(na, nb) AS INT) AS dist
+    FROM cand WHERE levenshtein(na, nb) <= 1
+    """,
+)
+def snm_blocking_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (operators/
+    dedup.snm_pairs; Hernández & Stolfo 1995): customers sorted by
+    normalized name, each compared to the 3 records after it, pairs
+    within edit distance 1 kept — the sort-based complement of
+    fuzzy_name_pairs_customers' deletion-neighborhood hash blocking
+    (same verify metric, different candidate generation paradigm; the
+    windowed-recall contract is replayed exactly by the oracle).
+    Scale: range-partitioned global numbering (windows.
+    global_row_number — no single-task global window; tests assert
+    that plan property) + a pure equi-join on exploded target rids
+    (never a range join/BNLJ)."""
+    from ..operators import dedup as D
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    return D.snm_pairs(cust, window=4, max_dist=1)

@@ -560,3 +560,50 @@ def test_allpairs_prefix_index_is_pruned(spark):
     assert pref < full * 0.6
     # disjoint docs -> no pairs at all
     assert allpairs_jaccard_prefix(docs, k=3).count() == 0
+
+
+def test_snm_pairs_window_contract(spark):
+    """SNM finds near keys that sort adjacently and, BY CONTRACT,
+    misses near pairs separated by > window-1 in sort order."""
+    from ngafid_cpat_spark.operators.dedup import snm_pairs
+
+    rows = [
+        (1, "alpha"), (2, "alphb"),            # adjacent, lev 1 -> found
+        (3, "beta"), (4, "betb"),              # adjacent after 'beta*'? see below
+        (5, "betc"), (6, "betd"), (7, "bete"),
+        (8, "zeta"),
+    ]
+    # sort order: alpha alphb beta betb betc betd bete zeta
+    got = {
+        (r["id1"], r["id2"]): r["dist"]
+        for r in snm_pairs(
+            spark.createDataFrame(rows, ["id", "name"]),
+            window=3, max_dist=1,
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1
+    assert (3, 4) in got
+    # betb(4) and bete(7) are lev 1 but 3 apart in sort order:
+    # outside window=3 -> contractually absent
+    assert (4, 7) not in got
+    # window=5 widens the neighborhood and finds it
+    got5 = {
+        (r["id1"], r["id2"]): r["dist"]
+        for r in snm_pairs(
+            spark.createDataFrame(rows, ["id", "name"]),
+            window=5, max_dist=1,
+        ).collect()
+    }
+    assert (4, 7) in got5
+
+
+def test_snm_pairs_no_single_partition_window(spark):
+    """The numbering must come from the range-partitioned
+    global_row_number, never an empty-PARTITION-BY window."""
+    from ngafid_cpat_spark.operators.dedup import snm_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(100)], ["id", "name"]
+    )
+    plan = snm_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
