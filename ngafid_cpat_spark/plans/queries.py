@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (169 queries: 162 strict oracles + 7 bounded-error).
+the full catalog (177 queries: 170 strict oracles + 7 bounded-error).
 """
 
 from __future__ import annotations
@@ -29,6 +29,17 @@ from . import tpch_extra as _tpch_extra  # noqa: F401  (registers)
 # `no_oracle` driver row is the documented proof they execute under
 # the gate (check_oracle.py holds their values to measured floors).
 PRIORITY = [
+    # never driver-windowed: new this round (r11, second batch —
+    # also re-verifies approach_pipeline_real_airports below, whose
+    # gridded argmin gained a winners checkpoint this round)
+    "kcore_users_events",
+    "ktruss_users_events",
+    "dsir_select_docs",
+    "centroid_classify_embeddings",
+    "gopher_rules_docs",
+    "zorder_layout_events",
+    "allpairs_jaccard_prefix_docs",
+    "snm_blocking_pairs_customers",
     # never driver-windowed: new this round (r11)
     "approach_pipeline_real_airports",
     "streaming_approach_work_queue_real",
