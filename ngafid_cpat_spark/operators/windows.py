@@ -565,3 +565,82 @@ def global_row_number(
         .withColumn(out_col, F.col("__off") + F.col("__rn"))
         .drop("__pid", "__rn", "__off")
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, Börzsönyi et al. 2001 "The
+    Skyline Operator"): the rows not DOMINATED by any other row,
+    where a dominates b iff a.min_col <= b.min_col AND a.max_col >=
+    b.max_col with at least one strict ("earlier AND at least as
+    valuable, or as early AND strictly more valuable"). The classic
+    multi-criteria shortlist operator ("best price/date tradeoffs").
+
+    NOT the naive quadratic NOT-EXISTS self-join (the oracle's form —
+    at 100 TB that is a cross product). The 2-D skyline has a
+    sort-based linear identity: a row is on the frontier iff its
+    max_col equals its min_col-group's maximum AND that maximum
+    strictly exceeds every strictly-smaller min_col group's maximum.
+    So:
+
+      1. one map-side-combining groupBy(min_col) -> per-key max —
+         the only pass over the corpus;
+      2. an EXCLUSIVE prefix max over the per-key aggregate in
+         min_col order, computed with the global_row_number two-phase
+         shape (range partition + per-partition running max + a
+         bounded per-partition-max collect folded into offsets) —
+         never an empty-PARTITION-BY window;
+      3. frontier keys (prefix-max filter) join back to the corpus
+         on (min_col, max_col) equality — broadcast: the frontier is
+         at most one row per distinct min_col value that sets a new
+         record, bounded by the key domain (calendar-sized for time
+         keys).
+
+    Ties: rows sharing the frontier (min_col, max_col) point are all
+    non-dominated (no strict inequality) and all returned — exactly
+    the NOT-EXISTS semantics.
+    """
+    d, mp = "__sky_d", "__sky_mp"
+    agg = df.groupBy(F.col(min_col).alias(d)).agg(
+        F.max(max_col).alias(mp)
+    )
+    ranged = agg.repartitionByRange(d).sortWithinPartitions(d)
+    pid = ranged.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(d)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = pid.withColumn("__prev", F.max(mp).over(w)).localCheckpoint(
+        eager=False
+    )
+    # bounded collect: one (pid, max) row per partition -> exclusive
+    # cross-partition prefix maxima (same determinism argument as
+    # global_row_number: the pin makes both consumers see one set of
+    # range boundaries)
+    part_max = (
+        local.groupBy("__pid").agg(F.max(mp).alias("__m")).collect()
+    )
+    run = None
+    offs = []
+    for r in sorted(part_max, key=lambda r: r["__pid"]):
+        offs.append((r["__pid"], run))
+        run = r["__m"] if run is None else max(run, r["__m"])
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            offs, f"__pid int, __poff {agg.schema[mp].dataType.simpleString()}"
+        )
+    )
+    prev = F.greatest(F.col("__prev"), F.col("__poff"))
+    frontier = (
+        local.join(off_df, "__pid")
+        .filter(prev.isNull() | (F.col(mp) > prev))
+        .select(d, mp)
+    )
+    return df.join(
+        F.broadcast(frontier),
+        (df[min_col] == F.col(d)) & (df[max_col] == F.col(mp)),
+    ).drop(d, mp)

@@ -5587,3 +5587,104 @@ def snm_blocking_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
     return D.snm_pairs(cust, window=4, max_dist=1)
+
+
+@register(
+    "skyline_orders",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders b
+      WHERE b.o_orderdate <= a.o_orderdate
+        AND b.o_totalprice >= a.o_totalprice
+        AND (b.o_orderdate < a.o_orderdate
+             OR b.o_totalprice > a.o_totalprice)
+    )
+    """,
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of orders — the Pareto frontier of (earliest
+    order date, highest total price): no other order is both at
+    least as early and at least as valuable with one strict
+    (operators/windows.pareto_frontier_2d; Börzsönyi et al. 2001).
+    The oracle IS the textbook quadratic NOT-EXISTS dominance
+    self-join; the Spark plan is the sort-based LINEAR identity (one
+    per-date max groupBy + a two-phase prefix max over the
+    date-domain aggregate + a broadcast frontier join-back) —
+    hash-matching brute force is the exactness proof, the
+    allpairs-prefix doctrine applied to multi-criteria selection."""
+    from ..operators.windows import pareto_frontier_2d
+
+    orders = load(spark, sf_dir, "orders")
+    return pareto_frontier_2d(
+        orders, "o_orderdate", "o_totalprice"
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register(
+    "calibration_lr_docs",
+    f"""
+    WITH {{_LR_FEAT_CTE}},{{_LR_ITERS}},
+    scored AS (
+      SELECT f.doc_id, f.y, {{_LR_P_EXPR}} AS p FROM feat f, it4 i
+    )
+    SELECT CAST(LEAST(CAST(FLOOR(p * 1000) AS BIGINT), 999) AS BIGINT)
+             AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_positive,
+           CAST(SUM(CAST(ROUND(p * 1000000, 0) AS BIGINT)) AS BIGINT)
+             / COUNT(*) / 1000000.0 AS mean_p
+    FROM scored GROUP BY 1
+    """.replace("{_LR_FEAT_CTE}", _LR_FEAT_CTE)
+    .replace("{_LR_ITERS}", _lr_iter_ctes(4))
+    .replace("{_LR_P_EXPR}", _LR_P_EXPR),
+)
+def calibration_lr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration of the trained quality
+    classifier: bucket the bit-exact hard-sigmoid scores into
+    permille score bins (the gate model's scores span ~8 permille
+    around 0.46, so decile bins would collapse to one row) and
+    report, per bin, the document count, the positive
+    (lang='en') count, and the integer-micro mean predicted score —
+    the standard "is the model's 0.7 actually 70%?" evaluation run
+    before using classifier scores as sampling weights
+    (quality_weighted_sample_docs trusts exactly these
+    probabilities). Completes the model-eval pair with
+    centroid_classify_embeddings (confusion matrix for prototypes,
+    calibration for the trained scorer). The DuckDB oracle replays
+    the 4 GD iterations as unrolled CTEs and the same micro-exact
+    binning/means. Scale: training is n_iter one-aggregate passes;
+    the diagram is one 10-key map-side-combining groupBy."""
+    from ..operators import corpus as C
+    from ..operators.similarity import _parallel_checkpoint
+
+    docs = load(spark, sf_dir, "documents")
+    feats = C.classifier_features(docs).join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        ),
+        "id",
+    )
+    feats = _parallel_checkpoint(feats)
+    model = C.train_linear_classifier(feats, n_iter=4)
+    scored = feats.select(
+        "y", C.linear_score(model["weights_micro"]).alias("p")
+    )
+    return scored.groupBy(
+        F.least(
+            F.floor(F.col("p") * 1000).cast("long"),
+            F.lit(999).cast("long"),
+        )
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("y").cast("long")).cast("long").alias("n_positive"),
+        (
+            F.sum(F.round(F.col("p") * 1_000_000, 0).cast("long"))
+            / F.count(F.lit(1))
+            / 1e6
+        ).alias("mean_p"),
+    )

@@ -599,3 +599,22 @@ def test_dsir_gram_buckets_unigrams_plus_bigrams_with_multiplicity(spark):
     counts = {r["doc_id"]: r["count"] for r in n}
     # doc 1: 3 unigrams + 2 bigrams ("a b", "b a"); doc 2: 1 unigram
     assert counts == {1: 5, 2: 1}
+
+
+def test_calibration_bins_partition_the_corpus(spark):
+    """calibration_lr_docs' bins partition the corpus: counts sum to
+    the doc count, positives sum to the en count, and every bin's
+    mean predicted score lies inside the bin's permille bounds."""
+    from ngafid_cpat_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["calibration_lr_docs"](spark, sf).collect()
+    from ngafid_cpat_spark.sources import load
+
+    docs = load(spark, sf, "documents")
+    n = docs.count()
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    assert sum(r["n_positive"] for r in rows) == n_en
+    for r in rows:
+        assert r["bin"] / 1000.0 <= r["mean_p"] < (r["bin"] + 1) / 1000.0

@@ -267,3 +267,50 @@ def test_hottest_key_rows(spark):
     )
     assert OW.hottest_key_rows(df, "k") == 7
     assert OW.hottest_key_rows(df.limit(0), "k") == 0
+
+
+def test_pareto_frontier_matches_brute_force(spark):
+    """pareto_frontier_2d == the quadratic NOT-EXISTS dominance
+    semantics on a python reference, including frontier-point ties
+    and dominated same-key rows."""
+    from ngafid_cpat_spark.operators.windows import pareto_frontier_2d
+
+    rows = [
+        (1, 1, 10.0), (2, 1, 7.0),        # key 1: max 10 on frontier
+        (3, 2, 10.0),                     # tied price, later key: dominated
+        (4, 2, 12.0), (5, 2, 12.0),       # new record, TWO tied rows: both kept
+        (6, 3, 11.0),                     # later and lower: dominated
+        (7, 4, 15.0),                     # new record
+    ]
+
+    def brute(rows):
+        out = set()
+        for i, d, p in rows:
+            if not any(
+                (d2 <= d and p2 >= p and (d2 < d or p2 > p))
+                for _, d2, p2 in rows
+            ):
+                out.add(i)
+        return out
+
+    df = spark.createDataFrame(rows, ["id", "d", "p"])
+    got = {
+        r["id"]
+        for r in pareto_frontier_2d(df, "d", "p").collect()
+    }
+    assert got == brute(rows) == {1, 4, 5, 7}
+
+
+def test_pareto_frontier_no_single_partition_window(spark):
+    from ngafid_cpat_spark.operators.windows import pareto_frontier_2d
+
+    df = spark.range(1000).select(
+        (F.col("id") % 50).alias("d"), (F.col("id") % 77).cast("double").alias("p")
+    )
+    out = pareto_frontier_2d(df, "d", "p")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # strictly increasing frontier in both dims
+    pts = sorted({(r["d"], r["p"]) for r in out.collect()})
+    for (d1, p1), (d2, p2) in zip(pts, pts[1:]):
+        assert d1 < d2 and p1 < p2
