@@ -5688,3 +5688,135 @@ def calibration_lr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("mean_p"),
     )
+
+
+_DSIR_GRAMS_SQL = f"""
+    d AS (
+      SELECT doc_id, lang, string_split({NORM_SQL}, ' ') AS toks
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, lang, unnest(toks) AS g FROM d),
+    bi AS (
+      SELECT doc_id, lang, array_to_string(toks[i:i+1], ' ') AS g
+      FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+            FROM d WHERE len(toks) >= 2)
+    ),
+    grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    bg AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % {_DSIR_B} AS b
+      FROM grams
+    )"""
+
+
+@register(
+    "streaming_dsir_weights_docs",
+    f"""
+    WITH {_DSIR_GRAMS_SQL},
+    c1 AS (
+      SELECT b, COUNT(*) AS r,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+      FROM bg WHERE doc_id % 2 = 0 GROUP BY b
+    ),
+    w1 AS (
+      SELECT b, CAST(((t + 1) * 1000000) // (r + {_DSIR_B}) AS BIGINT) AS w
+      FROM c1
+    ),
+    s1 AS (
+      SELECT doc_id, CAST(SUM(w) // COUNT(*) AS BIGINT) AS w_avg
+      FROM bg JOIN w1 USING (b) WHERE doc_id % 2 = 0 GROUP BY doc_id
+    ),
+    c2 AS (
+      SELECT b, COUNT(*) AS r,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+      FROM bg GROUP BY b
+    ),
+    w2 AS (
+      SELECT b, CAST(((t + 1) * 1000000) // (r + {_DSIR_B}) AS BIGINT) AS w
+      FROM c2
+    ),
+    s2 AS (
+      SELECT doc_id, CAST(SUM(w) // COUNT(*) AS BIGINT) AS w_avg
+      FROM bg JOIN w2 USING (b) WHERE doc_id % 2 = 1 GROUP BY doc_id
+    )
+    SELECT doc_id, w_avg FROM s1
+    UNION ALL SELECT doc_id, w_avg FROM s2
+    """,
+)
+def streaming_dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dsir_select_docs' count table as a GROWING-corpus stream
+    (streaming/foreach_batch.stream_incremental_dsir): two
+    mtime-ordered micro-batches of documents (even doc_ids, then odd)
+    fold their hashed-n-gram counts into a generation-keyed store;
+    each batch's docs are scored against the counts THROUGH their own
+    epoch — batch 1 against the even-docs distribution, batch 2
+    against the full corpus — the incremental-statistics contract the
+    unrolled per-batch oracle replays exactly (c1/w1/s1 for epoch 1,
+    c2/w2/s2 for epoch 2). Returns every doc's arrival-epoch
+    importance weight. The streaming analog of the incremental
+    dedup / CC family with COUNTS as the persisted state."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..streaming.foreach_batch import stream_incremental_dsir
+
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        st = None
+    tag = hashlib.md5(
+        f"incrdsir-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
+        f"{getattr(st, 'st_size', 0)}".encode()
+    ).hexdigest()[:12]
+    base = _scratch_dir()
+    stream_dir = os.path.join(base, f"spark_graft_dsir_arrivals_{tag}")
+    counts_root = os.path.join(base, f"spark_graft_dsir_counts_{tag}")
+    scores_root = os.path.join(base, f"spark_graft_dsir_scores_{tag}")
+    ckpt = os.path.join(base, f"spark_graft_dsir_ckpt_{tag}")
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("_t")
+    )
+    seed = os.path.join(counts_root, "gen-0")
+    if not os.path.exists(os.path.join(seed, "_SUCCESS")):
+        # reseed => stale checkpoint would mark the arrival files
+        # consumed and fold nothing (the incremental-CC hazard):
+        # drop checkpoint AND any stale epoch outputs with the store
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(scores_root, ignore_errors=True)
+        spark.createDataFrame(
+            [], "b bigint, r bigint, t bigint"
+        ).write.mode("overwrite").parquet(seed)
+    _write_ordered_stream_fixture(stream_dir, (
+        ("docs_00.parquet", docs.filter(F.col("doc_id") % 2 == 0),
+         1_000_000_000),
+        ("docs_01.parquet", docs.filter(F.col("doc_id") % 2 == 1),
+         1_000_000_100),
+    ))
+
+    schema = spark.read.parquet(
+        os.path.join(stream_dir, "docs_00.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    stream_incremental_dsir(
+        stream, counts_root, scores_root, ckpt,
+        query_name="streaming_dsir_weights_docs",
+        n_buckets=_DSIR_B,
+    )
+    from ..operators.similarity import _fs_glob
+
+    epochs = [
+        name for name in _fs_glob(scores_root, "epoch-*", spark)
+        if name.split("-", 1)[1].isdigit()
+    ]
+    out = None
+    for name in sorted(epochs, key=lambda n: int(n.split("-", 1)[1])):
+        part = spark.read.parquet(f"{scores_root}/{name}")
+        out = part if out is None else out.unionByName(part)
+    return out.select("doc_id", "w_avg")

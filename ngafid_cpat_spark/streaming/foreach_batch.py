@@ -349,3 +349,103 @@ def stream_incremental_cc(
     )
     q.awaitTermination()
     return q
+
+
+def stream_incremental_dsir(
+    docs: DataFrame,
+    counts_root: str,
+    scores_root: str,
+    checkpoint_dir: str,
+    query_name: str = "incremental_dsir",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "_t",
+    n_buckets: int = 1024,
+):
+    """DSIR-style importance weighting over a GROWING corpus, as a
+    stream — the INCREMENTAL-STATISTICS member of the foreachBatch
+    family (dedup keeps fingerprints, CC keeps labels, IVFPQ keeps
+    codes; DSIR keeps the hashed-n-gram COUNT table). Each arriving
+    micro-batch of documents:
+
+      1. folds its (bucket, raw count, target count) gram counts into
+         the persisted count store — a full-outer sum against the
+         prior generation, n_buckets-bounded rows;
+      2. scores the ARRIVING docs against the UPDATED counts
+         (Laplace-smoothed integer ratio weights, per-gram-average —
+         operators/corpus.dsir_importance_select's arithmetic), and
+         writes (doc_id, w_avg) to ``scores_root/epoch-<n>``.
+
+    The weighting a doc receives is pinned to the corpus state AT ITS
+    ARRIVAL EPOCH (counts through and including its own batch) — the
+    contract an unrolled per-batch oracle replays exactly. Same
+    generation protocol as stream_incremental_cc: gen-0 is the
+    caller-seeded store (empty for a fresh corpus), each epoch reads
+    the highest generation strictly below its target and overwrites
+    its own target + its own epoch scores, so checkpoint replays are
+    byte-identical no-ops. Listing is Hadoop-FS (_fs_glob)."""
+    from ..operators.corpus import dsir_gram_buckets
+    from ..operators.similarity import _fs_glob
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = int(epoch_id) + 1
+        gens = sorted(
+            int(name.split("-", 1)[1])
+            for name in _fs_glob(counts_root, "gen-*", spark)
+            if name.split("-", 1)[1].isdigit()
+        )
+        prior_gens = [g for g in gens if g < target]
+        if not prior_gens:
+            raise ValueError(
+                f"stream_incremental_dsir: no generation below {target} "
+                f"under {counts_root} (found {gens}) — the seed gen-0 is "
+                "missing. Reseed it AND clear the checkpoint so "
+                "arrivals re-fold."
+            )
+        prior = spark.read.parquet(f"{counts_root}/gen-{max(prior_gens)}")
+
+        feats = dsir_gram_buckets(
+            batch_df.select(id_col, text_col, target_col),
+            text_col=text_col,
+            id_col=id_col,
+            n_buckets=n_buckets,
+            extra_cols=(target_col,),
+        ).localCheckpoint(eager=False)
+        batch_counts = feats.groupBy("b").agg(
+            F.count(F.lit(1)).alias("r"),
+            F.sum(F.when(F.col(target_col), 1).otherwise(0)).alias("t"),
+        )
+        merged = (
+            prior.unionByName(batch_counts)
+            .groupBy("b")
+            .agg(F.sum("r").alias("r"), F.sum("t").alias("t"))
+        ).localCheckpoint(eager=False)
+        merged.write.mode("overwrite").parquet(
+            f"{counts_root}/gen-{target}"
+        )
+        weights = merged.select(
+            "b",
+            F.expr(
+                f"((t + 1) * 1000000) DIV (r + {n_buckets})"
+            ).alias("w"),
+        )
+        scores = (
+            feats.join(F.broadcast(weights), "b")
+            .groupBy(id_col)
+            .agg(F.expr("sum(w) DIV count(1)").alias("w_avg"))
+        )
+        scores.write.mode("overwrite").parquet(
+            f"{scores_root}/epoch-{target}"
+        )
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .foreachBatch(_apply)
+        .start()
+    )
+    q.awaitTermination()
+    return q

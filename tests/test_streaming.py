@@ -795,3 +795,131 @@ def test_stream_incremental_cc_converges_and_replays(spark, tmp_path):
         for r in spark.read.parquet(f"{labels_root}/gen-2").collect()
     }
     assert again == got
+
+
+def test_stream_incremental_dsir_epoch_counts_and_replay(spark, tmp_path):
+    """stream_incremental_dsir: each epoch's scores must reflect the
+    count table THROUGH that epoch (epoch 1 = batch-1 distribution,
+    epoch 2 = both batches), the drained count store must equal the
+    all-at-once counts, and a fresh-checkpoint replay rewrites
+    byte-identical generations and scores."""
+    import os
+    import shutil
+
+    from ngafid_cpat_spark.operators.corpus import dsir_gram_buckets
+    from ngafid_cpat_spark.streaming.foreach_batch import (
+        stream_incremental_dsir,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma", True), (2, "alpha beta", False)],
+        "doc_id long, text string, _t boolean",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "alpha beta gamma", True), (4, "delta epsilon", False)],
+        "doc_id long, text string, _t boolean",
+    )
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for name, df, mtime in (
+        ("d0.parquet", b1, 1_000_000_000),
+        ("d1.parquet", b2, 1_000_000_100),
+    ):
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, name)
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    counts_root = str(tmp_path / "counts")
+    scores_root = str(tmp_path / "scores")
+    spark.createDataFrame([], "b bigint, r bigint, t bigint").write.parquet(
+        os.path.join(counts_root, "gen-0")
+    )
+    schema = spark.read.parquet(os.path.join(src, "d0.parquet")).schema
+
+    def _run(ckpt_name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_incremental_dsir(
+            stream, counts_root, scores_root,
+            str(tmp_path / ckpt_name),
+            query_name=f"dsir_{ckpt_name}", n_buckets=64,
+        )
+
+    def _py_expected():
+        # pure-python replay of the contract
+        from pyspark.sql import functions as F  # noqa: F401
+
+        def feats(df):
+            return {
+                (r["doc_id"], r["b"])
+                for r in dsir_gram_buckets(
+                    df, extra_cols=("_t",), n_buckets=64
+                ).collect()
+            }
+
+        # counts via collected gram rows (with multiplicity)
+        def gram_rows(df):
+            return [
+                (r["doc_id"], r["b"], r["_t"])
+                for r in dsir_gram_buckets(
+                    df, extra_cols=("_t",), n_buckets=64
+                ).collect()
+            ]
+
+        rows1 = gram_rows(b1)
+        rows12 = gram_rows(b1.unionByName(b2))
+
+        def weights(rows):
+            from collections import Counter
+
+            r = Counter(b for _, b, _ in rows)
+            t = Counter(b for _, b, tt in rows if tt)
+            return {b: ((t[b] + 1) * 1_000_000) // (r[b] + 64) for b in r}
+
+        def scores(rows, w, ids):
+            from collections import defaultdict
+
+            acc, cnt = defaultdict(int), defaultdict(int)
+            for did, b, _ in rows:
+                if did in ids:
+                    acc[did] += w[b]
+                    cnt[did] += 1
+            return {d: acc[d] // cnt[d] for d in acc}
+
+        out = scores(rows1, weights(rows1), {1, 2})
+        out.update(scores(rows12, weights(rows12), {3, 4}))
+        return out
+
+    _run("ckpt1")
+    got = {}
+    for ep in ("epoch-1", "epoch-2"):
+        for r in spark.read.parquet(f"{scores_root}/{ep}").collect():
+            got[r["doc_id"]] = r["w_avg"]
+    assert got == _py_expected()
+
+    # the drained count store equals all-at-once counts
+    final = {
+        (r["b"]): (r["r"], r["t"])
+        for r in spark.read.parquet(f"{counts_root}/gen-2").collect()
+    }
+    allc = {}
+    for r in dsir_gram_buckets(
+        b1.unionByName(b2), extra_cols=("_t",), n_buckets=64
+    ).collect():
+        rr, tt = allc.get(r["b"], (0, 0))
+        allc[r["b"]] = (rr + 1, tt + (1 if r["_t"] else 0))
+    assert final == allc
+
+    _run("ckpt2")  # fresh-checkpoint replay: identical outputs
+    again = {}
+    for ep in ("epoch-1", "epoch-2"):
+        for r in spark.read.parquet(f"{scores_root}/{ep}").collect():
+            again[r["doc_id"]] = r["w_avg"]
+    assert again == got
