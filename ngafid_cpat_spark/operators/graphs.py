@@ -99,7 +99,11 @@ def _triangle_rows(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
 
 
 def pagerank_micro(
-    edges: DataFrame, n_iter: int = 3, u: str = "u", v: str = "v"
+    edges: DataFrame,
+    n_iter: int = 3,
+    u: str = "u",
+    v: str = "v",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over an undirected simple graph given as distinct
     (u < v) pairs, with EXACT integer-micro arithmetic so every
@@ -124,6 +128,20 @@ def pagerank_micro(
     driver-resident. Isolated nodes are out of scope (no edges =>
     not in the graph), and every graph node has deg >= 1 by
     construction, so there is no dangling-mass term.
+
+    ``seeds`` (optional, a one-column ``node`` frame) switches to
+    PERSONALIZED PageRank: the restart mass — 0.15 of the total
+    N x 1e6 micros — is divided equally over the seed nodes (those
+    present in the graph) instead of uniformly, i.e.
+    r' = [node in seeds] * (3 * N * 1e6) DIV (20 * |seeds|)
+         + (17 * sum_contribs) DIV 20,
+    still pure BIGINT arithmetic (3/20 = 0.15; products stay inside
+    int64 up to ~1e12 nodes). The seed-count and node-count scalars
+    ride a broadcast one-row crossJoin, so the personalized variant
+    is STILL one lazy plan with no driver sync. Initial ranks stay
+    uniform (1e6 per node) — the fixed-iteration contract scores
+    proximity to the seed set after n_iter damped steps, exactly
+    what the unrolled oracle replays.
 
     Returns (node, rank_micro BIGINT)."""
     de = edges.select(F.col(u).alias("s"), F.col(v).alias("t")).unionByName(
@@ -154,6 +172,20 @@ def pagerank_micro(
     # checkpointed): the raw `deg` would re-run the whole upstream
     # edge pipeline + degree groupBy once per iteration
     nodes = dd.select("s").distinct().localCheckpoint(eager=False)
+    if seeds is not None:
+        seed_nodes = (
+            seeds.select(F.col("node").alias("s")).distinct().join(
+                nodes, "s", "left_semi"
+            )
+        ).localCheckpoint(eager=False)
+        scalars = F.broadcast(
+            nodes.agg(F.count(F.lit(1)).alias("__nn")).crossJoin(
+                seed_nodes.agg(F.count(F.lit(1)).alias("__ns"))
+            )
+        )
+        seed_flag = F.broadcast(
+            seed_nodes.select("s", F.lit(True).alias("__seed"))
+        )
     ranks = nodes.select(
         F.col("s").alias("node"), F.lit(1_000_000).cast("long").alias("r")
     )
@@ -167,16 +199,29 @@ def pagerank_micro(
             .groupBy("node2")
             .agg(F.sum("c").alias("cs"))
         )
-        ranks = (
-            nodes.select(F.col("s").alias("node"))
-            .join(contribs, F.col("node") == F.col("node2"), "left")
-            .select(
-                "node",
-                (
-                    F.lit(150_000).cast("long")
-                    + F.expr("(17 * coalesce(cs, CAST(0 AS LONG))) DIV 20")
-                ).alias("r"),
+        base = nodes.select(F.col("s").alias("node")).join(
+            contribs, F.col("node") == F.col("node2"), "left"
+        )
+        if seeds is None:
+            restart = F.lit(150_000).cast("long")
+        else:
+            base = base.join(
+                seed_flag, base["node"] == seed_flag["s"], "left"
+            ).crossJoin(scalars)
+            restart = (
+                F.when(
+                    F.col("__seed"),
+                    F.expr("(3 * __nn * 1000000) DIV (20 * __ns)"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
             )
+        ranks = base.select(
+            "node",
+            (
+                restart
+                + F.expr("(17 * coalesce(cs, CAST(0 AS LONG))) DIV 20")
+            ).alias("r"),
         )
     return ranks.select("node", F.col("r").alias("rank_micro"))
 

@@ -5820,3 +5820,93 @@ def streaming_dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = spark.read.parquet(f"{scores_root}/{name}")
         out = part if out is None else out.unionByName(part)
     return out.select("doc_id", "w_avg")
+
+
+def _ppr_iter_sql(prev: str, idx: int) -> str:
+    """One unrolled integer-micro PERSONALIZED PageRank iteration:
+    same contributions as _pagerank_iter_sql, restart mass split
+    equally over the seed set via the one-row scalar CTE."""
+    return f"""
+    qc{idx} AS (
+      SELECT de.t AS node, SUM(r.r // dd.deg) AS cs
+      FROM de JOIN {prev} r ON r.node = de.s JOIN d dd ON dd.s = de.s
+      GROUP BY de.t
+    ),
+    qr{idx} AS (
+      SELECT d.s AS node,
+             CAST((CASE WHEN d.s IN (SELECT node FROM seeds)
+                        THEN (3 * ns.nn * 1000000) // (20 * ns.ns)
+                        ELSE 0 END)
+                  + (17 * COALESCE(c.cs, 0)) // 20 AS BIGINT) AS r
+      FROM d LEFT JOIN qc{idx} c ON c.node = d.s, nscalar ns
+    )"""
+
+
+@register(
+    "personalized_pagerank_events",
+    f"""
+    WITH cells AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+    ), de AS (
+      SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e
+    ), d AS (
+      SELECT s, COUNT(*) AS deg FROM de GROUP BY s
+    ), seeds AS (
+      SELECT DISTINCT s AS node FROM d WHERE s % 7 = 0
+    ), nscalar AS (
+      SELECT (SELECT COUNT(*) FROM d) AS nn,
+             (SELECT COUNT(*) FROM seeds) AS ns
+    ), qr0 AS (
+      SELECT s AS node, CAST(1000000 AS BIGINT) AS r FROM d
+    ),{_ppr_iter_sql('qr0', 1)},{_ppr_iter_sql('qr1', 2)},
+    {_ppr_iter_sql('qr2', 3)}
+    SELECT node AS user_id, r AS rank_micro FROM qr3
+    """,
+)
+def personalized_pagerank_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Personalized PageRank (operators/graphs.pagerank_micro with a
+    seed set): the restart mass concentrates on users whose id is
+    divisible by 7, ranking the rest of the purchase co-occurrence
+    graph by damped-walk proximity to that cohort — the
+    related-items/trust-propagation variant of pagerank_events
+    (classic PPR: Page et al. 1999 §6 personalized vectors;
+    Jeh & Widom 2003). Same exact-integer doctrine: BIGINT micros,
+    integer-division contributions, 17/20 damping, and the seed
+    share (3 * N * 1e6) DIV (20 * |seeds|) — the node/seed counts
+    ride a broadcast one-row crossJoin so all 3 iterations still
+    compose into ONE lazy plan with no driver sync. The DuckDB
+    oracle unrolls the iterations with the same scalar CTE."""
+    from ..operators.graphs import pagerank_micro
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 600).alias("h"),
+        )
+        .distinct()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    seeds = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .filter(F.col("node") % 7 == 0)
+        .distinct()
+    )
+    return pagerank_micro(edges, n_iter=3, seeds=seeds).withColumnRenamed(
+        "node", "user_id"
+    )

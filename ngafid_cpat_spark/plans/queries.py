@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (180 queries: 173 strict oracles + 7 bounded-error).
+the full catalog (181 queries: 174 strict oracles + 7 bounded-error).
 """
 
 from __future__ import annotations
@@ -33,6 +33,7 @@ PRIORITY = [
     # also re-verifies approach_pipeline_real_airports below, whose
     # gridded argmin gained a winners checkpoint this round)
     "streaming_dsir_weights_docs",
+    "personalized_pagerank_events",
     "skyline_orders",
     "calibration_lr_docs",
     "kcore_users_events",

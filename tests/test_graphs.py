@@ -362,3 +362,54 @@ def test_ktruss_validates_parameters(spark):
         G.ktruss(e, k=2)
     with _pytest.raises(ValueError):
         G.ktruss(e, k=4, n_rounds=0)
+
+
+def _ppr_py(pairs, seeds, n_iter=3):
+    """Independent integer-micro personalized PageRank reference."""
+    adj: dict = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {n: len(ms) for n, ms in adj.items()}
+    sset = {s for s in seeds if s in adj}
+    nn, ns = len(adj), len(sset)
+    r = {n: 1_000_000 for n in adj}
+    for _ in range(n_iter):
+        contrib = {n: 0 for n in adj}
+        for u, ms in adj.items():
+            c = r[u] // deg[u]
+            for v in ms:
+                contrib[v] += c
+        r = {
+            n: ((3 * nn * 1_000_000) // (20 * ns) if n in sset else 0)
+            + (17 * contrib[n]) // 20
+            for n in adj
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_python_reference(spark):
+    pairs = [(1, 2), (1, 3), (1, 4), (1, 5), (5, 6), (6, 7), (8, 9),
+             (7, 14), (14, 21)]
+    seeds_df = spark.createDataFrame([(7,), (14,), (99,)], ["node"])
+    out = {
+        r["node"]: r["rank_micro"]
+        for r in G.pagerank_micro(
+            _edges(spark, pairs), n_iter=3, seeds=seeds_df
+        ).collect()
+    }
+    # 99 is not a graph node: excluded from the seed share
+    assert out == _ppr_py(pairs, {7, 14, 99}, 3)
+
+
+def test_personalized_pagerank_concentrates_near_seeds(spark):
+    # a path graph seeded at one end: ranks decay with distance
+    pairs = [(i, i + 1) for i in range(1, 8)]
+    seeds_df = spark.createDataFrame([(1,)], ["node"])
+    out = {
+        r["node"]: r["rank_micro"]
+        for r in G.pagerank_micro(
+            _edges(spark, pairs), n_iter=3, seeds=seeds_df
+        ).collect()
+    }
+    assert out[1] > out[2] > out[4] > out[6]
