@@ -5910,3 +5910,98 @@ def personalized_pagerank_events(
     return pagerank_micro(edges, n_iter=3, seeds=seeds).withColumnRenamed(
         "node", "user_id"
     )
+
+
+@register(
+    "frequent_part_pairs",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    )
+    SELECT a.i AS item1, c.i AS item2, COUNT(*) AS support
+    FROM li a JOIN li c ON a.b = c.b AND a.i < c.i
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent-pair mining over order baskets
+    (operators/mining.frequent_pairs; the 2-itemset core of Apriori,
+    Agrawal & Srikant 1994): part pairs co-occurring in >= 3 distinct
+    orders. The Spark plan prunes infrequent items BEFORE the pair
+    fan (lossless apriori L1 semi-join) and the fan is bounded by
+    basket size (TPC-H orders carry <= 7 parts), landing directly in
+    a map-side-combining count; the oracle is the unpruned
+    brute-force pair join — hash-matching it proves the pruning
+    lossless."""
+    from ..operators.mining import frequent_pairs
+
+    li = load(spark, sf_dir, "lineitem")
+    return frequent_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_support=3
+    )
+
+
+from ..operators.mining import CMS_DEPTH as _CMS_D  # noqa: E402
+from ..operators.mining import CMS_WIDTH as _CMS_W  # noqa: E402
+from ..operators.mining import cms_col_duck_sql as _cms_duck  # noqa: E402
+
+_CMS_CELLS_SQL = " UNION ALL ".join(
+    f"SELECT {j} AS j, {_cms_duck('token', j, 256)} AS c FROM toks"
+    for j in range(4)
+)
+_CMS_PROBE_JOINS = "".join(
+    f"""
+    JOIN counts e{j} ON e{j}.j = {j}
+      AND e{j}.c = {_cms_duck('p.token', j, 256)}"""
+    for j in range(4)
+)
+
+
+@register(
+    "cms_token_counts_docs",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({NORM_SQL}, ' ')) AS token
+      FROM documents
+    ),
+    truec AS (SELECT token, COUNT(*) AS true_count FROM toks GROUP BY 1),
+    probes AS (
+      SELECT token, true_count FROM truec
+      ORDER BY true_count DESC, token LIMIT 10
+    ),
+    cells AS ({_CMS_CELLS_SQL}),
+    counts AS (SELECT j, c, COUNT(*) AS cnt FROM cells GROUP BY 1, 2)
+    SELECT p.token, p.true_count,
+           LEAST(e0.cnt, e1.cnt, e2.cnt, e3.cnt) AS cms_estimate
+    FROM probes p{_CMS_PROBE_JOINS}
+    """,
+)
+def cms_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream (operators/
+    mining.cms_build; Cormode & Muthukrishnan 2005): a 4 x 256
+    integer counter matrix, probed for the 10 most frequent tokens
+    and reported beside the true counts — the fixed-size mergeable
+    frequency summary, like the HLL/approx_top_k family but with
+    md5-salted DETERMINISTIC hash rows, so the whole sketch is
+    STRICT-oracle-paired (the DuckDB twin replays every counter
+    exactly; library sketches can only get tolerance bands). Scale:
+    one explode to depth rows per token + one groupBy whose key
+    cardinality is the 1024-cell matrix (partial aggregation
+    collapses partitions to matrix size); probing is a broadcast
+    map-side join."""
+    from ..operators.mining import cms_build, cms_estimate
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(T.tokens("text")).alias("token")
+    )
+    truec = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    probes = truec.orderBy(
+        F.col("true_count").desc(), F.col("token")
+    ).limit(10)
+    sketch = cms_build(toks, "token", _CMS_D, _CMS_W)
+    return cms_estimate(sketch, probes, "token", _CMS_D, _CMS_W).select(
+        "token", "true_count", "cms_estimate"
+    )

@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (181 queries: 174 strict oracles + 7 bounded-error).
+the full catalog (183 queries: 176 strict oracles + 7 bounded-error).
 """
 
 from __future__ import annotations
@@ -34,6 +34,8 @@ PRIORITY = [
     # gridded argmin gained a winners checkpoint this round)
     "streaming_dsir_weights_docs",
     "personalized_pagerank_events",
+    "frequent_part_pairs",
+    "cms_token_counts_docs",
     "skyline_orders",
     "calibration_lr_docs",
     "kcore_users_events",

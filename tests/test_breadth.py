@@ -184,3 +184,59 @@ def test_approx_top_k_exact_below_capacity_with_rerank(spark):
     assert [(r["token"], r["n"]) for r in got] == [
         (r["token"], r["n"]) for r in exact
     ]
+
+
+def test_frequent_pairs_apriori_pruning_is_lossless(spark):
+    from ngafid_cpat_spark.operators.mining import frequent_pairs
+
+    rows = [
+        # basket: items
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "x"),
+        (4, "y"), (4, "z"),      # infrequent tail items
+        (5, "a"), (5, "c"),
+        (1, "a"),                # duplicate line: baskets are DISTINCT
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r["item1"], r["item2"]): r["support"]
+        for r in frequent_pairs(
+            df, "basket", "item", min_support=2
+        ).collect()
+    }
+    # brute force on distinct (basket, item)
+    import itertools
+    from collections import Counter
+
+    baskets = {}
+    for b, i in set(rows):
+        baskets.setdefault(b, set()).add(i)
+    sup = Counter()
+    for items in baskets.values():
+        for p in itertools.combinations(sorted(items), 2):
+            sup[p] += 1
+    want = {p: c for p, c in sup.items() if c >= 2}
+    assert got == want
+    assert ("a", "b") in got and got[("a", "b")] == 3
+
+
+def test_cms_estimate_never_undercounts_and_replays(spark):
+    from ngafid_cpat_spark.operators.mining import cms_build, cms_estimate
+
+    toks = spark.createDataFrame(
+        [(f"t{i % 37}",) for i in range(1000)], ["token"]
+    )
+    truec = toks.groupBy("token").count()
+    sketch = cms_build(toks, "token", depth=4, width=16)  # tight width
+    out = cms_estimate(sketch, truec, "token", depth=4, width=16)
+    rows = out.collect()
+    assert len(rows) == 37
+    for r in rows:
+        assert r["cms_estimate"] >= r["count"]  # never under
+    # total counter mass per hash row == stream length
+    per_row = {
+        r["j"]: r["s"]
+        for r in sketch.groupBy("j").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert per_row == {0: 1000, 1: 1000, 2: 1000, 3: 1000}
