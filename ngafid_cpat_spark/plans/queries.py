@@ -92,20 +92,6 @@ PRIORITY = [
     "ann_ivfpq_topk",
     "agg_rollup_orders",
     "approx_quantile_events",
-    "bigram_logprob_docs",
-    "bpe_merges_docs",
-    "bpe_tokenize_docs",
-    "chunk_docs",
-    "conditional_agg_events",
-    "contamination_check_docs",
-    "corpus_mix_docs",
-    "corpus_prep_pipeline_docs",
-    "dedup_cluster_keep_best",
-    "events_tumbling_window",
-    "funnel_events",
-    "gapfill_locf_daily",
-    "geo_haversine_customers",
-    "hll_union_users_events",
 ]
 
 

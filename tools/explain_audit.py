@@ -92,6 +92,15 @@ def main() -> None:
             # inherit dedup_clusters' node-sized joins.
             "pagerank_events",
             "dedup_keep_best_scored",
+            # personalized PageRank: same 12 fact-fact SMJs as the
+            # classic plan; the personalization's own joins ARE
+            # broadcast (seed flag BHJ, one-row scalar BNLJ) — see
+            # PLANS_APPENDIX disposition
+            "personalized_pagerank_events",
+            # sorted-neighborhood blocking: record-to-record joins on
+            # the global rid (both sides corpus-sized; broadcasting
+            # the numbered corpus is the single-node trap SNM avoids)
+            "snm_blocking_pairs_customers",
         }
         if a["smj"] and name not in expected_smj:
             issues.append(
