@@ -6005,3 +6005,49 @@ def cms_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, probes, "token", _CMS_D, _CMS_W).select(
         "token", "true_count", "cms_estimate"
     )
+
+
+@register(
+    "equi_depth_value_events",
+    """
+    WITH r AS (
+      SELECT value,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS rid,
+             COUNT(*) OVER () AS n
+      FROM events
+    )
+    SELECT CAST(((rid - 1) * 10) // n AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM r GROUP BY 1
+    """,
+)
+def equi_depth_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of event values — the
+    optimizer-statistics / data-profiling primitive: 10 buckets of
+    (near-)equal row count with their value boundaries. NOT the
+    built-in ntile over an empty PARTITION BY (the single-task global
+    window, the trap global_ids_docs documents): ranks come from
+    operators/windows.global_row_number (range partition + local rank
+    + broadcast offsets), the bucket is integer arithmetic over the
+    rank and the one-row broadcast total, and the boundaries are one
+    map-side-combining groupBy. Ties are broken by event_id so the
+    rank — and therefore every bucket count and boundary — is
+    bit-deterministic; the oracle replays the same explicit-tiebreak
+    rank and bucket arithmetic."""
+    from ..operators.windows import global_row_number
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    r = global_row_number(ev, ["value", "event_id"], out_col="rid")
+    tot = r.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr("((rid - 1) * 10) DIV n").cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

@@ -314,3 +314,27 @@ def test_pareto_frontier_no_single_partition_window(spark):
     pts = sorted({(r["d"], r["p"]) for r in out.collect()})
     for (d1, p1), (d2, p2) in zip(pts, pts[1:]):
         assert d1 < d2 and p1 < p2
+
+
+def test_equi_depth_histogram_properties(spark):
+    """Bucket counts differ by <= 1 row... no: the floor-division
+    split gives each bucket floor/ceil(n/10) rows; boundaries are
+    non-decreasing across buckets; no single-partition window."""
+    from ngafid_cpat_spark.plans import QUERIES
+
+    df = QUERIES["equi_depth_value_events"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the one-row scalar TOTAL aggregate legitimately exchanges to a
+    # single partition; what must NOT appear is a single-partition
+    # WINDOW (ranking the corpus through one task)
+    import re
+
+    for line in plan.splitlines():
+        if re.match(r"\s*(\+-|:-)?\s*Window ", line):
+            assert "__pid" in line, line
+    rows = sorted(df.collect(), key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in rows] == list(range(10))
+    n = sum(r["n_rows"] for r in rows)
+    assert all(abs(r["n_rows"] - n / 10) < 1 + n / 1000 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]

@@ -465,6 +465,45 @@ def main() -> None:
             docs, target=F.col("doc_id") % 2 == 0
         )
 
+    def snm(docs):
+        from ngafid_cpat_spark.operators import dedup as DD
+
+        # short synthetic keys (levenshtein is O(len^2) per pair —
+        # the operator contract is short normalized keys); one
+        # range-partitioned numbering + equi-join on exploded rids
+        named = docs.select(
+            F.col("doc_id").alias("id"),
+            F.concat(
+                F.lit("name"),
+                F.lpad((F.col("doc_id") % 9973).cast("string"), 5, "0"),
+            ).alias("name"),
+        )
+        return DD.snm_pairs(named, window=4, max_dist=1)
+
+    def skyline(ev):
+        from ngafid_cpat_spark.operators.windows import pareto_frontier_2d
+
+        # min ts, max value: per-key max groupBy + two-phase prefix
+        # max over the key-domain aggregate
+        return pareto_frontier_2d(ev, "ts", "value")
+
+    def apriori_pairs(ev):
+        from ngafid_cpat_spark.operators.mining import frequent_pairs
+
+        # 5-item baskets from the event stream: pair fan bounded by
+        # basket size, L1 pruning before it
+        baskets = ev.select(
+            (F.col("event_id") / 5).cast("long").alias("b"),
+            (F.col("value") * 10).cast("long").alias("i"),
+        )
+        return frequent_pairs(baskets, "b", "i", min_support=3)
+
+    def cms_sketch(docs):
+        from ngafid_cpat_spark.operators.mining import cms_build
+
+        toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+        return cms_build(toks, "token")
+
     def centroid_cls(emb):
         from ngafid_cpat_spark.operators import similarity as S
 
@@ -569,6 +608,10 @@ def main() -> None:
         "ktruss": ("events", ktruss_peel),
         "dsir_select": ("docs", dsir_select),
         "centroid_classify": ("emb", centroid_cls),
+        "snm_blocking": ("docs", snm),
+        "skyline_2d": ("events", skyline),
+        "apriori_pairs": ("events", apriori_pairs),
+        "cms_sketch": ("docs", cms_sketch),
         "semantic_dedup": ("emb", semantic_dedup),
         "power_iteration": ("emb", power_iteration),
         "quality_weighted_sample": ("docs", quality_sample),
