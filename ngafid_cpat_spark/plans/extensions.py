@@ -6051,3 +6051,85 @@ def equi_depth_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+@register(
+    "streaming_cms_tokens_docs",
+    _ORACLES["cms_token_counts_docs"],
+)
+def streaming_cms_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cms_token_counts_docs' sketch maintained over a STREAMING
+    corpus (streaming/foreach_batch.stream_cms): two mtime-ordered
+    doc batches (even doc_ids, then odd) each merge their token
+    sketch into a generation-keyed counter store by cell-wise sum.
+    Mergeability — CMS(A ∪ B) = CMS(A) + CMS(B) counter by counter —
+    makes the drained store BIT-IDENTICAL to the all-at-once sketch,
+    so this twin shares the batch query's strict oracle VERBATIM
+    (probe the drained sketch for the full corpus's top-10 tokens):
+    the strongest possible streaming-equals-batch contract, stronger
+    than the incremental-DSIR family's per-epoch semantics."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.mining import CMS_DEPTH, CMS_WIDTH, cms_estimate
+    from ..streaming.foreach_batch import stream_cms
+
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        st = None
+    tag = hashlib.md5(
+        f"cms-stream-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
+        f"{getattr(st, 'st_size', 0)}".encode()
+    ).hexdigest()[:12]
+    base = _scratch_dir()
+    stream_dir = os.path.join(base, f"spark_graft_cms_arrivals_{tag}")
+    sketch_root = os.path.join(base, f"spark_graft_cms_store_{tag}")
+    ckpt = os.path.join(base, f"spark_graft_cms_ckpt_{tag}")
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = os.path.join(sketch_root, "gen-0")
+    if not os.path.exists(os.path.join(seed, "_SUCCESS")):
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.createDataFrame(
+            [], "j int, c bigint, cnt bigint"
+        ).write.mode("overwrite").parquet(seed)
+    _write_ordered_stream_fixture(stream_dir, (
+        ("docs_00.parquet", docs.filter(F.col("doc_id") % 2 == 0),
+         1_000_000_000),
+        ("docs_01.parquet", docs.filter(F.col("doc_id") % 2 == 1),
+         1_000_000_100),
+    ))
+    schema = spark.read.parquet(
+        os.path.join(stream_dir, "docs_00.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    stream_cms(
+        stream, sketch_root, ckpt,
+        query_name="streaming_cms_tokens_docs",
+        depth=CMS_DEPTH, width=CMS_WIDTH,
+    )
+    from ..operators.similarity import _fs_glob
+
+    latest = max(
+        int(name.split("-", 1)[1])
+        for name in _fs_glob(sketch_root, "gen-*", spark)
+        if name.split("-", 1)[1].isdigit()
+    )
+    sketch = spark.read.parquet(f"{sketch_root}/gen-{latest}")
+    toks = docs.select(F.explode(T.tokens("text")).alias("token"))
+    probes = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("token"))
+        .limit(10)
+    )
+    return cms_estimate(
+        sketch, probes, "token", CMS_DEPTH, CMS_WIDTH
+    ).select("token", "true_count", "cms_estimate")

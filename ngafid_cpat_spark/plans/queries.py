@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (184 queries: 177 strict oracles + 7 bounded-error).
+the full catalog (185 queries: 178 strict oracles + 7 bounded-error).
 """
 
 from __future__ import annotations
@@ -37,6 +37,7 @@ PRIORITY = [
     "frequent_part_pairs",
     "cms_token_counts_docs",
     "equi_depth_value_events",
+    "streaming_cms_tokens_docs",
     "skyline_orders",
     "calibration_lr_docs",
     "kcore_users_events",
@@ -91,7 +92,6 @@ PRIORITY = [
     # r08 back-fill, oldest-next (ann_ivfpq_topk first — its plan
     # also changed this round; then alphabetical)
     "ann_ivfpq_topk",
-    "agg_rollup_orders",
 ]
 
 

@@ -449,3 +449,68 @@ def stream_incremental_dsir(
     )
     q.awaitTermination()
     return q
+
+
+def stream_cms(
+    docs: DataFrame,
+    sketch_root: str,
+    checkpoint_dir: str,
+    query_name: str = "cms_ingest",
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+):
+    """Count-min sketch maintenance over a streaming corpus: each
+    micro-batch's token sketch MERGES into the persisted counter
+    matrix by cell-wise sum — the textbook mergeability property
+    (CMS(A ∪ B) = CMS(A) + CMS(B), counter by counter), which is why
+    the drained store is BIT-IDENTICAL to the sketch built over the
+    whole corpus at once, and why the streaming twin can share the
+    batch query's strict oracle verbatim. Same generation protocol
+    as the other incremental stores (counts/labels/codes): gen-0 is
+    the caller-seeded (empty) matrix, each epoch reads the highest
+    generation strictly below its target and overwrites its own —
+    replays are byte-identical no-ops."""
+    from ..functions import text as _T
+    from ..operators.mining import cms_build
+    from ..operators.similarity import _fs_glob
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = int(epoch_id) + 1
+        gens = sorted(
+            int(name.split("-", 1)[1])
+            for name in _fs_glob(sketch_root, "gen-*", spark)
+            if name.split("-", 1)[1].isdigit()
+        )
+        prior_gens = [g for g in gens if g < target]
+        if not prior_gens:
+            raise ValueError(
+                f"stream_cms: no generation below {target} under "
+                f"{sketch_root} (found {gens}) — reseed gen-0 AND "
+                "clear the checkpoint."
+            )
+        prior = spark.read.parquet(f"{sketch_root}/gen-{max(prior_gens)}")
+        toks = batch_df.select(
+            F.explode(_T.tokens(text_col)).alias("token")
+        )
+        batch_sketch = cms_build(toks, "token", depth, width)
+        merged = (
+            prior.unionByName(batch_sketch)
+            .groupBy("j", "c")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{sketch_root}/gen-{target}"
+        )
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .foreachBatch(_apply)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -923,3 +923,70 @@ def test_stream_incremental_dsir_epoch_counts_and_replay(spark, tmp_path):
         for r in spark.read.parquet(f"{scores_root}/{ep}").collect():
             again[r["doc_id"]] = r["w_avg"]
     assert again == got
+
+
+def test_stream_cms_merge_equals_batch_and_replays(spark, tmp_path):
+    """stream_cms: the drained counter store is bit-identical to the
+    all-at-once sketch (CMS mergeability), and a fresh-checkpoint
+    replay rewrites identical generations."""
+    import os
+    import shutil
+
+    from ngafid_cpat_spark.operators.mining import cms_build
+    from ngafid_cpat_spark.streaming.foreach_batch import stream_cms
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "beta beta delta")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "alpha epsilon"), (4, "gamma gamma gamma zeta")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for name, df, mtime in (
+        ("d0.parquet", b1, 1_000_000_000),
+        ("d1.parquet", b2, 1_000_000_100),
+    ):
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, name)
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    root = str(tmp_path / "sketch")
+    spark.createDataFrame([], "j int, c bigint, cnt bigint").write.parquet(
+        os.path.join(root, "gen-0")
+    )
+    schema = spark.read.parquet(os.path.join(src, "d0.parquet")).schema
+
+    def _run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_cms(stream, root, str(tmp_path / ck),
+                   query_name=f"cms_{ck}", depth=4, width=32)
+
+    _run("ck1")
+    drained = {
+        (r["j"], r["c"]): r["cnt"]
+        for r in spark.read.parquet(f"{root}/gen-2").collect()
+    }
+    toks = b1.unionByName(b2).select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    batch = {
+        (r["j"], r["c"]): r["cnt"]
+        for r in cms_build(toks, "token", depth=4, width=32).collect()
+    }
+    assert drained == batch
+    _run("ck2")
+    again = {
+        (r["j"], r["c"]): r["cnt"]
+        for r in spark.read.parquet(f"{root}/gen-2").collect()
+    }
+    assert again == drained
