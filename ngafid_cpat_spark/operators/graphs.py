@@ -208,6 +208,20 @@ def pagerank_micro(
             base = base.join(
                 seed_flag, base["node"] == seed_flag["s"], "left"
             ).crossJoin(scalars)
+            # Fail FAST (and loudly) when no seed overlaps the graph:
+            # with __ns = 0 the seed_flag side is empty, so the
+            # `when(__seed, ...)` branch never fires and Spark would
+            # silently drop ALL restart mass, while the unrolled
+            # DuckDB oracle raises on // 0 — a silent/loud divergence.
+            # The guard rides the same broadcast scalar every row
+            # already crossJoins, so the plan stays lazy (no driver
+            # sync); raise_error fires at execution time.
+            guard = F.expr(
+                "CASE WHEN __ns > 0 THEN CAST(0 AS LONG) ELSE "
+                "CAST(raise_error('pagerank_micro: seed set has no "
+                "overlap with the graph (in-graph seed count is 0)') "
+                "AS LONG) END"
+            )
             restart = (
                 F.when(
                     F.col("__seed"),
@@ -215,6 +229,7 @@ def pagerank_micro(
                 )
                 .otherwise(F.lit(0))
                 .cast("long")
+                + guard
             )
         ranks = base.select(
             "node",

@@ -3784,6 +3784,10 @@ def streaming_incremental_cc_events(
         import shutil
 
         shutil.rmtree(ckpt, ignore_errors=True)
+        # and the WHOLE label store: a stale higher gen-N left by an
+        # interrupted longer run would win the max(gen-*) pick below
+        # even after a fresh gen-0 reseed
+        shutil.rmtree(labels_root, ignore_errors=True)
         history.write.mode("overwrite").parquet(seed)
     _write_ordered_stream_fixture(stream_dir, (
         ("arrivals_00.parquet", arrivals[0], 1_000_000_000),
@@ -5786,6 +5790,10 @@ def streaming_dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # drop checkpoint AND any stale epoch outputs with the store
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(scores_root, ignore_errors=True)
+        # counts_root too: a stale gen-N surviving an interrupted run
+        # would be read back by the max(gen-*) pick as the latest
+        # count store (same hazard as the CMS twin's sketch_root)
+        shutil.rmtree(counts_root, ignore_errors=True)
         spark.createDataFrame(
             [], "b bigint, r bigint, t bigint"
         ).write.mode("overwrite").parquet(seed)
@@ -5945,16 +5953,19 @@ from ..operators.mining import CMS_DEPTH as _CMS_D  # noqa: E402
 from ..operators.mining import CMS_WIDTH as _CMS_W  # noqa: E402
 from ..operators.mining import cms_col_duck_sql as _cms_duck  # noqa: E402
 
+# Built from CMS_DEPTH/CMS_WIDTH so the oracle can never drift from
+# the Spark-side sketch shape if the constants change.
 _CMS_CELLS_SQL = " UNION ALL ".join(
-    f"SELECT {j} AS j, {_cms_duck('token', j, 256)} AS c FROM toks"
-    for j in range(4)
+    f"SELECT {j} AS j, {_cms_duck('token', j, _CMS_W)} AS c FROM toks"
+    for j in range(_CMS_D)
 )
 _CMS_PROBE_JOINS = "".join(
     f"""
     JOIN counts e{j} ON e{j}.j = {j}
-      AND e{j}.c = {_cms_duck('p.token', j, 256)}"""
-    for j in range(4)
+      AND e{j}.c = {_cms_duck('p.token', j, _CMS_W)}"""
+    for j in range(_CMS_D)
 )
+_CMS_LEAST = "LEAST(" + ", ".join(f"e{j}.cnt" for j in range(_CMS_D)) + ")"
 
 
 @register(
@@ -5972,7 +5983,7 @@ _CMS_PROBE_JOINS = "".join(
     cells AS ({_CMS_CELLS_SQL}),
     counts AS (SELECT j, c, COUNT(*) AS cnt FROM cells GROUP BY 1, 2)
     SELECT p.token, p.true_count,
-           LEAST(e0.cnt, e1.cnt, e2.cnt, e3.cnt) AS cms_estimate
+           {_CMS_LEAST} AS cms_estimate
     FROM probes p{_CMS_PROBE_JOINS}
     """,
 )
@@ -6092,7 +6103,12 @@ def streaming_cms_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     seed = os.path.join(sketch_root, "gen-0")
     if not os.path.exists(os.path.join(seed, "_SUCCESS")):
+        # Reseed clears the WHOLE store, not just the checkpoint: a
+        # partially-deleted store (gen-0 gone, stale gen-N left by an
+        # interrupted run) would otherwise be read back as the latest
+        # sketch by the max(gen-*) pick below.
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sketch_root, ignore_errors=True)
         spark.createDataFrame(
             [], "j int, c bigint, cnt bigint"
         ).write.mode("overwrite").parquet(seed)
