@@ -4053,48 +4053,66 @@ def heavy_hitters_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_union_users_events", None)  # sketch estimate => bounded-error
+def _hll_union_oracle() -> str:
+    from ..operators.mining import hll_estimate_duck_sql, hll_rho_sql
+
+    j_sql, rho_sql = hll_rho_sql("user_id", duck=True)
+    est = hll_estimate_duck_sql("reg", ["event_type"])
+    return f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             {j_sql} AS j, {rho_sql} AS rho
+      FROM events WHERE user_id IS NOT NULL
+    ), daily AS (
+      SELECT d, event_type, j, MAX(rho) AS rho FROM h GROUP BY 1, 2, 3
+    ), reg AS (
+      SELECT event_type, j, MAX(rho) AS rho FROM daily GROUP BY 1, 2
+    ), nd AS (
+      SELECT event_type, COUNT(DISTINCT d) AS n_days FROM daily GROUP BY 1
+    ), est AS ({est})
+    SELECT est.event_type, approx_users, n_days
+    FROM est JOIN nd USING (event_type)
+    ORDER BY event_type
+    """
+
+
+@register("hll_union_users_events", _hll_union_oracle())
 def hll_union_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Re-aggregatable distinct: per-(day, event_type) HLL sketches
-    (hll_sketch_agg), then hll_union_agg merges the DAILY sketches up
-    to per-type totals — distinct-user counts for any rollup period
-    without ever touching the raw keys again. This is the 100 TB
-    pre-aggregated-cube pattern: the daily layer is tiny (one
-    fixed-size sketch per cell, partial-aggregated map-side), and
-    every coarser period (week / month / all-time) is a sketch union
+    """Re-aggregatable distinct: per-(day, event_type) HLL register
+    sketches, merged up to per-type totals by elementwise register
+    MAX — distinct-user counts for any rollup period without ever
+    touching the raw keys again. This is the 100 TB
+    pre-aggregated-cube pattern: the daily layer is tiny (at most m
+    = 64 integer rows per cell, partial-aggregated map-side), and
+    every coarser period (week / month / all-time) is a register max
     over it, not a rescan of the events. Exact COUNT(DISTINCT) can't
     do this: distinct counts don't add across days.
 
-    Bounded-error oracle (TOLERANCE_ORACLES, rel 0.05): lgConfigK=14
-    gives rsd ~0.8%; at test SF the sketch is still in sparse mode and
-    typically exact."""
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.to_date("ts").alias("d"), "event_type"
-    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    r12: switched from library hll_sketch_agg (opaque binary sketch,
+    tolerance-band oracle only) to operators/mining.hll_registers —
+    the same md5km portable-determinism doctrine as the count-min
+    sketch, so every register and BOTH estimator branches (raw
+    harmonic + linear-counting small-range) are STRICT-oracle
+    replayed by DuckDB, bit for bit. The native DataSketches path
+    stays covered by tests/test_mining.py's tolerance comparison."""
+    from ..operators.mining import hll_estimate, hll_registers
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    daily = hll_registers(
+        ev.select(F.to_date("ts").alias("d"), "event_type", "user_id"),
+        ["d", "event_type"],
+        "user_id",
+    )
+    reg = daily.groupBy("event_type", "j").agg(F.max("rho").alias("rho"))
+    nd = daily.groupBy("event_type").agg(
+        F.countDistinct("d").alias("n_days")
+    )
+    est = hll_estimate(reg, ["event_type"])
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(sk, true))")
-            .cast("long")
-            .alias("approx_users"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
+        est.join(nd, "event_type")
+        .select("event_type", "approx_users", "n_days")
         .orderBy("event_type")
     )
-
-
-TOLERANCE_ORACLES["hll_union_users_events"] = {
-    "sql": """
-    SELECT event_type,
-           COUNT(DISTINCT user_id) AS approx_users,
-           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
-    FROM events GROUP BY event_type
-    """,
-    "keys": ["event_type"],
-    "kind": "rel",
-    "tol": 0.05,  # 6x the lgK=14 rsd — never flakes
-}
 
 
 @register(

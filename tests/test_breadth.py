@@ -240,3 +240,105 @@ def test_cms_estimate_never_undercounts_and_replays(spark):
         for r in sketch.groupBy("j").agg(F.sum("cnt").alias("s")).collect()
     }
     assert per_row == {0: 1000, 1: 1000, 2: 1000, 3: 1000}
+
+
+def test_hll_portable_registers_and_both_estimator_branches(spark):
+    from ngafid_cpat_spark.operators.mining import (
+        HLL_M,
+        HLL_RMAX,
+        hll_estimate,
+        hll_registers,
+    )
+
+    # large group (raw-harmonic branch) + small group (linear
+    # counting): 2000 vs 20 distinct keys
+    rows = [("big", i) for i in range(2000)] + [
+        ("small", i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["g", "k"]).withColumn(
+        "k", F.col("k").cast("long")
+    )
+    regs = hll_registers(df, ["g"], "k")
+    got = regs.collect()
+    assert all(1 <= r["rho"] <= HLL_RMAX for r in got)
+    assert all(0 <= r["j"] < HLL_M for r in got)
+    est = {
+        r["g"]: r["approx_users"]
+        for r in hll_estimate(regs, ["g"]).collect()
+    }
+    # m=64 rsd is ~13%; hold both branches to 3 sigma
+    assert abs(est["big"] - 2000) / 2000 < 0.4
+    assert abs(est["small"] - 20) / 20 < 0.4
+    # MERGEABILITY: union of per-half sketches (register max) must
+    # equal the one-pass sketch of the whole group exactly
+    half1 = hll_registers(df.filter("k % 2 = 0"), ["g"], "k")
+    half2 = hll_registers(df.filter("k % 2 = 1"), ["g"], "k")
+    merged = (
+        half1.unionByName(half2)
+        .groupBy("g", "j")
+        .agg(F.max("rho").alias("rho"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, got)
+    )
+
+
+def test_hll_portable_exact_vs_hashlib_replay_and_native(spark):
+    """The portable HLL's every register AND final integer estimate
+    must match an independent Python hashlib/int replay EXACTLY
+    (cross-implementation determinism: Spark md5/conv/decimal-floor
+    vs hashlib/big-int //). The native hll_sketch_agg stays
+    exercised alongside as the high-precision library path."""
+    import hashlib
+
+    from ngafid_cpat_spark.operators.mining import (
+        HLL_ALPHA_DEN,
+        HLL_ALPHA_NUM,
+        HLL_M,
+        HLL_RMAX,
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("k")
+    )
+    portable = {
+        r["g"]: r["approx_users"]
+        for r in hll_estimate(
+            hll_registers(df, ["g"], "k"), ["g"]
+        ).collect()
+    }
+    want = {}
+    for g in range(3):
+        regs = [0] * HLL_M
+        for k in range(g, 3000, 3):
+            h = int(
+                hashlib.md5(f"hll:{k}".encode()).hexdigest()[:15], 16
+            )
+            j, w = h % HLL_M, h // HLL_M
+            rho = min(55 - w.bit_length() if w else 55, HLL_RMAX)
+            regs[j] = max(regs[j], rho)
+        v = regs.count(0)
+        s = sum(1 << (HLL_RMAX - r) for r in regs)
+        raw = (HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_RMAX)) // (
+            HLL_ALPHA_DEN * s
+        )
+        if raw <= int(2.5 * HLL_M) and v > 0:
+            import math
+
+            raw = round(HLL_M * math.log(HLL_M / v))
+        want[g] = raw
+    assert portable == want
+    native = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(k, 14))")
+            .cast("long")
+            .alias("n")
+        )
+        .collect()
+    }
+    for g in (0, 1, 2):
+        assert abs(native[g] - 1000) / 1000 < 0.05
