@@ -1135,3 +1135,94 @@ def gopher_quality_flags(
             * F.col("r_symbol")
         ).cast("int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson & Sparck Jones probabilistic model)
+# ---------------------------------------------------------------------------
+
+# k1 = 1.2 and b = 0.75 (the standard Okapi defaults) enter the
+# integer score as exact rationals — see bm25_topk's derivation.
+BM25_K1_NUM, BM25_K1_DEN = 12, 10
+BM25_B_NUM, BM25_B_DEN = 3, 4
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a term query by Okapi BM25 (Robertson et
+    al., TREC-3) in EXACT integer arithmetic, engine-portable like
+    the tfidf_topk permille idf:
+
+      idf_milli = (1000 * (2N - 2df + 1)) DIV (2df + 1)
+        — the Robertson idf (N - df + 0.5)/(df + 0.5) as the exact
+          rational (2N - 2df + 1)/(2df + 1), permille-floored;
+          always > 0 (ln-BM25's negative-idf pathology for
+          df > N/2 floors at 0 instead, which is the usual "+1
+          inside the log" practical fix).
+      score_milli(term) with k1 = 1.2, b = 0.75 and A = avgdl_milli
+        = (1000 * total_tokens) DIV N:
+          tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        = 22*tf*A / (10*tf*A + 3*A + 9000*dl)   (exact rational)
+      so the per-term contribution is ONE integer floor-division
+      (idf_milli * 22 * tf * A) DIV (10*tf*A + 3*A + 9000*dl) and
+      the doc score is their BIGINT sum.
+
+    Shape at scale: one tokenize; doc-length layer is a map-side-
+    combining groupBy on the id; the tf layer filters to the query's
+    terms BEFORE its groupBy (the shuffle carries only matching
+    postings, not the corpus); df and the N/avgdl scalars ride
+    broadcast joins; top-k is TakeOrdered over per-doc sums. int64
+    headroom: idf_milli*22*tf*A <= 666*N * 22 * tf * A — safe
+    through N ~ 1e8 at tf,dl <= 10^4; beyond that drop idf to
+    centi-scale or lift the product to DECIMAL.
+
+    Returns (id_col, score_milli, rn) with rn = 1..k, ties broken
+    by id."""
+    toks = df.select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("__n_docs"),
+        F.sum("dl").cast("long").alias("__total"),
+    ).select(
+        "__n_docs",
+        F.expr("div(1000 * __total, __n_docs)").alias("__avgdl_milli"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_milli = F.expr(
+        "div(1000 * (2 * __n_docs - 2 * df + 1), 2 * df + 1)"
+    )
+    contrib = F.expr(
+        "div(__idf_milli * 22 * tf * __avgdl_milli, "
+        "10 * tf * __avgdl_milli + 3 * __avgdl_milli + 9000 * dl)"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scal))
+        .withColumn("__idf_milli", idf_milli)
+        .withColumn("__contrib", contrib)
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("__contrib").cast("long").alias("score_milli")
+    )
+    topk = per_doc.orderBy(
+        F.col("score_milli").desc(), F.col(id_col)
+    ).limit(k)
+    # rank over the k surviving rows only (a k-row window, not a
+    # global sort)
+    w = Window.orderBy(F.col("score_milli").desc(), F.col(id_col))
+    return topk.withColumn("rn", F.row_number().over(w)).select(
+        id_col, "score_milli", "rn"
+    )

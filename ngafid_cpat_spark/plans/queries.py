@@ -16,6 +16,7 @@ from . import breadth as _breadth  # noqa: F401  (registers)
 from . import extensions as _extensions  # noqa: F401  (registers)
 from . import pipeline as _pipeline  # noqa: F401  (registers)
 from . import relational as _relational  # noqa: F401
+from . import retrieval as _retrieval  # noqa: F401  (registers)
 from . import timeseries as _timeseries  # noqa: F401  (registers)
 from . import tpch_extra as _tpch_extra  # noqa: F401  (registers)
 

@@ -618,3 +618,76 @@ def test_calibration_bins_partition_the_corpus(spark):
     assert sum(r["n_positive"] for r in rows) == n_en
     for r in rows:
         assert r["bin"] / 1000.0 <= r["mean_p"] < (r["bin"] + 1) / 1000.0
+
+
+def test_bm25_topk_matches_float_reference(spark):
+    """Integer-permille BM25 must rank identically to a float Okapi
+    reference (k1=1.2, b=0.75, Robertson idf) on a corpus with
+    distinct scores — the permille quantization is rank-preserving
+    whenever score gaps exceed the 1e-3 grid."""
+    from ngafid_cpat_spark.operators.corpus import bm25_topk
+
+    docs = [
+        (1, "spark join join join filter"),
+        (2, "spark spark window data data data"),
+        (3, "filter scan sort merge batch agg"),
+        (4, "join data spark window window join data spark"),
+        (5, "window"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    terms = ["spark", "join", "data"]
+    got = [
+        (r["doc_id"], r["rn"])
+        for r in bm25_topk(df, terms, k=5).collect()
+    ]
+    # float reference
+    import math
+
+    toks = {d: t.split() for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    scores = {}
+    for d, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            idf = (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            s += idf * tf * 2.2 / (
+                tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl)
+            )
+        scores[d] = s
+    # docs with no query term have no postings and are absent
+    want = sorted(
+        (d for d in scores if scores[d] > 0),
+        key=lambda d: (-scores[d], d),
+    )
+    assert [d for d, _ in got] == want
+    assert [rn for _, rn in got] == list(range(1, len(want) + 1))
+
+
+def test_rrf_fusion_hand_check(spark):
+    """hybrid_rrf_topk_docs' fusion arithmetic on the real sf0.001
+    tables: every output row's rrf_micro must equal
+    1e6//(60+lex_rank) + 1e6//(60+vec_rank) with 0-ranks
+    contributing nothing, and the ordering must follow
+    (rrf_micro DESC, doc_id)."""
+    from ngafid_cpat_spark.plans import QUERIES
+
+    rows = QUERIES["hybrid_rrf_topk_docs"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 10
+    prev = None
+    for r in rows:
+        want = (1_000_000 // (60 + r["lex_rank"]) if r["lex_rank"] else 0) + (
+            1_000_000 // (60 + r["vec_rank"]) if r["vec_rank"] else 0
+        )
+        assert r["rrf_micro"] == want
+        key = (-r["rrf_micro"], r["doc_id"])
+        assert prev is None or prev < key
+        prev = key
