@@ -28,7 +28,7 @@ Python anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -1219,3 +1219,145 @@ def snm_pairs(
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+def suffix_lcp_longest_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_span: int = 30,
+    min_len: int = 4,
+) -> DataFrame:
+    """Longest token span of each document that also appears in a
+    DIFFERENT document — the suffix-array / LCP formulation of
+    longest-match dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"), as DataFrame ops:
+
+      1. every token position becomes a suffix, truncated to
+         ``max_span`` tokens (the span cap: longer shared spans
+         report as max_span — the published recipes threshold at a
+         fixed length anyway, and the cap bounds the blow-up to
+         O(max_span x corpus) instead of quadratic);
+      2. suffixes get a GLOBAL rank in lexicographic order via
+         windows.global_row_number (range exchange + per-partition
+         rank + broadcast offsets — suffix-ARRAY construction is a
+         distributed sort, never a single-partition window). The
+         space-joined sort key equals token-sequence order because
+         ' ' sorts below every normalized token character;
+      3. adjacent-suffix LCPs in token counts via one rid = rid+1
+         equi-join (zip_with null-safe compare + array_position:
+         exact, engine-portable);
+      4. per suffix, the LCP to the nearest OTHER-document suffix
+         above/below = the running min of adjacent LCPs through the
+         end of its same-doc run (suffix-array property: LCP of any
+         two suffixes is the min of adjacent LCPs between them).
+         Same-doc runs are gaps-and-islands (rid - per-doc rank, no
+         global scan), and both directed running mins are windows
+         PARTITIONED by the island — islands are at most one
+         document long, so no window sees unbounded data;
+      5. the per-doc max is the answer; among maximal suffixes the
+         lexicographically smallest span string is reported.
+
+    All arithmetic is token counts (integers); the only strings
+    compared are the deterministic normalized tokens — the whole
+    pipeline is strict-oracle replayable and partition-count
+    deterministic (ties in the sort key carry (id, pos) tie-breaks).
+
+    Returns (id_col, dup_len, span) for docs with dup_len >=
+    ``min_len``, ordered by id."""
+    toks = df.select(
+        F.col(id_col).alias("__id"), T.tokens(text_col).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    suf = toks.select(
+        "__id",
+        "__toks",
+        F.posexplode("__toks").alias("__pos0", "__tok"),
+    ).select(
+        "__id",
+        (F.col("__pos0") + 1).alias("__pos"),
+        F.expr(f"slice(__toks, __pos0 + 1, {max_span})").alias("__s"),
+    )
+    suf = suf.withColumn("__sk", F.array_join("__s", " "))
+    from .windows import global_row_number
+
+    ranked = global_row_number(
+        suf, ["__sk", "__id", "__pos"], out_col="__rid"
+    ).select("__id", "__pos", "__s", "__rid")
+    # adjacent LCP: a(rid) = lcp(suffix[rid], suffix[rid - 1])
+    prev = ranked.select(
+        (F.col("__rid") + 1).alias("__rid"),
+        F.col("__s").alias("__ps"),
+        F.col("__id").alias("__pid"),
+    )
+    lcp = F.expr(
+        "CASE WHEN __mism = 0 THEN least(size(__s), size(__ps)) "
+        "ELSE __mism - 1 END"
+    )
+    adj = (
+        ranked.join(prev, "__rid", "left")
+        .withColumn(
+            "__mism",
+            F.expr(
+                "array_position(zip_with(__s, __ps, (x, y) -> x <=> y),"
+                " false)"
+            ),
+        )
+        # -1 = "no neighbor on this side" (global first row): the
+        # sentinel survives running MIN, unlike a NULL that F.min
+        # would skip
+        .withColumn(
+            "__a",
+            F.when(F.col("__ps").isNull(), F.lit(-1)).otherwise(lcp),
+        )
+        .select("__id", "__pos", "__s", "__rid", "__a")
+    )
+    # b(rid) = a(rid + 1), i.e. the LCP crossing to the NEXT suffix
+    nxt = adj.select(
+        (F.col("__rid") - 1).alias("__rid"), F.col("__a").alias("__b")
+    )
+    both = adj.join(nxt, "__rid", "left").withColumn(
+        "__b", F.coalesce("__b", F.lit(-1))
+    )
+    # same-doc islands over the global order (consecutive-run key)
+    wdoc = Window.partitionBy("__id").orderBy("__rid")
+    isl = both.withColumn(
+        "__isl", F.col("__rid") - F.row_number().over(wdoc)
+    )
+    wb = (
+        Window.partitionBy("__id", "__isl")
+        .orderBy("__rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__id", "__isl")
+        .orderBy(F.col("__rid").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    best = isl.select(
+        "__id",
+        "__s",
+        F.greatest(F.min("__a").over(wb), F.min("__b").over(wf)).alias(
+            "__best"
+        ),
+    )
+    wmax = Window.partitionBy("__id")
+    out = (
+        best.withColumn("__dup", F.max("__best").over(wmax))
+        .filter(
+            (F.col("__best") == F.col("__dup"))
+            & (F.col("__dup") >= min_len)
+        )
+        .groupBy("__id", "__dup")
+        .agg(
+            F.min(
+                F.expr("array_join(slice(__s, 1, __dup), ' ')")
+            ).alias("span")
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__dup").cast("int").alias("dup_len"),
+            "span",
+        )
+        .orderBy(id_col)
+    )
+    return out

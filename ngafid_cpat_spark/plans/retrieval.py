@@ -167,3 +167,90 @@ def hybrid_rrf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rn", F.row_number().over(w)).select(
         "doc_id", "lex_rank", "vec_rank", "rrf_micro", "rn"
     )
+
+
+# ---------------------------------------------------------------------------
+# Suffix-array / LCP longest-duplicate-span dedup
+# ---------------------------------------------------------------------------
+
+_SUF_W = 30   # span cap (tokens): bounds blow-up to O(W x corpus)
+_SUF_MIN = 4  # report docs whose longest cross-doc span >= 4 tokens
+
+
+@register(
+    "suffix_lcp_dup_spans_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), tt AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) > 0
+    ), suf AS (
+      SELECT doc_id, i AS pos,
+             list_slice(toks, i, i + {_SUF_W} - 1) AS s
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, len(toks) + 1)) AS i
+            FROM tt)
+    ), ord AS (
+      SELECT doc_id, pos, s,
+             ROW_NUMBER() OVER (
+               ORDER BY array_to_string(s, ' '), doc_id, pos) AS rid
+      FROM suf
+    ), adj AS (
+      SELECT doc_id, pos, s, rid,
+             lag(s) OVER (ORDER BY rid) AS ps
+      FROM ord
+    ), aa AS (
+      SELECT doc_id, pos, s, rid,
+             CASE WHEN ps IS NULL THEN -1
+                  WHEN mism = 0 THEN least(len(s), len(ps))
+                  ELSE mism - 1 END AS a
+      FROM (SELECT *,
+                   list_position(list_transform(list_zip(s, ps),
+                       p -> p[1] IS NOT DISTINCT FROM p[2]), false)
+                     AS mism
+            FROM adj)
+    ), bb AS (
+      SELECT *, COALESCE(lead(a) OVER (ORDER BY rid), -1) AS b FROM aa
+    ), isl AS (
+      SELECT *,
+             rid - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY rid) AS g
+      FROM bb
+    ), best AS (
+      SELECT doc_id, s,
+             GREATEST(
+               MIN(a) OVER (PARTITION BY doc_id, g ORDER BY rid
+                            ROWS UNBOUNDED PRECEDING),
+               MIN(b) OVER (PARTITION BY doc_id, g ORDER BY rid DESC
+                            ROWS UNBOUNDED PRECEDING)
+             ) AS best
+      FROM isl
+    ), mx AS (
+      SELECT doc_id, s, best,
+             MAX(best) OVER (PARTITION BY doc_id) AS dup
+      FROM best
+    )
+    SELECT doc_id, CAST(dup AS INT) AS dup_len,
+           MIN(array_to_string(list_slice(s, 1, CAST(dup AS INT)), ' '))
+             AS span
+    FROM mx WHERE best = dup AND dup >= {_SUF_MIN}
+    GROUP BY doc_id, dup ORDER BY doc_id
+    """,
+)
+def suffix_lcp_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest cross-document duplicated token span per document via
+    the distributed suffix-sort + neighbor-LCP construction
+    (operators/dedup.suffix_lcp_longest_dup; Lee et al. 2022) —
+    the longest-match upgrade of the fixed-8-token span dedup. The
+    DuckDB twin replays the identical algorithm with single-node
+    window functions over the global suffix order, checking the
+    distributed mechanics (range-partitioned global ranks, rid
+    equi-joins, island-bounded running mins) against a trusted
+    windowed-SQL formulation; tests/test_dedup.py holds a brute-
+    force all-pairs oracle on small corpora."""
+    from ..operators.dedup import suffix_lcp_longest_dup
+
+    docs = load(spark, sf_dir, "documents")
+    return suffix_lcp_longest_dup(
+        docs, max_span=_SUF_W, min_len=_SUF_MIN
+    )

@@ -607,3 +607,68 @@ def test_snm_pairs_no_single_partition_window(spark):
     )
     plan = snm_pairs(df)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_suffix_lcp_longest_dup_vs_brute_force(spark):
+    """suffix_lcp_longest_dup against a quadratic all-suffix-pairs
+    brute force (a genuinely different algorithm from both the
+    distributed plan and its windowed-SQL oracle)."""
+    from ngafid_cpat_spark.operators.dedup import suffix_lcp_longest_dup
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "a quick brown fox jumps over a fence"),
+        (3, "completely unrelated words here nothing shared at all"),
+        (4, "the lazy dog today is the quick brown fox"),
+        (5, "over the lazy dog today it went"),
+        (6, "xx yy zz"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["dup_len"], r["span"])
+        for r in suffix_lcp_longest_dup(
+            df, max_span=30, min_len=2
+        ).collect()
+    }
+    # brute force: longest common prefix over ALL cross-doc suffix
+    # pairs, smallest span string among the maximal ones
+    toks = {d: t.split() for d, t in docs}
+    want = {}
+    for d, td in toks.items():
+        best, spans = 0, set()
+        for i in range(len(td)):
+            for e, te in toks.items():
+                if e == d:
+                    continue
+                for j in range(len(te)):
+                    l = 0
+                    while (
+                        i + l < len(td)
+                        and j + l < len(te)
+                        and td[i + l] == te[j + l]
+                    ):
+                        l += 1
+                    if l > best:
+                        best, spans = l, {" ".join(td[i : i + l])}
+                    elif l == best and l:
+                        spans.add(" ".join(td[i : i + l]))
+        if best >= 2:
+            want[d] = (best, min(spans))
+    assert got == want
+
+
+def test_suffix_lcp_same_doc_runs_do_not_leak(spark):
+    """A span repeated many times INSIDE one doc but never in
+    another must not count: same-doc suffix runs in the global
+    order may not satisfy each other."""
+    from ngafid_cpat_spark.operators.dedup import suffix_lcp_longest_dup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta gamma alpha beta gamma"),
+            (2, "delta epsilon zeta eta theta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = suffix_lcp_longest_dup(df, max_span=10, min_len=2).collect()
+    assert out == []
