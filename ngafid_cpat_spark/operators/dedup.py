@@ -1283,40 +1283,48 @@ def suffix_lcp_longest_dup(
     ranked = global_row_number(
         suf, ["__sk", "__id", "__pos"], out_col="__rid"
     ).select("__id", "__pos", "__s", "__rid")
-    # adjacent LCP: a(rid) = lcp(suffix[rid], suffix[rid - 1])
+    # adjacent LCPs both ways in ONE 3-way co-partitioned join:
+    # a(rid) = lcp(s[rid], s[rid-1]) and — because LCP is symmetric
+    # — b(rid) = a(rid+1) = lcp(s[rid], s[rid+1]) computed directly
+    # against the shifted-down copy (shifting the DERIVED a-frame
+    # instead would re-run the whole adjacent pipeline: one extra
+    # SMJ + rid exchange in the physical plan). Both joins key on
+    # __rid, so the second SMJ reuses the first's partitioning.
     prev = ranked.select(
         (F.col("__rid") + 1).alias("__rid"),
         F.col("__s").alias("__ps"),
-        F.col("__id").alias("__pid"),
     )
-    lcp = F.expr(
-        "CASE WHEN __mism = 0 THEN least(size(__s), size(__ps)) "
-        "ELSE __mism - 1 END"
+    nxt = ranked.select(
+        (F.col("__rid") - 1).alias("__rid"),
+        F.col("__s").alias("__ns"),
     )
-    adj = (
+
+    def _lcp(other: str) -> Column:
+        mism = F.expr(
+            f"array_position(zip_with(__s, {other}, (x, y) -> x <=> y),"
+            " false)"
+        )
+        # -1 = "no neighbor on this side" (global first/last row):
+        # the sentinel survives running MIN, unlike a NULL that
+        # F.min would skip
+        return F.when(F.col(other).isNull(), F.lit(-1)).otherwise(
+            F.when(
+                mism == 0,
+                F.least(F.size("__s"), F.size(other)).cast("long"),
+            ).otherwise((mism - 1).cast("long"))
+        )
+
+    both = (
         ranked.join(prev, "__rid", "left")
-        .withColumn(
-            "__mism",
-            F.expr(
-                "array_position(zip_with(__s, __ps, (x, y) -> x <=> y),"
-                " false)"
-            ),
+        .join(nxt, "__rid", "left")
+        .select(
+            "__id",
+            "__pos",
+            "__s",
+            "__rid",
+            _lcp("__ps").alias("__a"),
+            _lcp("__ns").alias("__b"),
         )
-        # -1 = "no neighbor on this side" (global first row): the
-        # sentinel survives running MIN, unlike a NULL that F.min
-        # would skip
-        .withColumn(
-            "__a",
-            F.when(F.col("__ps").isNull(), F.lit(-1)).otherwise(lcp),
-        )
-        .select("__id", "__pos", "__s", "__rid", "__a")
-    )
-    # b(rid) = a(rid + 1), i.e. the LCP crossing to the NEXT suffix
-    nxt = adj.select(
-        (F.col("__rid") - 1).alias("__rid"), F.col("__a").alias("__b")
-    )
-    both = adj.join(nxt, "__rid", "left").withColumn(
-        "__b", F.coalesce("__b", F.lit(-1))
     )
     # same-doc islands over the global order (consecutive-run key)
     wdoc = Window.partitionBy("__id").orderBy("__rid")
