@@ -30,69 +30,70 @@ from . import tpch_extra as _tpch_extra  # noqa: F401  (registers)
 # `no_oracle` driver row is the documented proof they execute under
 # the gate (check_oracle.py holds their values to measured floors).
 PRIORITY = [
-    # never driver-windowed: new this round (r11, second batch —
-    # also re-verifies approach_pipeline_real_airports below, whose
-    # gridded argmin gained a winners checkpoint this round)
-    "streaming_dsir_weights_docs",
+    # never driver-windowed: new this round (r12 retrieval +
+    # longest-duplicate tier)
+    "bm25_topk_docs",
+    "hybrid_rrf_topk_docs",
+    "suffix_lcp_dup_spans_docs",
+    # plan AND oracle changed this round (r12 swapped the library
+    # hll_sketch_agg for the portable md5-register HLL, turning the
+    # tolerance band into a strict oracle) — and it was also in the
+    # r08-stale cohort
+    "hll_union_users_events",
+    # plan changed this round (r12 added the zero-seed raise_error
+    # guard to pagerank_micro's personalized branch)
     "personalized_pagerank_events",
-    "frequent_part_pairs",
-    "cms_token_counts_docs",
-    "equi_depth_value_events",
-    "streaming_cms_tokens_docs",
-    "skyline_orders",
-    "calibration_lr_docs",
-    "kcore_users_events",
-    "ktruss_users_events",
-    "dsir_select_docs",
-    "centroid_classify_embeddings",
-    "gopher_rules_docs",
-    "zorder_layout_events",
-    "allpairs_jaccard_prefix_docs",
-    "snm_blocking_pairs_customers",
-    # never driver-windowed: new this round (r11)
-    "approach_pipeline_real_airports",
-    "streaming_approach_work_queue_real",
-    "incremental_cc_events",
-    "streaming_incremental_cc_events",
-    "debias_top_direction_embeddings",
-    # plan changed this round (r11 moved _assign_quantized /
-    # _coarse_residuals to string-built literal codebooks and the
-    # ANN training twins to one shared checkpointed frame — the
-    # strict members of the kmeans-assignment family re-verify under
-    # the gate; values must be bit-identical by construction)
-    "kmeans_clusters_embeddings",
-    "semantic_dedup_embeddings",
-    "ann_ivf_topk",
-    # oldest driver evidence — the COMPLETE r07 cohort (25), so the
-    # CORRECTNESS_r11 histogram carries nothing older than r08
-    "listagg_customers_per_nation",
-    "pq_codes_embeddings",
-    "pq_topk_trained_embeddings",
-    "profile_columns_events",
-    "q18_big_orders",
-    "q8_market_share",
-    "quantile_events",
-    "range_window_auto_events",
-    "recursive_chain_suppliers",
-    "scan_filter_project",
-    "session_event_ids",
-    "streaming_dedup_events",
-    "streaming_dedup_windowed_events",
-    "streaming_interval_join_left_events",
-    "streaming_upsert_windowed_events",
-    "text_quality",
-    "text_stats",
-    "tfidf_topk_terms",
-    "token_count_bpe",
-    "topk_customers_per_nation",
-    "unstable_subintervals",
-    "validity_probe_users",
-    "variant_json_events",
-    "vocab_topk",
-    "xml_roundtrip_events",
-    # r08 back-fill, oldest-next (ann_ivfpq_topk first — its plan
-    # also changed this round; then alphabetical)
-    "ann_ivfpq_topk",
+    # the COMPLETE remaining r08-stale cohort (45): with the five
+    # slots above this makes 50 and leaves nothing in the catalog
+    # older than r09 — the r11 verdict's rotation ask. Exactly ONE
+    # bounded-error row (approx_quantile_events) sits in the window
+    # (r11 carried two); the other approximate queries' ok~ floors
+    # are re-cited in this round's tools/check_oracle evidence.
+    "agg_rollup_orders",
+    "approx_quantile_events",
+    "bigram_logprob_docs",
+    "bpe_merges_docs",
+    "bpe_tokenize_docs",
+    "chunk_docs",
+    "conditional_agg_events",
+    "contamination_check_docs",
+    "corpus_mix_docs",
+    "corpus_prep_pipeline_docs",
+    "dedup_cluster_keep_best",
+    "events_tumbling_window",
+    "funnel_events",
+    "gapfill_locf_daily",
+    "geo_haversine_customers",
+    "hof_value_arrays",
+    "join_outer_nation_counts",
+    "join_semi_customers",
+    "json_extract_events",
+    "length_band_docs",
+    "map_functions_events",
+    "multimodal_meta",
+    "outlier_events",
+    "pii_scrub_events",
+    "q1_pricing_summary",
+    "q2_min_supplier_per_part",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "range_window_chunked_events",
+    "regexp_extract_all_events",
+    "repetition_docs",
+    "retention_cohorts",
+    "rolling5_events",
+    "sample_k_per_source_docs",
+    "scd2_purchase_history",
+    "sessionize_chunked_events",
+    "set_ops_nations",
+    "shard_assign_docs",
+    "skew_salted_event_type_agg",
+    "stats_moments_events",
+    "streaming_enriched_counts_events",
+    "temperature_mix_docs",
+    "triangle_counts_events",
+    "try_arithmetic_events",
+    "window_running_orders",
 ]
 
 
