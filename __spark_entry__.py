@@ -5,13 +5,13 @@ queries()      every implemented operator from SURVEY.md §2 as
                (spark, sf_dir) -> DataFrame.
 oracle_sql()   DuckDB-equivalent ANSI SQL per query (same column
                aliases; computed doubles rounded identically on both
-               sides). As of r10, 157 of 164 queries carry a strict
-               oracle (minhash/simhash use cross-engine md5 hash
-               families); the seven approximate queries (HLL
-               distinct, HLL sketch-union rollup, GK quantiles,
-               trained-PQ top-k, IVFADC top-k in-query / indexed /
-               stream-ingested) are rows-only here — each carries a
-               bounded-error oracle in tools/check_oracle.py instead.
+               sides). As of r12, 182 of 188 queries carry a strict
+               oracle (minhash/simhash/CMS/HLL use cross-engine md5
+               hash families); the six approximate queries (HLL++
+               distinct, GK quantiles, trained-PQ top-k, IVFADC
+               top-k in-query / indexed / stream-ingested) are
+               rows-only here — each carries a bounded-error oracle
+               in tools/check_oracle.py instead.
 """
 
 from __future__ import annotations
