@@ -6189,3 +6189,91 @@ def streaming_cms_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(
         sketch, probes, "token", CMS_DEPTH, CMS_WIDTH
     ).select("token", "true_count", "cms_estimate")
+
+
+@register("streaming_hll_users_events", _hll_union_oracle())
+def streaming_hll_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hll_union_users_events' register sketch maintained over a
+    STREAMING event log (streaming/foreach_batch.stream_hll): two
+    mtime-ordered event batches (even user_ids, then odd) each merge
+    their per-(day, event_type) register frame into a
+    generation-keyed store by elementwise register MAX. HLL
+    mergeability — union = register max — makes the drained daily
+    layer BIT-IDENTICAL to the one-pass build, so this twin shares
+    the batch query's strict oracle VERBATIM (the stream_cms
+    contract applied to distinct counting): the rollup + harmonic /
+    linear-counting estimate over the drained store must hash-match
+    DuckDB's replay over the whole events table. Reseed clears the
+    whole store + checkpoint (the r12 ADVICE protocol)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.mining import hll_estimate
+    from ..streaming.foreach_batch import stream_hll
+
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        st = None
+    tag = hashlib.md5(
+        f"hll-stream-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
+        f"{getattr(st, 'st_size', 0)}".encode()
+    ).hexdigest()[:12]
+    base = _scratch_dir()
+    stream_dir = os.path.join(base, f"spark_graft_hll_arrivals_{tag}")
+    store_root = os.path.join(base, f"spark_graft_hll_store_{tag}")
+    ckpt = os.path.join(base, f"spark_graft_hll_ckpt_{tag}")
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.to_date("ts").alias("d"), "event_type", "user_id"
+        )
+    )
+    seed = os.path.join(store_root, "gen-0")
+    if not os.path.exists(os.path.join(seed, "_SUCCESS")):
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(store_root, ignore_errors=True)
+        spark.createDataFrame(
+            [], "d date, event_type string, j int, rho int"
+        ).write.mode("overwrite").parquet(seed)
+    _write_ordered_stream_fixture(stream_dir, (
+        ("events_00.parquet", ev.filter(F.col("user_id") % 2 == 0),
+         1_000_000_000),
+        ("events_01.parquet", ev.filter(F.col("user_id") % 2 == 1),
+         1_000_000_100),
+    ))
+    schema = spark.read.parquet(
+        os.path.join(stream_dir, "events_00.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    stream_hll(
+        stream, store_root, ckpt,
+        group_cols=["d", "event_type"], item_col="user_id",
+        query_name="streaming_hll_users_events",
+    )
+    from ..operators.similarity import _fs_glob
+
+    latest = max(
+        int(name.split("-", 1)[1])
+        for name in _fs_glob(store_root, "gen-*", spark)
+        if name.split("-", 1)[1].isdigit()
+    )
+    daily = spark.read.parquet(f"{store_root}/gen-{latest}")
+    reg = daily.groupBy("event_type", "j").agg(F.max("rho").alias("rho"))
+    nd = daily.groupBy("event_type").agg(
+        F.countDistinct("d").alias("n_days")
+    )
+    est = hll_estimate(reg, ["event_type"])
+    return (
+        est.join(nd, "event_type")
+        .select("event_type", "approx_users", "n_days")
+        .orderBy("event_type")
+    )

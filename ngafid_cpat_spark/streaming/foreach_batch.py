@@ -514,3 +514,62 @@ def stream_cms(
     )
     q.awaitTermination()
     return q
+
+
+def stream_hll(
+    rows: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    item_col: str,
+    query_name: str = "hll_ingest",
+):
+    """Portable-HLL register maintenance over a stream: each
+    micro-batch's per-group register frame MERGES into the persisted
+    store by elementwise register MAX — HLL's mergeability property
+    (HLL(A ∪ B) = max(HLL(A), HLL(B)) register by register), so the
+    drained store is BIT-IDENTICAL to the registers built over the
+    whole input at once and the streaming twin shares the batch
+    query's strict oracle verbatim (the stream_cms contract applied
+    to distinct counting). Same generation protocol as the other
+    incremental stores: gen-0 is the caller-seeded (empty) frame,
+    each epoch reads the highest generation strictly below its
+    target and overwrites its own — replays are byte-identical
+    no-ops."""
+    from ..operators.mining import hll_registers
+    from ..operators.similarity import _fs_glob
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = int(epoch_id) + 1
+        gens = sorted(
+            int(name.split("-", 1)[1])
+            for name in _fs_glob(store_root, "gen-*", spark)
+            if name.split("-", 1)[1].isdigit()
+        )
+        prior_gens = [g for g in gens if g < target]
+        if not prior_gens:
+            raise ValueError(
+                f"stream_hll: no generation below {target} under "
+                f"{store_root} (found {gens}) — reseed gen-0 AND "
+                "clear the checkpoint."
+            )
+        prior = spark.read.parquet(f"{store_root}/gen-{max(prior_gens)}")
+        batch_regs = hll_registers(batch_df, group_cols, item_col)
+        merged = (
+            prior.unionByName(batch_regs)
+            .groupBy(*group_cols, "j")
+            .agg(F.max("rho").alias("rho"))
+        )
+        merged.write.mode("overwrite").parquet(f"{store_root}/gen-{target}")
+
+    q = (
+        rows.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .foreachBatch(_apply)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -990,3 +990,72 @@ def test_stream_cms_merge_equals_batch_and_replays(spark, tmp_path):
         for r in spark.read.parquet(f"{root}/gen-2").collect()
     }
     assert again == drained
+
+
+def test_stream_hll_merge_equals_batch_and_replays(spark, tmp_path):
+    """stream_hll: the drained register store is bit-identical to
+    the one-pass register build (HLL mergeability: union = register
+    max), and a fresh-checkpoint replay rewrites identical
+    generations."""
+    import os
+    import shutil
+
+    from ngafid_cpat_spark.operators.mining import hll_registers
+    from ngafid_cpat_spark.streaming.foreach_batch import stream_hll
+
+    b1 = spark.createDataFrame(
+        [("a", i) for i in range(40)] + [("b", i) for i in range(10)],
+        "g string, k long",
+    )
+    b2 = spark.createDataFrame(
+        [("a", i) for i in range(20, 60)] + [("b", i) for i in range(5)],
+        "g string, k long",
+    )
+    src = str(tmp_path / "rows")
+    os.makedirs(src)
+    for name, df, mtime in (
+        ("r0.parquet", b1, 1_000_000_000),
+        ("r1.parquet", b2, 1_000_000_100),
+    ):
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, name)
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    root = str(tmp_path / "store")
+    spark.createDataFrame([], "g string, j int, rho int").write.parquet(
+        os.path.join(root, "gen-0")
+    )
+    schema = spark.read.parquet(os.path.join(src, "r0.parquet")).schema
+
+    def _run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_hll(
+            stream, root, str(tmp_path / ck),
+            group_cols=["g"], item_col="k", query_name=f"hll_{ck}",
+        )
+
+    _run("ck1")
+    drained = sorted(
+        map(tuple, spark.read.parquet(os.path.join(root, "gen-2")).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            hll_registers(b1.unionByName(b2), ["g"], "k").collect(),
+        )
+    )
+    assert drained == batch
+    # fresh-checkpoint replay folds the same files onto the same
+    # seed: generations must come out identical
+    _run("ck2")
+    again = sorted(
+        map(tuple, spark.read.parquet(os.path.join(root, "gen-2")).collect())
+    )
+    assert again == drained
