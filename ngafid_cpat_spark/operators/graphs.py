@@ -576,3 +576,65 @@ def incremental_connected_components(
         )
     )
     return out_hist.unionByName(appended)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 3,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Multi-source BFS hop distance from a seed set over an
+    undirected simple graph given as distinct (u < v) pairs, capped
+    at ``n_rounds`` hops — the reachability / proximity primitive
+    the rest of the graph family (CC, PageRank, k-core) builds on,
+    and the contamination-style "within k hops of a flagged node"
+    filter shape.
+
+    One declarative unrolled plan (the pagerank_micro doctrine):
+    round r joins the CURRENT distance frame against the static
+    directed edge table and folds ``min(hop)`` — pure integer
+    arithmetic, no driver sync, deterministic under any partitioning.
+    The edge+direction table is hash-partitioned and sorted on the
+    join key before ONE lazy localCheckpoint, so every round's SMJ
+    reuses the sort (the GraphX edge-partitioning pattern shared with
+    pagerank_micro). Each round's join is edge-sized; for a
+    long-diameter production BFS you would keep only the frontier
+    (previous-round improvements, an anti-join) to make later rounds
+    frontier-sized — with the small fixed round counts used here the
+    unrolled full fold is simpler and oracle-replayable.
+
+    ``seeds``: one-column ``node`` frame; restricted to in-graph
+    nodes. Returns (node, hop INT) for nodes within n_rounds hops;
+    unreached nodes are absent."""
+    de = edges.select(F.col(u).alias("s"), F.col(v).alias("t")).unionByName(
+        edges.select(F.col(v).alias("s"), F.col(u).alias("t"))
+    )
+    sess = edges.sparkSession
+    try:
+        n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_part = 32
+    dd = (
+        de.repartition(n_part, "s")
+        .sortWithinPartitions("s")
+        .localCheckpoint(eager=False)
+    )
+    nodes = dd.select("s").distinct()
+    dist = (
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .join(nodes, F.col("node") == F.col("s"), "left_semi")
+        .select("node", F.lit(0).cast("int").alias("hop"))
+    )
+    for _ in range(n_rounds):
+        contribs = dd.join(dist, dd["s"] == dist["node"]).select(
+            F.col("t").alias("node"), (F.col("hop") + 1).alias("hop")
+        )
+        dist = (
+            dist.unionByName(contribs)
+            .groupBy("node")
+            .agg(F.min("hop").cast("int").alias("hop"))
+        )
+    return dist

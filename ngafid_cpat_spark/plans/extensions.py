@@ -6277,3 +6277,80 @@ def streaming_hll_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "approx_users", "n_days")
         .orderBy("event_type")
     )
+
+
+def _bfs_round_sql(prev: str, r: int) -> str:
+    return f"""
+    c{r} AS (
+      SELECT de.t AS node, p.hop + 1 AS hop
+      FROM de JOIN {prev} p ON de.s = p.node
+      UNION ALL SELECT node, hop FROM {prev}
+    ), d{r} AS (
+      SELECT node, MIN(hop) AS hop FROM c{r} GROUP BY 1
+    )"""
+
+
+@register(
+    "bfs_hops_users_events",
+    f"""
+    WITH cells AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS h
+      FROM events WHERE event_type = 'click'
+    ), e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+    ), de AS (
+      SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e
+    ), nodes AS (
+      SELECT DISTINCT s FROM de
+    ), d0 AS (
+      SELECT s AS node, 0 AS hop FROM nodes WHERE s % 11 = 0
+    ),{_bfs_round_sql('d0', 1)},{_bfs_round_sql('d1', 2)},
+    {_bfs_round_sql('d2', 3)}
+    SELECT node AS user_id, CAST(hop AS INT) AS hop FROM d3
+    """,
+)
+def bfs_hops_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the click co-occurrence graph
+    (operators/graphs.bfs_hops): hop distance from the user_id % 11
+    seed cohort, capped at 3 hops — the "within k hops of a flagged
+    account" reachability filter, seventh member of the graph family
+    (CC / triangles / PageRank / PPR / k-core / k-truss / BFS). One
+    unrolled declarative plan: per round an edge-sized SMJ against
+    the once-sorted checkpointed edge table + a min(hop) fold, pure
+    integers; the DuckDB oracle unrolls the same three rounds."""
+    from ..operators.graphs import bfs_hops
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 600)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    edges = (
+        cells.alias("a")
+        .join(
+            cells.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .distinct()
+    )
+    seeds = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .filter(F.col("node") % 11 == 0)
+        .distinct()
+    )
+    return bfs_hops(edges, seeds, n_rounds=3).withColumnRenamed(
+        "node", "user_id"
+    )

@@ -413,3 +413,38 @@ def test_personalized_pagerank_concentrates_near_seeds(spark):
         ).collect()
     }
     assert out[1] > out[2] > out[4] > out[6]
+
+
+def test_bfs_hops_vs_networkx_style_brute_force(spark):
+    from ngafid_cpat_spark.operators.graphs import bfs_hops
+
+    # path 1-2-3-4-5, triangle 6-7-8 attached to 3 via 3-6,
+    # isolated pair 9-10; seeds {1, 9, 999 (not in graph)}
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8),
+             (6, 8), (3, 6), (9, 10)]
+    e = spark.createDataFrame(edges, ["u", "v"])
+    seeds = spark.createDataFrame([(1,), (9,), (999,)], ["node"])
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(e, seeds, n_rounds=3).collect()
+    }
+    # python BFS capped at 3 hops
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {1: 0, 9: 0}
+    q = collections.deque([(1, 0), (9, 0)])
+    while q:
+        n, d = q.popleft()
+        if d == 3:
+            continue
+        for m in adj[n]:
+            if m not in want:
+                want[m] = d + 1
+                q.append((m, d + 1))
+    assert got == want
+    assert 999 not in got          # off-graph seed dropped
+    assert got[6] == 3 and 5 not in got  # 5 is 4 hops away

@@ -646,6 +646,21 @@ def main() -> None:
         ]
         return reduce(lambda a, b: a.unionByName(b), copies)
 
+    def bfs(ev):
+        from ngafid_cpat_spark.operators import graphs as G
+
+        # chain graph (the cc_distributed shape): multi-source BFS
+        # from every 100th node, 3 rounds — per round one edge-sized
+        # SMJ against the once-sorted checkpointed edge table
+        edges = ev.select(
+            F.col("event_id").alias("u"),
+            (F.col("event_id") + 1).alias("v"),
+        ).filter(F.col("u") % 10 != 9)
+        seeds = ev.select(F.col("event_id").alias("node")).filter(
+            F.col("node") % 100 == 0
+        )
+        return G.bfs_hops(edges, seeds, n_rounds=3)
+
     def approach_real(tele):
         # end-to-end flagship: full approach pipeline against the
         # REAL 15,165-airport / 164-runway dims (r11 verdict ask #5 —
@@ -698,6 +713,7 @@ def main() -> None:
         "bm25_rank": ("docs", bm25_rank),
         "suffix_lcp_dedup": ("docs", suffix_lcp),
         "hll_portable_union": ("events", hll_portable),
+        "bfs_hops": ("events", bfs),
         "approach_real_pipeline": ("tele", approach_real),
     }
 
