@@ -638,3 +638,71 @@ def bfs_hops(
             .agg(F.min("hop").cast("int").alias("hop"))
         )
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int = 3,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) over an undirected simple graph given as
+    distinct (u < v) pairs, made DETERMINISTIC for the oracle gate:
+    every node starts with its own id as label, and each of the
+    ``n_rounds`` synchronous rounds adopts the most frequent label
+    among its neighbors, ties broken by the SMALLEST label — so the
+    result is a pure function of the graph (classic async LPA's
+    visit-order dependence is exactly what an exact-hash gate cannot
+    tolerate).
+
+    Unlike connected_components (which converges to reachability),
+    fixed-round LPA keeps dense local neighborhoods' labels — the
+    standard cheap community pass over co-occurrence graphs.
+
+    Scale shape (the pagerank_micro doctrine): the directed edge
+    table is hash-partitioned + sorted once before a lazy
+    localCheckpoint; each round is one edge-sized SMJ with the
+    (node, label) frame, a map-side-combining (node, label) count,
+    and the argmax folds into ONE more aggregate via
+    max(struct(cnt, -label)) — no per-round window, no driver sync,
+    one unrolled declarative plan.
+
+    Returns (node, label BIGINT)."""
+    de = edges.select(F.col(u).alias("s"), F.col(v).alias("t")).unionByName(
+        edges.select(F.col(v).alias("s"), F.col(u).alias("t"))
+    )
+    sess = edges.sparkSession
+    try:
+        n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_part = 32
+    dd = (
+        de.repartition(n_part, "t")
+        .sortWithinPartitions("t")
+        .localCheckpoint(eager=False)
+    )
+    labels = dd.select(F.col("t").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(n_rounds):
+        neigh = dd.join(labels, dd["t"] == labels["node"]).select(
+            F.col("s").alias("node"), "label"
+        )
+        counted = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # argmax by (cnt DESC, label ASC) as ONE aggregate:
+        # max(struct(cnt, -label)) picks the highest count, then the
+        # smallest label (labels are node ids >= 0, so -label is a
+        # safe total order)
+        labels = (
+            counted.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
+        )
+    return labels

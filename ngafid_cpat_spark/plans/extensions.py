@@ -6354,3 +6354,78 @@ def bfs_hops_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, seeds, n_rounds=3).withColumnRenamed(
         "node", "user_id"
     )
+
+
+def _lpa_round_sql(prev: str, r: int) -> str:
+    return f"""
+    l{r} AS (
+      SELECT node, label FROM (
+        SELECT de.s AS node, p.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY de.s
+                 ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+        FROM de JOIN {prev} p ON de.t = p.node
+        GROUP BY de.s, p.label
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "label_propagation_users_events",
+    f"""
+    WITH cells AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS h
+      FROM events WHERE event_type = 'view'
+    ), e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+    ), de AS (
+      SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e
+    ), l0 AS (
+      SELECT DISTINCT t AS node, t AS label FROM de
+    ),{_lpa_round_sql('l0', 1)},{_lpa_round_sql('l1', 2)},
+    {_lpa_round_sql('l2', 3)}
+    SELECT node AS user_id, label FROM l3
+    """,
+)
+def label_propagation_users_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (operators/graphs.label_propagation; Raghavan et al. 2007) over
+    the view co-occurrence graph, 3 rounds — the eighth graph
+    operator: cheap community structure, distinct from CC's
+    reachability fixpoint. Ties break on the smallest label, so the
+    DuckDB oracle's windowed argmax unrolls the same three rounds to
+    the same labels; the Spark side folds the argmax into a
+    max(struct) aggregate instead of a window (map-side combine,
+    no per-round sort)."""
+    from ..operators.graphs import label_propagation
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 600)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    edges = (
+        cells.alias("a")
+        .join(
+            cells.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .distinct()
+    )
+    return label_propagation(edges, n_rounds=3).withColumnRenamed(
+        "node", "user_id"
+    )

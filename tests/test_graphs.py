@@ -448,3 +448,35 @@ def test_bfs_hops_vs_networkx_style_brute_force(spark):
     assert got == want
     assert 999 not in got          # off-graph seed dropped
     assert got[6] == 3 and 5 not in got  # 5 is 4 hops away
+
+
+def test_label_propagation_deterministic_communities(spark):
+    from ngafid_cpat_spark.operators.graphs import label_propagation
+
+    # two dense triangles bridged by one edge: LPA should settle
+    # each triangle on its minimum member id, unlike CC which would
+    # merge everything into one component
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    e = spark.createDataFrame(edges, ["u", "v"])
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, n_rounds=3).collect()
+    }
+    # python replay of the same synchronous min-tie-break rounds
+    import collections
+
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    lab = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n in adj:
+            cnt = collections.Counter(lab[m] for m in adj[n])
+            best = min(cnt, key=lambda l: (-cnt[l], l))
+            nxt[n] = best
+        lab = nxt
+    assert got == lab
+    # communities: the two triangles keep distinct labels
+    assert len({got[1], got[4]}) == 2

@@ -661,6 +661,17 @@ def main() -> None:
         )
         return G.bfs_hops(edges, seeds, n_rounds=3)
 
+    def lpa(ev):
+        from ngafid_cpat_spark.operators import graphs as G
+
+        # chain graph, 3 synchronous rounds — per round one SMJ vs
+        # the sorted edge checkpoint + two map-side-combining aggs
+        edges = ev.select(
+            F.col("event_id").alias("u"),
+            (F.col("event_id") + 1).alias("v"),
+        ).filter(F.col("u") % 10 != 9)
+        return G.label_propagation(edges, n_rounds=3)
+
     def approach_real(tele):
         # end-to-end flagship: full approach pipeline against the
         # REAL 15,165-airport / 164-runway dims (r11 verdict ask #5 —
@@ -714,6 +725,7 @@ def main() -> None:
         "suffix_lcp_dedup": ("docs", suffix_lcp),
         "hll_portable_union": ("events", hll_portable),
         "bfs_hops": ("events", bfs),
+        "label_propagation": ("events", lpa),
         "approach_real_pipeline": ("tele", approach_real),
     }
 
