@@ -6429,3 +6429,53 @@ def label_propagation_users_events(
     return label_propagation(edges, n_rounds=3).withColumnRenamed(
         "node", "user_id"
     )
+
+
+from ..functions.layout import hilbert_cte_sql as _hil_sql  # noqa: E402
+
+
+@register(
+    "hilbert_layout_events",
+    f"""
+    WITH ev AS (
+      SELECT {_Z_X} AS x, {_Z_Y_DUCK} AS y FROM events
+    ), {_hil_sql('ev', 'x', 'y', _Z_BITS, keep='x, y')}
+    SELECT CAST(hkey >> 12 AS BIGINT) AS h_bucket,
+           COUNT(*) AS n_events,
+           CAST(MIN(x) AS BIGINT) AS min_user_cell,
+           CAST(MAX(x) AS BIGINT) AS max_user_cell,
+           CAST(MIN(y) AS BIGINT) AS min_hour_cell,
+           CAST(MAX(y) AS BIGINT) AS max_hour_cell
+    FROM hilb GROUP BY 1
+    """,
+)
+def hilbert_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over the same (user bucket, hour
+    bucket) cells as zorder_layout_events
+    (functions/layout.hilbert_cols): the locality upgrade of the
+    Morton key — top-2k key bits still name a level-k SQUARE (the
+    same bounded-rectangle pruning contract, tests pin <= 64 cells
+    per dimension per bucket), and additionally CONSECUTIVE buckets
+    are spatially adjacent, so a range scan over the sorted layout
+    touches one contiguous region instead of Morton's quadrant
+    jumps. The xy2d rotation chain can't be one expression (each
+    level consumes the previous level's state), so it unrolls as a
+    10-level select chain on Spark and the byte-identical CTE chain
+    in the oracle — still pure integer CASE arithmetic, zero UDFs,
+    STRICT-oracle-paired. Scale: map-side key computation + one
+    groupBy, exactly the zorder shape."""
+    from ..functions.layout import hilbert_cols
+
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(_Z_X).alias("x"), F.expr(_Z_Y_SPARK).alias("y")
+    )
+    h = hilbert_cols(ev, "x", "y", _Z_BITS, out="hkey")
+    return h.groupBy(
+        F.expr("hkey >> 12").cast("long").alias("h_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("x").cast("long").alias("min_user_cell"),
+        F.max("x").cast("long").alias("max_user_cell"),
+        F.min("y").cast("long").alias("min_hour_cell"),
+        F.max("y").cast("long").alias("max_hour_cell"),
+    )

@@ -235,3 +235,52 @@ def test_zorder_bits_validation():
         zorder_key_sql("x", "y", bits=0)
     with _pytest.raises(ValueError):
         zorder_key_sql("x", "y", bits=32)
+
+
+def test_hilbert_key_matches_python_reference_and_bijects(spark):
+    from ngafid_cpat_spark.functions.layout import hilbert_cols, hilbert_py
+
+    # full 32x32 grid: exact per-cell agreement with the python
+    # xy2d reference AND bijectivity onto [0, 1024)
+    grid = spark.range(1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    got = {
+        (r["x"], r["y"]): r["hkey"]
+        for r in hilbert_cols(grid, "x", "y", bits=5).collect()
+    }
+    assert got == {
+        (x, y): hilbert_py(x, y, 5) for x in range(32) for y in range(32)
+    }
+    assert sorted(got.values()) == list(range(1024))
+
+
+def test_hilbert_consecutive_keys_are_adjacent_cells(spark):
+    """The property Z-order lacks: consecutive Hilbert keys are
+    Manhattan-distance-1 neighbors, so sorted range scans touch one
+    contiguous region."""
+    from ngafid_cpat_spark.functions.layout import hilbert_py
+
+    inv = {
+        hilbert_py(x, y, 4): (x, y)
+        for x in range(16)
+        for y in range(16)
+    }
+    for d in range(255):
+        (a, b), (c, e) = inv[d], inv[d + 1]
+        assert abs(a - c) + abs(b - e) == 1
+
+
+def test_hilbert_buckets_are_bounded_squares(spark):
+    """Top-2k key bits name a level-k subsquare: with bits=10 and an
+    >>12 bucket, every bucket spans <= 64 cells per dimension (the
+    zorder rectangle contract, on the Hilbert key)."""
+    from ngafid_cpat_spark.plans import QUERIES
+
+    rows = QUERIES["hilbert_layout_events"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["max_user_cell"] - r["min_user_cell"] <= 63
+        assert r["max_hour_cell"] - r["min_hour_cell"] <= 63
