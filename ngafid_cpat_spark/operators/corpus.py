@@ -1187,17 +1187,34 @@ def bm25_topk(
         F.col(id_col), F.explode(T.tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return bm25_from_stats(tf, dl, k=k, id_col=id_col)
+
+
+def bm25_from_stats(
+    tf: DataFrame,
+    dl: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """bm25_topk's scoring stage over precomputed statistics: ``tf``
+    = (id, term, tf) postings restricted to the query's terms, ``dl``
+    = (id, dl) document lengths. Split out so the STREAMING ingestion
+    twin can score the drained postings/doclen store with the exact
+    arithmetic the batch query runs — both stats are mergeable across
+    disjoint document batches (postings and lengths just union), the
+    third member of the CMS-counter / HLL-register
+    shared-batch-oracle family."""
     scal = dl.agg(
         F.count(F.lit(1)).cast("long").alias("__n_docs"),
         F.sum("dl").cast("long").alias("__total"),
     ).select(
         "__n_docs",
         F.expr("div(1000 * __total, __n_docs)").alias("__avgdl_milli"),
-    )
-    tf = (
-        toks.filter(F.col("term").isin(list(query_terms)))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf_milli = F.expr(

@@ -592,18 +592,24 @@ def bfs_hops(
     and the contamination-style "within k hops of a flagged node"
     filter shape.
 
-    One declarative unrolled plan (the pagerank_micro doctrine):
-    round r joins the CURRENT distance frame against the static
-    directed edge table and folds ``min(hop)`` — pure integer
-    arithmetic, no driver sync, deterministic under any partitioning.
-    The edge+direction table is hash-partitioned and sorted on the
-    join key before ONE lazy localCheckpoint, so every round's SMJ
-    reuses the sort (the GraphX edge-partitioning pattern shared with
-    pagerank_micro). Each round's join is edge-sized; for a
-    long-diameter production BFS you would keep only the frontier
-    (previous-round improvements, an anti-join) to make later rounds
-    frontier-sized — with the small fixed round counts used here the
-    unrolled full fold is simpler and oracle-replayable.
+    Round r joins the CURRENT distance frame against the static
+    directed edge table and folds ``min(hop)`` over the union with
+    the previous distances — pure integer arithmetic, deterministic
+    under any partitioning. The edge+direction table is
+    hash-partitioned and sorted on the join key before ONE lazy
+    localCheckpoint, so every round's SMJ reuses the sort (the
+    GraphX edge-partitioning pattern shared with pagerank_micro).
+    Unlike PageRank/LPA, the update references the previous distance
+    frame TWICE (once in the union, once under the contribs join) —
+    left unchecked the unrolled plan DOUBLES per round (the r12
+    plan audit measured 15 SMJs for 3 rounds; runtime survived only
+    via exchange reuse), so each round's node-sized distance frame
+    materializes EAGERLY (the k-core Pregel-superstep trade) and
+    the per-round plan stays linear. Each round's join is
+    edge-sized; a long-diameter production BFS would additionally
+    keep only the frontier (an anti-join) to make later rounds
+    frontier-sized — with small fixed round counts the full fold is
+    simpler and oracle-replayable.
 
     ``seeds``: one-column ``node`` frame; restricted to in-graph
     nodes. Returns (node, hop INT) for nodes within n_rounds hops;
@@ -636,6 +642,9 @@ def bfs_hops(
             dist.unionByName(contribs)
             .groupBy("node")
             .agg(F.min("hop").cast("int").alias("hop"))
+            # EAGER: dist feeds the next round twice (union +
+            # contribs) — without the cut the plan doubles per round
+            .localCheckpoint(eager=True)
         )
     return dist
 

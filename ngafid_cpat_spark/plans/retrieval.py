@@ -254,3 +254,90 @@ def suffix_lcp_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_lcp_longest_dup(
         docs, max_span=_SUF_W, min_len=_SUF_MIN
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming BM25 index ingestion
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_bm25_topk_docs",
+    f"""
+    WITH {_bm25_cte(10)}
+    SELECT doc_id, score_milli, rn FROM bm25 ORDER BY rn
+    """,
+)
+def streaming_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_topk_docs' index maintained over a STREAMING corpus
+    (streaming/foreach_batch.stream_bm25): two mtime-ordered doc
+    batches (even doc_ids, then odd) each append their query-term
+    postings and doc lengths to a generation-keyed store — disjoint
+    document batches make both statistics union-mergeable, so the
+    drained store is row-identical to the one-pass build and this
+    twin shares the batch query's strict oracle VERBATIM (scoring
+    via operators/corpus.bm25_from_stats, the exact arithmetic the
+    batch path runs). Third member of the CMS/HLL mergeable-
+    ingestion family. Reseed clears the whole store + checkpoint
+    (the r12 ADVICE protocol)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.corpus import bm25_from_stats
+    from ..streaming.foreach_batch import stream_bm25
+    from .extensions import _scratch_dir, _write_ordered_stream_fixture
+
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        st = None
+    tag = hashlib.md5(
+        f"bm25-stream-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
+        f"{getattr(st, 'st_size', 0)}".encode()
+    ).hexdigest()[:12]
+    base = _scratch_dir()
+    stream_dir = os.path.join(base, f"spark_graft_bm25_arrivals_{tag}")
+    store_root = os.path.join(base, f"spark_graft_bm25_store_{tag}")
+    ckpt = os.path.join(base, f"spark_graft_bm25_ckpt_{tag}")
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = os.path.join(store_root, "gen-0")
+    if not os.path.exists(os.path.join(seed, "postings", "_SUCCESS")):
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(store_root, ignore_errors=True)
+        spark.createDataFrame(
+            [], "doc_id bigint, term string, tf bigint"
+        ).write.mode("overwrite").parquet(os.path.join(seed, "postings"))
+        spark.createDataFrame(
+            [], "doc_id bigint, dl bigint"
+        ).write.mode("overwrite").parquet(os.path.join(seed, "doclen"))
+    _write_ordered_stream_fixture(stream_dir, (
+        ("docs_00.parquet", docs.filter(F.col("doc_id") % 2 == 0),
+         1_000_000_000),
+        ("docs_01.parquet", docs.filter(F.col("doc_id") % 2 == 1),
+         1_000_000_100),
+    ))
+    schema = spark.read.parquet(
+        os.path.join(stream_dir, "docs_00.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    stream_bm25(
+        stream, store_root, ckpt,
+        query_terms=BM25_QUERY_TERMS,
+        query_name="streaming_bm25_topk_docs",
+    )
+    from ..operators.similarity import _fs_glob
+
+    latest = max(
+        int(name.split("-", 1)[1])
+        for name in _fs_glob(store_root, "gen-*", spark)
+        if name.split("-", 1)[1].isdigit()
+    )
+    tf = spark.read.parquet(f"{store_root}/gen-{latest}/postings")
+    dl = spark.read.parquet(f"{store_root}/gen-{latest}/doclen")
+    return bm25_from_stats(tf, dl, k=10)

@@ -573,3 +573,73 @@ def stream_hll(
     )
     q.awaitTermination()
     return q
+
+
+def stream_bm25(
+    docs: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+    query_terms: list[str],
+    query_name: str = "bm25_ingest",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 index maintenance over a streaming corpus: each
+    micro-batch tokenizes its documents once and APPENDS its
+    query-term postings (id, term, tf) and document lengths (id, dl)
+    to a generation-keyed store — document batches are disjoint, so
+    both statistics merge by plain union and the drained store is
+    ROW-IDENTICAL to the one-pass build: the third member of the
+    CMS-counter / HLL-register mergeable-ingestion family, sharing
+    the batch BM25 query's strict oracle verbatim (df, avgdl and
+    every score derive from the drained store with the same integer
+    arithmetic). Generation protocol as the other stores: gen-0 is
+    the caller-seeded empty pair, each epoch reads the highest
+    generation strictly below its target and overwrites its own —
+    replays are byte-identical no-ops."""
+    from ..functions import text as _T
+    from ..operators.similarity import _fs_glob
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = int(epoch_id) + 1
+        gens = sorted(
+            int(name.split("-", 1)[1])
+            for name in _fs_glob(store_root, "gen-*", spark)
+            if name.split("-", 1)[1].isdigit()
+        )
+        prior_gens = [g for g in gens if g < target]
+        if not prior_gens:
+            raise ValueError(
+                f"stream_bm25: no generation below {target} under "
+                f"{store_root} (found {gens}) — reseed gen-0 AND "
+                "clear the checkpoint."
+            )
+        prior = f"{store_root}/gen-{max(prior_gens)}"
+        toks = batch_df.select(
+            F.col(id_col), F.explode(_T.tokens(text_col)).alias("term")
+        ).filter(F.col("term") != "")
+        tf = (
+            toks.filter(F.col("term").isin(list(query_terms)))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+        out = f"{store_root}/gen-{target}"
+        spark.read.parquet(f"{prior}/postings").unionByName(tf).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/postings")
+        spark.read.parquet(f"{prior}/doclen").unionByName(dl).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/doclen")
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .foreachBatch(_apply)
+        .start()
+    )
+    q.awaitTermination()
+    return q
