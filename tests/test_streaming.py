@@ -1059,3 +1059,104 @@ def test_stream_hll_merge_equals_batch_and_replays(spark, tmp_path):
         map(tuple, spark.read.parquet(os.path.join(root, "gen-2")).collect())
     )
     assert again == drained
+
+
+def test_stream_bm25_store_equals_batch_and_replays(spark, tmp_path):
+    """stream_bm25: the drained postings/doclen store is
+    row-identical to the one-pass statistics (disjoint doc batches
+    union-merge), and a fresh-checkpoint replay rewrites identical
+    generations."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ngafid_cpat_spark.functions import text as T
+    from ngafid_cpat_spark.streaming.foreach_batch import stream_bm25
+
+    terms = ["alpha", "beta"]
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "delta alpha")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "beta beta beta"), (4, "gamma delta")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for name, df, mtime in (
+        ("d0.parquet", b1, 1_000_000_000),
+        ("d1.parquet", b2, 1_000_000_100),
+    ):
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, name)
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    root = str(tmp_path / "store")
+    spark.createDataFrame(
+        [], "doc_id bigint, term string, tf bigint"
+    ).write.parquet(os.path.join(root, "gen-0", "postings"))
+    spark.createDataFrame(
+        [], "doc_id bigint, dl bigint"
+    ).write.parquet(os.path.join(root, "gen-0", "doclen"))
+    schema = spark.read.parquet(os.path.join(src, "d0.parquet")).schema
+
+    def _run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_bm25(
+            stream, root, str(tmp_path / ck),
+            query_terms=terms, query_name=f"bm25_{ck}",
+        )
+
+    _run("ck1")
+    both = b1.unionByName(b2)
+    toks = both.select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    want_tf = sorted(
+        map(
+            tuple,
+            toks.filter(F.col("term").isin(terms))
+            .groupBy("doc_id", "term")
+            .count()
+            .collect(),
+        )
+    )
+    want_dl = sorted(
+        map(tuple, toks.groupBy("doc_id").count().collect())
+    )
+    got_tf = sorted(
+        map(
+            tuple,
+            spark.read.parquet(
+                os.path.join(root, "gen-2", "postings")
+            ).collect(),
+        )
+    )
+    got_dl = sorted(
+        map(
+            tuple,
+            spark.read.parquet(
+                os.path.join(root, "gen-2", "doclen")
+            ).collect(),
+        )
+    )
+    assert got_tf == want_tf and got_dl == want_dl
+    _run("ck2")
+    again = sorted(
+        map(
+            tuple,
+            spark.read.parquet(
+                os.path.join(root, "gen-2", "postings")
+            ).collect(),
+        )
+    )
+    assert again == got_tf
