@@ -404,3 +404,112 @@ def test_round_half_away_matches_engine_round(xs):
             Decimal(x).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
         )
         assert g == want == d == int(v), (x, g, v, d, want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1, max_size=30,
+    ),
+    st.lists(st.integers(0, 25), min_size=1, max_size=5),
+    st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_bfs_hops_match_bruteforce(spark, raw_pairs, raw_seeds, rounds):
+    """Fixed-round min-fold BFS equals a python BFS capped at the
+    same hop count on arbitrary small graphs and seed sets
+    (including seeds absent from the graph)."""
+    import collections
+
+    from ngafid_cpat_spark.operators import graphs as G
+
+    edges = sorted({(min(u, v), max(u, v)) for u, v in raw_pairs if u != v})
+    if not edges:
+        return
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    seeds = sorted(set(raw_seeds))
+    want = {s: 0 for s in seeds if s in adj}
+    q = collections.deque((s, 0) for s in sorted(want))
+    while q:
+        n, d = q.popleft()
+        if d == rounds:
+            continue
+        for m in sorted(adj[n]):
+            if m not in want:
+                want[m] = d + 1
+                q.append((m, d + 1))
+    got = {
+        r["node"]: r["hop"]
+        for r in G.bfs_hops(
+            spark.createDataFrame(edges, ["u", "v"]),
+            spark.createDataFrame([(s,) for s in seeds], ["node"]),
+            n_rounds=rounds,
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1, max_size=25,
+    ),
+    st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_label_propagation_matches_python_replay(spark, raw_pairs, rounds):
+    """Synchronous min-tie-break LPA equals its python replay on
+    arbitrary small graphs — the determinism contract (any
+    partitioning, any visit order) reduced to executable form."""
+    import collections
+
+    from ngafid_cpat_spark.operators import graphs as G
+
+    edges = sorted({(min(u, v), max(u, v)) for u, v in raw_pairs if u != v})
+    if not edges:
+        return
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        lab = {
+            n: min(
+                collections.Counter(lab[m] for m in adj[n]).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for n in adj
+        }
+    got = {
+        r["node"]: r["label"]
+        for r in G.label_propagation(
+            spark.createDataFrame(edges, ["u", "v"]), n_rounds=rounds
+        ).collect()
+    }
+    assert got == lab
+
+
+@given(st.integers(1, 7))
+@settings(max_examples=7, deadline=None)
+def test_hilbert_py_bijects_and_walks_adjacent(bits):
+    """hilbert_py is a bijection [0,2^b)^2 -> [0,4^b) whose
+    consecutive outputs are Manhattan-distance-1 neighbors, at every
+    grid size (the Spark chain is pinned bit-for-bit against this
+    reference in test_textops)."""
+    from ngafid_cpat_spark.functions.layout import hilbert_py
+
+    n = 1 << bits
+    inv = {}
+    for x in range(n):
+        for y in range(n):
+            d = hilbert_py(x, y, bits)
+            assert d not in inv
+            inv[d] = (x, y)
+    assert sorted(inv) == list(range(n * n))
+    for d in range(n * n - 1):
+        (a, b), (c, e) = inv[d], inv[d + 1]
+        assert abs(a - c) + abs(b - e) == 1
