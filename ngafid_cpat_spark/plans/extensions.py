@@ -6479,3 +6479,95 @@ def hilbert_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").cast("long").alias("min_hour_cell"),
         F.max("y").cast("long").alias("max_hour_cell"),
     )
+
+
+def _hll_intersect_oracle() -> str:
+    from ..operators.mining import hll_estimate_duck_sql, hll_rho_sql
+
+    j_sql, rho_sql = hll_rho_sql("user_id", duck=True)
+    est = hll_estimate_duck_sql("reg", ["cohort"])
+    return f"""
+    WITH h AS (
+      SELECT event_type AS cohort, {j_sql} AS j, {rho_sql} AS rho
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')
+    ), per AS (
+      SELECT cohort, j, MAX(rho) AS rho FROM h GROUP BY 1, 2
+    ), reg AS (
+      SELECT cohort, j, rho FROM per
+      UNION ALL
+      SELECT 'both' AS cohort, j, MAX(rho) AS rho FROM per GROUP BY 2
+    ), est AS ({est}),
+    tru AS (
+      SELECT COUNT(*) AS true_intersect FROM (
+        SELECT user_id FROM events
+        WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')
+        GROUP BY 1 HAVING COUNT(DISTINCT event_type) = 2
+      )
+    )
+    SELECT
+      MAX(CASE WHEN cohort = 'click' THEN approx_users END) AS est_click,
+      MAX(CASE WHEN cohort = 'view' THEN approx_users END) AS est_view,
+      MAX(CASE WHEN cohort = 'both' THEN approx_users END) AS est_union,
+      MAX(CASE WHEN cohort = 'click' THEN approx_users END)
+        + MAX(CASE WHEN cohort = 'view' THEN approx_users END)
+        - MAX(CASE WHEN cohort = 'both' THEN approx_users END)
+        AS est_intersect,
+      MAX(true_intersect) AS true_intersect
+    FROM est, tru
+    """
+
+
+@register("hll_intersect_users_events", _hll_intersect_oracle())
+def hll_intersect_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: the distinct-user OVERLAP of the click and
+    view cohorts by inclusion-exclusion over portable HLL registers —
+    |A ∩ B| ~ E(A) + E(B) - E(A ∪ B), where the union sketch is the
+    elementwise register MAX of the two cohort sketches (never a
+    rescan of the raw keys: the pre-aggregated-cube pattern extended
+    from rollups to set OVERLAP, the standard audience-overlap /
+    cross-contamination estimator). Every term is the strict
+    md5-register estimate, so unlike library sketch intersections
+    the whole computation hash-matches the DuckDB replay; the exact
+    intersection runs beside it for visible error (estimates are
+    m=64 coarse — the point here is deterministic sketch ALGEBRA).
+    Scale: one register build (map-side combine to 2 x 64 rows),
+    union = a 64-row aggregate, estimates fixed-size."""
+    from ..operators.mining import hll_estimate, hll_registers
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("click", "view")
+        )
+        .select(F.col("event_type").alias("cohort"), "user_id")
+    )
+    per = hll_registers(ev, ["cohort"], "user_id")
+    both = per.groupBy("j").agg(F.max("rho").alias("rho")).select(
+        F.lit("both").alias("cohort"), "j", "rho"
+    )
+    est = hll_estimate(per.unionByName(both), ["cohort"])
+    tru = (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct("cohort").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count(F.lit(1)).alias("true_intersect"))
+    )
+    wide = est.groupBy().agg(
+        F.max(F.when(F.col("cohort") == "click", F.col("approx_users")))
+        .alias("est_click"),
+        F.max(F.when(F.col("cohort") == "view", F.col("approx_users")))
+        .alias("est_view"),
+        F.max(F.when(F.col("cohort") == "both", F.col("approx_users")))
+        .alias("est_union"),
+    )
+    return wide.crossJoin(F.broadcast(tru)).select(
+        "est_click",
+        "est_view",
+        "est_union",
+        (
+            F.col("est_click") + F.col("est_view") - F.col("est_union")
+        ).alias("est_intersect"),
+        "true_intersect",
+    )
