@@ -6571,3 +6571,139 @@ def hll_intersect_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_intersect"),
         "true_intersect",
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage scoring (blocking -> pairwise decision)
+# ---------------------------------------------------------------------------
+
+import math as _math  # noqa: E402
+
+# Integer "deciban" weights round(10*log10(.)) from literal m/u
+# parameters — the classic binit-weight practice (Newcombe 1959;
+# Fellegi & Sunter 1969): log-odds enter as PRECOMPUTED integer
+# literals, so the pairwise score is an exact BIGINT sum on every
+# engine (no engine log in the data path).
+def _fs_w(m: float, u: float) -> tuple[int, int]:
+    return (
+        round(10 * _math.log10(m / u)),
+        round(10 * _math.log10((1 - m) / (1 - u))),
+    )
+
+
+# field -> (m, u): m = P(agree | match), u = P(agree | non-match)
+_FS_FIELDS = {
+    "name": _fs_w(0.9, 0.001),     # levenshtein <= 1
+    "nation": _fs_w(0.95, 0.04),   # equality over 25 nations
+    "segment": _fs_w(0.9, 0.2),    # equality over 5 segments
+    "acctbal": _fs_w(0.8, 0.002),  # balances within 10.00
+}
+_FS_MATCH_T = 40  # total deciban threshold for "match"
+
+
+def _fs_weight_sql(agree_sql: str, field: str) -> str:
+    wa, wd = _FS_FIELDS[field]
+    return f"(CASE WHEN {agree_sql} THEN {wa} ELSE {wd} END)"
+
+
+_FS_AGREE = {
+    "name": "levenshtein(na, nb) <= 1",
+    "nation": "xa = xb",
+    "segment": "sa = sb",
+    "acctbal": "abs(ca - cb) <= 1000",
+}
+_FS_SCORE_SQL = " + ".join(
+    _fs_weight_sql(_FS_AGREE[f], f) for f in _FS_FIELDS
+)
+_FS_NAGREE_SQL = " + ".join(
+    f"(CASE WHEN {_FS_AGREE[f]} THEN 1 ELSE 0 END)" for f in _FS_FIELDS
+)
+
+
+@register(
+    "fs_linkage_scores_customers",
+    f"""
+    WITH c AS (
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS x,
+             c_mktsegment AS s,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+      FROM customer
+    ), r AS (
+      SELECT id, name, x, s, cents,
+             ROW_NUMBER() OVER (ORDER BY lower(name), id) AS rid
+      FROM c
+    ), cand AS (
+      SELECT a.id AS ia, a.name AS na, a.x AS xa, a.s AS sa,
+             a.cents AS ca,
+             b.id AS ib, b.name AS nb, b.x AS xb, b.s AS sb,
+             b.cents AS cb
+      FROM r a JOIN r b ON b.rid BETWEEN a.rid + 1 AND a.rid + 3
+    ), scored AS (
+      SELECT LEAST(ia, ib) AS id1, GREATEST(ia, ib) AS id2,
+             CAST({_FS_SCORE_SQL} AS BIGINT) AS w_deciban,
+             CAST({_FS_NAGREE_SQL} AS INT) AS n_agree
+      FROM cand
+    )
+    SELECT id1, id2, w_deciban, n_agree,
+           CASE WHEN w_deciban >= {_FS_MATCH_T} THEN 'match'
+                ELSE 'possible' END AS decision
+    FROM scored WHERE w_deciban >= 0
+    """,
+)
+def fs_linkage_scores_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over the
+    sorted-neighborhood candidates (Fellegi & Sunter 1969; integer
+    deciban weights after Newcombe 1959): each window-adjacent
+    customer pair is scored field by field — name edit distance,
+    nation / segment equality, balances within 10.00 — with
+    agreement/disagreement log-odds entering as
+    PRECOMPUTED integer literals from the m/u parameters, so the
+    pairwise score is an exact BIGINT sum that hash-matches the
+    DuckDB replay (no engine log in the data path). Pairs at
+    w >= 0 deciban survive; w >= 40 classifies 'match'. Completes
+    the ER story: snm_blocking generates candidates, this scores and
+    decides them. Scale: the same range-partitioned global order +
+    exploded-rid equi-join as SNM (linear in rows x window); scoring
+    is pure map-side CASE arithmetic; thresholds drop the output to
+    the decision set."""
+    from ..operators.windows import global_row_number
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("x"),
+        F.col("c_mktsegment").alias("s"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    ).withColumn("key", F.lower(F.col("name")))
+    r = global_row_number(cust, ["key", "id"], out_col="rid").drop("key")
+    left = r.select(
+        F.col("id").alias("ia"), F.col("name").alias("na"),
+        F.col("x").alias("xa"), F.col("s").alias("sa"),
+        F.col("cents").alias("ca"),
+        F.explode(F.array(*[F.col("rid") + k for k in range(1, 4)]))
+        .alias("rid"),
+    )
+    right = r.select(
+        "rid",
+        F.col("id").alias("ib"), F.col("name").alias("nb"),
+        F.col("x").alias("xb"), F.col("s").alias("sb"),
+        F.col("cents").alias("cb"),
+    )
+    cand = left.join(right, "rid")
+    scored = cand.select(
+        F.least("ia", "ib").alias("id1"),
+        F.greatest("ia", "ib").alias("id2"),
+        F.expr(_FS_SCORE_SQL).cast("long").alias("w_deciban"),
+        F.expr(_FS_NAGREE_SQL).cast("int").alias("n_agree"),
+    )
+    return scored.filter(F.col("w_deciban") >= 0).select(
+        "id1",
+        "id2",
+        "w_deciban",
+        "n_agree",
+        F.when(F.col("w_deciban") >= _FS_MATCH_T, F.lit("match"))
+        .otherwise(F.lit("possible"))
+        .alias("decision"),
+    )

@@ -672,3 +672,36 @@ def test_suffix_lcp_same_doc_runs_do_not_leak(spark):
     )
     out = suffix_lcp_longest_dup(df, max_span=10, min_len=2).collect()
     assert out == []
+
+
+def test_fs_linkage_weights_are_exact_subset_sums(spark):
+    """Every Fellegi-Sunter pair score must be one of the 2^4 exact
+    subset sums of the integer deciban weights (each field
+    contributes its agreement XOR disagreement weight — nothing
+    else), the decision must follow the threshold, and ids must be
+    ordered."""
+    import itertools
+
+    from ngafid_cpat_spark.plans import QUERIES
+    from ngafid_cpat_spark.plans.extensions import _FS_FIELDS, _FS_MATCH_T
+
+    rows = QUERIES["fs_linkage_scores_customers"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    fields = list(_FS_FIELDS)
+    sums = {}
+    for agree in itertools.product([0, 1], repeat=len(fields)):
+        w = sum(
+            _FS_FIELDS[f][0] if a else _FS_FIELDS[f][1]
+            for f, a in zip(fields, agree)
+        )
+        sums.setdefault(w, set()).add(sum(agree))
+    for r in rows:
+        assert r["w_deciban"] in sums
+        assert r["n_agree"] in sums[r["w_deciban"]]
+        assert r["id1"] < r["id2"]
+        assert r["decision"] == (
+            "match" if r["w_deciban"] >= _FS_MATCH_T else "possible"
+        )
+        assert r["w_deciban"] >= 0
