@@ -6707,3 +6707,98 @@ def fs_linkage_scores_customers(
         .otherwise(F.lit("possible"))
         .alias("decision"),
     )
+
+
+@register(
+    "fs_entity_consolidation_customers",
+    f"""
+    WITH RECURSIVE c AS (
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS x,
+             c_mktsegment AS s,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+      FROM customer
+    ), r AS (
+      SELECT id, name, x, s, cents,
+             ROW_NUMBER() OVER (ORDER BY lower(name), id) AS rid
+      FROM c
+    ), cand AS (
+      SELECT a.id AS ia, a.name AS na, a.x AS xa, a.s AS sa,
+             a.cents AS ca,
+             b.id AS ib, b.name AS nb, b.x AS xb, b.s AS sb,
+             b.cents AS cb
+      FROM r a JOIN r b ON b.rid BETWEEN a.rid + 1 AND a.rid + 3
+    ), m AS (
+      SELECT LEAST(ia, ib) AS id1, GREATEST(ia, ib) AS id2
+      FROM cand WHERE CAST({{_FS_SCORE_SQL}} AS BIGINT) >= {{_FS_MATCH_T}}
+    ), edges AS (
+      SELECT id1 AS src, id2 AS dst FROM m
+      UNION SELECT id2, id1 FROM m
+    ), reach(id, root) AS (
+      SELECT id, id FROM c
+      UNION
+      SELECT e.dst, r2.root FROM reach r2 JOIN edges e ON e.src = r2.id
+    ), lab AS (
+      SELECT id, MIN(root) AS entity_id FROM reach GROUP BY 1
+    ), mem AS (
+      SELECT lab.entity_id, lab.id, c2.cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY lab.entity_id
+               ORDER BY c2.cents DESC, lab.id ASC) AS rk
+      FROM lab JOIN c c2 ON c2.id = lab.id
+    )
+    SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(CASE WHEN rk = 1 THEN id END) AS BIGINT)
+             AS canonical_id,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM mem GROUP BY 1 HAVING COUNT(*) >= 2
+    ORDER BY entity_id
+    """.replace("{_FS_SCORE_SQL}", _FS_SCORE_SQL).replace(
+        "{_FS_MATCH_T}", str(_FS_MATCH_T)
+    ),
+)
+def fs_entity_consolidation_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The entity-resolution finale: Fellegi-Sunter 'match'
+    decisions become ENTITIES by connected components over the match
+    graph (min-label propagation — transitive closure of pairwise
+    decisions, the merge/purge merge step), and each multi-member
+    entity elects its canonical record by survivorship (highest
+    balance, ties to the smallest id) with a consolidated balance.
+    Completes the chain: snm blocking -> fs scoring -> decision ->
+    consolidation, every stage strict-oracle-paired (the oracle
+    closes the match graph with a recursive CTE, the dedup_clusters
+    convention). Scale: the match graph is decision-sized (orders
+    below the corpus), so the CC loop's working set is tiny;
+    membership join-back and survivorship are one aggregate."""
+    from ..operators.dedup import connected_components
+
+    matches = (
+        fs_linkage_scores_customers(spark, sf_dir)
+        .filter(F.col("decision") == "match")
+        .select("id1", "id2")
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    lab = connected_components(
+        matches, cust.select("id"), id_col="id"
+    ).withColumnRenamed("cluster_id", "entity_id")
+    mem = lab.join(cust, "id")
+    ent = mem.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max(F.struct(F.col("cents"), (-F.col("id")).alias("ni")))
+        .alias("__best"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    return (
+        ent.filter(F.col("n_members") >= 2)
+        .select(
+            "entity_id",
+            "n_members",
+            (-F.col("__best.ni")).cast("long").alias("canonical_id"),
+            "total_cents",
+        )
+        .orderBy("entity_id")
+    )

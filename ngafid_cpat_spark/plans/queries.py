@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (195 queries: 189 strict oracles + 6 bounded-error).
+the full catalog (196 queries: 190 strict oracles + 6 bounded-error).
 """
 
 from __future__ import annotations
