@@ -126,13 +126,23 @@ def hilbert_cols(df, x_expr: str, y_expr: str, bits: int = 16, out: str = "hkey"
 
 
 def hilbert_cte_sql(
-    relation: str, x_expr: str, y_expr: str, bits: int = 16,
-    keep: str = "*",
+    relation: str, x_expr: str, y_expr: str, keep: str, bits: int = 16,
 ) -> str:
     """The same unrolled xy2d chain as DuckDB CTE levels over
     ``relation``; final CTE is ``hilb`` with ``keep`` columns plus
     ``hkey`` — byte-for-byte the arithmetic hilbert_cols runs, so
-    layout queries stay strict-oracle-paired."""
+    layout queries stay strict-oracle-paired.
+
+    ``keep`` is REQUIRED and must name explicit columns: every level
+    re-emits ``keep`` alongside fresh __hx/__hy/__hd state columns,
+    so ``*`` would duplicate the state columns at level 1 and make
+    every later reference ambiguous."""
+    if "*" in keep:
+        raise ValueError(
+            "hilbert_cte_sql keep must list explicit columns, not '*': "
+            "each CTE level re-emits keep plus the __hx/__hy/__hd state "
+            "columns, and '*' would duplicate them"
+        )
     parts = [
         f"h0 AS (SELECT {keep}, CAST({x_expr} AS BIGINT) AS __hx, "
         f"CAST({y_expr} AS BIGINT) AS __hy, CAST(0 AS BIGINT) AS __hd "

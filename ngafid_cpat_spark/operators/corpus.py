@@ -1176,10 +1176,16 @@ def bm25_topk(
     combining groupBy on the id; the tf layer filters to the query's
     terms BEFORE its groupBy (the shuffle carries only matching
     postings, not the corpus); df and the N/avgdl scalars ride
-    broadcast joins; top-k is TakeOrdered over per-doc sums. int64
-    headroom: idf_milli*22*tf*A <= 666*N * 22 * tf * A — safe
-    through N ~ 1e8 at tf,dl <= 10^4; beyond that drop idf to
-    centi-scale or lift the product to DECIMAL.
+    broadcast joins; top-k is TakeOrdered over per-doc sums.
+    Headroom: the contribution numerator idf_milli*22*tf*A (up to
+    ~666*N * 22 * tf * 1000*avgdl) blows int64 already at modest
+    corpora (N ~ 1e4 suffices at tf = dl = 1e4), so it is computed
+    in DECIMAL(38,0) — mirroring the DuckDB oracle, where SUM(dl)
+    makes `a` HUGEINT and the whole product chain 128-bit. Safe
+    envelope is now numerator < 1e38: at tf, dl <= 1e6 and
+    avgdl <= 1e6 that is N <= ~6e18 — unbounded in practice. The
+    quotient itself (~2.2 * idf_milli <= ~1.5e3 * N) and the per-doc
+    sum stay comfortably BIGINT through N ~ 1e14.
 
     Returns (id_col, score_milli, rn) with rn = 1..k, ties broken
     by id."""
@@ -1214,15 +1220,24 @@ def bm25_from_stats(
         F.sum("dl").cast("long").alias("__total"),
     ).select(
         "__n_docs",
-        F.expr("div(1000 * __total, __n_docs)").alias("__avgdl_milli"),
+        F.expr(
+            "div(CAST(1000 AS DECIMAL(38,0)) * __total, __n_docs)"
+        ).alias("__avgdl_milli"),
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf_milli = F.expr(
-        "div(1000 * (2 * __n_docs - 2 * df + 1), 2 * df + 1)"
+        "div(1000 * (2 * CAST(__n_docs AS DECIMAL(38,0)) - 2 * df + 1), "
+        "2 * df + 1)"
     )
+    # numerator/denominator in DECIMAL(38,0): int64 wraps silently on
+    # non-ANSI Spark at modest corpus sizes while the DuckDB oracle's
+    # HUGEINT keeps going — decimal keeps both engines exact (and
+    # loudly-overflowing) to ~1e38. div on decimals returns BIGINT.
     contrib = F.expr(
-        "div(__idf_milli * 22 * tf * __avgdl_milli, "
-        "10 * tf * __avgdl_milli + 3 * __avgdl_milli + 9000 * dl)"
+        "div(CAST(__idf_milli AS DECIMAL(38,0)) * 22 * tf * __avgdl_milli, "
+        "CAST(10 AS DECIMAL(38,0)) * tf * __avgdl_milli "
+        "+ CAST(3 AS DECIMAL(38,0)) * __avgdl_milli "
+        "+ CAST(9000 AS DECIMAL(38,0)) * dl)"
     )
     scored = (
         tf.join(F.broadcast(dfreq), "term")

@@ -702,16 +702,20 @@ def label_propagation(
             F.count(F.lit(1)).alias("cnt")
         )
         # argmax by (cnt DESC, label ASC) as ONE aggregate:
-        # max(struct(cnt, -label)) picks the highest count, then the
-        # smallest label (labels are node ids >= 0, so -label is a
-        # safe total order)
+        # min(struct(-cnt, label)) picks the highest count, then the
+        # smallest label — the sign trick sits on cnt (always >= 1,
+        # negation safe), so node ids/labels of ANY sign order
+        # correctly (negating the label instead would silently flip
+        # ties to largest-label for negative ids)
         labels = (
             counted.groupBy("node")
             .agg(
-                F.max(
-                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label")
+                    )
                 ).alias("m")
             )
-            .select("node", (-F.col("m.nl")).alias("label"))
+            .select("node", F.col("m.label").alias("label"))
         )
     return labels

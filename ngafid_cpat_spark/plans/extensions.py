@@ -6439,7 +6439,7 @@ from ..functions.layout import hilbert_cte_sql as _hil_sql  # noqa: E402
     f"""
     WITH ev AS (
       SELECT {_Z_X} AS x, {_Z_Y_DUCK} AS y FROM events
-    ), {_hil_sql('ev', 'x', 'y', _Z_BITS, keep='x, y')}
+    ), {_hil_sql('ev', 'x', 'y', keep='x, y', bits=_Z_BITS)}
     SELECT CAST(hkey >> 12 AS BIGINT) AS h_bucket,
            COUNT(*) AS n_events,
            CAST(MIN(x) AS BIGINT) AS min_user_cell,
@@ -6788,7 +6788,10 @@ def fs_entity_consolidation_customers(
     mem = lab.join(cust, "id")
     ent = mem.groupBy("entity_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.max(F.struct(F.col("cents"), (-F.col("id")).alias("ni")))
+        # survivorship argmax (cents DESC, id ASC) with the sign trick
+        # on cents, not the id, so negative ids would still tie-break
+        # to the smallest id like the oracle's ROW_NUMBER ordering
+        F.min(F.struct((-F.col("cents")).alias("nc"), F.col("id")))
         .alias("__best"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
@@ -6797,7 +6800,7 @@ def fs_entity_consolidation_customers(
         .select(
             "entity_id",
             "n_members",
-            (-F.col("__best.ni")).cast("long").alias("canonical_id"),
+            F.col("__best.id").cast("long").alias("canonical_id"),
             "total_cents",
         )
         .orderBy("entity_id")

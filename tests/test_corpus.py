@@ -691,3 +691,31 @@ def test_rrf_fusion_hand_check(spark):
         key = (-r["rrf_micro"], r["doc_id"])
         assert prev is None or prev < key
         prev = key
+
+
+def test_bm25_from_stats_decimal_lift_survives_int64_overflow(spark):
+    """r12 ADVICE fix: the per-term contribution numerator
+    idf_milli*22*tf*avgdl_milli must be exact PAST int64 — feed
+    stats whose numerator is ~3.7e22 and compare score_milli
+    against a pure-python big-int replay of the same floor
+    divisions."""
+    from ngafid_cpat_spark.operators.corpus import bm25_from_stats
+
+    # 3 docs of a billion tokens each; one query term in doc 1 only
+    dl = spark.createDataFrame(
+        [(1, 10**9), (2, 10**9), (3, 10**9)], ["doc_id", "dl"]
+    )
+    tf = spark.createDataFrame(
+        [(1, "spark", 10**6)], ["doc_id", "term", "tf"]
+    )
+    got = {
+        r["doc_id"]: r["score_milli"]
+        for r in bm25_from_stats(tf, dl, k=3).collect()
+    }
+    n, total = 3, 3 * 10**9
+    a = (1000 * total) // n
+    idf = (1000 * (2 * n - 2 * 1 + 1)) // (2 * 1 + 1)
+    t = 10**6
+    want = (idf * 22 * t * a) // (10 * t * a + 3 * a + 9000 * 10**9)
+    assert idf * 22 * t * a > 2**63  # the scenario int64 cannot hold
+    assert got == {1: want}

@@ -480,3 +480,36 @@ def test_label_propagation_deterministic_communities(spark):
     assert got == lab
     # communities: the two triangles keep distinct labels
     assert len({got[1], got[4]}) == 2
+
+
+def test_label_propagation_negative_ids_tie_to_smallest(spark):
+    """r12 ADVICE fix: the argmax tie-break must pick the SMALLEST
+    label even when node ids are negative (the old -label sign trick
+    silently flipped to largest-label there)."""
+    import collections
+
+    from ngafid_cpat_spark.operators.graphs import label_propagation
+
+    # node 0 sees neighbors -5 and 3 once each: tie on count, the
+    # smallest label (-5) must win; plus a negative triangle
+    edges = [(-5, 0), (0, 3), (-5, -7), (-7, -9), (-5, -9)]
+    e = spark.createDataFrame(edges, ["u", "v"])
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, n_rounds=3).collect()
+    }
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    lab = {n: n for n in adj}
+    for _ in range(3):
+        lab = {
+            n: min(
+                (c := collections.Counter(lab[m] for m in adj[n])),
+                key=lambda l: (-c[l], l),
+            )
+            for n in adj
+        }
+    assert got == lab
+    assert min(got.values()) == -9  # negative labels propagated

@@ -284,3 +284,20 @@ def test_hilbert_buckets_are_bounded_squares(spark):
     for r in rows:
         assert r["max_user_cell"] - r["min_user_cell"] <= 63
         assert r["max_hour_cell"] - r["min_hour_cell"] <= 63
+
+
+def test_hilbert_cte_sql_rejects_star_keep():
+    """r12 ADVICE fix: keep='*' would re-emit the __hx/__hy/__hd
+    state columns through SELECT * and break every level after the
+    first with duplicate names — the helper must refuse it."""
+    import pytest
+
+    from ngafid_cpat_spark.functions.layout import hilbert_cte_sql
+
+    with pytest.raises(ValueError, match="explicit columns"):
+        hilbert_cte_sql("ev", "x", "y", keep="*", bits=4)
+    with pytest.raises(ValueError, match="explicit columns"):
+        hilbert_cte_sql("ev", "x", "y", keep="a, *", bits=4)
+    # explicit columns still work and end in the hilb CTE
+    sql = hilbert_cte_sql("ev", "x", "y", keep="x, y", bits=4)
+    assert sql.rstrip().endswith("hkey FROM h4)")
