@@ -20,7 +20,7 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import windows as OW
 from ..sources import load
-from .relational import TOLERANCE_ORACLES, register
+from .relational import SCALED_ORACLES, TOLERANCE_ORACLES, register
 
 # Shared normalization SQL fragment (DuckDB needs the 'g' flag to
 # replace globally; Spark's regexp_replace is global by default).
@@ -5631,6 +5631,30 @@ def snm_blocking_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
     return D.snm_pairs(cust, window=4, max_dist=1)
+
+
+# sf > 0.01 evidence sweeps replace the quadratic NOT-EXISTS witness
+# (510 s at sf0.1) with the O(n log n) sorted-prefix-max identity the
+# operator's docstring proves — per-date max, exclusive running max
+# in date order, frontier = strict record-setters joined back on the
+# (date, price) point. Same rows bit-for-bit; pytest pins the two
+# forms equal at sf0.001.
+SCALED_ORACLES["skyline_orders"] = """
+    WITH g AS (
+      SELECT o_orderdate AS d, MAX(o_totalprice) AS mp
+      FROM orders GROUP BY 1
+    ), f AS (
+      SELECT d, mp, MAX(mp) OVER (
+        ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ) AS prev FROM g
+    )
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM orders o JOIN f ON o.o_orderdate = f.d
+                        AND o.o_totalprice = f.mp
+    WHERE f.prev IS NULL OR f.mp > f.prev
+    """
+
+
 
 
 @register(

@@ -120,6 +120,16 @@ ORACLES = _reorder(_relational.ORACLES)
 # bounded-error oracles for sketch queries — check_oracle.py only,
 # never exposed through the driver contract (oracle_sql)
 TOLERANCE_ORACLES = _relational.TOLERANCE_ORACLES
+# identical-result faster oracle forms for sf > 0.01 evidence sweeps
+# — check_oracle.py only (the driver gate at sf0.01 keeps the
+# brute-force witnesses)
+SCALED_ORACLES = _relational.SCALED_ORACLES
 assert set(QUERIES) == set(_relational.QUERIES)
 
-__all__ = ["QUERIES", "ORACLES", "PRIORITY", "TOLERANCE_ORACLES"]
+__all__ = [
+    "QUERIES",
+    "ORACLES",
+    "PRIORITY",
+    "SCALED_ORACLES",
+    "TOLERANCE_ORACLES",
+]

@@ -381,3 +381,24 @@ def test_hll_intersection_algebra_tracks_controlled_overlap(spark):
     # true 500; inclusion-exclusion compounds three m=64 estimates
     # (13% rsd each) — hold to a wide but meaningful band
     assert 0 < inter < 1500
+
+
+def test_skyline_scaled_oracle_matches_quadratic_witness():
+    """The O(n log n) sorted-prefix-max oracle form used for
+    sf > 0.01 evidence sweeps must return bit-identical rows to the
+    quadratic NOT-EXISTS witness the driver gate runs at sf0.01."""
+    import duckdb
+
+    from ngafid_cpat_spark.plans.queries import ORACLES, SCALED_ORACLES
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        con.execute(
+            "CREATE OR REPLACE VIEW orders AS SELECT * FROM "
+            f"read_parquet('/root/testdata/{sf}/orders.parquet')"
+        )
+        slow = sorted(con.execute(ORACLES["skyline_orders"]).fetchall())
+        fast = sorted(
+            con.execute(SCALED_ORACLES["skyline_orders"]).fetchall()
+        )
+        assert slow == fast and len(slow) > 0

@@ -246,6 +246,22 @@ def main():
 
     qs = queries()
     oracles = oracle_sql()
+    # sf > 0.01: swap in the identical-result O(n log n) oracle forms
+    # for queries whose driver-facing witness is deliberately brute
+    # force (skyline's quadratic NOT-EXISTS cost 510 s of the sf0.1
+    # sweep alone). pytest pins each pair equal at sf0.001.
+    import os as _os
+
+    if _os.path.basename(args.sf_dir.rstrip("/")) not in (
+        "sf0.001",
+        "sf0.01",
+    ):
+        from ngafid_cpat_spark.plans.queries import SCALED_ORACLES
+
+        swapped = {k: v for k, v in SCALED_ORACLES.items() if k in oracles}
+        if swapped:
+            print(f"using scaled oracle forms for: {sorted(swapped)}")
+            oracles = {**oracles, **swapped}
     names = args.names or (list(qs)[:50] if args.window else list(qs))
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
