@@ -719,3 +719,76 @@ def label_propagation(
             .select("node", F.col("m.label").alias("label"))
         )
     return labels
+
+
+def sssp_minplus(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 3,
+    u: str = "u",
+    v: str = "v",
+    w: str = "w",
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest path, capped at ``n_rounds``
+    relaxation rounds — bounded Bellman-Ford (Bellman 1958 / Ford
+    1956) as synchronous min-plus iteration, the weighted upgrade of
+    bfs_hops (set every weight to 1 and the two coincide). Edges are
+    distinct undirected (u < v) pairs with a non-negative BIGINT
+    weight column ``w``; after r rounds each node holds the exact
+    minimum path cost from the seed set over paths of at most r
+    edges (the classic bounded-hop distance semantics — NOT
+    necessarily the unbounded shortest path, which needs
+    diameter-many rounds).
+
+    Scale shape: identical to bfs_hops — the directed (s, t, w)
+    table is hash-partitioned + sorted once before one lazy
+    localCheckpoint so every round's edge-sized SMJ reuses the sort;
+    the distance frame feeds each round TWICE (union + relaxation
+    join), so it materializes EAGERLY per round, keeping the
+    unrolled plan linear in rounds (the r12 BFS plan-doubling
+    lesson, applied from birth this time). Pure integer min-plus —
+    deterministic under any partitioning, strict-oracle-replayable
+    as unrolled CTE rounds.
+
+    ``seeds``: one-column ``node`` frame; restricted to in-graph
+    nodes. Returns (node, dist BIGINT) for nodes reached within
+    n_rounds edges; unreached nodes are absent."""
+    de = edges.select(
+        F.col(u).alias("s"), F.col(v).alias("t"), F.col(w).alias("w")
+    ).unionByName(
+        edges.select(
+            F.col(v).alias("s"), F.col(u).alias("t"), F.col(w).alias("w")
+        )
+    )
+    sess = edges.sparkSession
+    try:
+        n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_part = 32
+    dd = (
+        de.repartition(n_part, "s")
+        .sortWithinPartitions("s")
+        .localCheckpoint(eager=False)
+    )
+    nodes = dd.select("s").distinct()
+    dist = (
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .join(nodes, F.col("node") == F.col("s"), "left_semi")
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(n_rounds):
+        relaxed = dd.join(dist, dd["s"] == dist["node"]).select(
+            F.col("t").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            # EAGER: dist feeds the next round twice (union +
+            # relaxation) — without the cut the plan doubles per
+            # round (the r12 bfs_hops audit finding)
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -6455,6 +6455,99 @@ def label_propagation_users_events(
     )
 
 
+def _sssp_round_sql(prev: str, r: int) -> str:
+    return f"""
+    x{r} AS (
+      SELECT de.t AS node, p.dist + de.w AS dist
+      FROM de JOIN {prev} p ON de.s = p.node
+      UNION ALL SELECT node, dist FROM {prev}
+    ), s{r} AS (
+      SELECT node, MIN(dist) AS dist FROM x{r} GROUP BY 1
+    )"""
+
+
+@register(
+    "sssp_weighted_users_events",
+    f"""
+    WITH cells AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT a.user_id AS u, b.user_id AS v,
+             GREATEST(1, 6 - COUNT(*)) AS w
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ), de AS (
+      SELECT u AS s, v AS t, w FROM e UNION ALL SELECT v, u, w FROM e
+    ), nodes AS (
+      SELECT DISTINCT s FROM de
+    ), s0 AS (
+      SELECT s AS node, CAST(0 AS BIGINT) AS dist
+      FROM nodes WHERE s % 13 = 0
+    ),{_sssp_round_sql('s0', 1)},{_sssp_round_sql('s1', 2)},
+    {_sssp_round_sql('s2', 3)}
+    SELECT node AS user_id, CAST(dist AS BIGINT) AS dist FROM s3
+    """,
+)
+def sssp_weighted_users_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-round weighted shortest path
+    (operators/graphs.sssp_minplus; Bellman-Ford min-plus) over the
+    purchase co-occurrence graph — the ninth graph operator and the
+    weighted upgrade of bfs_hops (the r12 verdict's ask #5). Edge
+    weight = GREATEST(1, 6 - shared_cells): frequently co-purchasing
+    pairs are "closer", so 3 relaxation rounds score proximity to
+    the user_id % 13 seed cohort in exact BIGINT path cost. Per
+    round one edge-sized SMJ against the once-sorted checkpointed
+    edge table + a min fold, with the distance frame cut eagerly
+    (it feeds the round twice — the BFS plan-doubling lesson); the
+    DuckDB oracle unrolls the identical three rounds."""
+    from ..operators.graphs import sssp_minplus
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 600)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    edges = (
+        cells.alias("a")
+        .join(
+            cells.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"),
+            F.col("b.user_id").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "u",
+            "v",
+            F.greatest(F.lit(1), F.lit(6) - F.col("cnt"))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    seeds = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .filter(F.col("node") % 13 == 0)
+        .distinct()
+    )
+    return sssp_minplus(edges, seeds, n_rounds=3).withColumnRenamed(
+        "node", "user_id"
+    )
+
+
 from ..functions.layout import hilbert_cte_sql as _hil_sql  # noqa: E402
 
 

@@ -513,3 +513,46 @@ def test_label_propagation_negative_ids_tie_to_smallest(spark):
         }
     assert got == lab
     assert min(got.values()) == -9  # negative labels propagated
+
+
+def test_sssp_minplus_bounded_bellman_ford(spark):
+    """sssp_minplus must equal a python bounded Bellman-Ford replay,
+    including the case where a 2-edge path is CHEAPER than a direct
+    edge (what separates it from bfs_hops), and respect the round
+    cap (a node 4 edges out stays absent at n_rounds=3)."""
+    from ngafid_cpat_spark.operators.graphs import sssp_minplus
+
+    #  0 --10-- 3            0-1-3 costs 2, beating the direct 10
+    #  0 --1--- 1 --1-- 3 --1-- 4 --1-- 5 --1-- 6
+    edges = [(0, 3, 10), (0, 1, 1), (1, 3, 1), (3, 4, 1), (4, 5, 1), (5, 6, 1)]
+    e = spark.createDataFrame(edges, ["u", "v", "w"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_minplus(e, seeds, n_rounds=3).collect()
+    }
+    # python replay: 3 synchronous min-plus rounds
+    import collections
+
+    adj = collections.defaultdict(list)
+    for a, b, w in edges:
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+    dist = {0: 0}
+    for _ in range(3):
+        nxt = dict(dist)
+        for n, d in dist.items():
+            for m, w in adj[n]:
+                if m not in nxt or d + w < nxt[m]:
+                    nxt[m] = d + w
+        dist = nxt
+    assert got == dist
+    assert got[3] == 2          # relaxed through 0-1-3, not 0-3
+    assert 6 not in got         # 5 edges out, beyond 3 rounds
+    # off-graph seeds are dropped (the pagerank seed convention)
+    s2 = spark.createDataFrame([(0,), (999,)], ["node"])
+    got2 = {
+        r["node"]: r["dist"]
+        for r in sssp_minplus(e, s2, n_rounds=1).collect()
+    }
+    assert 999 not in got2 and got2[1] == 1

@@ -672,6 +672,24 @@ def main() -> None:
         ).filter(F.col("u") % 10 != 9)
         return G.label_propagation(edges, n_rounds=3)
 
+    def sssp(ev):
+        from ngafid_cpat_spark.operators import graphs as G
+
+        # chain graph with deterministic integer weights 1..5 —
+        # bounded Bellman-Ford, 3 relaxation rounds: same per-round
+        # shape as bfs (one SMJ vs the sorted edge checkpoint + a
+        # min fold + an eager node-sized cut), plus the weight column
+        # riding the shuffle
+        edges = ev.select(
+            F.col("event_id").alias("u"),
+            (F.col("event_id") + 1).alias("v"),
+            (F.pmod(F.xxhash64("event_id"), F.lit(5)) + 1).alias("w"),
+        ).filter(F.col("u") % 10 != 9)
+        seeds = ev.select(F.col("event_id").alias("node")).filter(
+            F.col("node") % 100 == 0
+        )
+        return G.sssp_minplus(edges, seeds, n_rounds=3)
+
     def approach_real(tele):
         # end-to-end flagship: full approach pipeline against the
         # REAL 15,165-airport / 164-runway dims (r11 verdict ask #5 —
@@ -726,6 +744,7 @@ def main() -> None:
         "hll_portable_union": ("events", hll_portable),
         "bfs_hops": ("events", bfs),
         "label_propagation": ("events", lpa),
+        "sssp_minplus": ("events", sssp),
         "approach_real_pipeline": ("tele", approach_real),
     }
 
