@@ -1258,3 +1258,74 @@ def bm25_from_stats(
     return topk.withColumn("rn", F.row_number().over(w)).select(
         id_col, "score_milli", "rn"
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks 1990) over the corpus's adjacent-bigram model, with NO
+    engine log in the data path: PMI = log N*c(xy)/(c(x.)*c(.y)) is
+    monotone in the rational, so candidates rank by the EXACT integer
+
+        pmi_micro = (1e6 * N * c(xy)) DIV (c(x.) * c(.y))
+
+    computed in DECIMAL(38,0) on Spark / HUGEINT in DuckDB (the BM25
+    headroom doctrine: N * c(xy) * 1e6 < 1e38 holds through ~6e15
+    tokens even with c(xy) = N) — the fs_linkage no-transcendentals
+    trick applied to collocation mining. Margins c(x.) / c(.y) and
+    the total N come from the FULL bigram model; the ``min_count``
+    support floor (standard: PMI over-rewards hapax pairs) applies
+    only to candidates. Micro-floor quantization decides near-ties,
+    like every *_micro score in this repo; exact ties break on
+    (prev, cur).
+
+    Shape at scale: one tokenize+lead pass builds the bigram model
+    (map-side-combining groupBy); margins are two vocab-sized
+    re-aggregations of the MODEL (never the token stream); N rides a
+    broadcast scalar; the support filter cuts candidates BEFORE the
+    margin joins; top-k is a TakeOrdered. Returns (prev, cur,
+    n_pairs, pmi_micro, rn)."""
+    toks = df.select(
+        id_col, F.posexplode(T.tokens(text_col)).alias("pos", "token")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bg = (
+        toks.withColumn("cur", F.lead("token").over(w))
+        .filter(F.col("cur").isNotNull())
+        .select(F.col("token").alias("prev"), "cur")
+    )
+    bmodel = bg.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("bc")
+    ).localCheckpoint(eager=False)  # feeds margins, total AND candidates
+    lm = bmodel.groupBy("prev").agg(F.sum("bc").alias("cx"))
+    rm = bmodel.groupBy("cur").agg(F.sum("bc").alias("cy"))
+    tot = bmodel.agg(F.sum("bc").alias("n"))
+    cand = bmodel.filter(F.col("bc") >= min_count)
+    scored = (
+        cand.join(lm, "prev")
+        .join(rm, "cur")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pmi_micro",
+            F.expr(
+                "div(CAST(1000000 AS DECIMAL(38,0)) * n * bc, "
+                "CAST(cx AS DECIMAL(38,0)) * cy)"
+            ),
+        )
+    )
+    topk = scored.orderBy(
+        F.col("pmi_micro").desc(), "prev", "cur"
+    ).limit(k)
+    rw = Window.orderBy(F.col("pmi_micro").desc(), "prev", "cur")
+    return topk.withColumn("rn", F.row_number().over(rw)).select(
+        "prev",
+        "cur",
+        F.col("bc").cast("long").alias("n_pairs"),
+        "pmi_micro",
+        "rn",
+    )

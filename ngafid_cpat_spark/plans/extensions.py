@@ -6922,3 +6922,55 @@ def fs_entity_consolidation_customers(
         )
         .orderBy("entity_id")
     )
+
+
+@register(
+    "pmi_collocations_docs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, pos, token FROM (
+        SELECT doc_id,
+               unnest(string_split({NORM_SQL}, ' ')) AS token,
+               unnest(range(len(string_split({NORM_SQL}, ' ')))) AS pos
+        FROM documents
+      )
+    ), big AS (
+      SELECT doc_id, token AS prev,
+             LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+      FROM tok
+    ), bmodel AS (
+      SELECT prev, cur, COUNT(*) AS bc FROM big
+      WHERE cur IS NOT NULL GROUP BY prev, cur
+    ), lm AS (
+      SELECT prev, SUM(bc) AS cx FROM bmodel GROUP BY prev
+    ), rm AS (
+      SELECT cur, SUM(bc) AS cy FROM bmodel GROUP BY cur
+    ), tot AS (
+      SELECT SUM(bc) AS n FROM bmodel
+    ), scored AS (
+      SELECT b.prev, b.cur, b.bc,
+             (1000000 * n * bc) // (cx * cy) AS pmi_micro
+      FROM bmodel b JOIN lm USING (prev) JOIN rm USING (cur), tot
+      WHERE b.bc >= 3
+    )
+    SELECT prev, cur, CAST(bc AS BIGINT) AS n_pairs,
+           CAST(pmi_micro AS BIGINT) AS pmi_micro,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY pmi_micro DESC, prev, cur) AS INT) AS rn
+    FROM scored
+    ORDER BY pmi_micro DESC, prev, cur LIMIT 20
+    """,
+)
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information (Church &
+    Hanks 1990; operators/corpus.pmi_collocations) over the corpus
+    bigram model, support >= 3 — the r12 verdict's ask #6. PMI's log
+    is monotone in N*c(xy)/(c(x.)*c(.y)), so candidates rank by that
+    rational as ONE exact integer floor-division per candidate
+    (DECIMAL(38,0) on Spark vs HUGEINT in DuckDB — no engine
+    transcendental in the data path, the fs_linkage deciban trick).
+    One tokenize+lead pass builds the model; margins re-aggregate the
+    MODEL, not the token stream; the support filter runs before the
+    margin joins; top-k is a TakeOrdered."""
+    docs = load(spark, sf_dir, "documents")
+    return C.pmi_collocations(docs, k=20, min_count=3)

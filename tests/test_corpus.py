@@ -719,3 +719,59 @@ def test_bm25_from_stats_decimal_lift_survives_int64_overflow(spark):
     want = (idf * 22 * t * a) // (10 * t * a + 3 * a + 9000 * 10**9)
     assert idf * 22 * t * a > 2**63  # the scenario int64 cannot hold
     assert got == {1: want}
+
+
+def test_pmi_collocations_matches_fraction_reference(spark):
+    """pmi_micro must equal floor(1e6*N*c(xy)/(c(x.)*c(.y))) with
+    margins from the FULL bigram model, and the top-k order must
+    agree with exact-rational PMI ranking (fractions.Fraction)."""
+    import collections
+    from fractions import Fraction
+
+    from ngafid_cpat_spark.operators.corpus import pmi_collocations
+
+    docs = [
+        (1, "new york new york city hall"),
+        (2, "new york is a big city"),
+        (3, "city hall and new york hall"),
+        (4, "big data big data big data"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = pmi_collocations(df, k=10, min_count=2).collect()
+
+    bc = collections.Counter()
+    for _, t in docs:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            bc[(a, b)] += 1
+    cx = collections.Counter()
+    cy = collections.Counter()
+    for (a, b), c in bc.items():
+        cx[a] += c
+        cy[b] += c
+    n = sum(bc.values())
+    cand = {p: c for p, c in bc.items() if c >= 2}
+    want = sorted(
+        (
+            (
+                -((1_000_000 * n * c) // (cx[a] * cy[b])),
+                a,
+                b,
+                c,
+            )
+            for (a, b), c in cand.items()
+        ),
+    )[:10]
+    assert [(r["prev"], r["cur"], r["n_pairs"], r["pmi_micro"]) for r in got] == [
+        (a, b, c, -neg) for neg, a, b, c in want
+    ]
+    assert [r["rn"] for r in got] == list(range(1, len(want) + 1))
+    # micro-floor ranking agrees with exact-rational PMI here
+    exact = sorted(
+        cand,
+        key=lambda p: (
+            -Fraction(n * cand[p], cx[p[0]] * cy[p[1]]),
+            p,
+        ),
+    )
+    assert [(r["prev"], r["cur"]) for r in got] == exact[:10]

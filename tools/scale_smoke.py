@@ -672,6 +672,14 @@ def main() -> None:
         ).filter(F.col("u") % 10 != 9)
         return G.label_propagation(edges, n_rounds=3)
 
+    def pmi(docs):
+        from ngafid_cpat_spark.operators import corpus as C
+
+        # one tokenize+lead pass -> bigram model; margins re-aggregate
+        # the vocab^2-bounded MODEL, not the token stream; top-k is a
+        # TakeOrdered — time should track corpus token count
+        return C.pmi_collocations(docs, k=20, min_count=3)
+
     def sssp(ev):
         from ngafid_cpat_spark.operators import graphs as G
 
@@ -745,6 +753,7 @@ def main() -> None:
         "bfs_hops": ("events", bfs),
         "label_propagation": ("events", lpa),
         "sssp_minplus": ("events", sssp),
+        "pmi_collocations": ("docs", pmi),
         "approach_real_pipeline": ("tele", approach_real),
     }
 
