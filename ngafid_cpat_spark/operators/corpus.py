@@ -1329,3 +1329,75 @@ def pmi_collocations(
         "pmi_micro",
         "rn",
     )
+
+
+def es_key_sql(id_expr: str, w_expr: str, salt: str, duck: bool) -> str:
+    """The Efraimidis-Spirakis integer key ladder for one row: the
+    MAX of ``w`` iid 60-bit md5 coins salted by (salt, j, id),
+    j = 1..w. Why this is EXACTLY the E-S distribution for integer
+    weights: the E-S key u^(1/w) (u uniform) has CDF x^w on [0,1] —
+    the law of the MAXIMUM of w iid uniforms — so 'largest k of
+    max-of-w coins' and 'largest k of u^(1/w)' are the same sampler,
+    WITHOUT the transcendental pow/ln that a float E-S key needs
+    (the no-engine-log doctrine: a 1-ulp libm disagreement at a key
+    boundary would flip the sample cross-engine). Same md5km coin as
+    the minhash/CMS/HLL families; 60-bit space makes key ties
+    across rows ~2^-60-rare, and the id tie-break keeps even those
+    deterministic."""
+    if duck:
+        coin = (
+            f"CAST(concat('0x', substr(md5(concat('{salt}:', "
+            f"CAST(j AS VARCHAR), ':', CAST({id_expr} AS VARCHAR))), "
+            f"1, 15)) AS BIGINT)"
+        )
+        return (
+            f"list_max(list_transform(range(1, {w_expr} + 1), "
+            f"j -> {coin}))"
+        )
+    coin = (
+        f"cast(conv(substr(md5(concat('{salt}:', cast(j as string), "
+        f"':', cast({id_expr} as string))), 1, 15), 16, 10) as bigint)"
+    )
+    return f"array_max(transform(sequence(1, {w_expr}), j -> {coin}))"
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "w",
+    id_col: str = "doc_id",
+    max_weight: int = 64,
+    salt: str = "es",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, A-Res): take the k rows with the
+    largest es_key_sql keys — each row's inclusion competes with
+    probability proportional to its integer weight, successive
+    draws without replacement, exactly the E-S scheme (see
+    es_key_sql for the max-of-w-uniforms identity that makes the
+    key ladder integer-exact). No RNG state: rerunning, re-sharding
+    or re-engine-ing yields the identical sample; vary ``salt`` for
+    fresh draws.
+
+    Weights must be integers in [1, max_weight] — the key costs
+    O(w) md5 coins per row (map-side, no shuffle), so the cap
+    bounds total work at rows x max_weight; out-of-range weights
+    fail fast (the pagerank zero-seed convention) rather than
+    silently skewing the sample. Top-k is a TakeOrdered; the only
+    k-row window ranks the survivors.
+
+    Returns the input columns plus (es_key, rn)."""
+    key = es_key_sql(id_col, weight_col, salt, duck=False)
+    guarded = (
+        f"CASE WHEN {weight_col} IS NULL OR {weight_col} < 1 "
+        f"OR {weight_col} > {max_weight} THEN "
+        f"raise_error(concat('weighted_sample_wor: weight out of "
+        f"[1, {max_weight}]: ', CAST({weight_col} AS STRING))) "
+        f"ELSE {key} END"
+    )
+    keyed = df.withColumn("es_key", F.expr(guarded))
+    topk = keyed.orderBy(
+        F.col("es_key").desc(), F.col(id_col)
+    ).limit(k)
+    w = Window.orderBy(F.col("es_key").desc(), F.col(id_col))
+    return topk.withColumn("rn", F.row_number().over(w))

@@ -775,3 +775,66 @@ def test_pmi_collocations_matches_fraction_reference(spark):
         ),
     )
     assert [(r["prev"], r["cur"]) for r in got] == exact[:10]
+
+
+def test_weighted_sample_wor_key_ladder_matches_hashlib(spark):
+    """es_key must equal a hashlib.md5 replay of the max-of-w coin
+    ladder, and the top-k must be the k largest (key, id) pairs."""
+    import hashlib
+
+    from ngafid_cpat_spark.operators.corpus import weighted_sample_wor
+
+    rows = [(i, 1 + i % 5) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = weighted_sample_wor(df, k=10, id_col="doc_id").collect()
+
+    def key(i, w):
+        return max(
+            int(
+                hashlib.md5(f"es:{j}:{i}".encode()).hexdigest()[:15], 16
+            )
+            for j in range(1, w + 1)
+        )
+
+    want = sorted(
+        ((key(i, w), i, w) for i, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert [(r["es_key"], r["doc_id"], r["w"]) for r in got] == want
+    assert [r["rn"] for r in got] == list(range(1, 11))
+
+
+def test_weighted_sample_wor_inclusion_orders_by_weight(spark):
+    """E-S property: across many salts, heavier rows appear in the
+    sample more often — weight-8 rows must dominate weight-1 rows
+    (deterministic test: md5 is fixed, salts enumerate draws)."""
+    import collections
+
+    from ngafid_cpat_spark.operators.corpus import weighted_sample_wor
+
+    rows = [(i, 8 if i % 2 == 0 else 1) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    hits = collections.Counter()
+    for s in range(30):
+        for r in weighted_sample_wor(
+            df, k=10, salt=f"es{s}"
+        ).collect():
+            hits[r["w"]] += 1
+    # 20 heavy (w=8) vs 20 light (w=1) rows compete for 10 slots x 30
+    # draws = 300 inclusions; E[heavy share] ~ 8/9 — require a wide
+    # margin, not the exact expectation
+    assert hits[8] > 3 * hits[1]
+    assert hits[8] + hits[1] == 300
+
+
+def test_weighted_sample_wor_rejects_out_of_range_weights(spark):
+    import pytest
+
+    from ngafid_cpat_spark.operators.corpus import weighted_sample_wor
+
+    df = spark.createDataFrame([(1, 0)], ["doc_id", "w"])
+    with pytest.raises(Exception, match="weight out of"):
+        weighted_sample_wor(df, k=1).collect()
+    df2 = spark.createDataFrame([(1, 65)], ["doc_id", "w"])
+    with pytest.raises(Exception, match="weight out of"):
+        weighted_sample_wor(df2, k=1).collect()

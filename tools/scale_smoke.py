@@ -672,6 +672,18 @@ def main() -> None:
         ).filter(F.col("u") % 10 != 9)
         return G.label_propagation(edges, n_rounds=3)
 
+    def es_sample(docs):
+        from ngafid_cpat_spark.operators import corpus as C
+
+        # O(w) map-side md5 coins per row + a TakeOrdered top-k:
+        # time should track rows x mean weight, no shuffle before
+        # the k-row tail
+        wd = docs.select(
+            "doc_id",
+            (F.pmod(F.xxhash64("doc_id"), F.lit(8)) + 1).alias("w"),
+        )
+        return C.weighted_sample_wor(wd, k=100, weight_col="w")
+
     def pmi(docs):
         from ngafid_cpat_spark.operators import corpus as C
 
@@ -754,6 +766,7 @@ def main() -> None:
         "label_propagation": ("events", lpa),
         "sssp_minplus": ("events", sssp),
         "pmi_collocations": ("docs", pmi),
+        "weighted_sample_wor": ("docs", es_sample),
         "approach_real_pipeline": ("tele", approach_real),
     }
 
