@@ -234,22 +234,45 @@ def main() -> None:
         pass
     compact["regressions"] = regressions
     out["regressions"] = regressions
+    record = {
+        "sf": compact["sf"],
+        "value": total,
+        "queries": timings,
+        "extra_queries": extra_timings,
+    }
     try:
         with open(SELF_RECORD, "w") as f:
-            json.dump(
-                {
-                    "sf": compact["sf"],
-                    "value": total,
-                    "queries": timings,
-                    "extra_queries": extra_timings,
-                },
-                f,
-                indent=1,
-                sort_keys=True,
-            )
+            json.dump(record, f, indent=1, sort_keys=True)
             f.write("\n")
     except OSError:
         pass
+    # every run ALSO appends to the history log, so a later run (the
+    # round driver's) can no longer silently erase a builder
+    # self-record — in r12 the committed 28.352 s self-run was
+    # overwritten by the driver's 35.082 s numbers, destroying the
+    # very discrepancy that needed investigating. A tagged run
+    # additionally snapshots to its own file (builders pass
+    # SPARK_GRAFT_BENCH_TAG=self_r13; the driver passes nothing).
+    hist = dict(record)
+    hist["unix_time"] = round(time.time(), 1)
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
+    if tag:
+        hist["tag"] = tag
+    base = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(base, "BENCH_HISTORY.jsonl"), "a") as f:
+            f.write(json.dumps(hist, sort_keys=True) + "\n")
+    except OSError:
+        pass
+    if tag:
+        try:
+            with open(
+                os.path.join(base, f"BENCH_SELF_{tag}.json"), "w"
+            ) as f:
+                json.dump(hist, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError:
+            pass
     # The driver captures only the output TAIL, so the compact
     # headline line (~1 KB) must be LAST to survive truncation of the
     # 150+-entry full line. Print the full catalog line first, the
