@@ -69,8 +69,10 @@ def main() -> None:
                     dt = time.perf_counter() - t0
                     best = dt if best is None else min(best, dt)
                 out[n] = round(best, 3)
+                print(f"done {sf_dir} {n}: {out[n]}s", file=sys.stderr, flush=True)
             except Exception as e:
                 errs[n] = f"{type(e).__name__}: {str(e)[:200]}"
+                print(f"ERR  {sf_dir} {n}: {errs[n]}", file=sys.stderr, flush=True)
         return out, errs
 
     t01, e01 = run(SF01)

@@ -76,6 +76,16 @@ def main() -> None:
             dom[d] = max(dom.get(d, 0), int(m) + 1)
     print("domains:", dom)
 
+    # name columns derive from the key (TPC-H 'Customer#%09d'): they
+    # must follow the REMAPPED key or every name occurs N_COPIES
+    # times and name-blocked workloads (fuzzy_name_pairs, fs_linkage
+    # SNM) go quadratic in copies — the first sf1 bench measured
+    # fuzzy_name_pairs at 71x for 10x data before this rewrite.
+    NAMED = {
+        "customer": ("c_name", "Customer#", "c_custkey", "cust"),
+        "supplier": ("s_name", "Supplier#", "s_suppkey", "supp"),
+    }
+
     for t, cols in KEYED.items():
         schema_cols = [
             r[0]
@@ -85,12 +95,18 @@ def main() -> None:
         ]
         selects = []
         for c in range(N_COPIES):
-            proj = ", ".join(
-                f"{col} + {c * dom[cols[col]]} AS {col}"
-                if col in cols
-                else col
-                for col in schema_cols
-            )
+            def _proj(col, c=c):
+                if t in NAMED and col == NAMED[t][0]:
+                    _, pfx, keycol, d = NAMED[t]
+                    return (
+                        f"'{pfx}' || lpad(CAST({keycol} + "
+                        f"{c * dom[d]} AS VARCHAR), 9, '0') AS {col}"
+                    )
+                if col in cols:
+                    return f"{col} + {c * dom[cols[col]]} AS {col}"
+                return col
+
+            proj = ", ".join(_proj(col) for col in schema_cols)
             selects.append(
                 f"SELECT {proj} FROM read_parquet('{SRC}/{t}.parquet')"
             )
@@ -104,16 +120,17 @@ def main() -> None:
     # event_type value props)
     emax = con.execute(
         f"SELECT MAX(event_id) + 1, MAX(user_id) + 1, "
-        f"CAST(MAX(ts) AS TIMESTAMP) - CAST(MIN(ts) AS TIMESTAMP) "
+        f"CAST(EXTRACT(EPOCH FROM CAST(MAX(ts) AS TIMESTAMP) "
+        f"- CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT) "
         f"FROM read_parquet('{SRC}/events.parquet')"
     ).fetchone()
-    eoff, uoff, span = int(emax[0]), int(emax[1]), emax[2]
+    eoff, uoff, span_s = int(emax[0]), int(emax[1]), int(emax[2])
     selects = []
     for c in range(N_COPIES):
+        shift = c * (span_s + 86400)
         selects.append(
             f"SELECT event_id + {c * eoff} AS event_id, "
-            f"ts + {c} * (INTERVAL (EXTRACT(EPOCH FROM CAST("
-            f"'{span}' AS INTERVAL)) + 86400) SECONDS) AS ts, "
+            f"ts + to_seconds({shift}) AS ts, "
             f"user_id + {c * uoff} AS user_id, event_type, value, props "
             f"FROM read_parquet('{SRC}/events.parquet')"
         )
