@@ -5,7 +5,7 @@ queries()      every implemented operator from SURVEY.md §2 as
                (spark, sf_dir) -> DataFrame.
 oracle_sql()   DuckDB-equivalent ANSI SQL per query (same column
                aliases; computed doubles rounded identically on both
-               sides). As of r13, 193 of 199 queries carry a strict
+               sides). As of r13, 194 of 200 queries carry a strict
                oracle (minhash/simhash/CMS/HLL use cross-engine md5
                hash families); the six approximate queries (HLL++
                distinct, GK quantiles, trained-PQ top-k, IVFADC

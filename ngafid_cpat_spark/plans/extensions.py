@@ -7018,3 +7018,98 @@ def weighted_sample_wor_docs(
         .alias("w"),
     )
     return weighted_sample_wor(docs, k=50, weight_col="w")
+
+
+@register(
+    "streaming_weighted_sample_wor_docs",
+    f"""
+    WITH wdoc AS (
+      SELECT doc_id, LEAST(8, 1 + length(text) // 80) AS w
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, w, {_es_sql('doc_id', 'w', 'es', duck=True)} AS es_key
+      FROM wdoc
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS w, es_key,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY es_key DESC, doc_id) AS INT) AS rn
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT 50
+    """,
+)
+def streaming_weighted_sample_wor_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """weighted_sample_wor_docs' reservoir maintained over a
+    STREAMING corpus (streaming/foreach_batch.stream_weighted_sample):
+    two mtime-ordered doc batches (even doc_ids, then odd) fold
+    their E-S keys into a running top-50 candidate store. Disjoint
+    batches make the top-k union-mergeable (a row outside its own
+    batch's top-k is beaten by k rows that also ride the store) and
+    the keys are pure functions of (salt, id, w), so the drained
+    store IS the one-pass sample and this twin shares the batch
+    query's strict oracle VERBATIM — the fifth member of the
+    CMS/HLL/BM25/DSIR mergeable-ingestion family, now covering
+    sampling. Reseed clears the whole store + checkpoint (the r12
+    ADVICE protocol)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.similarity import _fs_glob
+    from ..streaming.foreach_batch import stream_weighted_sample
+
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        st = None
+    tag = hashlib.md5(
+        f"es-stream-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
+        f"{getattr(st, 'st_size', 0)}".encode()
+    ).hexdigest()[:12]
+    base = _scratch_dir()
+    stream_dir = os.path.join(base, f"spark_graft_es_arrivals_{tag}")
+    store_root = os.path.join(base, f"spark_graft_es_store_{tag}")
+    ckpt = os.path.join(base, f"spark_graft_es_ckpt_{tag}")
+
+    wdocs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("least(8, 1 + length(text) div 80)")
+        .cast("long")
+        .alias("w"),
+    )
+    seed = os.path.join(store_root, "gen-0")
+    if not os.path.exists(os.path.join(seed, "_SUCCESS")):
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(store_root, ignore_errors=True)
+        spark.createDataFrame(
+            [], "doc_id bigint, w bigint, es_key bigint"
+        ).write.mode("overwrite").parquet(seed)
+    _write_ordered_stream_fixture(stream_dir, (
+        ("docs_00.parquet", wdocs.filter(F.col("doc_id") % 2 == 0),
+         1_000_000_000),
+        ("docs_01.parquet", wdocs.filter(F.col("doc_id") % 2 == 1),
+         1_000_000_100),
+    ))
+    schema = spark.read.parquet(
+        os.path.join(stream_dir, "docs_00.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    stream_weighted_sample(
+        stream, store_root, ckpt, k=50,
+        query_name="streaming_weighted_sample_wor_docs",
+    )
+    latest = max(
+        int(name.split("-", 1)[1])
+        for name in _fs_glob(store_root, "gen-*", spark)
+        if name.split("-", 1)[1].isdigit()
+    )
+    drained = spark.read.parquet(f"{store_root}/gen-{latest}")
+    w = Window.orderBy(F.col("es_key").desc(), F.col("doc_id"))
+    return drained.withColumn(
+        "rn", F.row_number().over(w)
+    ).select("doc_id", "w", "es_key", "rn")

@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (199 queries: 193 strict oracles + 6 bounded-error).
+the full catalog (200 queries: 194 strict oracles + 6 bounded-error).
 """
 
 from __future__ import annotations
@@ -57,9 +57,10 @@ PRIORITY = [
     "approx_distinct_parts",
     # (4) the COMPLETE remaining r09-stale strict cohort (39): with
     # the 11 slots above this makes 50 and leaves no STRICT query
-    # older than r10. The three r13 additions
+    # older than r10. The four r13 additions
     # (sssp_weighted_users_events, pmi_collocations_docs,
-    # weighted_sample_wor_docs) wait for the r14 window — each
+    # weighted_sample_wor_docs and its streaming ingestion twin
+    # streaming_weighted_sample_wor_docs) wait for the r14 window — each
     # carries full check_oracle evidence at both sfs, unit tests,
     # and determinism/smoke lines this round.
     "above_avg_customers",

@@ -643,3 +643,84 @@ def stream_bm25(
     )
     q.awaitTermination()
     return q
+
+
+def stream_weighted_sample(
+    rows: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+    k: int,
+    weight_col: str = "w",
+    id_col: str = "doc_id",
+    salt: str = "es",
+    max_weight: int = 64,
+    query_name: str = "es_sample_ingest",
+):
+    """Efraimidis-Spirakis weighted reservoir over a STREAMING
+    corpus: each micro-batch computes its rows' integer E-S keys
+    (operators/corpus.es_key_sql — the max-of-w md5 coins) and folds
+    them into a generation-keyed RUNNING TOP-K candidate store of at
+    most k (id, w, es_key) rows. Why the drained store equals the
+    one-pass batch sample EXACTLY: for disjoint batches the global
+    top-k of the union is the top-k of the per-batch top-ks (any row
+    outside its own batch's top-k is beaten by k rows that also ride
+    the store), and the keys themselves are pure functions of
+    (salt, id, w) — no per-batch randomness to reconcile. So this is
+    the A-Res reservoir as a mergeable store, fifth member of the
+    CMS / HLL / BM25 / DSIR mergeable-ingestion family, sharing the
+    batch query's strict oracle verbatim. Generation protocol as the
+    other stores: gen-0 is the caller-seeded empty frame, each epoch
+    reads the highest generation strictly below its target and
+    overwrites its own — replays are byte-identical no-ops."""
+    from ..operators.corpus import es_key_sql
+    from ..operators.similarity import _fs_glob
+
+    key = es_key_sql(id_col, weight_col, salt, duck=False)
+    guarded = (
+        f"CASE WHEN {weight_col} IS NULL OR {weight_col} < 1 "
+        f"OR {weight_col} > {max_weight} THEN "
+        f"raise_error(concat('stream_weighted_sample: weight out of "
+        f"[1, {max_weight}]: ', CAST({weight_col} AS STRING))) "
+        f"ELSE {key} END"
+    )
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = int(epoch_id) + 1
+        gens = sorted(
+            int(name.split("-", 1)[1])
+            for name in _fs_glob(store_root, "gen-*", spark)
+            if name.split("-", 1)[1].isdigit()
+        )
+        prior_gens = [g for g in gens if g < target]
+        if not prior_gens:
+            raise ValueError(
+                f"stream_weighted_sample: no generation below {target} "
+                f"under {store_root} (found {gens}) — reseed gen-0 AND "
+                "clear the checkpoint."
+            )
+        prior = spark.read.parquet(f"{store_root}/gen-{max(prior_gens)}")
+        keyed = batch_df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(weight_col).cast("long").alias(weight_col),
+            F.expr(guarded).alias("es_key"),
+        )
+        merged = (
+            prior.unionByName(keyed)
+            .orderBy(F.col("es_key").desc(), F.col(id_col))
+            .limit(k)
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{store_root}/gen-{target}"
+        )
+
+    q = (
+        rows.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .foreachBatch(_apply)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1160,3 +1160,85 @@ def test_stream_bm25_store_equals_batch_and_replays(spark, tmp_path):
         )
     )
     assert again == got_tf
+
+
+def test_stream_weighted_sample_equals_batch_and_replays(spark, tmp_path):
+    """stream_weighted_sample: the drained running top-k store is
+    EXACTLY the one-pass E-S sample (top-k is union-mergeable over
+    disjoint batches; keys are pure functions of (salt, id, w)),
+    and a fresh-checkpoint replay rewrites identical generations."""
+    import os
+    import shutil
+
+    from ngafid_cpat_spark.operators.corpus import weighted_sample_wor
+    from ngafid_cpat_spark.streaming.foreach_batch import (
+        stream_weighted_sample,
+    )
+
+    rows = [(i, 1 + i % 5) for i in range(1, 61)]
+    full = spark.createDataFrame(rows, "doc_id long, w long")
+    b1 = full.filter(F.col("doc_id") % 2 == 0)
+    b2 = full.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "rows")
+    os.makedirs(src)
+    for name, df, mtime in (
+        ("r0.parquet", b1, 1_000_000_000),
+        ("r1.parquet", b2, 1_000_000_100),
+    ):
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, name)
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    root = str(tmp_path / "store")
+    spark.createDataFrame(
+        [], "doc_id bigint, w bigint, es_key bigint"
+    ).write.parquet(os.path.join(root, "gen-0"))
+    schema = spark.read.parquet(os.path.join(src, "r0.parquet")).schema
+
+    def _run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_weighted_sample(
+            stream, root, str(tmp_path / ck), k=10,
+            query_name=f"es_{ck}",
+        )
+
+    _run("ck1")
+    want = sorted(
+        (r["doc_id"], r["w"], r["es_key"])
+        for r in weighted_sample_wor(full, k=10).collect()
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(root, "gen-2")).collect(),
+        )
+    )
+    assert got == want
+    # intermediate generation holds batch-1's own top-10
+    g1 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(root, "gen-1")).collect(),
+        )
+    )
+    want1 = sorted(
+        (r["doc_id"], r["w"], r["es_key"])
+        for r in weighted_sample_wor(b1, k=10).collect()
+    )
+    assert g1 == want1
+    # fresh-checkpoint replay is a byte-identical no-op
+    _run("ck2")
+    got2 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(root, "gen-2")).collect(),
+        )
+    )
+    assert got2 == got
