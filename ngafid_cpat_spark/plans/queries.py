@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (200 queries: 194 strict oracles + 6 bounded-error).
+the full catalog (200 queries: 195 strict oracles + 5 bounded-error).
 """
 
 from __future__ import annotations
@@ -48,12 +48,14 @@ PRIORITY = [
     # also changed (ADVICE #2/#3) and already sit in the block above.
     "bm25_topk_docs",
     "hybrid_rrf_topk_docs",
-    # (3) the ONE bounded-error slot this round. The r09-stale cohort
-    # holds THREE bounded queries (this one + the two ivfpq entries);
-    # the <=1-bounded-row rule means bounded evidence can refresh at
-    # most one per round — ann_ivfpq_indexed and
-    # streaming_ivfpq_ingest_embeddings stay out with their ok~
-    # floors re-cited in ORACLE_EVIDENCE_r13 at both sfs.
+    # (3) entered the window as the round's ONE bounded-error slot,
+    # then got UPGRADED mid-round to a STRICT oracle (portable
+    # md5-register HLL, the r12 hll_union precedent) — so the window
+    # now carries ZERO bounded rows. The r09-stale cohort's other two
+    # bounded queries (ann_ivfpq_indexed,
+    # streaming_ivfpq_ingest_embeddings) stay out under the
+    # <=1-bounded-row rule with their ok~ floors re-cited in
+    # ORACLE_EVIDENCE_r13 at both sfs.
     "approx_distinct_parts",
     # (4) the COMPLETE remaining r09-stale strict cohort (39): with
     # the 11 slots above this makes 50 and leaves no STRICT query

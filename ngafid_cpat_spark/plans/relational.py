@@ -263,29 +263,44 @@ def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_parts", None)  # approximate => no exact oracle
+def _approx_distinct_oracle() -> str:
+    from ..operators.mining import hll_estimate_duck_sql, hll_rho_sql
+
+    j_sql, rho_sql = hll_rho_sql("l_partkey", duck=True)
+    est = hll_estimate_duck_sql("reg", ["l_returnflag"])
+    return f"""
+    WITH h AS (
+      SELECT l_returnflag, {j_sql} AS j, {rho_sql} AS rho
+      FROM lineitem WHERE l_partkey IS NOT NULL
+    ), reg AS (
+      SELECT l_returnflag, j, MAX(rho) AS rho FROM h GROUP BY 1, 2
+    ), est AS ({est})
+    SELECT l_returnflag, approx_users AS approx_parts FROM est
+    """
+
+
+@register("approx_distinct_parts", _approx_distinct_oracle())
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct — the scale path where exact distinct
-    would shuffle every key. rows-only at the driver gate, but
-    bounded-error-checked against the exact DuckDB distinct count by
-    tools/check_oracle.py (TOLERANCE_ORACLES, rsd 0.02 -> 4-sigma
-    tolerance 0.08)."""
-    return (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    """Approximate distinct parts per return flag — the scale path
+    where exact distinct would shuffle every key — via the PORTABLE
+    md5-register HLL (operators/mining.hll_registers/hll_estimate).
+    UPGRADED r13 from the library approx_count_distinct (rows-only
+    gate + 8% tolerance check) to a STRICT oracle, the r12 hll_union
+    precedent: every register and the integer harmonic estimate
+    replay exactly in DuckDB, so even the approximation hash-matches.
+    The estimate itself remains approximate w.r.t. the true count
+    (m = 64 registers, ~13% rsd — pytest holds it within documented
+    bounds of exact on real tables); what is no longer approximate
+    is the ENGINE's answer."""
+    from ..operators.mining import hll_estimate, hll_registers
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull()
     )
-
-
-TOLERANCE_ORACLES["approx_distinct_parts"] = {
-    "sql": """
-    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS approx_parts
-    FROM lineitem GROUP BY l_returnflag
-    """,
-    "keys": ["l_returnflag"],
-    "kind": "rel",
-    "tol": 0.08,  # 4x the configured rsd — never flakes, still tight
-}
+    reg = hll_registers(li, ["l_returnflag"], "l_partkey")
+    return hll_estimate(reg, ["l_returnflag"]).withColumnRenamed(
+        "approx_users", "approx_parts"
+    )
 
 
 @register(
