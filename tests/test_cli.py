@@ -12,7 +12,10 @@ def test_cli_list(capsys):
     # r04: minhash/simhash became oracle-paired (md5 hash families);
     # only the sketch queries remain rows-only at the driver gate
     assert "dedup_minhash_lsh\toracle" in out
-    assert "approx_distinct_parts\trows-only" in out
+    # r13: approx_distinct_parts upgraded to the portable-HLL strict
+    # oracle; GK quantiles remain the rows-only representative
+    assert "approx_distinct_parts\toracle" in out
+    assert "approx_quantile_events\trows-only" in out
 
 
 def test_cli_analyze_no_write(spark, telemetry, dims, tmp_path, capsys):
