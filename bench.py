@@ -259,9 +259,18 @@ def main() -> None:
     if tag:
         hist["tag"] = tag
     base = os.path.dirname(os.path.abspath(__file__))
+    hist_path = os.path.join(base, "BENCH_HISTORY.jsonl")
     try:
-        with open(os.path.join(base, "BENCH_HISTORY.jsonl"), "a") as f:
+        with open(hist_path, "a") as f:
             f.write(json.dumps(hist, sort_keys=True) + "\n")
+        # bound the committed log (r13 ADVICE: unbounded append grows
+        # the repo file forever) — keep the newest 300 runs, which is
+        # years of round history at the current cadence.
+        with open(hist_path) as f:
+            lines = f.readlines()
+        if len(lines) > 300:
+            with open(hist_path, "w") as f:
+                f.writelines(lines[-300:])
     except OSError:
         pass
     if tag:

@@ -1344,6 +1344,15 @@ def es_key_sql(id_expr: str, w_expr: str, salt: str, duck: bool) -> str:
     the minhash/CMS/HLL families; 60-bit space makes key ties
     across rows ~2^-60-rare, and the id tie-break keeps even those
     deterministic."""
+    import re as _re
+
+    # salt is interpolated into a SQL string literal on BOTH engines;
+    # restrict it to a quote-free token set so a crafted salt can
+    # neither break the expression nor inject SQL (r13 ADVICE).
+    if not _re.fullmatch(r"[A-Za-z0-9_.-]+", salt):
+        raise ValueError(
+            f"es_key_sql: salt must match [A-Za-z0-9_.-]+, got {salt!r}"
+        )
     if duck:
         coin = (
             f"CAST(concat('0x', substr(md5(concat('{salt}:', "

@@ -162,6 +162,48 @@ import math as _math  # noqa: E402
 
 HLL_LC = [round(HLL_M * _math.log(HLL_M / v)) for v in range(1, HLL_M + 1)]
 
+# Per-precision alpha rationals for the generalized (p-parameterized)
+# HLL family. p=6 is the historical default every existing oracle was
+# hashed against; p=8 (m=256, ~6.5% rsd vs ~13% at m=64) is used where
+# estimate accuracy matters more than register-frame size
+# (approx_distinct_parts since r14). The p=8 alpha is the 4-digit
+# truncation of 0.7213/(1 + 1.079/256) = 0.718273... — ANY fixed
+# rational shared by both engines is a valid alpha choice, and the
+# short one keeps the decimal division adjustment-free (see
+# _hll_decimal_digits).
+HLL_ALPHAS = {6: (HLL_ALPHA_NUM, HLL_ALPHA_DEN), 8: (7183, 10000)}
+
+
+def _hll_params(p: int) -> tuple[int, int, int, list[int]]:
+    """(m, alpha_num, alpha_den, linear-counting table) for one
+    supported precision."""
+    if p not in HLL_ALPHAS:
+        raise ValueError(f"hll: unsupported precision {p}")
+    m = 1 << p
+    an, ad = HLL_ALPHAS[p]
+    lc = [round(m * _math.log(m / v)) for v in range(1, m + 1)]
+    return m, an, ad, lc
+
+
+def _hll_decimal_digits(p: int) -> tuple[int, int]:
+    """(num_digits, den_digits) for the exact floor-division at
+    precision p, with the no-precision-loss-adjustment invariant
+    asserted: num = alpha_num * m^2 * 2^RMAX is a constant; den =
+    alpha_den * S with S <= m * 2^RMAX. Spark decimal(p1,0) /
+    decimal(p2,0) yields precision p1 + max(6, p2+1), scale
+    max(6, p2+1) — we require precision <= 38 (no HALF_UP scale
+    adjustment) and the 10^-scale rounding grid strictly below
+    1/den_max, so floor() of the quotient is the true integer
+    quotient on both engines."""
+    m, an, ad, _ = _hll_params(p)
+    num = an * m * m * (1 << HLL_RMAX)
+    den_max = ad * (m << HLL_RMAX)
+    p1, p2 = len(str(num)), len(str(den_max))
+    scale = max(6, p2 + 1)
+    assert p1 + scale <= 38, (p, p1, p2)
+    assert den_max < 10 ** scale, (p, den_max, scale)
+    return p1, p2
+
 
 def _hll_hash_sql(item_expr: str, duck: bool) -> str:
     """60-bit md5-derived hash of the salted item — the register
@@ -178,20 +220,24 @@ def _hll_hash_sql(item_expr: str, duck: bool) -> str:
     )
 
 
-def hll_rho_sql(item_expr: str, duck: bool = False) -> tuple[str, str]:
+def hll_rho_sql(
+    item_expr: str, duck: bool = False, p: int = HLL_P
+) -> tuple[str, str]:
     """(register_index_sql, rho_sql) for one item expression, valid
     on Spark (duck=False) or DuckDB (duck=True). rho = 1 + number of
-    leading zero bits of the 54-bit remainder, saturated at
+    leading zero bits of the (60-p)-bit remainder, saturated at
     HLL_RMAX — computed by a generated integer comparison ladder
     (no log2: libm log2 of 2^k - 1 can round up to k)."""
+    m, _, _, _ = _hll_params(p)
     h = _hll_hash_sql(item_expr, duck)
-    j = f"(({h}) % {HLL_M})"
-    w = f"(({h}) // {HLL_M})" if duck else f"(({h}) div {HLL_M})"
-    # w has 54 usable bits; rho = 55 - bit_length(w), capped at RMAX.
-    # Ladder only needs thresholds down to rho = RMAX - 1: anything
-    # smaller saturates.
+    j = f"(({h}) % {m})"
+    w = f"(({h}) // {m})" if duck else f"(({h}) div {m})"
+    # w has 60-p usable bits; rho = 61-p - bit_length(w), capped at
+    # RMAX. Ladder only needs thresholds down to rho = RMAX - 1:
+    # anything smaller saturates.
+    wbits = 60 - p
     branches = " ".join(
-        f"WHEN {w} >= {1 << (54 - r)} THEN {r}"
+        f"WHEN {w} >= {1 << (wbits - r)} THEN {r}"
         for r in range(1, HLL_RMAX)
     )
     rho = f"(CASE {branches} ELSE {HLL_RMAX} END)"
@@ -202,6 +248,7 @@ def hll_registers(
     df: DataFrame,
     group_cols: list[str],
     item_col: str,
+    p: int = HLL_P,
 ) -> DataFrame:
     """Per-group HLL register frame: (group_cols..., j, rho) with
     rho = MAX over the group's items — m rows per group at most, the
@@ -211,7 +258,7 @@ def hll_registers(
     Construction is one map-side-combining groupBy on
     (group, j): partial aggregation collapses every partition to at
     most groups x m rows before the shuffle."""
-    j_sql, rho_sql = hll_rho_sql(item_col, duck=False)
+    j_sql, rho_sql = hll_rho_sql(item_col, duck=False, p=p)
     return (
         df.select(
             *group_cols,
@@ -223,7 +270,9 @@ def hll_registers(
     )
 
 
-def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
     """Distinct-count estimate per group from a register frame
     (merging register frames first is just max(rho) over (group, j)).
 
@@ -238,6 +287,8 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     BIGINT) — raw-HLL bias beyond the 5-bit saturation point
     (n >> m * 2^RMAX ~ 1.4e11 per group) is out of test range and
     documented."""
+    m, an, ad, lc_table = _hll_params(p)
+    p1, p2 = _hll_decimal_digits(p)
     zero = F.lit(1 << HLL_RMAX).cast("long")
     per = registers.groupBy(*group_cols).agg(
         F.sum(
@@ -245,49 +296,51 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
         ).alias("__s_hit"),
         F.count(F.lit(1)).alias("__m_hit"),
     )
-    v = F.lit(HLL_M) - F.col("__m_hit")
+    v = F.lit(m) - F.col("__m_hit")
     s = (F.col("__s_hit") + v * zero).cast("long")
-    # decimal(19,0) / decimal(17,0) -> decimal(37,18): precision 37
-    # <= 38 so Spark applies NO precision-loss adjustment and the
-    # HALF_UP rounding sits at 1e-18, below the 1/den >= 2.2e-17
-    # gap (den = 325395 * S <= 325395 * 2^37 ~ 4.5e16) — floor is
-    # the true integer quotient. (decimal(38,0) on both sides would
-    # adjust to scale 6 and could round a x.9999997 quotient UP
-    # past the floor.)
-    num = F.lit(HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_RMAX)).cast(
-        "decimal(19,0)"
-    )
-    den = (F.lit(HLL_ALPHA_DEN) * s).cast("decimal(17,0)")
+    # decimal(p1,0) / decimal(p2,0) -> precision p1 + max(6, p2+1)
+    # <= 38 (asserted in _hll_decimal_digits), so Spark applies NO
+    # precision-loss adjustment and the HALF_UP rounding grid
+    # 10^-scale sits strictly below 1/den_max — floor is the true
+    # integer quotient. (decimal(38,0) on both sides would adjust to
+    # scale 6 and could round a x.9999997 quotient UP past the
+    # floor.) At p=6: (19,0)/(17,0) -> (37,18), the r13 shape.
+    num = F.lit(an * m * m * (1 << HLL_RMAX)).cast(f"decimal({p1},0)")
+    den = (F.lit(ad) * s).cast(f"decimal({p2},0)")
     raw = F.floor(num / den).cast("long")
     lc = F.try_element_at(
-        F.array(*[F.lit(x).cast("long") for x in HLL_LC]), v.cast("int")
+        F.array(*[F.lit(x).cast("long") for x in lc_table]),
+        v.cast("int"),
     )
     est = F.when(
-        (raw <= F.lit(int(2.5 * HLL_M))) & (v > 0), lc
+        (raw <= F.lit(int(2.5 * m))) & (v > 0), lc
     ).otherwise(raw)
     return per.select(*group_cols, est.alias("approx_users"))
 
 
-def hll_estimate_duck_sql(reg_rel: str, group_cols: list[str]) -> str:
+def hll_estimate_duck_sql(
+    reg_rel: str, group_cols: list[str], p: int = HLL_P
+) -> str:
     """DuckDB twin of hll_estimate over a register relation
     (group..., j, rho): HUGEINT // replays the same integers."""
+    m, an, ad, lc_table = _hll_params(p)
     g = ", ".join(group_cols)
-    lc_list = ", ".join(str(x) for x in HLL_LC)
-    num = HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_RMAX)
+    lc_list = ", ".join(str(x) for x in lc_table)
+    num = an * m * m * (1 << HLL_RMAX)
     return f"""
     SELECT {g},
-           CAST(CASE WHEN raw <= {int(2.5 * HLL_M)} AND v > 0
+           CAST(CASE WHEN raw <= {int(2.5 * m)} AND v > 0
                 THEN [{lc_list}][CAST(v AS INT)]
                 ELSE raw END AS BIGINT) AS approx_users
     FROM (
       SELECT {g}, v,
              CAST({num}::HUGEINT //
-                  ({HLL_ALPHA_DEN}::HUGEINT * s) AS BIGINT) AS raw
+                  ({ad}::HUGEINT * s) AS BIGINT) AS raw
       FROM (
         SELECT {g},
-               {HLL_M} - COUNT(*) AS v,
+               {m} - COUNT(*) AS v,
                SUM(CAST(1 AS BIGINT) << ({HLL_RMAX} - rho))
-                 + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {HLL_RMAX})
+                 + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {HLL_RMAX})
                  AS s
         FROM {reg_rel} GROUP BY {g}
       )

@@ -705,8 +705,24 @@ def stream_weighted_sample(
             F.col(weight_col).cast("long").alias(weight_col),
             F.expr(guarded).alias("es_key"),
         )
+        # The merge law assumes DISJOINT batches; enforce it rather
+        # than assume it (r13 ADVICE): a doc_id replayed across two
+        # micro-batches would otherwise occupy two of the k store
+        # slots. Keys are pure functions of (salt, id, w), so true
+        # replays collapse to identical rows; if the same id ever
+        # arrives with a different weight, keep the largest key
+        # deterministically (max-struct, weight tiebreak).
         merged = (
             prior.unionByName(keyed)
+            .groupBy(id_col)
+            .agg(
+                F.max(F.struct("es_key", weight_col)).alias("_best")
+            )
+            .select(
+                F.col(id_col),
+                F.col(f"_best.{weight_col}").alias(weight_col),
+                F.col("_best.es_key").alias("es_key"),
+            )
             .orderBy(F.col("es_key").desc(), F.col(id_col))
             .limit(k)
         )

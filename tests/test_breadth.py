@@ -405,12 +405,13 @@ def test_skyline_scaled_oracle_matches_quadratic_witness():
 
 
 def test_approx_distinct_parts_portable_hll_accuracy(spark):
-    """r13 upgrade witness: approx_distinct_parts now runs on the
-    portable md5-register HLL (strict-oracle gate), so the ACCURACY
-    contract moves here — the fixed deterministic estimate must stay
-    within 25% of the exact distinct count on the real tables
-    (m = 64 registers, ~13% rsd; measured 7.5% at sf0.001, 14.1% at
-    sf0.01)."""
+    """r13 upgrade witness (r14: m raised 64 -> 256 per ADVICE):
+    approx_distinct_parts runs on the portable md5-register HLL
+    (strict-oracle gate), so the ACCURACY contract moves here — the
+    fixed deterministic estimate must stay within 12% of the exact
+    distinct count on the real tables (m = 256 registers, ~6.5% rsd;
+    measured 4.5% at sf0.001, 0.35% at sf0.01 — vs 7.5%/14.1% at the
+    r13 m=64)."""
     import duckdb
 
     from ngafid_cpat_spark.plans import QUERIES
@@ -428,4 +429,4 @@ def test_approx_distinct_parts_portable_hll_accuracy(spark):
         )
         assert set(got) == set(exact)
         for k, e in exact.items():
-            assert abs(got[k] - e) / e < 0.25, (sf, k, got[k], e)
+            assert abs(got[k] - e) / e < 0.12, (sf, k, got[k], e)

@@ -838,3 +838,16 @@ def test_weighted_sample_wor_rejects_out_of_range_weights(spark):
     df2 = spark.createDataFrame([(1, 65)], ["doc_id", "w"])
     with pytest.raises(Exception, match="weight out of"):
         weighted_sample_wor(df2, k=1).collect()
+
+
+def test_es_key_sql_rejects_injectable_salt():
+    """r13 ADVICE closure: salt is interpolated into a SQL string
+    literal on both engines — quote-bearing salts must fail fast."""
+    import pytest
+
+    from ngafid_cpat_spark.operators.corpus import es_key_sql
+
+    for bad in ("a'b", 'x"y', "s;drop", "sp ace", ""):
+        with pytest.raises(ValueError):
+            es_key_sql("doc_id", "w", bad, duck=False)
+    assert "ok-salt_1.2" in es_key_sql("doc_id", "w", "ok-salt_1.2", True)

@@ -1162,6 +1162,68 @@ def test_stream_bm25_store_equals_batch_and_replays(spark, tmp_path):
     assert again == got_tf
 
 
+def test_stream_weighted_sample_overlapping_batches_dedup(
+    spark, tmp_path
+):
+    """r13 ADVICE closure: the merge law assumes disjoint batches —
+    now ENFORCED. A doc_id replayed across two micro-batches must
+    occupy at most one of the k store slots, and the drained store
+    must still equal the one-pass batch sample over the DISTINCT
+    rows."""
+    import os
+    import shutil
+
+    from ngafid_cpat_spark.operators.corpus import weighted_sample_wor
+    from ngafid_cpat_spark.streaming.foreach_batch import (
+        stream_weighted_sample,
+    )
+
+    rows = [(i, 1 + i % 5) for i in range(1, 61)]
+    full = spark.createDataFrame(rows, "doc_id long, w long")
+    b1 = full.filter(F.col("doc_id") <= 40)
+    b2 = full.filter(F.col("doc_id") >= 21)  # 21..40 arrive TWICE
+    src = str(tmp_path / "rows")
+    os.makedirs(src)
+    for name, df, mtime in (
+        ("r0.parquet", b1, 1_000_000_000),
+        ("r1.parquet", b2, 1_000_000_100),
+    ):
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, name)
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    root = str(tmp_path / "store")
+    spark.createDataFrame(
+        [], "doc_id bigint, w bigint, es_key bigint"
+    ).write.parquet(os.path.join(root, "gen-0"))
+    schema = spark.read.parquet(os.path.join(src, "r0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_weighted_sample(
+        stream, root, str(tmp_path / "ck"), k=10,
+        query_name="es_overlap",
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(root, "gen-2")).collect(),
+        )
+    )
+    ids = [g[0] for g in got]
+    assert len(ids) == len(set(ids)) == 10
+    want = sorted(
+        (r["doc_id"], r["w"], r["es_key"])
+        for r in weighted_sample_wor(full, k=10).collect()
+    )
+    assert got == want
+
+
 def test_stream_weighted_sample_equals_batch_and_replays(spark, tmp_path):
     """stream_weighted_sample: the drained running top-k store is
     EXACTLY the one-pass E-S sample (top-k is union-mergeable over

@@ -228,6 +228,14 @@ def main():
         help="check exactly the driver's 50-slot correctness window "
         "(the first 50 registry entries) instead of the full catalog",
     )
+    ap.add_argument(
+        "--scaled",
+        action="store_true",
+        help="use the O(n log n) scaled-oracle forms (SCALED_ORACLES) "
+        "for queries whose default witness is deliberately brute "
+        "force; auto-enabled only for the known large-sf basenames "
+        "sf0.1/sf1/sf10",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -252,9 +260,15 @@ def main():
     # sweep alone). pytest pins each pair equal at sf0.001.
     import os as _os
 
-    if _os.path.basename(args.sf_dir.rstrip("/")) not in (
-        "sf0.001",
-        "sf0.01",
+    # Explicit opt-in (--scaled) or a known large-sf basename
+    # ALLOWLIST — never inferred from "not small" (r13 ADVICE: a
+    # renamed small-sf directory must not silently lose the
+    # brute-force witness the strictness argument relies on).
+    if args.scaled or _os.path.basename(args.sf_dir.rstrip("/")) in (
+        "sf0.1",
+        "sf1",
+        "sf10",
+        "testdata_sf1",
     ):
         from ngafid_cpat_spark.plans.queries import SCALED_ORACLES
 
