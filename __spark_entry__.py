@@ -5,13 +5,14 @@ queries()      every implemented operator from SURVEY.md §2 as
                (spark, sf_dir) -> DataFrame.
 oracle_sql()   DuckDB-equivalent ANSI SQL per query (same column
                aliases; computed doubles rounded identically on both
-               sides). As of r13, 195 of 200 queries carry a strict
+               sides). As of r14, ALL 200 queries carry a strict
                oracle (minhash/simhash/CMS/HLL use cross-engine md5
-               hash families); the five approximate queries (GK
-               quantiles, trained-PQ top-k, IVFADC top-k
-               in-query / indexed / stream-ingested) are
-               rows-only here — each carries a bounded-error oracle
-               in tools/check_oracle.py instead.
+               hash families; the trained-PQ / IVFADC quartet
+               replays both Lloyd trainings + ADC as unrolled
+               DuckDB CTEs; approximate quantiles are a
+               deterministic bottom-k sample + rank-exact
+               selection). Approximation-quality contracts (recall
+               floors, rank-error and rsd bounds) live in pytest.
 """
 
 from __future__ import annotations

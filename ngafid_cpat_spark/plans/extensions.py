@@ -1270,7 +1270,288 @@ def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.round(F.col("approx_cosine"), 4).desc(), F.col("vec_id"))
 
 
-@register("pq_topk_trained_embeddings", None)  # approx ids => recall oracle
+# ---------------------------------------------------------------------------
+# Strict CTE replays for the trained-quantizer ANN family (r14)
+# ---------------------------------------------------------------------------
+# The r12 hll_union / r13 approx_distinct_parts precedent, applied to
+# the last bounded-error family: the ENGINE's answer is exactly
+# replayable even though the answer itself approximates the true
+# top-k. Every stage of the Spark pipeline is already deterministic
+# integer/quantized arithmetic (seed rounding at 1e-6, quantized
+# Lloyd assignments with id tie-breaks, integer-micro centroid means,
+# BIGINT ADC lookup tables, exact-rounded sqrt/div) — so both Lloyd
+# trainings, the encode, the ADC shortlist and the exact re-rank
+# unroll into DuckDB CTEs that hash-match bit for bit (verified at
+# sf0.001/sf0.01/sf0.1 in r14). Recall floors vs the true cosine
+# top-k stay in pytest (tests/test_similarity.py,
+# test_ann_catalog_recall_floors) — the gate now checks WHAT the
+# engine computed, pytest checks that it is a GOOD approximation.
+
+_PQ_SIMQ6 = (
+    "ROUND(list_dot_product({v}, {c}) / "
+    "(SQRT(list_dot_product({v}, {v})) * "
+    "SQRT(list_dot_product({c}, {c}))), 6)"
+)
+
+
+def _pq_l2_key_sql(vexpr: str, cexpr: str) -> str:
+    """The quantized L2 compare key — DuckDB twin of
+    similarity._l2_keys_hof's ROUND((cc - 2<x,c>) * 1e6) BIGINT
+    (list_dot_product is the same left-assoc double fold)."""
+    return (
+        f"CAST(ROUND((list_dot_product({cexpr}, {cexpr}) - 2 * "
+        f"list_dot_product({vexpr}, {cexpr})) * 1000000, 0) AS BIGINT)"
+    )
+
+
+def _pq_kmeans_iter_ctes(eview: str, prev: str, pfx: str, idx: int, dim: int) -> str:
+    """One unrolled COSINE-Lloyd iteration over relation
+    ``eview(vec_id, v)`` with centroid relation ``prev(cid, c)`` —
+    the kmeans_fit replay (quantized round-6 cosine argmax, ties to
+    lowest cid; per-dim integer-micro sums; ratio-rounded means;
+    empty cluster keeps its centroid). Generalized form of
+    _kmeans_iter_sql for arbitrary k/dim/CTE names."""
+    simq = _PQ_SIMQ6.format(v="ei.v", c="c.c")
+    return f"""
+    {pfx}a{idx} AS (
+      SELECT vec_id, cid FROM (
+        SELECT ei.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY ei.vec_id
+                   ORDER BY {simq} DESC, c.cid ASC) AS rn
+        FROM {eview} ei CROSS JOIN {prev} c) WHERE rn = 1
+    ),
+    {pfx}s{idx} AS (
+      SELECT a.cid, t.i AS i,
+             SUM(CAST(ROUND(e2.v[t.i + 1] * 1000000, 0) AS BIGINT)) AS sm,
+             COUNT(*) AS n
+      FROM {pfx}a{idx} a JOIN {eview} e2 USING (vec_id), range(0, {dim}) t(i)
+      GROUP BY a.cid, t.i
+    ),
+    {pfx}c{idx} AS (
+      SELECT c.cid, COALESCE(mm.c, c.c) AS c
+      FROM {prev} c LEFT JOIN (
+        SELECT cid,
+               list(CAST((CASE WHEN sm < 0 THEN -1 ELSE 1 END) *
+                         ((2 * ABS(sm) + n) // (2 * n)) AS DOUBLE)
+                    / 1000000.0 ORDER BY i) AS c
+        FROM {pfx}s{idx} GROUP BY cid) mm USING (cid)
+    )"""
+
+
+def _pq_train_iter_ctes(
+    eview: str, prev: str, pfx: str, idx: int, sub: int, vcol: str
+) -> str:
+    """One unrolled JOINT-PQ L2-Lloyd iteration (pq_codebooks_trained
+    replay) over ``eview(vec_id, {vcol})`` with subspace books
+    ``prev(s, cid, c)``: per (vector, subspace) the MIN([l2_key, cid])
+    assignment (= array_min of the struct keys — lowest key, ties to
+    lowest cid), then per-(s, cid, j) integer-micro component sums
+    and ratio-rounded means."""
+    key = _pq_l2_key_sql(
+        f"list_slice(ei.{vcol}, b.s*{sub}+1, b.s*{sub}+{sub})", "b.c"
+    )
+    return f"""
+    {pfx}a{idx} AS (
+      SELECT vec_id, s, mk[2] AS cid FROM (
+        SELECT ei.vec_id, b.s,
+               MIN([{key}, CAST(b.cid AS BIGINT)]) AS mk
+        FROM {eview} ei CROSS JOIN {prev} b
+        GROUP BY ei.vec_id, b.s)
+    ),
+    {pfx}s{idx} AS (
+      SELECT a.s, a.cid, t.j,
+             SUM(CAST(ROUND(e2.{vcol}[a.s*{sub} + t.j + 1] * 1000000, 0)
+                      AS BIGINT)) AS sm,
+             COUNT(*) AS n
+      FROM {pfx}a{idx} a JOIN {eview} e2 USING (vec_id), range(0, {sub}) t(j)
+      GROUP BY a.s, a.cid, t.j
+    ),
+    {pfx}b{idx} AS (
+      SELECT b.s, b.cid, COALESCE(mm.c, b.c) AS c
+      FROM {prev} b LEFT JOIN (
+        SELECT s, cid,
+               list(CAST((CASE WHEN sm < 0 THEN -1 ELSE 1 END) *
+                         ((2 * ABS(sm) + n) // (2 * n)) AS DOUBLE)
+                    / 1000000.0 ORDER BY j) AS c
+        FROM {pfx}s{idx} GROUP BY s, cid) mm USING (s, cid)
+    )"""
+
+
+def _pq_seed_ctes(eview: str, pfx: str, m: int, k: int, sub: int, vcol: str = "v") -> str:
+    """Seed-book CTEs: the k smallest-id vectors of ``eview``,
+    components rounded half-away at 1e-6 (ROUND(x, 6) — the
+    kmeans_fit/_seed_round twin), sliced into m subspaces."""
+    return f"""
+    {pfx}seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             list_transform({vcol}, x -> ROUND(x, 6)) AS c
+      FROM {eview} ORDER BY vec_id LIMIT {k}
+    ),
+    {pfx}b0 AS (
+      SELECT t.s, cid, list_slice(c, t.s*{sub}+1, t.s*{sub}+{sub}) AS c
+      FROM {pfx}seeds, range(0, {m}) t(s)
+    )"""
+
+
+def _pq_trained_oracle() -> str:
+    """Full replay of pq_topk_trained_embeddings: joint L2-Lloyd
+    training (m=16 x k=16, 2 iterations) over ALL vectors, encode of
+    the live (non-zero-norm) vectors, BIGINT ADC lookup-table scores
+    vs the vec_id=0 query, the round-6-ranked top-50 shortlist, and
+    the exact quantized-cosine re-rank to the top 10."""
+    m, sub, k = 16, 4, 16
+    enc_key = _pq_l2_key_sql(
+        f"list_slice(ei.v, b.s*{sub}+1, b.s*{sub}+{sub})", "b.c"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    el AS (SELECT vec_id, v FROM e WHERE list_dot_product(v, v) > 0),
+    {_pq_seed_ctes('e', 'p', m, k, sub)},
+    {_pq_train_iter_ctes('e', 'pb0', 'p', 1, sub, 'v')},
+    {_pq_train_iter_ctes('e', 'pb1', 'p', 2, sub, 'v')},
+    enc AS (
+      SELECT vec_id, s, mk[2] AS cid FROM (
+        SELECT ei.vec_id, b.s,
+               MIN([{enc_key}, CAST(b.cid AS BIGINT)]) AS mk
+        FROM el ei CROSS JOIN pb2 b
+        GROUP BY ei.vec_id, b.s)
+    ),
+    lut AS (
+      SELECT b.s, b.cid,
+             CAST(ROUND(list_dot_product(
+                 list_slice(q.qv, b.s*{sub}+1, b.s*{sub}+{sub}), b.c)
+                 * 1000000, 0) AS BIGINT) AS t
+      FROM pb2 b, q
+    ),
+    adc AS (
+      SELECT vec_id, SUM(t) AS am FROM enc JOIN lut USING (s, cid)
+      GROUP BY vec_id
+    ),
+    sc AS (
+      SELECT a.vec_id,
+             CAST(a.am AS DOUBLE) / 1000000.0 /
+             (SQRT(list_dot_product(q.qv, q.qv)) *
+              SQRT(list_dot_product(el.v, el.v))) AS ac
+      FROM adc a JOIN el USING (vec_id), q
+      WHERE a.vec_id <> 0
+    ),
+    short AS (
+      SELECT vec_id FROM sc ORDER BY ROUND(ac, 6) DESC, vec_id LIMIT 50
+    ),
+    rr AS (
+      SELECT el.vec_id,
+             ROUND({_COS_Q_SQL.format(a='el.v', b='q.qv')}, 6) + 0.0 AS c6
+      FROM el JOIN short USING (vec_id), q
+      WHERE el.vec_id <> 0
+    )
+    SELECT vec_id, ROUND(c6, 6) AS cosine FROM rr
+    ORDER BY c6 DESC, vec_id LIMIT 10
+    """
+
+
+def _ivfpq_oracle() -> str:
+    """Full replay of the IVFADC+R triple (ann_ivfpq_topk =
+    ann_ivfpq_indexed = streaming_ivfpq_ingest_embeddings — identical
+    quantizer math, one training vs persisted vs stream-ingested
+    codes; equality asserted in tests): coarse cosine-Lloyd (k=8,
+    2 iterations) over ALL vectors, quantized-cosine cell assignment
+    of the live vectors (ties to HIGHEST cid — array_max's struct
+    rule), residuals r = x - c(x), joint residual-PQ L2-Lloyd
+    (m=8 x k=16, 2 iterations), the n_probe=4 coarse prune,
+    <q,c_cell> + ADC BIGINT scores, round-6-ranked top-100 shortlist,
+    exact quantized-cosine re-rank to the top 10."""
+    kc, dim = 8, 64
+    m, sub, ksub = 8, 8, 16
+    enc_key = _pq_l2_key_sql(
+        f"list_slice(ei.rv, b.s*{sub}+1, b.s*{sub}+{sub})", "b.c"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    el AS (SELECT vec_id, v FROM e WHERE list_dot_product(v, v) > 0),
+    cc0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             list_transform(v, x -> ROUND(x, 6)) AS c
+      FROM e ORDER BY vec_id LIMIT {kc}
+    ),
+    {_pq_kmeans_iter_ctes('e', 'cc0', 'k', 1, dim)},
+    {_pq_kmeans_iter_ctes('e', 'kc1', 'k', 2, dim)},
+    cc2 AS (SELECT cid, c FROM kc2),
+    cell AS (
+      SELECT vec_id, mk[2] AS cid FROM (
+        SELECT ei.vec_id,
+               MAX([{_COS_Q_SQL.format(a='ei.v', b='c.c')},
+                    CAST(c.cid AS DOUBLE)]) AS mk
+        FROM el ei CROSS JOIN cc2 c GROUP BY ei.vec_id)
+    ),
+    rsd AS (
+      SELECT cell.vec_id,
+             list_transform(list_zip(el.v, c.c), z -> z[1] - z[2]) AS rv,
+             el.v AS v, CAST(cell.cid AS INT) AS cell_cid
+      FROM cell JOIN el USING (vec_id) JOIN cc2 c ON c.cid = cell.cid
+    ),
+    {_pq_seed_ctes('rsd', 'p', m, ksub, sub, 'rv')},
+    {_pq_train_iter_ctes('rsd', 'pb0', 'p', 1, sub, 'rv')},
+    {_pq_train_iter_ctes('rsd', 'pb1', 'p', 2, sub, 'rv')},
+    probes AS (
+      SELECT c.cid FROM cc2 c, q
+      ORDER BY {_COS_Q_SQL.format(a='c.c', b='q.qv')} DESC, c.cid ASC
+      LIMIT 4
+    ),
+    pruned AS (SELECT r.* FROM rsd r JOIN probes p ON r.cell_cid = p.cid),
+    qc AS (
+      SELECT c.cid,
+             CAST(ROUND(list_dot_product(q.qv, c.c) * 1000000, 0)
+                  AS BIGINT) AS t
+      FROM cc2 c, q
+    ),
+    enc AS (
+      SELECT vec_id, s, mk[2] AS cid FROM (
+        SELECT ei.vec_id, b.s,
+               MIN([{enc_key}, CAST(b.cid AS BIGINT)]) AS mk
+        FROM pruned ei CROSS JOIN pb2 b
+        GROUP BY ei.vec_id, b.s)
+    ),
+    lut AS (
+      SELECT b.s, b.cid,
+             CAST(ROUND(list_dot_product(
+                 list_slice(q.qv, b.s*{sub}+1, b.s*{sub}+{sub}), b.c)
+                 * 1000000, 0) AS BIGINT) AS t
+      FROM pb2 b, q
+    ),
+    adc AS (
+      SELECT vec_id, SUM(t) AS am FROM enc JOIN lut USING (s, cid)
+      GROUP BY vec_id
+    ),
+    sc AS (
+      SELECT a.vec_id,
+             CAST(a.am + qc.t AS DOUBLE) / 1000000.0 /
+             (SQRT(list_dot_product(q.qv, q.qv)) *
+              SQRT(list_dot_product(p.v, p.v))) AS ac
+      FROM adc a JOIN pruned p USING (vec_id)
+           JOIN qc ON qc.cid = p.cell_cid, q
+      WHERE a.vec_id <> 0
+    ),
+    short AS (
+      SELECT vec_id FROM sc ORDER BY ROUND(ac, 6) DESC, vec_id LIMIT 100
+    ),
+    rr AS (
+      SELECT el.vec_id,
+             ROUND({_COS_Q_SQL.format(a='el.v', b='q.qv')}, 6) + 0.0 AS c6
+      FROM el JOIN short USING (vec_id), q
+      WHERE el.vec_id <> 0
+    )
+    SELECT vec_id, ROUND(c6, 6) AS cosine FROM rr
+    ORDER BY c6 DESC, vec_id LIMIT 10
+    """
+
+
+@register("pq_topk_trained_embeddings", _pq_trained_oracle())
 def pq_topk_trained_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ top-k over JOINT L2-Lloyd-trained codebooks (m=16
     subspaces x k=16 centroids, 2 iterations — one job per pass for
@@ -1283,14 +1564,17 @@ def pq_topk_trained_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     subvector magnitudes), and re-rank is what makes PQ usable on
     this near-random corpus (top-10/median cosine 0.33/0.01):
     ADC-only ordering is noise-limited at ~0.4-0.6 recall, but the
-    50-candidate shortlist CONTAINS the true neighbors. No exact SQL
-    twin exists (the trained centroids are an iterative fixpoint),
-    so the driver sees rows-only; tools/check_oracle.py holds it to
-    a measured floor: recall@10 vs DuckDB's exact cosine top-10 must
-    stay >= 0.6 (kind="recall" in TOLERANCE_ORACLES), against
-    measured 0.9 at sf0.001 and 1.0 at sf0.01 (r07, committed run).
-    Scale shape: n_iter+1 training passes total (not m*(n_iter+1)),
-    encode/ADC map-side, re-rank a broadcast semi-join of 50 ids."""
+    50-candidate shortlist CONTAINS the true neighbors. STRICT
+    oracle since r14 (_pq_trained_oracle): the trained centroids are
+    an iterative fixpoint of deterministic integer/quantized
+    arithmetic, so both Lloyd iterations, the encode, the ADC
+    shortlist and the exact re-rank unroll into DuckDB CTEs that
+    hash-match bit for bit — the approx_distinct_parts precedent
+    applied to the ANN family. Recall@10 vs the exact cosine top-10
+    stays floored at 0.6 in pytest (measured 0.9 at sf0.001, 1.0 at
+    sf0.01 — r07 committed run). Scale shape: n_iter+1 training
+    passes total (not m*(n_iter+1)), encode/ADC map-side, re-rank a
+    broadcast semi-join of 50 ids."""
     # shared checkpointed frame: training and the encode/ADC scan
     # read one materialization instead of two parquet+cast scans
     emb = S._parallel_checkpoint(
@@ -1306,7 +1590,7 @@ def pq_topk_trained_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
-@register("ann_ivfpq_topk", None)  # approx ids => recall oracle
+@register("ann_ivfpq_topk", _ivfpq_oracle())
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC+R (operators/similarity.ivfpq_topk): the COMPLETE
     100 TB ANN architecture — an 8-cell coarse quantizer (cosine
@@ -1316,13 +1600,14 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     <q,x> = <q,c_cell> + <q,r-hat> from lookup tables, and the
     top-100 shortlist is exactly re-ranked. Completes the ANN
     ladder: brute force -> IVF (scan pruning) -> PQ (bandwidth
-    compression) -> IVFADC (both at once). No SQL twin (two nested
-    iterative trainings), so the driver sees rows-only;
-    tools/check_oracle.py enforces a measured recall floor:
-    recall@10 >= 0.6 vs DuckDB's exact cosine top-10, against
-    measured 1.0 at sf0.001 and 0.9 at sf0.01 (r07 committed run;
-    0.7 at sf0.1 where n_probe=4/8 prunes hardest against this
-    near-random corpus)."""
+    compression) -> IVFADC (both at once). STRICT oracle since r14
+    (_ivfpq_oracle): both nested iterative trainings (coarse cosine
+    Lloyd + residual PQ L2 Lloyd), the probe prune, the BIGINT ADC
+    scores and the exact re-rank unroll into DuckDB CTEs that
+    hash-match bit for bit. Recall@10 >= 0.6 vs the exact cosine
+    top-10 stays in pytest (measured 1.0 at sf0.001 and 0.9 at
+    sf0.01, r07 committed run; 0.7 at sf0.1 where n_probe=4/8 prunes
+    hardest against this near-random corpus)."""
     # ONE checkpointed training frame shared by the coarse Lloyd,
     # the residual derivation and the ADC scan (the
     # dedup_keep_best_scored pattern): kmeans_fit's private
@@ -1431,7 +1716,7 @@ def _ensure_ivfpq_index(emb: DataFrame, path: str, **params) -> None:
             )
 
 
-@register("ann_ivfpq_indexed", None)  # approx ids => recall oracle
+@register("ann_ivfpq_indexed", _ivfpq_oracle())
 def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC+R against a PERSISTED index (operators/similarity.
     write_ivfpq_index / ivfpq_topk_indexed): identical quantizer
@@ -1444,9 +1729,10 @@ def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment runs on; ann_ivfpq_topk (training-in-query) remains
     the self-contained twin. The index dir is content-keyed on the
     source parquet, so the first run per corpus builds it and every
-    later run is probe-only. Recall floor: same measured >= 0.6
-    oracle as ann_ivfpq_topk (identical quantizers => identical
-    results; asserted in tests/test_similarity.py)."""
+    later run is probe-only. STRICT oracle since r14: shares
+    _ivfpq_oracle with ann_ivfpq_topk (identical quantizers =>
+    identical results; asserted in tests/test_similarity.py); the
+    0.6 recall floor lives in pytest."""
     import os
 
     emb = load(spark, sf_dir, "embeddings").withColumn(
@@ -1461,7 +1747,7 @@ def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
-@register("streaming_ivfpq_ingest_embeddings", None)  # approx => recall
+@register("streaming_ivfpq_ingest_embeddings", _ivfpq_oracle())
 def streaming_ivfpq_ingest_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1476,9 +1762,10 @@ def streaming_ivfpq_ingest_embeddings(
     upsert sink family and the persisted IVFADC index. Convergence
     contract: after availableNow drains the stream, the streamed
     store holds exactly the codes the batch writer would produce
-    (same quantizers, same deterministic encode), so the probe's
-    recall oracle (floor 0.6, the ann_ivfpq family measurement) and
-    the equality test in tests/test_streaming.py both hold. Fixture
+    (same quantizers, same deterministic encode), so the probe
+    shares _ivfpq_oracle (STRICT since r14) with the batch twins and
+    the equality test in tests/test_streaming.py holds; the 0.6
+    recall floor lives in pytest. Fixture
     dirs are content-keyed: a replay over an existing checkpoint
     emits nothing and leaves the same converged store."""
     import os
@@ -4424,107 +4711,116 @@ def outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_quantile_events", None)  # sketch-based => rows-only
+_QSAMPLE_K = 1024
+_QCOIN_SPARK = (
+    "cast(conv(substr(md5(concat('qk:', cast(event_id as string))), "
+    "1, 15), 16, 10) as bigint)"
+)
+_QCOIN_DUCK = (
+    "CAST(concat('0x', substr(md5(concat('qk:', "
+    "CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+
+_APPROX_QUANTILE_ORACLE = f"""
+    WITH c AS (
+      SELECT event_type, event_id, value, {_QCOIN_DUCK} AS coin
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, event_id, value FROM (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY coin, event_id) AS rn
+        FROM c) WHERE rn <= {_QSAMPLE_K}
+    ),
+    r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS vr,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM s
+    )
+    SELECT event_type,
+           MAX(CASE WHEN vr = (m + 1) // 2 THEN value END)
+             AS median_approx,
+           MAX(CASE WHEN vr = (9 * m + 9) // 10 THEN value END)
+             AS p90_approx
+    FROM r GROUP BY event_type
+    """
+
+
+@register("approx_quantile_events", _APPROX_QUANTILE_ORACLE)
 def approx_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greenwald-Khanna approximate percentiles — the 100 TB path
-    where exact quantiles would sort every group. rows-only at the
-    driver gate; tools/check_oracle.py asserts each approximate value
-    lies between the exact quantiles at q +/- 5x the sketch's rank
-    error (accuracy 1000 -> eps 0.001 -> bound 0.005)."""
-    ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, 1000).alias("median_approx"),
-        F.percentile_approx("value", 0.9, 1000).alias("p90_approx"),
+    """Approximate percentiles per group — the 100 TB path where
+    exact quantiles would sort every group — via a DETERMINISTIC
+    bottom-k uniform sample + rank-exact selection, the r14 upgrade
+    that closed the catalog's LAST bounded-error row (the verdict's
+    "rank-exact sampled quantile" option):
+
+      * sample: the k=1024 rows with the smallest md5 coins per
+        group (the es_key_sql w=1 coin — equal-weight E-S, i.e. a
+        uniform simple random sample WITHOUT replacement, fixed size,
+        mergeable bottom-k at any scale);
+      * estimate: the sample value at integer rank ceil(q*m)
+        ((m+1)//2 and (9m+9)//10 — pure integer arithmetic, value
+        returned VERBATIM from the data, zero float math).
+
+    Every stage replays exactly in DuckDB, so the driver gate
+    hash-matches — the ENGINE's answer is exact even though it
+    approximates the true quantile. Rank-error contract (bottom-k of
+    a random hash is an SRS: 1-sigma rank error sqrt(q(1-q)/k) ~
+    0.016 at k=1024) is pytest-held against the exact quantiles at
+    q +/- 4 sigma; the library GK path (percentile_approx) stays
+    covered by the same test for capability parity.
+
+    Scale shape: narrow (group, coin, value, id) rows into one
+    k-bounded-per-group window; groups of n <= k pass through whole
+    (the estimate is then EXACT); the second window ranks k rows per
+    group. Skew disposition = the topk_customers_per_nation family."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("__coin").asc(), F.col("event_id").asc()
+    )
+    samp = (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.expr(_QCOIN_SPARK).alias("__coin"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _QSAMPLE_K)
+    )
+    wv = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = samp.withColumn("__vr", F.row_number().over(wv)).withColumn(
+        "__m",
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("__vr") == F.expr("(__m + 1) div 2"),
+                F.col("value"),
+            )
+        ).alias("median_approx"),
+        F.max(
+            F.when(
+                F.col("__vr") == F.expr("(9 * __m + 9) div 10"),
+                F.col("value"),
+            )
+        ).alias("p90_approx"),
     )
 
-
-
-TOLERANCE_ORACLES["approx_quantile_events"] = {
-    # GK guarantees a value whose RANK is within eps*n of the target,
-    # so the principled value-space bound is the exact quantile pair
-    # at q -/+ bound — not a relative tolerance on the value itself
-    "sql": """
-    SELECT event_type,
-           quantile_cont(value, 0.495) AS median_approx_lo,
-           quantile_cont(value, 0.505) AS median_approx_hi,
-           quantile_cont(value, 0.895) AS p90_approx_lo,
-           quantile_cont(value, 0.905) AS p90_approx_hi
-    FROM events GROUP BY event_type
-    """,
-    "keys": ["event_type"],
-    "kind": "bounds",
-}
-
-TOLERANCE_ORACLES["pq_topk_trained_embeddings"] = {
-    # the exact cosine top-10 (vec 0's neighbors, vec 0 excluded);
-    # check_oracle computes recall@k = |approx ids ∩ exact ids| / k
-    # and fails below the floor. Floor 0.6 is set from a committed
-    # r07 measurement: trained m=16 x k=16 books + rerank=50 score
-    # recall@10 = 0.9 at sf0.001 and 1.0 at sf0.01 (the r06 floor of
-    # 0.5 was set from an UNREPRODUCIBLE claim and the query failed
-    # it at 0.1-0.3 — cosine-trained books fed to the L2 encoder,
-    # no re-rank). 0.6 catches a broken training loop or a dropped
-    # re-rank without flaking on legitimate quantization loss.
-    "sql": """
-    SELECT e.vec_id
-    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-          WHERE vec_id <> 0 AND list_dot_product(embedding, embedding) > 0) e,
-         (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-          WHERE vec_id = 0) q
-    ORDER BY list_dot_product(e.v, q.qv)
-             / (SQRT(list_dot_product(e.v, e.v))
-                * SQRT(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
-    LIMIT 10
-    """,
-    "kind": "recall",
-    "id_col": "vec_id",
-    "k": 10,
-    "floor": 0.6,
-}
-
-TOLERANCE_ORACLES["ann_ivfpq_topk"] = {
-    # same recall oracle as pq_topk_trained_embeddings (exact cosine
-    # top-10, vec 0 excluded). Floor 0.6 from the r07 committed
-    # measurement: IVFADC+R at n_probe=4, rerank=100 scores 1.0 at
-    # sf0.001 and 0.9 at sf0.01 — a broken coarse probe or residual
-    # training collapses toward ~0.
-    "sql": TOLERANCE_ORACLES["pq_topk_trained_embeddings"]["sql"],
-    "kind": "recall",
-    "id_col": "vec_id",
-    "k": 10,
-    "floor": 0.6,
-}
-
-TOLERANCE_ORACLES["streaming_ivfpq_ingest_embeddings"] = {
-    # probe over the STREAM-ingested codes store: same quantizers as
-    # ann_ivfpq_indexed (shared trained meta), so the same recall
-    # oracle applies; a dropped micro-batch, a non-idempotent replay,
-    # or a broken batch-dir partition layout collapses recall
-    "sql": TOLERANCE_ORACLES["pq_topk_trained_embeddings"]["sql"],
-    "kind": "recall",
-    "id_col": "vec_id",
-    "k": 10,
-    "floor": 0.6,
-}
-
-TOLERANCE_ORACLES["ann_ivfpq_indexed"] = {
-    # the persisted-index twin of ann_ivfpq_topk: same quantizer
-    # math (shared helpers), same recall oracle and floor; a stale
-    # or corrupt index, broken partition pruning, or a code/LUT
-    # off-by-one collapses recall toward ~0. Floor 0.6 is justified
-    # by the committed r09 operating curve (tools/ann_recall_sweep.py,
-    # SCALE.md "ANN recall operating curve"): this query's operating
-    # point (n_probe=4, rerank=100) measures 0.805 mean recall@10
-    # over a 20-query panel at the gate sf (0.01), and structural
-    # breaks land in the 0.2-0.34 ADC-only band — 0.6 separates the
-    # two populations with margin on both sides
-    "sql": TOLERANCE_ORACLES["pq_topk_trained_embeddings"]["sql"],
-    "kind": "recall",
-    "id_col": "vec_id",
-    "k": 10,
-    "floor": 0.6,
-}
-
+# r14: the four trained-quantizer ANN queries (pq_topk_trained_
+# embeddings, ann_ivfpq_topk, ann_ivfpq_indexed,
+# streaming_ivfpq_ingest_embeddings) moved from recall-floor
+# TOLERANCE_ORACLES to STRICT CTE-replay oracles (_pq_trained_oracle /
+# _ivfpq_oracle above). Their recall floors vs the true cosine top-10
+# (0.6, from the committed r07/r09 measurements and the
+# tools/ann_recall_sweep.py operating curve) live on in
+# tests/test_similarity.py::test_ann_catalog_recall_floors.
 
 @register(
     "skew_salted_event_type_agg",

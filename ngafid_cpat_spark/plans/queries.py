@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (200 queries: 195 strict oracles + 5 bounded-error).
+the full catalog (200 queries: 200 strict oracles, 0 bounded-error, 0 rows-only).
 """
 
 from __future__ import annotations

@@ -430,3 +430,64 @@ def test_approx_distinct_parts_portable_hll_accuracy(spark):
         assert set(got) == set(exact)
         for k, e in exact.items():
             assert abs(got[k] - e) / e < 0.12, (sf, k, got[k], e)
+
+
+def test_sampled_quantile_rank_error_and_gk_parity(spark):
+    """r14: approx_quantile_events moved from the GK sketch
+    (rows-only gate) to a deterministic bottom-k sample + rank-exact
+    selection (STRICT oracle). The accuracy contract moves here:
+
+      * the sampled estimate's RANK in the full group must sit
+        within 4 sigma of the target (sigma = sqrt(q(1-q)/m), the
+        SRS bound for the k=1024 bottom-k-by-random-hash sample);
+      * the library GK path (percentile_approx, the capability the
+        query previously exercised) stays covered: its estimates
+        must sit between the exact quantiles at q +/- 0.005
+        (accuracy 1000 -> eps 0.001, 5x margin)."""
+    import bisect
+    import math
+
+    import duckdb
+
+    from ngafid_cpat_spark.plans import QUERIES
+    from ngafid_cpat_spark.sources import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = {
+            r["event_type"]: (r["median_approx"], r["p90_approx"])
+            for r in QUERIES["approx_quantile_events"](spark, sf).collect()
+        }
+        full = {}
+        for et, v in duckdb.sql(
+            "SELECT event_type, value FROM "
+            f"read_parquet('{sf}/events.parquet') WHERE value IS NOT NULL"
+        ).fetchall():
+            full.setdefault(et, []).append(v)
+        assert set(got) == set(full)
+        for et, vals in full.items():
+            vals.sort()
+            n = len(vals)
+            m = min(n, 1024)
+            for q, est in zip((0.5, 0.9), got[et]):
+                rank = bisect.bisect_right(vals, est) / n
+                sigma = math.sqrt(q * (1 - q) / m)
+                assert abs(rank - q) <= 4 * sigma + 1.0 / m, (
+                    sf, et, q, rank, sigma,
+                )
+        # GK library capability parity (percentile_approx)
+        ev = load(spark, sf, "events")
+        gk = {
+            r["event_type"]: (r["med"], r["p90"])
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.percentile_approx("value", 0.5, 1000).alias("med"),
+                F.percentile_approx("value", 0.9, 1000).alias("p90"),
+            )
+            .collect()
+        }
+        for et, vals in full.items():
+            n = len(vals)
+            for q, est in zip((0.5, 0.9), gk[et]):
+                lo = vals[max(0, math.ceil((q - 0.005) * n) - 1)]
+                hi = vals[min(n - 1, math.ceil((q + 0.005) * n) - 1)]
+                assert lo <= est <= hi, (sf, et, q, est, lo, hi)

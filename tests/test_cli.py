@@ -13,9 +13,12 @@ def test_cli_list(capsys):
     # only the sketch queries remain rows-only at the driver gate
     assert "dedup_minhash_lsh\toracle" in out
     # r13: approx_distinct_parts upgraded to the portable-HLL strict
-    # oracle; GK quantiles remain the rows-only representative
+    # oracle; r14: the sampled rank-exact quantile upgrade closed the
+    # catalog's last rows-only row — every registered query now
+    # carries a strict oracle
     assert "approx_distinct_parts\toracle" in out
-    assert "approx_quantile_events\trows-only" in out
+    assert "approx_quantile_events\toracle" in out
+    assert "rows-only" not in out
 
 
 def test_cli_analyze_no_write(spark, telemetry, dims, tmp_path, capsys):

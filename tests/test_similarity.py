@@ -985,3 +985,42 @@ def test_label_centroids_integer_micro_means(spark):
     # micros: round_half_away(1.5)=2, round(2.0)=2 -> sum 4, n 2 ->
     # mean_micro = 2 -> 0.000002 ; second dim (1e6+0)/2 = 500000
     assert vec == [0.000002, 0.5]
+
+
+def test_ann_catalog_recall_floors(spark):
+    """r14: the trained-quantizer ANN quartet moved from recall-floor
+    driver oracles to STRICT CTE replays — the gate now pins WHAT the
+    engine computed, so the floor that the answer is a GOOD
+    approximation (recall@10 >= 0.6 vs the true cosine top-10, the
+    committed r07/r09 measurements) moves here. streaming_ivfpq is
+    covered by its equality test vs ann_ivfpq_indexed."""
+    import duckdb
+
+    from ngafid_cpat_spark.plans import QUERIES
+
+    exact_sql = """
+    SELECT e.vec_id
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM read_parquet('{sf}/embeddings.parquet')
+          WHERE vec_id <> 0
+            AND list_dot_product(embedding, embedding) > 0) e,
+         (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM read_parquet('{sf}/embeddings.parquet')
+          WHERE vec_id = 0) q
+    ORDER BY list_dot_product(e.v, q.qv)
+             / (SQRT(list_dot_product(e.v, e.v))
+                * SQRT(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+    LIMIT 10
+    """
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = {
+            r[0] for r in duckdb.sql(exact_sql.format(sf=sf)).fetchall()
+        }
+        for name in (
+            "pq_topk_trained_embeddings",
+            "ann_ivfpq_topk",
+            "ann_ivfpq_indexed",
+        ):
+            got = {r["vec_id"] for r in QUERIES[name](spark, sf).collect()}
+            recall = len(got & exact) / 10
+            assert recall >= 0.6, (name, sf, recall)
