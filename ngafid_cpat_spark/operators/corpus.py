@@ -1331,6 +1331,106 @@ def pmi_collocations(
     )
 
 
+def kneser_ney_score(
+    df: DataFrame,
+    discount_num: int = 3,
+    discount_den: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Kneser-Ney smoothed bigram LM scoring (Kneser &
+    Ney 1995; Chen & Goodman 1999 interpolated form) — the
+    perplexity-filtering primitive of LLM data pipelines, scored with
+    ZERO engine transcendentals: the discount D = 3/4 enters as an
+    exact rational, every bigram's interpolated probability
+
+        P_KN(cur|prev) = (c(prev,cur) - D) / c(prev)
+                       + D * N1+(prev,.) / c(prev) * N1+(.,cur) / B
+
+    is the exact integer rational
+
+        num = (4*c(prev,cur) - 3) * B + 3 * N1+(prev,.) * N1+(.,cur)
+        den = 4 * c(prev) * B
+
+    (B = distinct bigram types = sum over cur of N1+(.,cur), the
+    continuation-model denominator; every scored bigram exists in the
+    self-trained model so c - D > 0 and the max(., 0) clamp is
+    vacuous), and the per-bigram score quantizes by pure integer
+    round-half-up, micro = (2e6*num + den) DIV (2*den) — no log, no
+    float, so the whole query is strict-oracle material (the PMI
+    rank-by-the-rational doctrine pushed one step further: here even
+    the VALUE is the rational). Products run in DECIMAL(38,0) on
+    Spark / HUGEINT in DuckDB (the BM25 headroom doctrine): with
+    2e6 * num <= 8e6 * c_max * B, int64 dies near c_max * B ~ 1e12
+    while 1e38 holds through ~1e31 — corpus scales far beyond 100 TB.
+
+    Per document: n_bigrams, avg_prob (mean of the micro
+    probabilities / 1e6 — the mean-conditional-token-probability
+    quality signal; an exact integer sum / count, so bit-stable), and
+    min_p_micro (the document's single worst bigram — the
+    tail-quality signal a mean hides). Documents with < 2 tokens have
+    no bigrams and are absent, like bigram_logprob's contract.
+
+    Why Kneser-Ney and not add-k or Katz: the continuation count
+    N1+(.,cur) models how PROMISCUOUSLY a word follows new contexts —
+    the standard fix for bigrams like 'Francisco' (frequent, but only
+    ever after 'San'). The interpolation weight lambda(prev) =
+    D * N1+(prev,.) / c(prev) is exactly the mass the discount freed,
+    so sum_cur P_KN(cur|prev) = 1 per context (asserted with exact
+    Fractions in tests).
+
+    Shape at scale: one tokenize+lead pass builds the bigram model;
+    the context/continuation margins are vocab-bounded
+    re-aggregations of the MODEL (the pmi_collocations discipline);
+    B rides a broadcast scalar; scoring joins the token stream
+    against model-sized dims; the per-doc rollup is one
+    map-side-combining groupBy."""
+    toks = df.select(
+        id_col, F.posexplode(T.tokens(text_col)).alias("pos", "token")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bg = (
+        toks.withColumn("cur", F.lead("token").over(w))
+        .filter(F.col("cur").isNotNull())
+        .select(id_col, F.col("token").alias("prev"), "cur")
+        .localCheckpoint(eager=False)  # feeds the model AND the scorer
+    )
+    bmodel = bg.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("bc")
+    ).localCheckpoint(eager=False)  # 3 consumers: ctx, cont, scorer join
+    ctx = bmodel.groupBy("prev").agg(
+        F.sum("bc").alias("c_prev"),
+        F.count(F.lit(1)).alias("n1p"),
+    )
+    cont = bmodel.groupBy("cur").agg(F.count(F.lit(1)).alias("n1c"))
+    btot = bmodel.agg(F.count(F.lit(1)).alias("btypes"))
+    dn, dd = int(discount_num), int(discount_den)
+    if not (0 < dn < dd):
+        raise ValueError(
+            f"kneser_ney_score: discount must be in (0,1), got {dn}/{dd}"
+        )
+    micro = F.expr(
+        f"CAST(((CAST({dd} AS DECIMAL(38,0)) * bc - {dn}) * btypes"
+        f" + {dn} * n1p * n1c) * 2000000"
+        f" + ({dd} * CAST(c_prev AS DECIMAL(38,0)) * btypes) AS DECIMAL(38,0))"
+        f" div (2 * {dd} * CAST(c_prev AS DECIMAL(38,0)) * btypes)"
+    )
+    scored = (
+        bg.join(bmodel, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(cont, "cur")
+        .crossJoin(F.broadcast(btot))
+        .withColumn("__p_micro", micro)
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("__p_micro") / F.count(F.lit(1)) / 1000000.0).alias(
+            "avg_prob"
+        ),
+        F.min("__p_micro").alias("min_p_micro"),
+    )
+
+
 def es_key_sql(id_expr: str, w_expr: str, salt: str, duck: bool) -> str:
     """The Efraimidis-Spirakis integer key ladder for one row: the
     MAX of ``w`` iid 60-bit md5 coins salted by (salt, j, id),

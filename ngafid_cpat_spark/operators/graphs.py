@@ -792,3 +792,131 @@ def sssp_minplus(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def incremental_bfs_relax(
+    prior: DataFrame,
+    edges: DataFrame,
+    batch_edges: DataFrame,
+    seed_sql: str = "node % 11 = 0",
+    u: str = "u",
+    v: str = "v",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """One incremental multi-source-BFS advance: fold ``batch_edges``
+    (the newly-arrived undirected pairs) into the distance frame
+    ``prior`` (node, hop) given ``edges`` = the FULL accumulated
+    undirected edge set — frontier-based min-plus relaxation until
+    fixpoint. The streaming twin's per-batch core
+    (streaming/foreach_batch.stream_incremental_bfs wraps this with
+    the generation-keyed stores); factored out so tests and the
+    scale smoke time exactly the incremental work.
+
+    Exactness (insert-only shortest-path lemma): edges only arrive,
+    so prior distances stay valid UPPER bounds; relaxation from any
+    valid upper bound converges to the true fixpoint; and a frontier
+    of (a) improved/new seeds plus (b) one explicit relaxation of
+    the batch edges is complete — an inserted edge propagates
+    improvement from a node whose own distance did not change, which
+    (b) catches. Per-round state cuts EAGERLY (dist feeds each round
+    twice — the bfs_hops plan-doubling lesson). Raises if no
+    fixpoint within ``max_rounds`` (a diameter breach must never
+    silently truncate; the DuckDB oracle's recursion cap mirrors
+    it)."""
+    spark = edges.sparkSession
+    de = edges.select(F.col(u).alias("s"), F.col(v).alias("t")).unionByName(
+        edges.select(F.col(v).alias("s"), F.col(u).alias("t"))
+    )
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_part = 32
+    dd = (
+        de.repartition(n_part, "s")
+        .sortWithinPartitions("s")
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        dd.select(F.col("s").alias("node"))
+        .distinct()
+        .filter(F.expr(seed_sql))
+        .select("node", F.lit(0).cast("int").alias("hop"))
+    )
+    dist = (
+        prior.unionByName(seeds)
+        .groupBy("node")
+        .agg(F.min("hop").cast("int").alias("hop"))
+        .localCheckpoint(eager=True)
+    )
+    batch_dir = batch_edges.select(
+        F.col(u).alias("s"), F.col(v).alias("t")
+    ).unionByName(
+        batch_edges.select(F.col(v).alias("s"), F.col(u).alias("t"))
+    )
+    new_edge_relax = (
+        batch_dir.join(dist, batch_dir["s"] == dist["node"])
+        .select(
+            F.col("t").alias("node"),
+            (F.col("hop") + 1).cast("int").alias("hop"),
+        )
+        .groupBy("node")
+        .agg(F.min("hop").cast("int").alias("hop"))
+    )
+    seed_improved = (
+        dist.alias("d")
+        .join(prior.alias("p"), "node", "left")
+        .filter(F.col("p.hop").isNull() | (F.col("d.hop") < F.col("p.hop")))
+        .select("node", F.col("d.hop").alias("hop"))
+    )
+    edge_improved = (
+        new_edge_relax.alias("c")
+        .join(dist.alias("d"), "node", "left")
+        .filter(F.col("d.hop").isNull() | (F.col("c.hop") < F.col("d.hop")))
+        .select("node", F.col("c.hop").alias("hop"))
+    )
+    frontier = (
+        seed_improved.unionByName(edge_improved)
+        .groupBy("node")
+        .agg(F.min("hop").cast("int").alias("hop"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        dist.unionByName(frontier)
+        .groupBy("node")
+        .agg(F.min("hop").cast("int").alias("hop"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        if not frontier.take(1):
+            break
+        contribs = (
+            dd.join(frontier, dd["s"] == frontier["node"])
+            .select(
+                F.col("t").alias("node"),
+                (F.col("hop") + 1).cast("int").alias("hop"),
+            )
+            .groupBy("node")
+            .agg(F.min("hop").cast("int").alias("hop"))
+        )
+        improved = (
+            contribs.alias("c")
+            .join(dist.alias("d"), "node", "left")
+            .filter(
+                F.col("d.hop").isNull() | (F.col("c.hop") < F.col("d.hop"))
+            )
+            .select("node", F.col("c.hop").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("hop").cast("int").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    else:
+        raise RuntimeError(
+            f"incremental_bfs_relax: no fixpoint within {max_rounds} "
+            "rounds (graph diameter exceeds cap?)"
+        )
+    return dist

@@ -2321,6 +2321,67 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kneser_ney_docs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, pos, token FROM (
+        SELECT doc_id,
+               unnest(string_split({{NORM}}, ' ')) AS token,
+               unnest(range(len(string_split({{NORM}}, ' ')))) AS pos
+        FROM documents
+      )
+    ), big AS (
+      SELECT doc_id, token AS prev,
+             LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+      FROM tok
+    ), bg AS (
+      SELECT doc_id, prev, cur FROM big WHERE cur IS NOT NULL
+    ), bmodel AS (
+      SELECT prev, cur, COUNT(*) AS bc FROM bg GROUP BY prev, cur
+    ), ctx AS (
+      SELECT prev, SUM(bc) AS c_prev, COUNT(*) AS n1p
+      FROM bmodel GROUP BY prev
+    ), cont AS (
+      SELECT cur, COUNT(*) AS n1c FROM bmodel GROUP BY cur
+    ), btot AS (
+      SELECT COUNT(*) AS btypes FROM bmodel
+    ), sc AS (
+      SELECT g.doc_id,
+             ((CAST(4 * b.bc - 3 AS HUGEINT) * t.btypes
+               + 3 * x.n1p * o.n1c) * 2000000
+              + CAST(4 AS HUGEINT) * x.c_prev * t.btypes)
+             // (CAST(8 AS HUGEINT) * x.c_prev * t.btypes) AS p_micro
+      FROM bg g
+      JOIN bmodel b ON g.prev = b.prev AND g.cur = b.cur
+      JOIN ctx x ON g.prev = x.prev
+      JOIN cont o ON g.cur = o.cur, btot t
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           SUM(CAST(p_micro AS BIGINT)) / COUNT(*) / 1000000.0 AS avg_prob,
+           CAST(MIN(p_micro) AS BIGINT) AS min_p_micro
+    FROM sc GROUP BY doc_id
+    """.replace("{NORM}", NORM_SQL),
+)
+def kneser_ney_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM scoring per document
+    (operators/corpus.kneser_ney_score, D = 3/4): mean and minimum
+    interpolated conditional probability of the document's bigrams
+    under the corpus's own KN model — the perplexity-filtering
+    primitive, with every probability an EXACT integer rational
+    (micro = (2e6*num + den) DIV (2*den) in DECIMAL(38,0)/HUGEINT)
+    so the whole query is strict-oracle hash-matched with zero
+    engine transcendentals (the PMI doctrine pushed to the VALUE,
+    not just the rank). Continuation counts N1+(.,cur) fix the
+    'Francisco' pathology add-k smoothing has; exact-Fraction
+    replay + the sum-to-1 KN identity live in tests/test_corpus.py."""
+    from ..operators.corpus import kneser_ney_score
+
+    docs = load(spark, sf_dir, "documents")
+    return kneser_ney_score(docs)
+
+
 def _events_stream_dir(sf_dir: str) -> str:
     """The file stream source requires a DIRECTORY; expose the single
     events.parquet through a per-sf_dir symlink dir (no data copy)."""
@@ -6673,6 +6734,128 @@ def bfs_hops_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return bfs_hops(edges, seeds, n_rounds=3).withColumnRenamed(
         "node", "user_id"
+    )
+
+
+@register(
+    "streaming_incremental_bfs_users_events",
+    """
+    WITH RECURSIVE cells AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS h
+      FROM events WHERE event_type = 'click'
+    ), e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+    ), de AS (
+      SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e
+    ), walk(node, hop) AS (
+      SELECT DISTINCT s, 0 FROM de WHERE s % 11 = 0
+      UNION
+      SELECT de.t, w.hop + 1 FROM walk w JOIN de ON de.s = w.node
+      WHERE w.hop < 64
+    )
+    SELECT node AS user_id, CAST(MIN(hop) AS INT) AS hop
+    FROM walk GROUP BY node
+    """,
+)
+def streaming_incremental_bfs_users_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental multi-source BFS over a GROWING edge log
+    (streaming/foreach_batch.stream_incremental_bfs) — the streaming
+    twin of bfs_hops_users_events' click co-occurrence graph,
+    completing the batch/streaming symmetry for the graph-traversal
+    tier (the incremental-CC pattern applied to min-plus distances):
+    the co-occurrence edges arrive as two mtime-ordered micro-batches
+    (split by (u+v) parity), each batch folds into a batch-keyed edge
+    store and advances a generation-keyed distance store by
+    FRONTIER-BASED relaxation until fixpoint. Insert-only edges keep
+    prior distances valid upper bounds, so the drained store equals
+    from-scratch fixpoint BFS over the union — which the oracle
+    replays as an uncapped recursive CTE (hop cap 64 >> diameter;
+    the engine loop raises beyond it, so a cap breach can never
+    silently truncate). Unlike the 3-hop-capped batch query this twin
+    runs to the true fixpoint; per-batch work is frontier-bounded
+    (a quiet batch does one seed-fold and stops)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.similarity import _fs_glob
+    from ..streaming.foreach_batch import stream_incremental_bfs
+
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        st = None
+    tag = hashlib.md5(
+        f"ibfs-stream-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
+        f"{getattr(st, 'st_size', 0)}".encode()
+    ).hexdigest()[:12]
+    base = _scratch_dir()
+    stream_dir = os.path.join(base, f"spark_graft_ibfs_arrivals_{tag}")
+    edges_root = os.path.join(base, f"spark_graft_ibfs_edges_{tag}")
+    store_root = os.path.join(base, f"spark_graft_ibfs_store_{tag}")
+    ckpt = os.path.join(base, f"spark_graft_ibfs_ckpt_{tag}")
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 600).cast("long").alias("h"),
+        )
+        .distinct()
+    )
+    edges = (
+        cells.alias("a")
+        .join(
+            cells.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .distinct()
+    )
+    seed = os.path.join(store_root, "gen-0")
+    if not os.path.exists(os.path.join(seed, "_SUCCESS")):
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(store_root, ignore_errors=True)
+        shutil.rmtree(edges_root, ignore_errors=True)
+        spark.createDataFrame([], "node bigint, hop int").write.mode(
+            "overwrite"
+        ).parquet(seed)
+    _write_ordered_stream_fixture(stream_dir, (
+        ("edges_00.parquet", edges.filter((F.col("u") + F.col("v")) % 2 == 0),
+         1_000_000_000),
+        ("edges_01.parquet", edges.filter((F.col("u") + F.col("v")) % 2 == 1),
+         1_000_000_100),
+    ))
+    schema = spark.read.parquet(
+        os.path.join(stream_dir, "edges_00.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    stream_incremental_bfs(
+        stream, edges_root, store_root, ckpt,
+        seed_sql="node % 11 = 0",
+        query_name="streaming_incremental_bfs_users_events",
+    )
+    latest = max(
+        int(name.split("-", 1)[1])
+        for name in _fs_glob(store_root, "gen-*", spark)
+        if name.split("-", 1)[1].isdigit()
+    )
+    drained = spark.read.parquet(f"{store_root}/gen-{latest}")
+    return drained.select(
+        F.col("node").alias("user_id"), F.col("hop").cast("int").alias("hop")
     )
 
 

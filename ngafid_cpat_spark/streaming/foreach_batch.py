@@ -740,3 +740,95 @@ def stream_weighted_sample(
     )
     q.awaitTermination()
     return q
+
+
+def stream_incremental_bfs(
+    edge_rows: DataFrame,
+    edges_root: str,
+    store_root: str,
+    checkpoint_dir: str,
+    seed_sql: str = "node % 11 = 0",
+    u: str = "u",
+    v: str = "v",
+    max_rounds: int = 64,
+    query_name: str = "incremental_bfs",
+):
+    """Incremental multi-source BFS over a GROWING edge log — the
+    batch/streaming twin for the graph-traversal tier (the
+    incremental-CC pattern applied to min-plus distances): each
+    micro-batch of undirected (u, v) edges lands in a batch-keyed
+    edge store, and a generation-keyed DISTANCE STORE of (node, hop)
+    rows is advanced by FRONTIER-BASED relaxation until fixpoint.
+
+    Why the drained store equals from-scratch BFS over the union of
+    all edges EXACTLY (the insert-only shortest-path lemma): edges
+    only ever ARRIVE, so prior distances remain valid UPPER bounds
+    on the new graph; min-plus relaxation from any valid upper bound
+    converges to the true fixpoint; and relaxing only the FRONTIER
+    (nodes whose distance just improved) is complete because any
+    further improvement must propagate through an improved node.
+    Per-batch work is frontier-bounded — a quiet batch that shortens
+    nothing does one seed-fold and stops — where re-running batch
+    BFS would pay diameter x |E| every time. Unlike the capped
+    bfs_hops query, distances here run UNTIL FIXPOINT (exact hops at
+    any diameter); the DuckDB oracle replays that as an uncapped
+    recursive CTE, so the twin is strict-oracle-paired.
+
+    Protocol notes: round loop state cuts EAGERLY per round (dist
+    feeds each round twice — the bfs_hops plan-doubling lesson);
+    generation-keyed stores make replays byte-identical no-ops (a
+    replayed epoch overwrites its own batch-edge dir and its own
+    distance generation with identical content); ``seed_sql`` is a
+    predicate over the accumulated node set, evaluated fresh each
+    batch so seeds arriving in later batches join the seed set."""
+    import re as _re
+
+    from ..operators.similarity import _fs_glob
+
+    if not _re.fullmatch(r"[A-Za-z0-9_ %=<>.()-]+", seed_sql):
+        raise ValueError(
+            f"stream_incremental_bfs: suspicious seed_sql {seed_sql!r}"
+        )
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = int(epoch_id) + 1
+        gens = sorted(
+            int(name.split("-", 1)[1])
+            for name in _fs_glob(store_root, "gen-*", spark)
+            if name.split("-", 1)[1].isdigit()
+        )
+        prior_gens = [g for g in gens if g < target]
+        if not prior_gens:
+            raise ValueError(
+                f"stream_incremental_bfs: no generation below {target} "
+                f"under {store_root} (found {gens}) — reseed gen-0 AND "
+                "clear the checkpoint."
+            )
+        batch_df.select(
+            F.col(u).cast("long").alias("u"),
+            F.col(v).cast("long").alias("v"),
+        ).distinct().write.mode("overwrite").parquet(
+            f"{edges_root}/batch-{target}"
+        )
+        edges = spark.read.parquet(f"{edges_root}/batch-*")
+        batch_edges = spark.read.parquet(f"{edges_root}/batch-{target}")
+        prior = spark.read.parquet(f"{store_root}/gen-{max(prior_gens)}")
+        from ..operators.graphs import incremental_bfs_relax
+
+        dist = incremental_bfs_relax(
+            prior, edges, batch_edges,
+            seed_sql=seed_sql, u="u", v="v", max_rounds=max_rounds,
+        )
+        dist.write.mode("overwrite").parquet(f"{store_root}/gen-{target}")
+
+    q = (
+        edge_rows.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .foreachBatch(_apply)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -851,3 +851,75 @@ def test_es_key_sql_rejects_injectable_salt():
         with pytest.raises(ValueError):
             es_key_sql("doc_id", "w", bad, duck=False)
     assert "ok-salt_1.2" in es_key_sql("doc_id", "w", "ok-salt_1.2", True)
+
+
+def test_kneser_ney_fraction_replay_and_identity(spark):
+    """kneser_ney_score (r14): exact-Fraction replay of the whole KN
+    pipeline on a small corpus — every per-bigram probability is the
+    stated integer rational, the micro quantization matches, and the
+    KN identity sum_cur P_KN(cur|prev) = 1 holds exactly per context
+    (the interpolation weight is exactly the discounted mass)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from ngafid_cpat_spark.operators.corpus import kneser_ney_score
+
+    rows = [
+        (1, "san francisco is big and san francisco is old"),
+        (2, "san jose is near san francisco"),
+        (3, "the big city is old"),
+        (4, "one"),  # single token: no bigrams, absent from output
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_prob"], r["min_p_micro"])
+        for r in kneser_ney_score(df).collect()
+    }
+    assert 4 not in got
+
+    def toks(t):
+        return t.lower().split()
+
+    bigrams = {
+        d: list(zip(toks(t), toks(t)[1:])) for d, t in rows if len(toks(t)) > 1
+    }
+    bc = Counter(b for bs in bigrams.values() for b in bs)
+    c_prev = Counter()
+    n1p = Counter()
+    n1c = Counter()
+    for (p_, c_), n in bc.items():
+        c_prev[p_] += n
+        n1p[p_] += 1
+        n1c[c_] += 1
+    B = len(bc)
+    D = Fraction(3, 4)
+
+    def p_kn(p_, c_):
+        return (Fraction(bc[(p_, c_)]) - D) / c_prev[p_] + (
+            D * n1p[p_] / c_prev[p_]
+        ) * Fraction(n1c[c_], B)
+
+    # KN identity: full-vocab continuation sum is exactly 1
+    for p_ in c_prev:
+        disc = sum(
+            (Fraction(n) - D) / c_prev[p_]
+            for (pp, _), n in bc.items()
+            if pp == p_
+        )
+        lam = D * n1p[p_] / c_prev[p_]
+        assert disc + lam * sum(
+            Fraction(n, B) for n in n1c.values()
+        ) == 1
+
+    for d, bs in bigrams.items():
+        micros = []
+        for p_, c_ in bs:
+            pr = p_kn(p_, c_)
+            num, den = pr.numerator, pr.denominator
+            micros.append((2_000_000 * num + den) // (2 * den))
+            # the operator's num/den form is the same rational
+            num2 = (4 * bc[(p_, c_)] - 3) * B + 3 * n1p[p_] * n1c[c_]
+            den2 = 4 * c_prev[p_] * B
+            assert Fraction(num2, den2) == pr
+        want = (len(bs), sum(micros) / len(bs) / 1e6, min(micros))
+        assert got[d] == want, (d, got[d], want)

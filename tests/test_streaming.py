@@ -1304,3 +1304,97 @@ def test_stream_weighted_sample_equals_batch_and_replays(spark, tmp_path):
         )
     )
     assert got2 == got
+
+
+def test_stream_incremental_bfs_shortens_and_matches_batch(
+    spark, tmp_path
+):
+    """stream_incremental_bfs (r14): a later batch that adds a
+    shortcut edge must SHORTEN previously-settled distances (the
+    insert-only relaxation lemma), late-arriving seeds must join the
+    seed set, the drained store must equal from-scratch fixpoint BFS
+    over the union of all edges, and a fresh-checkpoint replay must
+    be a byte-identical no-op."""
+    import os
+    import shutil
+
+    from ngafid_cpat_spark.streaming.foreach_batch import (
+        stream_incremental_bfs,
+    )
+
+    b1 = [(0, 1), (1, 2), (2, 3), (3, 4)]        # chain from seed 0
+    b2 = [(0, 4), (11, 12)]                      # shortcut + new seed
+    src = str(tmp_path / "edges")
+    os.makedirs(src)
+    for name, rows, mtime in (
+        ("e0.parquet", b1, 1_000_000_000),
+        ("e1.parquet", b2, 1_000_000_100),
+    ):
+        df = spark.createDataFrame(rows, "u long, v long")
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, name)
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    store = str(tmp_path / "dist")
+    edges_root = str(tmp_path / "estore")
+    spark.createDataFrame([], "node bigint, hop int").write.parquet(
+        os.path.join(store, "gen-0")
+    )
+    schema = spark.read.parquet(os.path.join(src, "e0.parquet")).schema
+
+    def _run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_incremental_bfs(
+            stream, edges_root, store, str(tmp_path / ck),
+            query_name=f"ibfs_{ck}",
+        )
+
+    _run("ck1")
+    g1 = dict(
+        (r["node"], r["hop"])
+        for r in spark.read.parquet(os.path.join(store, "gen-1")).collect()
+    )
+    # after batch 1: plain chain distances from seed 0
+    assert g1 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+    g2 = dict(
+        (r["node"], r["hop"])
+        for r in spark.read.parquet(os.path.join(store, "gen-2")).collect()
+    )
+    # shortcut 0-4 pulls 4 to hop 1 and 3 to hop 2 (via 4); the
+    # late component seeds at 11
+    assert g2 == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 11: 0, 12: 1}
+
+    # python from-scratch fixpoint replay over the union
+    edges = b1 + b2
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {n: 0 for n in adj if n % 11 == 0}
+    frontier = set(dist)
+    while frontier:
+        nxt = set()
+        for n in frontier:
+            for m in adj[n]:
+                if m not in dist or dist[m] > dist[n] + 1:
+                    dist[m] = dist[n] + 1
+                    nxt.add(m)
+        frontier = nxt
+    assert g2 == dist
+
+    # replay with a fresh checkpoint: byte-identical no-op
+    _run("ck2")
+    g2b = dict(
+        (r["node"], r["hop"])
+        for r in spark.read.parquet(os.path.join(store, "gen-2")).collect()
+    )
+    assert g2b == g2

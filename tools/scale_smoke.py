@@ -396,6 +396,7 @@ def main() -> None:
         return C.quality_weighted_sample(scored, "doc_id", "p")
 
     _incr_cc_state: dict = {}
+    _incr_bfs_state: dict = {}
 
     def incr_cc_prep(ev):
         from ngafid_cpat_spark.operators.dedup import connected_components
@@ -432,6 +433,37 @@ def main() -> None:
         hist, new = _incr_cc_state[id(ev)]
         return incremental_connected_components(
             hist, new, id_col="id", src_col="u", dst_col="v"
+        )
+
+    def incr_bfs_prep(ev):
+        from ngafid_cpat_spark.operators.graphs import (
+            incremental_bfs_relax,
+        )
+
+        # untimed: the persisted distance store a deployment already
+        # has — half the edge log (hash parity) relaxed from scratch
+        edges = _synth_edges(ev)
+        half = F.pmod(F.xxhash64("u", "v"), F.lit(2))
+        old = edges.filter(half == 0).localCheckpoint()
+        new = edges.filter(half == 1).localCheckpoint()
+        spark = ev.sparkSession
+        empty = spark.createDataFrame([], "node bigint, hop int")
+        hist = incremental_bfs_relax(
+            empty, old, old, seed_sql="node % 11 = 0"
+        )
+        _incr_bfs_state[id(ev)] = (hist.localCheckpoint(), old, new)
+
+    def incr_bfs(ev):
+        from ngafid_cpat_spark.operators.graphs import (
+            incremental_bfs_relax,
+        )
+
+        # timed: ONLY the incremental fold — frontier-based
+        # relaxation of the arrival batch against the accumulated
+        # edges; should track the arrival batch + frontier size
+        hist, old, new = _incr_bfs_state[id(ev)]
+        return incremental_bfs_relax(
+            hist, old.unionByName(new), new, seed_sql="node % 11 = 0"
         )
 
     def kcore_peel(ev):
@@ -692,6 +724,15 @@ def main() -> None:
         # TakeOrdered — time should track corpus token count
         return C.pmi_collocations(docs, k=20, min_count=3)
 
+    def kneser_ney(docs):
+        from ngafid_cpat_spark.operators import corpus as C
+
+        # one tokenize+lead pass -> bigram model; margins and the
+        # continuation counts re-aggregate the MODEL (vocab-bounded);
+        # scoring joins the token stream against model-sized dims —
+        # time should track corpus token count like bigram_logprob
+        return C.kneser_ney_score(docs)
+
     def sssp(ev):
         from ngafid_cpat_spark.operators import graphs as G
 
@@ -756,6 +797,7 @@ def main() -> None:
         "power_iteration": ("emb", power_iteration),
         "quality_weighted_sample": ("docs", quality_sample),
         "incremental_cc": ("events", incr_cc, incr_cc_prep),
+        "incremental_bfs": ("events", incr_bfs, incr_bfs_prep),
         "bpe_train": ("docs", bpe),
         "bpe_train_16": ("docs", bpe16),
         "ivfpq_indexed_probe": ("emb", ivfpq_indexed_probe, ivfpq_index_build),
@@ -766,6 +808,7 @@ def main() -> None:
         "label_propagation": ("events", lpa),
         "sssp_minplus": ("events", sssp),
         "pmi_collocations": ("docs", pmi),
+        "kneser_ney": ("docs", kneser_ney),
         "weighted_sample_wor": ("docs", es_sample),
         "approach_real_pipeline": ("tele", approach_real),
     }
