@@ -30,80 +30,78 @@ from . import tpch_extra as _tpch_extra  # noqa: F401  (registers)
 # `no_oracle` driver row is the documented proof they execute under
 # the gate (check_oracle.py holds their values to measured floors).
 PRIORITY = [
-    # (1a) the r12 verdict's ask #1: the 8 r12 queries the driver
-    # gate has never hashed (they landed after the r12 window cut)
-    "streaming_bm25_topk_docs",
-    "streaming_hll_users_events",
-    "hll_intersect_users_events",
-    "bfs_hops_users_events",
-    "label_propagation_users_events",
-    "hilbert_layout_events",
-    "fs_linkage_scores_customers",
-    "fs_entity_consolidation_customers",
-    # (2) plan changed this round: the BM25 contribution arithmetic
-    # lifted to DECIMAL(38,0) (r12 ADVICE #1) — values at gate scale
-    # are unchanged (verified vs the oracle at sf0.001 AND sf0.01),
-    # but the changed-plan rule still buys them fresh driver rows.
-    # label_propagation / fs_entity_consolidation / streaming_bm25
-    # also changed (ADVICE #2/#3) and already sit in the block above.
-    "bm25_topk_docs",
-    "hybrid_rrf_topk_docs",
-    # (3) entered the window as the round's ONE bounded-error slot,
-    # then got UPGRADED mid-round to a STRICT oracle (portable
-    # md5-register HLL, the r12 hll_union precedent) — so the window
-    # now carries ZERO bounded rows. The r09-stale cohort's other two
-    # bounded queries (ann_ivfpq_indexed,
-    # streaming_ivfpq_ingest_embeddings) stay out under the
-    # <=1-bounded-row rule with their ok~ floors re-cited in
-    # ORACLE_EVIDENCE_r13 at both sfs.
+    # ---- r14 window ----
+    # (1) the r13 verdict's ask #1: the 4 r13 queries the driver gate
+    # has never hashed (they landed after the r13 window cut), plus
+    # the 2 new r14 operators
+    "sssp_weighted_users_events",
+    "pmi_collocations_docs",
+    "weighted_sample_wor_docs",
+    "streaming_weighted_sample_wor_docs",
+    "kneser_ney_docs",
+    "streaming_incremental_bfs_users_events",
+    # (2) the two r09-age stragglers — rows-only at every previous
+    # gate (bounded recall family), STRICT since r14 (_ivfpq_oracle):
+    # their first-ever hashable driver rows
+    "ann_ivfpq_indexed",
+    "streaming_ivfpq_ingest_embeddings",
+    # (3) value/oracle changed this round: approx_distinct_parts
+    # moved to m=256 registers (values change), approx_quantile_events
+    # swapped GK for the deterministic sampled rank-exact quantile
+    # (STRICT, closing the catalog's last bounded row), and the other
+    # two trained-quantizer queries gained the strict CTE-replay
+    # oracles
     "approx_distinct_parts",
-    # (4) the COMPLETE remaining r09-stale strict cohort (39): with
-    # the 11 slots above this makes 50 and leaves no STRICT query
-    # older than r10. The four r13 additions
-    # (sssp_weighted_users_events, pmi_collocations_docs,
-    # weighted_sample_wor_docs and its streaming ingestion twin
-    # streaming_weighted_sample_wor_docs) wait for the r14 window — each
-    # carries full check_oracle evidence at both sfs, unit tests,
-    # and determinism/smoke lines this round.
-    "above_avg_customers",
-    "agg_cube_lineitem",
-    "approach_pipeline_demo",
-    "argmax_order_per_customer",
-    "asof_click_before_purchase",
-    "broadcast_star_revenue",
-    "date_arith_events",
-    "date_functions_orders",
-    "dedup_clusters",
-    "dedup_incremental_docs",
-    "dedup_incremental_minhash_docs",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "distinct_parts_per_flag",
-    "embedding_quantize_int8",
-    "episode_detect_events",
-    "events_sliding_window",
-    "from_json_events",
-    "fuzzy_name_pairs_customers",
-    "global_ids_docs",
-    "grouping_sets_orders",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_volume_suppliers",
-    "q21_sole_failing_supplier",
-    "q22_idle_rich_customers",
-    "q9_product_profit",
-    "stratified_sample_docs",
-    "streaming_approach_work_queue",
-    "streaming_incremental_dedup_docs",
-    "streaming_incremental_minhash_docs",
-    "streaming_windowed_counts_events",
-    "substring_dup_spans",
-    "unigram_logprob_docs",
-    "vocab_coverage_docs",
+    "approx_quantile_events",
+    "pq_topk_trained_embeddings",
+    "ann_ivfpq_topk",
+    # (4) back-fill with the oldest-evidence strict cohort: 38 of the
+    # 47 r10-age queries (alphabetical prefix). The remaining 9
+    # (range_window_events, rollup_hourly_daily, sessionize_auto_events,
+    # sessionize_events, streaming_interval_join_events,
+    # streaming_sessions_events, stride_sample_events,
+    # string_functions_customers, unpivot_lineitem_measures) carry to
+    # the r15 window — 12 must-in slots left no room, the same
+    # overflow rule as r13. The whole window is STRICT (the bounded
+    # set is EMPTY as of r14).
+    "ann_cosine_topk",
+    "ann_topk_batch",
+    "asof_nearest_click_purchase",
+    "asof_next_click_purchase",
+    "contamination_bloom_docs",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_keep_best",
+    "dedup_keep_best_scored",
+    "embedding_incremental_neardup",
+    "embedding_neardup_lsh",
+    "embedding_neardup_pairs",
+    "heavy_hitters_rollup_docs",
+    "heavy_hitters_tokens_docs",
+    "interval_join_click_counts",
+    "islands_auto_events",
+    "islands_chunked_events",
+    "join_anti_customers",
+    "knn_graph_embeddings",
+    "lang_id_docs",
+    "lateral_topk_orders",
+    "latest_snapshot_events",
+    "lr_quality_train_docs",
+    "min_acctbal_customer_per_nation",
+    "nn_join_acctbal",
+    "ntile_distribution_orders",
+    "pack_sequences_docs",
+    "pagerank_events",
+    "pca_power_iteration_embeddings",
+    "pivot_event_counts",
+    "pq_topk_embeddings",
+    "q10_returned_revenue",
+    "q12_priority_by_flag",
+    "q14_promo_share",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "quality_weighted_sample_docs",
 ]
 
 

@@ -3,7 +3,8 @@ queries at sf1 (tools/gen_sf1.py output) against the SAME session's
 sf0.1 timings and report 10x ratios with linear_ok flags — the
 real-data replacement for tools/scale_smoke.py's synthetic scale-ups.
 
-Writes BENCH_SF1_r13.json at the repo root and prints it.
+Writes BENCH_SF1_r{N}.json at the repo root (N from
+SPARK_GRAFT_ROUND, default 14) and prints it.
 """
 
 from __future__ import annotations
@@ -18,18 +19,43 @@ sys.path.insert(0, "/root/repo")
 SF1 = os.environ.get("SF1_DIR", "/root/repo/testdata_sf1")
 SF01 = "/root/testdata/sf0.1"
 
-# the 10 heaviest catalog queries by the r12 self-record
+# the 30 heaviest catalog queries by the r13 self-record (r12
+# verdict asked the 10 heaviest; the r13 verdict asked the next 20),
+# plus the two r14 additions so new operators get real-data scale
+# evidence from birth
 HEAVY = [
     "approach_pipeline_real_airports",
     "suffix_lcp_dup_spans_docs",
-    "ann_ivfpq_topk",
-    "dedup_keep_best_scored",
     "approach_pipeline_demo",
+    "ann_ivfpq_topk",
     "incremental_cc_events",
-    "ktruss_users_events",
-    "fuzzy_name_pairs_customers",
-    "streaming_interval_join_left_events",
+    "dedup_keep_best_scored",
     "pq_topk_trained_embeddings",
+    "ktruss_users_events",
+    "streaming_interval_join_left_events",
+    "streaming_interval_join_events",
+    "fuzzy_name_pairs_customers",
+    "streaming_approach_work_queue_real",
+    "streaming_approach_work_queue",
+    "profile_columns_events",
+    "dsir_select_docs",
+    "dedup_cluster_keep_best",
+    "pca_power_iteration_embeddings",
+    "allpairs_jaccard_prefix_docs",
+    "dedup_incremental_minhash_docs",
+    "embedding_neardup_lsh",
+    "dedup_simhash",
+    "streaming_dedup_windowed_events",
+    "dedup_minhash_lsh",
+    "quality_weighted_sample_docs",
+    "frequent_part_pairs",
+    "semantic_dedup_embeddings",
+    "fs_entity_consolidation_customers",
+    "kcore_users_events",
+    "personalized_pagerank_events",
+    "substring_dup_spans",
+    "kneser_ney_docs",
+    "streaming_incremental_bfs_users_events",
 ]
 
 
@@ -91,7 +117,8 @@ def main() -> None:
         "linear_ok": {n: r <= 12.0 for n, r in ratios.items()},
         "errors": {**e01, **e1},
     }
-    with open("/root/repo/BENCH_SF1_r13.json", "w") as f:
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "14")
+    with open(f"/root/repo/BENCH_SF1_r{rnd}.json", "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
         f.write("\n")
     print(json.dumps(result, sort_keys=True))
