@@ -1510,3 +1510,59 @@ def weighted_sample_wor(
     ).limit(k)
     w = Window.orderBy(F.col("es_key").desc(), F.col(id_col))
     return topk.withColumn("rn", F.row_number().over(w))
+
+
+def kneser_ney_score_from_counts(
+    counts: DataFrame,
+    discount_num: int = 3,
+    discount_den: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """kneser_ney_score's scorer over PRE-AGGREGATED per-document
+    bigram counts (id, prev, cur, n) — the drained
+    stream_kn_bigrams store's shape. The model is
+    groupBy(prev, cur).sum(n) over the counts; each document's
+    score re-weights the model rows by its own n (sum over
+    occurrences of p_micro = sum(n * p_micro)), so the result is
+    row-identical to kneser_ney_score over the original documents —
+    the streaming twin shares the batch oracle verbatim. Same exact
+    integer rational + DECIMAL(38,0)/HUGEINT arithmetic, zero
+    transcendentals."""
+    counts = counts.localCheckpoint(eager=False)  # model + scorer
+    bmodel = counts.groupBy("prev", "cur").agg(
+        F.sum("n").alias("bc")
+    ).localCheckpoint(eager=False)  # ctx, cont, btot, scorer join
+    ctx = bmodel.groupBy("prev").agg(
+        F.sum("bc").alias("c_prev"),
+        F.count(F.lit(1)).alias("n1p"),
+    )
+    cont = bmodel.groupBy("cur").agg(F.count(F.lit(1)).alias("n1c"))
+    btot = bmodel.agg(F.count(F.lit(1)).alias("btypes"))
+    dn, dd = int(discount_num), int(discount_den)
+    if not (0 < dn < dd):
+        raise ValueError(
+            f"kneser_ney_score_from_counts: discount must be in (0,1), "
+            f"got {dn}/{dd}"
+        )
+    micro = F.expr(
+        f"CAST(((CAST({dd} AS DECIMAL(38,0)) * bc - {dn}) * btypes"
+        f" + {dn} * n1p * n1c) * 2000000"
+        f" + ({dd} * CAST(c_prev AS DECIMAL(38,0)) * btypes) AS DECIMAL(38,0))"
+        f" div (2 * {dd} * CAST(c_prev AS DECIMAL(38,0)) * btypes)"
+    )
+    scored = (
+        counts.join(bmodel, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(cont, "cur")
+        .crossJoin(F.broadcast(btot))
+        .withColumn("__p_micro", micro)
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("n").alias("n_bigrams"),
+        (
+            F.sum(F.col("n") * F.col("__p_micro"))
+            / F.sum("n")
+            / 1000000.0
+        ).alias("avg_prob"),
+        F.min("__p_micro").alias("min_p_micro"),
+    )

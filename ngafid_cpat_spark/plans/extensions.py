@@ -2382,6 +2382,79 @@ def kneser_ney_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_score(docs)
 
 
+@register("streaming_kneser_ney_docs", None)  # oracle bound below
+def streaming_kneser_ney_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """kneser_ney_docs' model built over a STREAMING corpus
+    (streaming/foreach_batch.stream_kn_bigrams) — the SIXTH
+    mergeable-ingestion family member: two mtime-ordered doc batches
+    (even doc_ids, then odd) fold their per-document bigram counts
+    into a generation-keyed store; per-doc counts are pure functions
+    of the text, so the merge (union + full-key dedup) is idempotent
+    under replays AND cross-batch repeats (the r13 E-S ADVICE lesson
+    built in). The probe derives EVERYTHING from the drained store —
+    model, margins, continuation counts, and each document's
+    re-weighted score (operators/corpus.kneser_ney_score_from_counts)
+    — so it equals the batch query exactly and shares its strict
+    oracle VERBATIM."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.corpus import kneser_ney_score_from_counts
+    from ..operators.similarity import _fs_glob
+    from ..streaming.foreach_batch import stream_kn_bigrams
+
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        st = None
+    tag = hashlib.md5(
+        f"kn-stream-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
+        f"{getattr(st, 'st_size', 0)}".encode()
+    ).hexdigest()[:12]
+    base = _scratch_dir()
+    stream_dir = os.path.join(base, f"spark_graft_kn_arrivals_{tag}")
+    store_root = os.path.join(base, f"spark_graft_kn_store_{tag}")
+    ckpt = os.path.join(base, f"spark_graft_kn_ckpt_{tag}")
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = os.path.join(store_root, "gen-0")
+    if not os.path.exists(os.path.join(seed, "_SUCCESS")):
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(store_root, ignore_errors=True)
+        spark.createDataFrame(
+            [], "doc_id bigint, prev string, cur string, n bigint"
+        ).write.mode("overwrite").parquet(seed)
+    _write_ordered_stream_fixture(stream_dir, (
+        ("docs_00.parquet", docs.filter(F.col("doc_id") % 2 == 0),
+         1_000_000_000),
+        ("docs_01.parquet", docs.filter(F.col("doc_id") % 2 == 1),
+         1_000_000_100),
+    ))
+    schema = spark.read.parquet(
+        os.path.join(stream_dir, "docs_00.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    stream_kn_bigrams(
+        stream, store_root, ckpt,
+        query_name="streaming_kneser_ney_docs",
+    )
+    latest = max(
+        int(name.split("-", 1)[1])
+        for name in _fs_glob(store_root, "gen-*", spark)
+        if name.split("-", 1)[1].isdigit()
+    )
+    drained = spark.read.parquet(f"{store_root}/gen-{latest}")
+    return kneser_ney_score_from_counts(drained)
+
+
 def _events_stream_dir(sf_dir: str) -> str:
     """The file stream source requires a DIRECTORY; expose the single
     events.parquet through a per-sf_dir symlink dir (no data copy)."""
@@ -7592,3 +7665,9 @@ def streaming_weighted_sample_wor_docs(
     return drained.withColumn(
         "rn", F.row_number().over(w)
     ).select("doc_id", "w", "es_key", "rn")
+
+
+# streaming_kneser_ney_docs shares the batch twin's strict oracle
+# VERBATIM (the drained store reconstructs the identical model and
+# per-doc weights; equality asserted in tests/test_streaming.py)
+_ORACLES["streaming_kneser_ney_docs"] = _ORACLES["kneser_ney_docs"]

@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (200 queries: 200 strict oracles, 0 bounded-error, 0 rows-only).
+the full catalog (203 queries: 203 strict oracles, 0 bounded-error, 0 rows-only).
 """
 
 from __future__ import annotations
@@ -62,8 +62,10 @@ PRIORITY = [
     # streaming_sessions_events, stride_sample_events,
     # string_functions_customers, unpivot_lineitem_measures) carry to
     # the r15 window — 12 must-in slots left no room, the same
-    # overflow rule as r13. The whole window is STRICT (the bounded
-    # set is EMPTY as of r14).
+    # overflow rule as r13. streaming_kneser_ney_docs (added after
+    # the rotation filled all 50 slots) also waits for r15 with full
+    # check_oracle evidence at sf0.001/0.01/0.1 this round. The
+    # whole window is STRICT (the bounded set is EMPTY as of r14).
     "ann_cosine_topk",
     "ann_topk_batch",
     "asof_nearest_click_purchase",

@@ -832,3 +832,76 @@ def stream_incremental_bfs(
     )
     q.awaitTermination()
     return q
+
+
+def stream_kn_bigrams(
+    docs: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "kn_bigram_ingest",
+):
+    """Kneser-Ney model ingestion over a streaming corpus — the
+    SIXTH mergeable-ingestion family member (CMS / HLL / BM25 /
+    DSIR / E-S reservoir / KN bigrams): each micro-batch tokenizes
+    its documents once and folds their per-document bigram counts
+    (doc_id, prev, cur, n) into a generation-keyed store. Per-doc
+    counts are pure functions of the document text, so the merge is
+    a union + dropDuplicates on the full key — idempotent under
+    BOTH epoch replays and a document arriving in two different
+    batches (the r13 E-S ADVICE lesson built in from birth, one step
+    stronger than the BM25 store's disjointness assumption). The
+    drained store carries the complete evidence the KN scorer needs:
+    the bigram model is groupBy(prev, cur).sum(n) over it, and each
+    document's score re-weights the model rows by its own n — so the
+    probe derives EVERYTHING from the store and equals the batch
+    kneser_ney_docs query exactly, sharing its strict oracle
+    verbatim."""
+    from ..functions import text as _T
+    from ..operators.similarity import _fs_glob
+    from pyspark.sql import Window as _W
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = int(epoch_id) + 1
+        gens = sorted(
+            int(name.split("-", 1)[1])
+            for name in _fs_glob(store_root, "gen-*", spark)
+            if name.split("-", 1)[1].isdigit()
+        )
+        prior_gens = [g for g in gens if g < target]
+        if not prior_gens:
+            raise ValueError(
+                f"stream_kn_bigrams: no generation below {target} under "
+                f"{store_root} (found {gens}) — reseed gen-0 AND "
+                "clear the checkpoint."
+            )
+        prior = spark.read.parquet(
+            f"{store_root}/gen-{max(prior_gens)}"
+        )
+        toks = batch_df.select(
+            F.col(id_col),
+            F.posexplode(_T.tokens(text_col)).alias("pos", "token"),
+        )
+        w = _W.partitionBy(id_col).orderBy("pos")
+        bg = (
+            toks.withColumn("cur", F.lead("token").over(w))
+            .filter(F.col("cur").isNotNull())
+            .groupBy(id_col, F.col("token").alias("prev"), "cur")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        prior.unionByName(bg).dropDuplicates(
+            [id_col, "prev", "cur"]
+        ).write.mode("overwrite").parquet(f"{store_root}/gen-{target}")
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .foreachBatch(_apply)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1398,3 +1398,80 @@ def test_stream_incremental_bfs_shortens_and_matches_batch(
         for r in spark.read.parquet(os.path.join(store, "gen-2")).collect()
     )
     assert g2b == g2
+
+
+def test_stream_kn_bigrams_overlap_safe_equals_batch(spark, tmp_path):
+    """stream_kn_bigrams (r14): the drained store's scorer equals
+    the batch kneser_ney_score row-for-row, a document arriving in
+    BOTH batches counts once (full-key dedup — the r13 E-S ADVICE
+    lesson built in), and a fresh-checkpoint replay is a no-op."""
+    import os
+    import shutil
+
+    from ngafid_cpat_spark.operators.corpus import (
+        kneser_ney_score,
+        kneser_ney_score_from_counts,
+    )
+    from ngafid_cpat_spark.streaming.foreach_batch import stream_kn_bigrams
+
+    rows = [
+        (1, "san francisco is big and san francisco is old"),
+        (2, "san jose is near san francisco"),
+        (3, "the big city is old"),
+        (4, "one two three one two"),
+    ]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    b1 = full.filter(F.col("doc_id") <= 3)
+    b2 = full.filter(F.col("doc_id") >= 3)  # doc 3 arrives TWICE
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for name, df, mtime in (
+        ("d0.parquet", b1, 1_000_000_000),
+        ("d1.parquet", b2, 1_000_000_100),
+    ):
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, name)
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [], "doc_id bigint, prev string, cur string, n bigint"
+    ).write.parquet(os.path.join(store, "gen-0"))
+    schema = spark.read.parquet(os.path.join(src, "d0.parquet")).schema
+
+    def _run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_kn_bigrams(
+            stream, store, str(tmp_path / ck), query_name=f"kn_{ck}"
+        )
+
+    _run("ck1")
+    drained = spark.read.parquet(os.path.join(store, "gen-2"))
+    # doc 3's rows appear exactly once despite arriving twice
+    d3 = drained.filter(F.col("doc_id") == 3)
+    assert (
+        d3.count()
+        == d3.dropDuplicates(["doc_id", "prev", "cur"]).count()
+    )
+    got = sorted(
+        map(tuple, kneser_ney_score_from_counts(drained).collect())
+    )
+    want = sorted(map(tuple, kneser_ney_score(full).collect()))
+    assert got == want and len(want) == 4
+    _run("ck2")
+    again = sorted(
+        map(
+            tuple,
+            kneser_ney_score_from_counts(
+                spark.read.parquet(os.path.join(store, "gen-2"))
+            ).collect(),
+        )
+    )
+    assert again == got
