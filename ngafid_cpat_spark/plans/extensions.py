@@ -6069,6 +6069,62 @@ def snm_blocking_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in date order, frontier = strict record-setters joined back on the
 # (date, price) point. Same rows bit-for-bit; pytest pins the two
 # forms equal at sf0.001.
+# nn_join_acctbal's driver-facing witness is the deliberately brute
+# CROSS JOIN + window (quadratic — the strictness argument wants the
+# obviously-correct form at gate sf). At sf1 that is 150k x 10k =
+# 1.5e9 window rows and OOM-killed the r14 sf1 sweep, so the scaled
+# twin is the O(n log n) sorted-tape form: per distinct supplier
+# acctbal keep min(s_suppkey) (ties at the SAME value resolve there),
+# find each customer's floor/ceiling supplier value with one
+# IGNORE-NULLS running window per direction (every other value has
+# strictly larger |diff|), then pick by (|diff|, suppkey) — the exact
+# window tie rule. pytest pins brute == scaled at sf0.001 AND sf0.01.
+SCALED_ORACLES["nn_join_acctbal"] = """
+    WITH sv AS (
+      SELECT s_acctbal AS val, MIN(s_suppkey) AS sk
+      FROM supplier GROUP BY 1
+    ), tape AS (
+      SELECT val, sk, CAST(NULL AS BIGINT) AS ck FROM sv
+      UNION ALL
+      SELECT c_acctbal, NULL, c_custkey FROM customer
+    ), fl AS (
+      SELECT ck, val AS cval,
+             LAST_VALUE(CASE WHEN sk IS NOT NULL THEN val END IGNORE NULLS)
+               OVER (ORDER BY val, (sk IS NULL)
+                     ROWS UNBOUNDED PRECEDING) AS fval,
+             LAST_VALUE(sk IGNORE NULLS)
+               OVER (ORDER BY val, (sk IS NULL)
+                     ROWS UNBOUNDED PRECEDING) AS fsk
+      FROM tape
+    ), cl AS (
+      SELECT ck, val AS cval,
+             LAST_VALUE(CASE WHEN sk IS NOT NULL THEN val END IGNORE NULLS)
+               OVER (ORDER BY val DESC, (sk IS NULL)
+                     ROWS UNBOUNDED PRECEDING) AS cvl,
+             LAST_VALUE(sk IGNORE NULLS)
+               OVER (ORDER BY val DESC, (sk IS NULL)
+                     ROWS UNBOUNDED PRECEDING) AS csk
+      FROM tape
+    ), cand AS (
+      SELECT f.ck AS c_custkey, f.cval, f.fval, f.fsk, c.cvl, c.csk
+      FROM fl f JOIN cl c ON f.ck = c.ck
+      WHERE f.ck IS NOT NULL
+    )
+    SELECT c_custkey,
+           CASE WHEN fval IS NOT NULL AND (cvl IS NULL
+                     OR ABS(cval - fval) < ABS(cval - cvl)
+                     OR (ABS(cval - fval) = ABS(cval - cvl)
+                         AND fsk < csk))
+                THEN fsk ELSE csk END AS nearest_suppkey,
+           ROUND(CASE WHEN fval IS NOT NULL AND (cvl IS NULL
+                     OR ABS(cval - fval) < ABS(cval - cvl)
+                     OR (ABS(cval - fval) = ABS(cval - cvl)
+                         AND fsk < csk))
+                THEN ABS(cval - fval) ELSE ABS(cval - cvl) END, 4)
+             AS acctbal_diff
+    FROM cand
+    """
+
 SCALED_ORACLES["skyline_orders"] = """
     WITH g AS (
       SELECT o_orderdate AS d, MAX(o_totalprice) AS mp

@@ -491,3 +491,27 @@ def test_sampled_quantile_rank_error_and_gk_parity(spark):
                 lo = vals[max(0, math.ceil((q - 0.005) * n) - 1)]
                 hi = vals[min(n - 1, math.ceil((q + 0.005) * n) - 1)]
                 assert lo <= est <= hi, (sf, et, q, est, lo, hi)
+
+
+def test_nn_join_scaled_oracle_equals_brute():
+    """r14: nn_join_acctbal's sf1 scaled oracle (sorted-tape
+    floor/ceiling candidates) must equal the brute CROSS JOIN +
+    window witness row-for-row at the small sfs — the skyline
+    scaled-oracle pattern."""
+    import duckdb
+
+    from ngafid_cpat_spark.plans import ORACLES
+    from ngafid_cpat_spark.plans.queries import SCALED_ORACLES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        for t in ("customer", "supplier"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')"
+            )
+        brute = sorted(con.execute(ORACLES["nn_join_acctbal"]).fetchall())
+        fast = sorted(
+            con.execute(SCALED_ORACLES["nn_join_acctbal"]).fetchall()
+        )
+        assert brute == fast and len(brute) > 0

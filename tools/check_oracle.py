@@ -245,6 +245,11 @@ def main():
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # cap DuckDB below the box's RAM so a runaway (quadratic) oracle
+    # raises OutOfMemoryException for ITS query instead of the OS
+    # OOM-killing the whole sweep (the r14 sf1 nn_join lesson; Spark
+    # holds a large heap in the same process tree)
+    con.execute("SET memory_limit = '48GB'")
     from ngafid_cpat_spark.sources import TABLES
 
     for t in TABLES:
