@@ -1338,35 +1338,52 @@ def _pq_kmeans_iter_ctes(eview: str, prev: str, pfx: str, idx: int, dim: int) ->
     )"""
 
 
+def _pq_slice_cte(eview: str, name: str, m: int, sub: int, vcol: str) -> str:
+    """Narrow subvector relation ``name(vec_id, s, sv)`` — every
+    subspace slice computed ONCE up front, so the training/encode
+    joins below carry only sub-length lists. The r14 sf1 lesson:
+    DuckDB's per-row list allocations on a (vectors x books) join
+    that drags the full 64-double vector through every comparison
+    blow past any memory_limit at 20k vectors; the sliced form peaks
+    in the tens of MB and is faster at every sf (bit-identical —
+    list_slice is the same values either way)."""
+    return f"""
+    {name} AS MATERIALIZED (
+      SELECT vec_id, t.s AS s,
+             list_slice({vcol}, t.s*{sub}+1, t.s*{sub}+{sub}) AS sv
+      FROM {eview}, range(0, {m}) t(s)
+    )"""
+
+
 def _pq_train_iter_ctes(
-    eview: str, prev: str, pfx: str, idx: int, sub: int, vcol: str
+    slview: str, prev: str, pfx: str, idx: int, sub: int
 ) -> str:
     """One unrolled JOINT-PQ L2-Lloyd iteration (pq_codebooks_trained
-    replay) over ``eview(vec_id, {vcol})`` with subspace books
-    ``prev(s, cid, c)``: per (vector, subspace) the MIN([l2_key, cid])
-    assignment (= array_min of the struct keys — lowest key, ties to
-    lowest cid), then per-(s, cid, j) integer-micro component sums
-    and ratio-rounded means."""
-    key = _pq_l2_key_sql(
-        f"list_slice(ei.{vcol}, b.s*{sub}+1, b.s*{sub}+{sub})", "b.c"
-    )
+    replay) over the SLICED relation ``slview(vec_id, s, sv)`` with
+    subspace books ``prev(s, cid, c)``: per (vector, subspace) the
+    MIN([l2_key, cid]) assignment (= array_min of the struct keys —
+    lowest key, ties to lowest cid), then per-(s, cid, j)
+    integer-micro component sums and ratio-rounded means."""
+    key = _pq_l2_key_sql("ei.sv", "b.c")
     return f"""
-    {pfx}a{idx} AS (
+    {pfx}a{idx} AS MATERIALIZED (
       SELECT vec_id, s, mk[2] AS cid FROM (
-        SELECT ei.vec_id, b.s,
+        SELECT ei.vec_id, ei.s,
                MIN([{key}, CAST(b.cid AS BIGINT)]) AS mk
-        FROM {eview} ei CROSS JOIN {prev} b
-        GROUP BY ei.vec_id, b.s)
+        FROM {slview} ei JOIN {prev} b ON b.s = ei.s
+        GROUP BY ei.vec_id, ei.s)
     ),
     {pfx}s{idx} AS (
       SELECT a.s, a.cid, t.j,
-             SUM(CAST(ROUND(e2.{vcol}[a.s*{sub} + t.j + 1] * 1000000, 0)
+             SUM(CAST(ROUND(x.sv[t.j + 1] * 1000000, 0)
                       AS BIGINT)) AS sm,
              COUNT(*) AS n
-      FROM {pfx}a{idx} a JOIN {eview} e2 USING (vec_id), range(0, {sub}) t(j)
+      FROM {pfx}a{idx} a
+      JOIN {slview} x ON a.vec_id = x.vec_id AND a.s = x.s,
+           range(0, {sub}) t(j)
       GROUP BY a.s, a.cid, t.j
     ),
-    {pfx}b{idx} AS (
+    {pfx}b{idx} AS MATERIALIZED (
       SELECT b.s, b.cid, COALESCE(mm.c, b.c) AS c
       FROM {prev} b LEFT JOIN (
         SELECT s, cid,
@@ -1400,24 +1417,27 @@ def _pq_trained_oracle() -> str:
     vs the vec_id=0 query, the round-6-ranked top-50 shortlist, and
     the exact quantized-cosine re-rank to the top 10."""
     m, sub, k = 16, 4, 16
-    enc_key = _pq_l2_key_sql(
-        f"list_slice(ei.v, b.s*{sub}+1, b.s*{sub}+{sub})", "b.c"
-    )
+    enc_key = _pq_l2_key_sql("ei.sv", "b.c")
     return f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-    el AS (SELECT vec_id, v FROM e WHERE list_dot_product(v, v) > 0),
+    el AS MATERIALIZED (
+      SELECT vec_id, v FROM e WHERE list_dot_product(v, v) > 0
+    ),
+    {_pq_slice_cte('e', 'sl', m, sub, 'v')},
     {_pq_seed_ctes('e', 'p', m, k, sub)},
-    {_pq_train_iter_ctes('e', 'pb0', 'p', 1, sub, 'v')},
-    {_pq_train_iter_ctes('e', 'pb1', 'p', 2, sub, 'v')},
+    {_pq_train_iter_ctes('sl', 'pb0', 'p', 1, sub)},
+    {_pq_train_iter_ctes('sl', 'pb1', 'p', 2, sub)},
     enc AS (
       SELECT vec_id, s, mk[2] AS cid FROM (
-        SELECT ei.vec_id, b.s,
+        SELECT ei.vec_id, ei.s,
                MIN([{enc_key}, CAST(b.cid AS BIGINT)]) AS mk
-        FROM el ei CROSS JOIN pb2 b
-        GROUP BY ei.vec_id, b.s)
+        FROM sl ei
+        JOIN el ON ei.vec_id = el.vec_id
+        JOIN pb2 b ON b.s = ei.s
+        GROUP BY ei.vec_id, ei.s)
     ),
     lut AS (
       SELECT b.s, b.cid,
@@ -1465,9 +1485,7 @@ def _ivfpq_oracle() -> str:
     exact quantized-cosine re-rank to the top 10."""
     kc, dim = 8, 64
     m, sub, ksub = 8, 8, 16
-    enc_key = _pq_l2_key_sql(
-        f"list_slice(ei.rv, b.s*{sub}+1, b.s*{sub}+{sub})", "b.c"
-    )
+    enc_key = _pq_l2_key_sql("ei.sv", "b.c")
     return f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1489,15 +1507,16 @@ def _ivfpq_oracle() -> str:
                     CAST(c.cid AS DOUBLE)]) AS mk
         FROM el ei CROSS JOIN cc2 c GROUP BY ei.vec_id)
     ),
-    rsd AS (
+    rsd AS MATERIALIZED (
       SELECT cell.vec_id,
              list_transform(list_zip(el.v, c.c), z -> z[1] - z[2]) AS rv,
              el.v AS v, CAST(cell.cid AS INT) AS cell_cid
       FROM cell JOIN el USING (vec_id) JOIN cc2 c ON c.cid = cell.cid
     ),
+    {_pq_slice_cte('rsd', 'rsl', m, sub, 'rv')},
     {_pq_seed_ctes('rsd', 'p', m, ksub, sub, 'rv')},
-    {_pq_train_iter_ctes('rsd', 'pb0', 'p', 1, sub, 'rv')},
-    {_pq_train_iter_ctes('rsd', 'pb1', 'p', 2, sub, 'rv')},
+    {_pq_train_iter_ctes('rsl', 'pb0', 'p', 1, sub)},
+    {_pq_train_iter_ctes('rsl', 'pb1', 'p', 2, sub)},
     probes AS (
       SELECT c.cid FROM cc2 c, q
       ORDER BY {_COS_Q_SQL.format(a='c.c', b='q.qv')} DESC, c.cid ASC
@@ -1512,10 +1531,12 @@ def _ivfpq_oracle() -> str:
     ),
     enc AS (
       SELECT vec_id, s, mk[2] AS cid FROM (
-        SELECT ei.vec_id, b.s,
+        SELECT ei.vec_id, ei.s,
                MIN([{enc_key}, CAST(b.cid AS BIGINT)]) AS mk
-        FROM pruned ei CROSS JOIN pb2 b
-        GROUP BY ei.vec_id, b.s)
+        FROM rsl ei
+        JOIN pruned p2 ON ei.vec_id = p2.vec_id
+        JOIN pb2 b ON b.s = ei.s
+        GROUP BY ei.vec_id, ei.s)
     ),
     lut AS (
       SELECT b.s, b.cid,
@@ -1549,6 +1570,73 @@ def _ivfpq_oracle() -> str:
     SELECT vec_id, ROUND(c6, 6) AS cosine FROM rr
     ORDER BY c6 DESC, vec_id LIMIT 10
     """
+
+
+def _staged_oracle_form(sql: str, prefix: str) -> str:
+    """Rewrite a single-statement WITH-chain oracle into a staged
+    CREATE OR REPLACE TEMP TABLE script (same CTE bodies, same final
+    SELECT — identical results; duckdb.execute runs the statements
+    sequentially and fetches the last). Why: at sf1 (20k vectors)
+    DuckDB's planner on the 18-CTE trained-quantizer chain inlines
+    multi-referenced CTEs into a tree whose evaluation blows past
+    any memory_limit via untracked list allocations (the r14 sf1
+    sweep was OOM-killed twice); the staged form evaluates each
+    stage once into a bounded temp table (measured: whole pipeline
+    173 s / tens of MB at sf1, where the one-statement form dies at
+    >90 GB). pytest pins staged == one-statement at sf0.001/sf0.01.
+    ``prefix`` namespaces the temp tables per query so a shared
+    sweep connection never collides."""
+    import re as _re
+
+    i = sql.index("WITH ")
+    body = sql[i + 5:]
+    ctes = []
+    pos = 0
+    while True:
+        m = _re.match(
+            r"\s*([a-zA-Z_0-9]+) AS (MATERIALIZED )?\(", body[pos:]
+        )
+        if not m:
+            break
+        name = m.group(1)
+        j = pos + m.end() - 1
+        depth, k = 0, j
+        while True:
+            if body[k] == "(":
+                depth += 1
+            elif body[k] == ")":
+                depth -= 1
+            if depth == 0:
+                break
+            k += 1
+        ctes.append((name, body[j + 1:k]))
+        pos = k + 1
+        m2 = _re.match(r"\s*,", body[pos:])
+        if not m2:
+            break
+        pos += m2.end()
+    final = body[pos:]
+    names = [n for n, _ in ctes]
+    def _ns(txt: str) -> str:
+        for n in sorted(names, key=len, reverse=True):
+            txt = _re.sub(rf"\b{n}\b", f"{prefix}{n}", txt)
+        return txt
+    stmts = "".join(
+        f"CREATE OR REPLACE TEMP TABLE {prefix}{n} AS ({_ns(b)});\n"
+        for n, b in ctes
+    )
+    return stmts + _ns(final)
+
+
+SCALED_ORACLES["pq_topk_trained_embeddings"] = _staged_oracle_form(
+    _pq_trained_oracle(), "pqt_"
+)
+for _nm, _px in (
+    ("ann_ivfpq_topk", "ivq_"),
+    ("ann_ivfpq_indexed", "ivi_"),
+    ("streaming_ivfpq_ingest_embeddings", "ivs_"),
+):
+    SCALED_ORACLES[_nm] = _staged_oracle_form(_ivfpq_oracle(), _px)
 
 
 @register("pq_topk_trained_embeddings", _pq_trained_oracle())

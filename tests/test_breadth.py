@@ -515,3 +515,32 @@ def test_nn_join_scaled_oracle_equals_brute():
             con.execute(SCALED_ORACLES["nn_join_acctbal"]).fetchall()
         )
         assert brute == fast and len(brute) > 0
+
+
+def test_ann_staged_scaled_oracles_equal_plain():
+    """r14: the trained-quantizer quartet's sf1 scaled oracles are
+    the STAGED (temp-table) rewrites of the same CTE chain — must
+    produce identical rows to the one-statement form at the small
+    sfs (the skyline/nn_join scaled-oracle pattern; the staged form
+    exists because DuckDB's planner on the 18-CTE chain blows
+    untracked list memory at 20k vectors)."""
+    import duckdb
+
+    from ngafid_cpat_spark.plans import ORACLES
+    from ngafid_cpat_spark.plans.queries import SCALED_ORACLES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        for n in (
+            "pq_topk_trained_embeddings",
+            "ann_ivfpq_topk",
+            "ann_ivfpq_indexed",
+            "streaming_ivfpq_ingest_embeddings",
+        ):
+            a = sorted(con.execute(ORACLES[n]).fetchall())
+            b = sorted(con.execute(SCALED_ORACLES[n]).fetchall())
+            assert a == b and len(a) == 10, (sf, n)
