@@ -325,9 +325,18 @@ def main():
             # then read the materialized result (types preserved) —
             # re-executing the SQL for .df() doubled oracle runtime
             # across the catalog sweep
+            osql = oracles[name]
+            # staged oracles (the r14 trained-quantizer scaled forms)
+            # are multi-statement scripts "CREATE ...; ...; SELECT":
+            # run the stage statements first, materialize the final
+            # SELECT like any other oracle
+            if "CREATE OR REPLACE TEMP TABLE" in osql and ";" in osql:
+                prelude, final_sel = osql.rsplit(";", 1)
+                con.execute(prelude)
+                osql = final_sel
             con.execute(
                 "CREATE OR REPLACE TEMP TABLE __oracle_result AS "
-                + oracles[name]
+                + osql
             )
             res = con.execute("SELECT * FROM __oracle_result")
             duck_cols = [d[0] for d in res.description]
