@@ -1628,6 +1628,28 @@ def _staged_oracle_form(sql: str, prefix: str) -> str:
     return stmts + _ns(final)
 
 
+# embedding_neardup_pairs' brute witness re-evaluates six
+# list_transform allocations per pair — 2e8 pairs at sf1 ground the
+# r14 sweep to a halt. The scaled form precomputes each vector's
+# quantized list + norm ONCE (identical doubles: sqrt of the same
+# integer dot), then the pair join is one list_dot_product per pair.
+SCALED_ORACLES["embedding_neardup_pairs"] = """
+    CREATE OR REPLACE TEMP TABLE enp_n AS (
+      SELECT vec_id, vq, SQRT(list_dot_product(vq, vq)) AS nrm
+      FROM (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> ROUND(x * 1000000.0, 0)) AS vq
+        FROM embeddings
+      )
+    );
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(list_dot_product(a.vq, b.vq) / (a.nrm * b.nrm), 4)
+             AS cosine
+    FROM enp_n a JOIN enp_n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.vq, b.vq) / (a.nrm * b.nrm) >= 0.35
+    """
+
 SCALED_ORACLES["pq_topk_trained_embeddings"] = _staged_oracle_form(
     _pq_trained_oracle(), "pqt_"
 )

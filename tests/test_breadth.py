@@ -493,6 +493,32 @@ def test_sampled_quantile_rank_error_and_gk_parity(spark):
                 assert lo <= est <= hi, (sf, et, q, est, lo, hi)
 
 
+def test_neardup_pairs_scaled_oracle_equals_brute():
+    """r14: embedding_neardup_pairs' sf1 scaled oracle (per-vector
+    precomputed quantized list + norm) must equal the brute
+    six-transforms-per-pair witness row-for-row at the small sfs."""
+    import duckdb
+
+    from ngafid_cpat_spark.plans import ORACLES
+    from ngafid_cpat_spark.plans.queries import SCALED_ORACLES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        a = sorted(
+            con.execute(ORACLES["embedding_neardup_pairs"]).fetchall()
+        )
+        pre, fin = SCALED_ORACLES["embedding_neardup_pairs"].rsplit(
+            ";", 1
+        )
+        con.execute(pre)
+        b = sorted(con.execute(fin).fetchall())
+        assert a == b and len(a) > 0, sf
+
+
 def test_nn_join_scaled_oracle_equals_brute():
     """r14: nn_join_acctbal's sf1 scaled oracle (sorted-tape
     floor/ceiling candidates) must equal the brute CROSS JOIN +
