@@ -1628,11 +1628,91 @@ def _staged_oracle_form(sql: str, prefix: str) -> str:
     return stmts + _ns(final)
 
 
+def _bestap_two_phase(sql: str) -> str:
+    """Scaled rewrite of the real-airports pipeline oracle's
+    nearest-airport stage: the one-shot min(struct{'d','code',...})
+    over telemetry x airports carries a VARCHAR inside every
+    aggregate state update — at sf1 (1M rows x 630 candidate
+    airports) DuckDB ground >9 min and blew untracked memory. The
+    two-phase form computes the cheap vectorized double MIN distance
+    per (flight, time) first, then joins back on distance equality
+    and takes min(struct{'code',...}) over the (tiny) argmin set —
+    the same winner by the same (d, code) tie rule, with the string
+    only touched for true ties. t materializes once as tm so the
+    window chain above it is not re-inlined per phase."""
+    old = """), bestap AS MATERIALIZED (
+  SELECT t.flight, t.time,
+    min({'d': abs(t.latitude - a.ap_lat) + abs(t.longitude - a.ap_lon),
+         'code': a.airport_code, 'lat': a.ap_lat, 'lon': a.ap_lon,
+         'elev': a.ap_elev}) AS b
+  FROM t, apt a GROUP BY t.flight, t.time
+), ap AS MATERIALIZED (
+  SELECT t.*, b.b.code AS airport_code, b.b.lat AS airport_lat,
+         b.b.lon AS airport_lon, b.b.elev AS airport_elev
+  FROM t JOIN bestap b USING (flight, time)
+),"""
+    assert old in sql, "bestap block drifted; update _bestap_two_phase"
+    new = """), tm AS MATERIALIZED (
+  SELECT * FROM t
+), mind AS MATERIALIZED (
+  SELECT tm.flight, tm.time,
+         MIN(abs(tm.latitude - a.ap_lat)
+             + abs(tm.longitude - a.ap_lon)) AS d
+  FROM tm, apt a GROUP BY tm.flight, tm.time
+), bestap AS MATERIALIZED (
+  SELECT tm.flight, tm.time,
+    min({'code': a.airport_code, 'lat': a.ap_lat, 'lon': a.ap_lon,
+         'elev': a.ap_elev}) AS b
+  FROM tm
+  JOIN mind m ON tm.flight = m.flight AND tm.time = m.time
+  JOIN apt a
+    ON abs(tm.latitude - a.ap_lat) + abs(tm.longitude - a.ap_lon) = m.d
+  GROUP BY tm.flight, tm.time
+), ap AS MATERIALIZED (
+  SELECT tm.*, b.b.code AS airport_code, b.b.lat AS airport_lat,
+         b.b.lon AS airport_lon, b.b.elev AS airport_elev
+  FROM tm JOIN bestap b USING (flight, time)
+),"""
+    return sql.replace(old, new, 1)
+
+
 # embedding_neardup_pairs' brute witness re-evaluates six
 # list_transform allocations per pair — 2e8 pairs at sf1 ground the
 # r14 sweep to a halt. The scaled form precomputes each vector's
 # quantized list + norm ONCE (identical doubles: sqrt of the same
 # integer dot), then the pair join is one list_dot_product per pair.
+# ntile_distribution_orders rounds PERCENT_RANK/CUME_DIST doubles at
+# 6 decimals. Spark's round(double, 6) HALF_UPs the SHORTEST-STRING
+# decimal form of the double (BigDecimal.valueOf), so a rank ratio
+# whose shortest form is an exact 7th-decimal .5 tie (0.5046875 —
+# they appear once the partition counts grow to sf1 sizes) rounds UP,
+# while DuckDB ROUND(DOUBLE) rounds the BINARY value, which sits a
+# hair below the tie, DOWN. The scaled form replays Spark's exact
+# semantics: CAST the double to VARCHAR (DuckDB also prints the
+# shortest round-trip form) -> DECIMAL -> half-up ROUND -> DOUBLE.
+# No tie exists at the gate sfs, so the plain oracle stays the gate
+# witness; pytest pins scaled == plain there.
+_SPARK_ROUND6 = (
+    "CAST(ROUND(CAST(CAST({x} AS VARCHAR) AS DECIMAL(28,12)), 6) "
+    "AS DOUBLE)"
+)
+SCALED_ORACLES["ntile_distribution_orders"] = f"""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER w AS price_quartile,
+           LAST_VALUE(o_orderkey) OVER wf AS cheapest_in_priority,
+           {_SPARK_ROUND6.format(x='PERCENT_RANK() OVER w')} AS pct_rank,
+           {_SPARK_ROUND6.format(x='CUME_DIST() OVER w')} AS cume
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+    WINDOW w  AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey),
+           wf AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+    """
+
 SCALED_ORACLES["embedding_neardup_pairs"] = """
     CREATE OR REPLACE TEMP TABLE enp_n AS (
       SELECT vec_id, vq, SQRT(list_dot_product(vq, vq)) AS nrm
@@ -7837,3 +7917,12 @@ def streaming_weighted_sample_wor_docs(
 # VERBATIM (the drained store reconstructs the identical model and
 # per-doc weights; equality asserted in tests/test_streaming.py)
 _ORACLES["streaming_kneser_ney_docs"] = _ORACLES["kneser_ney_docs"]
+
+# sf1 scaled forms of the real-airports pipeline pair (identical
+# oracle SQL; see _bestap_two_phase)
+SCALED_ORACLES["approach_pipeline_real_airports"] = _bestap_two_phase(
+    _ORACLES["approach_pipeline_real_airports"]
+)
+SCALED_ORACLES["streaming_approach_work_queue_real"] = _bestap_two_phase(
+    _ORACLES["streaming_approach_work_queue_real"]
+)

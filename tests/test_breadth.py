@@ -570,3 +570,74 @@ def test_ann_staged_scaled_oracles_equal_plain():
             a = sorted(con.execute(ORACLES[n]).fetchall())
             b = sorted(con.execute(SCALED_ORACLES[n]).fetchall())
             assert a == b and len(a) == 10, (sf, n)
+
+
+def test_ntile_scaled_oracle_equals_plain_small_sf():
+    """r14: ntile_distribution_orders' sf1 scaled oracle replays
+    Spark's shortest-string HALF_UP round(double, 6) (the
+    0.5046875-tie divergence only sf1 partition sizes produce); at
+    the gate sfs no tie exists and scaled == plain row-for-row."""
+    import duckdb
+
+    from ngafid_cpat_spark.plans import ORACLES
+    from ngafid_cpat_spark.plans.queries import SCALED_ORACLES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{sf}/orders.parquet')"
+        )
+        a = sorted(
+            map(
+                tuple,
+                con.execute(
+                    ORACLES["ntile_distribution_orders"]
+                ).fetchall(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                con.execute(
+                    SCALED_ORACLES["ntile_distribution_orders"]
+                ).fetchall(),
+            )
+        )
+        assert a == b and len(a) > 0, sf
+
+
+def test_bestap_two_phase_scaled_oracle_equals_plain():
+    """r14: the real-airports pipeline pair's sf1 scaled oracle
+    replaces the one-shot min(struct-with-string) nearest-airport
+    aggregate with a two-phase double-MIN + argmin-equality join —
+    same winner by the same (d, code) tie rule; pinned equal at the
+    gate sfs."""
+    import duckdb
+
+    from ngafid_cpat_spark.plans import ORACLES
+    from ngafid_cpat_spark.plans.queries import SCALED_ORACLES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')"
+        )
+        a = sorted(
+            map(
+                tuple,
+                con.execute(
+                    ORACLES["approach_pipeline_real_airports"]
+                ).fetchall(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                con.execute(
+                    SCALED_ORACLES["approach_pipeline_real_airports"]
+                ).fetchall(),
+            )
+        )
+        assert a == b and len(a) > 0, sf
