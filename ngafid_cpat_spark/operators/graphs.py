@@ -920,3 +920,117 @@ def incremental_bfs_relax(
             "rounds (graph diameter exceeds cap?)"
         )
     return dist
+
+
+def salsa_micro(
+    edges: DataFrame,
+    n_iter: int = 2,
+    s: str = "s",
+    t: str = "t",
+) -> DataFrame:
+    """SALSA hub/authority scoring (Lempel & Moran 2000 — the
+    Stochastic Approach for Link-Structure Analysis, i.e. HITS with
+    both half-steps degree-NORMALIZED) over a DIRECTED simple graph
+    given as distinct (s, t) pairs, with EXACT integer-micro
+    arithmetic so every engine reproduces the scores bit-for-bit.
+
+    Why SALSA and not raw HITS for the strict-oracle doctrine: HITS'
+    unnormalized sums grow like lambda_max^k (overflow) and its
+    usual fix is an L2 normalization (a transcendental sqrt no two
+    engines truncate identically). SALSA's transition matrices are
+    STOCHASTIC — each half-step divides a node's score by its degree
+    before propagating — so total mass is conserved (minus integer
+    truncation), values stay bounded by N x 1e6 in BIGINT forever,
+    and the whole computation is join + ``DIV`` + sum:
+
+      * authority scores start at 1e6 micros per in-linked node;
+      * hub half-step      h(i) = SUM over edges (i,j) of
+                                  a(j) DIV indeg(j);
+      * authority half-step a'(j) = SUM over edges (i,j) of
+                                  h(i) DIV outdeg(i).
+
+    After ``n_iter`` alternations the scores approximate SALSA's
+    stationary distributions (whose exact fixpoint is proportional
+    to in-/out-degree per connected component — the fixed-iteration
+    contract scores mixing toward it, which is what the unrolled
+    oracle replays). No driver sync: all rounds compose into one
+    lazy plan.
+
+    Scale shape: the degree-annotated edge table is shuffled+sorted
+    ONCE per join key (one copy partitioned on ``t`` for the hub
+    half's authority join, one on ``s`` for the authority half's hub
+    join) behind lazy localCheckpoints; each half-step is then one
+    edge-sized SMJ + one map-side-combining groupBy. Score state is
+    one row per node, never driver-resident. The final hub frame
+    feeds the plan twice (last authority half + output), so it gets
+    its own lazy cut.
+
+    Returns (node, hub_micro BIGINT, auth_micro BIGINT) — hub_micro
+    is 0 for pure sinks, auth_micro 0 for pure sources."""
+    de = edges.select(F.col(s).alias("s"), F.col(t).alias("t")).distinct()
+    od = de.groupBy("s").agg(F.count(F.lit(1)).alias("odeg"))
+    idg = de.groupBy("t").agg(F.count(F.lit(1)).alias("ideg"))
+    sess = edges.sparkSession
+    try:
+        n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_part = 32
+    dd = de.join(od, "s").join(idg, "t")
+    dd_t = (
+        dd.repartition(n_part, "t")
+        .sortWithinPartitions("t")
+        .localCheckpoint(eager=False)
+    )
+    dd_s = (
+        dd_t.repartition(n_part, "s")
+        .sortWithinPartitions("s")
+        .localCheckpoint(eager=False)
+    )
+    auth = dd_t.select("t").distinct().select(
+        F.col("t").alias("node"),
+        F.lit(1_000_000).cast("long").alias("a"),
+    )
+    hub = None
+    for _ in range(n_iter):
+        hub = (
+            dd_t.join(auth, dd_t["t"] == auth["node"])
+            .select(
+                F.col("s").alias("node2"),
+                F.expr("a DIV ideg").alias("c"),
+            )
+            .groupBy("node2")
+            .agg(F.sum("c").alias("h"))
+            .select(F.col("node2").alias("node"), "h")
+            # node-sized lazy cut: the FINAL round's hub frame feeds
+            # the plan twice (last authority half + output join);
+            # cutting every round keeps the unrolled plan linear in
+            # rounds (the r12 BFS plan-doubling lesson)
+            .localCheckpoint(eager=False)
+        )
+        auth = (
+            dd_s.join(hub, dd_s["s"] == hub["node"])
+            .select(
+                F.col("t").alias("node2"),
+                F.expr("h DIV odeg").alias("c"),
+            )
+            .groupBy("node2")
+            .agg(F.sum("c").alias("a"))
+            .select(F.col("node2").alias("node"), "a")
+        )
+    return (
+        hub.withColumnRenamed("h", "hub_micro")
+        .join(
+            auth.withColumnRenamed("a", "auth_micro"),
+            "node",
+            "full",
+        )
+        .select(
+            "node",
+            F.coalesce("hub_micro", F.lit(0).cast("long")).alias(
+                "hub_micro"
+            ),
+            F.coalesce("auth_micro", F.lit(0).cast("long")).alias(
+                "auth_micro"
+            ),
+        )
+    )

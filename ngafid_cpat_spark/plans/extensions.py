@@ -7926,3 +7926,106 @@ SCALED_ORACLES["approach_pipeline_real_airports"] = _bestap_two_phase(
 SCALED_ORACLES["streaming_approach_work_queue_real"] = _bestap_two_phase(
     _ORACLES["streaming_approach_work_queue_real"]
 )
+
+
+# ---------------------------------------------------------------------------
+# SALSA hub/authority scoring (tenth graph operator)
+# ---------------------------------------------------------------------------
+
+def _salsa_iter_sql(prev_auth: str, idx: int) -> str:
+    """One unrolled integer-micro SALSA alternation (hub half then
+    authority half) as CTEs — see operators/graphs.salsa_micro for
+    the arithmetic contract (BIGINT micros, score DIV degree
+    half-steps, both transitions stochastic)."""
+    return f"""
+    sh{idx} AS (
+      SELECT se.s AS node, SUM(a.a // si.ideg) AS h
+      FROM se JOIN {prev_auth} a ON a.node = se.t
+              JOIN sid si ON si.t = se.t
+      GROUP BY se.s
+    ),
+    sa{idx} AS (
+      SELECT se.t AS node, SUM(h.h // so.odeg) AS a
+      FROM se JOIN sh{idx} h ON h.node = se.s
+              JOIN sod so ON so.s = se.s
+      GROUP BY se.t
+    )"""
+
+
+@register(
+    "salsa_users_events",
+    f"""
+    WITH ccells AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS h
+      FROM events WHERE event_type = 'click'
+    ), pcells AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ), se AS (
+      SELECT DISTINCT c.user_id AS s, p.user_id AS t
+      FROM ccells c JOIN pcells p
+        ON c.h = p.h AND c.user_id <> p.user_id
+    ), sod AS (
+      SELECT s, COUNT(*) AS odeg FROM se GROUP BY s
+    ), sid AS (
+      SELECT t, COUNT(*) AS ideg FROM se GROUP BY t
+    ), sa0 AS (
+      SELECT t AS node, CAST(1000000 AS BIGINT) AS a FROM sid
+    ),{_salsa_iter_sql('sa0', 1)},{_salsa_iter_sql('sa1', 2)}
+    SELECT COALESCE(h.node, a.node) AS user_id,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS hub_micro,
+           CAST(COALESCE(a.a, 0) AS BIGINT) AS auth_micro
+    FROM sh2 h FULL JOIN sa2 a ON a.node = h.node
+    """,
+)
+def salsa_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority scoring (Lempel & Moran 2000) over the
+    DIRECTED click->purchase influence graph — the tenth graph
+    operator, and the directed-graph companion of pagerank_events:
+    user a links to user b when a clicked and b purchased inside the
+    same 600 s cell, so hubs are browsers whose activity co-occurs
+    with many buyers and authorities are the buyers they point at.
+    Both SALSA half-steps are stochastic (score DIV degree), so the
+    whole 2-iteration power method is exact BIGINT micro arithmetic
+    with no normalization scalar and no overflow — every engine
+    computes identical integers (operators/graphs.salsa_micro; the
+    same reasoning that picked rational-damped PageRank and
+    transcendental-free PMI). The DuckDB oracle unrolls the two
+    alternations as CTEs. Scale shape: per half-step one edge-sized
+    SMJ against a once-sorted checkpointed degree-annotated edge
+    table + one map-side-combining groupBy; score state is one row
+    per node."""
+    from ..operators.graphs import salsa_micro
+
+    ev = load(spark, sf_dir, "events")
+
+    def cells(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                "user_id",
+                F.floor(F.unix_timestamp("ts") / 600)
+                .cast("long")
+                .alias("h"),
+            )
+            .distinct()
+        )
+
+    edges = (
+        cells("click").alias("c")
+        .join(
+            cells("purchase").alias("p"),
+            (F.col("c.h") == F.col("p.h"))
+            & (F.col("c.user_id") != F.col("p.user_id")),
+        )
+        .select(
+            F.col("c.user_id").alias("s"),
+            F.col("p.user_id").alias("t"),
+        )
+        .distinct()
+    )
+    return salsa_micro(edges, n_iter=2).withColumnRenamed(
+        "node", "user_id"
+    )

@@ -556,3 +556,61 @@ def test_sssp_minplus_bounded_bellman_ford(spark):
         for r in sssp_minplus(e, s2, n_rounds=1).collect()
     }
     assert 999 not in got2 and got2[1] == 1
+
+
+def _salsa_py(pairs, n_iter):
+    """Pure-python integer SALSA replay: stochastic hub/authority
+    half-steps, score DIV degree, BIGINT micros."""
+    out_adj, in_adj = {}, {}
+    for s, t in set(pairs):
+        out_adj.setdefault(s, set()).add(t)
+        in_adj.setdefault(t, set()).add(s)
+    odeg = {n: len(ms) for n, ms in out_adj.items()}
+    ideg = {n: len(ms) for n, ms in in_adj.items()}
+    a = {n: 1_000_000 for n in in_adj}
+    h = {}
+    for _ in range(n_iter):
+        h = {
+            s: sum(a[t] // ideg[t] for t in ts)
+            for s, ts in out_adj.items()
+        }
+        a = {
+            t: sum(h[s] // odeg[s] for s in ss)
+            for t, ss in in_adj.items()
+        }
+    nodes = set(out_adj) | set(in_adj)
+    return {n: (h.get(n, 0), a.get(n, 0)) for n in nodes}
+
+
+def _salsa_out(spark, pairs, n_iter=2):
+    e = spark.createDataFrame(pairs, ["s", "t"])
+    return {
+        r["node"]: (r["hub_micro"], r["auth_micro"])
+        for r in G.salsa_micro(e, n_iter=n_iter).collect()
+    }
+
+
+def test_salsa_matches_python_reference(spark):
+    """salsa_micro == the pure-python integer recipe on a directed
+    graph mixing pure sources, pure sinks, and a 2-cycle: bit-exact
+    BIGINT micros, no float tolerance."""
+    pairs = [(1, 4), (2, 4), (3, 4), (4, 5), (5, 4), (3, 6), (6, 7)]
+    got = _salsa_out(spark, pairs, n_iter=2)
+    assert got == _salsa_py(pairs, 2)
+    # pure source 1 never receives authority mass; pure sink 7 never
+    # emits hub mass
+    assert got[1][1] == 0 and got[7][0] == 0
+
+
+def test_salsa_mass_conservation_and_popularity(spark):
+    """On the bipartite 'many hubs -> one authority' graph, the
+    focal authority ends with (almost) all the authority mass —
+    SALSA's stochastic transitions conserve total mass up to DIV
+    truncation, so scores stay bounded by N x 1e6 forever (the
+    no-overflow argument)."""
+    pairs = [(i, 100) for i in range(5)] + [(0, 200)]
+    got = _salsa_out(spark, pairs, n_iter=3)
+    assert got[100][1] > got[200][1]          # indeg 5 beats indeg 1
+    total_auth0 = 2 * 1_000_000               # two authorities seeded
+    assert sum(v[1] for v in got.values()) <= total_auth0
+    assert sum(v[1] for v in got.values()) >= total_auth0 - 100

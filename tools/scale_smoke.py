@@ -751,6 +751,20 @@ def main() -> None:
         )
         return G.sssp_minplus(edges, seeds, n_rounds=3)
 
+    def salsa(ev):
+        from ngafid_cpat_spark.operators import graphs as G
+
+        # directed 10-ary in-tree (s = id, t = id DIV 10): hub nodes
+        # have outdeg 1, authorities indeg ~10 — per half-step one
+        # edge-sized SMJ vs the once-sorted degree-annotated
+        # checkpoint + a map-side-combining sum; time should track
+        # edge count linearly across the 2 alternations
+        edges = ev.select(
+            F.col("event_id").alias("s"),
+            F.expr("event_id DIV 10").alias("t"),
+        ).filter(F.col("s") != F.col("t"))
+        return G.salsa_micro(edges, n_iter=2)
+
     def approach_real(tele):
         # end-to-end flagship: full approach pipeline against the
         # REAL 15,165-airport / 164-runway dims (r11 verdict ask #5 —
@@ -807,6 +821,7 @@ def main() -> None:
         "bfs_hops": ("events", bfs),
         "label_propagation": ("events", lpa),
         "sssp_minplus": ("events", sssp),
+        "salsa": ("events", salsa),
         "pmi_collocations": ("docs", pmi),
         "kneser_ney": ("docs", kneser_ney),
         "weighted_sample_wor": ("docs", es_sample),
