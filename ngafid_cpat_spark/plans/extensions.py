@@ -8029,3 +8029,84 @@ def salsa_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salsa_micro(edges, n_iter=2).withColumnRenamed(
         "node", "user_id"
     )
+
+
+@register(
+    "link_prediction_ra_events",
+    """
+    WITH cells AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT DISTINCT a.user_id AS a, b.user_id AS b
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+    ), adj AS (
+      SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e
+    ), d AS (
+      SELECT z, COUNT(*) AS deg FROM adj GROUP BY z
+    ), wedges AS (
+      SELECT l.n AS a, r.n AS b, d.deg
+      FROM adj l JOIN adj r ON l.z = r.z AND l.n < r.n
+                 JOIN d ON d.z = l.z
+    ), scored AS (
+      SELECT w.a, w.b, SUM(1000000 // w.deg) AS ra_micro
+      FROM wedges w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.b
+      )
+      GROUP BY w.a, w.b
+    ), ranked AS (
+      SELECT a, b, CAST(ra_micro AS BIGINT) AS ra_micro,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY ra_micro DESC, a, b) AS INT) AS rn
+      FROM scored
+    )
+    SELECT a, b, ra_micro, rn FROM ranked WHERE rn <= 20
+    """,
+)
+def link_prediction_ra_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 link prediction by the Resource-Allocation index (Zhou,
+    Lu & Zhang 2009) over the purchase co-occurrence graph — the
+    recommender-shaped graph query (which non-co-purchasing user pair
+    is most likely to co-purchase next?), and the catalog's
+    demonstration that the classic similarity-index family fits the
+    strict-oracle doctrine when the index is RATIONAL: RA's
+    1/deg(common neighbor) becomes 1_000_000 DIV deg micros, where
+    Adamic-Adar's 1/log(deg) would need a transcendental
+    (operators/graphs.link_prediction_ra). Ranking is total
+    (score DESC, a, b), so the 20-row answer is bit-stable. Scale
+    shape: one repartition+sort on the center key feeds both sides of
+    the wedge self-join, one anti-join against the edge set, one
+    map-side-combining sum, one k-row TakeOrdered; wedge volume is
+    SUM deg^2 (inherent to the index), with the deg_cap escape hatch
+    documented for hub-heavy graphs."""
+    from ..operators.graphs import link_prediction_ra
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 600)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    edges = (
+        cells.alias("a")
+        .join(
+            cells.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"),
+            F.col("b.user_id").alias("v"),
+        )
+        .distinct()
+    )
+    return link_prediction_ra(edges, k=20)

@@ -614,3 +614,68 @@ def test_salsa_mass_conservation_and_popularity(spark):
     total_auth0 = 2 * 1_000_000               # two authorities seeded
     assert sum(v[1] for v in got.values()) <= total_auth0
     assert sum(v[1] for v in got.values()) >= total_auth0 - 100
+
+
+def _ra_py(pairs, k=20, deg_cap=None):
+    """Pure-python RA-index replay: micros, DIV, (score DESC, a, b)."""
+    adj: dict = {}
+    es = set()
+    for a, b in pairs:
+        lo, hi = min(a, b), max(a, b)
+        es.add((lo, hi))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {z: len(ns) for z, ns in adj.items()}
+    score: dict = {}
+    for z, ns in adj.items():
+        if deg_cap is not None and deg[z] > deg_cap:
+            continue
+        c = 1_000_000 // deg[z]
+        for a in ns:
+            for b in ns:
+                if a < b and (a, b) not in es:
+                    score[(a, b)] = score.get((a, b), 0) + c
+    ranked = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [
+        (a, b, s, i + 1) for i, ((a, b), s) in enumerate(ranked[:k])
+    ]
+
+
+def test_link_prediction_ra_matches_python_reference(spark):
+    """link_prediction_ra == the pure-python RA replay on a graph
+    where the best predicted edge closes a high-RA wedge (two common
+    neighbors of low degree beat one hub center), existing edges are
+    excluded, and ties break on (a, b)."""
+    pairs = [
+        (1, 2), (1, 3), (2, 4), (3, 4),      # square: (1,4)+(2,3) via 2 ctrs
+        (5, 1), (5, 4),                      # third common neighbor for (1,4)
+        (0, 6), (0, 7), (0, 8), (0, 9),      # hub 0: deg-4 center
+    ]
+    got = [
+        (r["a"], r["b"], r["ra_micro"], r["rn"])
+        for r in G.link_prediction_ra(_edges(spark, pairs), k=20)
+        .orderBy("rn")
+        .collect()
+    ]
+    want = _ra_py(pairs, 20)
+    assert got == want
+    # (1,4) has 3 common neighbors (2, 3, 5) — it must outrank every
+    # hub-centered pair whose single center splits 1e6 four ways
+    assert got[0][:2] == (1, 4)
+    assert {g[:2] for g in got}.isdisjoint(
+        {(min(a, b), max(a, b)) for a, b in pairs}
+    )
+
+
+def test_link_prediction_ra_deg_cap_drops_hub_centers(spark):
+    """deg_cap excludes high-degree centers: with cap 3 the deg-4
+    hub's wedges vanish while the square's deg-2/3 centers stay."""
+    pairs = [(1, 2), (1, 3), (2, 4), (3, 4), (0, 6), (0, 7), (0, 8)]
+    got = [
+        (r["a"], r["b"], r["ra_micro"], r["rn"])
+        for r in G.link_prediction_ra(
+            _edges(spark, pairs), k=20, deg_cap=2
+        ).orderBy("rn").collect()
+    ]
+    assert got == _ra_py(pairs, 20, deg_cap=2)
+    assert all(a != 0 and b != 0 or (a, b) == (1, 4) for a, b, *_ in got)

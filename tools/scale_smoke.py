@@ -765,6 +765,23 @@ def main() -> None:
         ).filter(F.col("s") != F.col("t"))
         return G.salsa_micro(edges, n_iter=2)
 
+    def ra_link(ev):
+        from ngafid_cpat_spark.operators import graphs as G
+
+        # chain + distance-2 chords: degree <= 4, so wedge volume
+        # SUM deg^2 grows linearly with nodes — one center-key
+        # shuffle feeding both wedge sides + an anti-join + a k-row
+        # tail; predictions are the distance-3 pairs
+        chain = ev.select(
+            F.col("event_id").alias("u"),
+            (F.col("event_id") + 1).alias("v"),
+        )
+        chord = ev.select(
+            F.col("event_id").alias("u"),
+            (F.col("event_id") + 2).alias("v"),
+        )
+        return G.link_prediction_ra(chain.unionByName(chord), k=100)
+
     def approach_real(tele):
         # end-to-end flagship: full approach pipeline against the
         # REAL 15,165-airport / 164-runway dims (r11 verdict ask #5 —
@@ -822,6 +839,7 @@ def main() -> None:
         "label_propagation": ("events", lpa),
         "sssp_minplus": ("events", sssp),
         "salsa": ("events", salsa),
+        "ra_link_prediction": ("events", ra_link),
         "pmi_collocations": ("docs", pmi),
         "kneser_ney": ("docs", kneser_ney),
         "weighted_sample_wor": ("docs", es_sample),
