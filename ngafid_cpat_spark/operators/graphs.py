@@ -1113,3 +1113,84 @@ def link_prediction_ra(
         .filter(F.col("rn") <= F.lit(int(k)))
         .select("a", "b", "ra_micro", "rn")
     )
+
+
+def landmark_harmonic(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    n_rounds: int = 3,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Landmark-approximated HARMONIC centrality (the Boldi & Vigna
+    2014 centrality: SUM over sources of 1/dist — chosen over
+    closeness because 1/dist handles disconnected pairs natively and,
+    being RATIONAL, stays integer-exact as ``1_000_000 DIV hop``
+    micros, the PageRank/RA doctrine) over an undirected simple graph
+    given as distinct (u < v) pairs.
+
+    Exact harmonic centrality needs all-pairs distances — quadratic
+    and off the table at scale. The standard estimator samples a
+    landmark set and sums over landmark distances only (Eppstein &
+    Wang 2004's centrality-sampling argument); with hops additionally
+    capped at ``n_rounds``, the whole computation is a bounded
+    multi-source BFS that keeps PER-LANDMARK state: the distance
+    frame is keyed (lm, node) instead of node, every round is still
+    ONE edge-sized SMJ on the node key (all landmarks relax in the
+    same join — k landmarks multiply the state rows, not the round
+    count) + a min fold, and the final fold is
+    ``SUM(1e6 DIV hop)`` over hop >= 1 per node. Pure integers,
+    deterministic under any partitioning, unrolled-CTE-replayable.
+
+    State is |landmarks| x reached nodes — the estimator's cost knob
+    (8-64 landmarks in practice); the eager per-round cut bounds the
+    unrolled plan exactly as bfs_hops does (the distance frame feeds
+    each round twice).
+
+    ``landmarks``: one-column ``node`` frame; restricted to in-graph
+    nodes. Returns (node, harmonic_micro BIGINT, n_reached BIGINT)
+    for nodes within n_rounds hops of >= 1 landmark (self-distance
+    excluded, so a landmark's own row needs another landmark nearby)."""
+    de = edges.select(F.col(u).alias("s"), F.col(v).alias("t")).unionByName(
+        edges.select(F.col(v).alias("s"), F.col(u).alias("t"))
+    )
+    sess = edges.sparkSession
+    try:
+        n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_part = 32
+    dd = (
+        de.repartition(n_part, "s")
+        .sortWithinPartitions("s")
+        .localCheckpoint(eager=False)
+    )
+    nodes = dd.select("s").distinct()
+    dist = (
+        landmarks.select(F.col("node").cast("long").alias("lm"))
+        .distinct()
+        .join(nodes, F.col("lm") == F.col("s"), "left_semi")
+        .select("lm", F.col("lm").alias("node"), F.lit(0).cast("int").alias("hop"))
+    )
+    for _ in range(n_rounds):
+        relaxed = dd.join(dist, dd["s"] == dist["node"]).select(
+            "lm",
+            F.col("t").alias("node"),
+            (F.col("hop") + 1).cast("int").alias("hop"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("lm", "node")
+            .agg(F.min("hop").cast("int").alias("hop"))
+            # the (lm, node) frame feeds the next round TWICE (union
+            # + relaxation join) — eager per-round cut keeps the
+            # unrolled plan linear (the bfs_hops lesson)
+            .localCheckpoint(eager=True)
+        )
+    return (
+        dist.filter(F.col("hop") >= 1)
+        .groupBy("node")
+        .agg(
+            F.sum(F.expr("1000000 DIV hop")).alias("harmonic_micro"),
+            F.count(F.lit(1)).alias("n_reached"),
+        )
+    )

@@ -8110,3 +8110,93 @@ def link_prediction_ra_events(
         .distinct()
     )
     return link_prediction_ra(edges, k=20)
+
+
+def _harmonic_round_sql(prev: str, r: int) -> str:
+    """One unrolled (landmark, node)-keyed BFS round as CTEs — see
+    operators/graphs.landmark_harmonic."""
+    return f"""
+    hc{r} AS (
+      SELECT p.lm, de.t AS node, p.hop + 1 AS hop
+      FROM de JOIN {prev} p ON de.s = p.node
+      UNION ALL SELECT lm, node, hop FROM {prev}
+    ), hd{r} AS (
+      SELECT lm, node, MIN(hop) AS hop FROM hc{r} GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "harmonic_centrality_users_events",
+    f"""
+    WITH cells AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS h
+      FROM events WHERE event_type = 'click'
+    ), e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+    ), de AS (
+      SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e
+    ), nodes AS (
+      SELECT DISTINCT s FROM de
+    ), hd0 AS (
+      SELECT s AS lm, s AS node, 0 AS hop FROM nodes WHERE s % 17 = 0
+    ),{_harmonic_round_sql('hd0', 1)},{_harmonic_round_sql('hd1', 2)},
+    {_harmonic_round_sql('hd2', 3)}
+    SELECT node AS user_id,
+           CAST(SUM(1000000 // hop) AS BIGINT) AS harmonic_micro,
+           COUNT(*) AS n_reached
+    FROM hd3 WHERE hop >= 1 GROUP BY node
+    """,
+)
+def harmonic_centrality_users_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Landmark-approximated harmonic centrality (Boldi & Vigna 2014;
+    Eppstein & Wang 2004 sampling) over the click co-occurrence graph
+    — the eleventh graph operator, and the centrality member of the
+    family: hop-capped multi-source BFS keyed (landmark, node) from
+    the user_id % 17 landmark cohort, folded to
+    SUM(1_000_000 DIV hop) micros per node. 1/dist is rational, so
+    the whole estimator is exact BIGINT arithmetic
+    (operators/graphs.landmark_harmonic); the DuckDB oracle unrolls
+    the identical three rounds over the pair-keyed state. Scale
+    shape: per round ONE edge-sized SMJ against the once-sorted
+    checkpointed edge table relaxes ALL landmarks at once (state
+    rows, not round count, scale with the landmark budget) + a
+    map-side-combining min fold with an eager node-sized cut."""
+    from ..operators.graphs import landmark_harmonic
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 600)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    edges = (
+        cells.alias("a")
+        .join(
+            cells.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"),
+            F.col("b.user_id").alias("v"),
+        )
+        .distinct()
+    )
+    landmarks = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .filter(F.col("node") % 17 == 0)
+        .distinct()
+    )
+    return landmark_harmonic(edges, landmarks, n_rounds=3).withColumnRenamed(
+        "node", "user_id"
+    )

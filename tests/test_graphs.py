@@ -679,3 +679,47 @@ def test_link_prediction_ra_deg_cap_drops_hub_centers(spark):
     ]
     assert got == _ra_py(pairs, 20, deg_cap=2)
     assert all(a != 0 and b != 0 or (a, b) == (1, 4) for a, b, *_ in got)
+
+
+def test_landmark_harmonic_matches_python_reference(spark):
+    """landmark_harmonic == a python (landmark, node)-keyed bounded
+    BFS replay on a path graph with a branch: 1e6 DIV hop micros,
+    hop cap respected, self-distance excluded."""
+    from ngafid_cpat_spark.operators.graphs import landmark_harmonic
+
+    #   0-1-2-3-4-5   plus branch 2-6
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (2, 6)]
+    e = spark.createDataFrame(pairs, ["u", "v"])
+    lms = spark.createDataFrame([(0,), (4,), (999,)], ["node"])
+    got = {
+        r["node"]: (r["harmonic_micro"], r["n_reached"])
+        for r in landmark_harmonic(e, lms, n_rounds=3).collect()
+    }
+    # python replay
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    want: dict = {}
+    for lm in (0, 4):                      # 999 off-graph -> dropped
+        dist = {lm: 0}
+        for _ in range(3):
+            nxt = dict(dist)
+            for n, d in dist.items():
+                for m in adj[n]:
+                    if m not in nxt or d + 1 < nxt[m]:
+                        nxt[m] = d + 1
+            dist = nxt
+        for n, d in dist.items():
+            if d >= 1:
+                h, c = want.get(n, (0, 0))
+                want[n] = (h + 1_000_000 // d, c + 1)
+    assert got == want
+    # node 3 sits 3 hops from 0 and 1 hop from 4:
+    # 1e6//3 + 1e6//1 = 1333333
+    assert got[3] == (1_333_333, 2)
+    # node 5 is 5 hops from 0 (beyond cap) and 1 from 4 — only one
+    # landmark contributes
+    assert got[5] == (1_000_000, 1)

@@ -782,6 +782,21 @@ def main() -> None:
         )
         return G.link_prediction_ra(chain.unionByName(chord), k=100)
 
+    def harmonic(ev):
+        from ngafid_cpat_spark.operators import graphs as G
+
+        # chain graph, 1% landmark density: per round one edge-sized
+        # SMJ relaxes ALL landmarks at once, so time tracks edges x
+        # rounds + (landmark x reach) state rows
+        edges = ev.select(
+            F.col("event_id").alias("u"),
+            (F.col("event_id") + 1).alias("v"),
+        ).filter(F.col("u") % 10 != 9)
+        lms = ev.select(F.col("event_id").alias("node")).filter(
+            F.col("node") % 100 == 0
+        )
+        return G.landmark_harmonic(edges, lms, n_rounds=3)
+
     def approach_real(tele):
         # end-to-end flagship: full approach pipeline against the
         # REAL 15,165-airport / 164-runway dims (r11 verdict ask #5 —
@@ -840,6 +855,7 @@ def main() -> None:
         "sssp_minplus": ("events", sssp),
         "salsa": ("events", salsa),
         "ra_link_prediction": ("events", ra_link),
+        "harmonic_centrality": ("events", harmonic),
         "pmi_collocations": ("docs", pmi),
         "kneser_ney": ("docs", kneser_ney),
         "weighted_sample_wor": ("docs", es_sample),
