@@ -1194,3 +1194,51 @@ def landmark_harmonic(
             F.count(F.lit(1)).alias("n_reached"),
         )
     )
+
+
+def local_clustering(
+    edges: DataFrame, u: str = "u", v: str = "v"
+) -> DataFrame:
+    """Per-node LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998)
+    over an undirected simple graph given as distinct (u < v) pairs:
+
+        lcc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)),
+
+    rational, so it stays integer-exact as
+    ``2_000_000 * triangles DIV (deg * (deg - 1))`` micros (the
+    PageRank/RA/harmonic doctrine). Triangle counts reuse the
+    degree-ordered compact-forward enumeration (triangle_counts),
+    whose oriented out-degree is O(sqrt(m)) on any degree
+    distribution, so hub nodes cannot blow up the wedge join; the
+    degree table is one map-side-combining groupBy and the final
+    stitch a node-keyed left join (deg-1 nodes get lcc 0 — no
+    possible triangle, the conventional value).
+
+    Returns (node, deg BIGINT, n_triangles BIGINT, lcc_micro BIGINT)
+    for every graph node."""
+    e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).distinct()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(e)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    "(2000000 * coalesce(n_triangles, 0))"
+                    " DIV (deg * (deg - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_micro"),
+        )
+    )

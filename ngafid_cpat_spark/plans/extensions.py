@@ -8200,3 +8200,76 @@ def harmonic_centrality_users_events(
     return landmark_harmonic(edges, landmarks, n_rounds=3).withColumnRenamed(
         "node", "user_id"
     )
+
+
+@register(
+    "local_clustering_events",
+    """
+    WITH cells AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 600) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+    ), d AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), t AS (
+      SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT unnest([a, b, c]) AS node FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node AS user_id, d.deg,
+           COALESCE(t.n_triangles, 0) AS n_triangles,
+           CAST(CASE WHEN d.deg >= 2 THEN
+             (2000000 * COALESCE(t.n_triangles, 0))
+               // (d.deg * (d.deg - 1))
+           ELSE 0 END AS BIGINT) AS lcc_micro
+    FROM d LEFT JOIN t ON t.node = d.node
+    """,
+)
+def local_clustering_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user local clustering coefficient (Watts & Strogatz 1998)
+    over the purchase co-occurrence graph — the twelfth graph
+    operator: how clique-like is each user's co-purchase
+    neighborhood? lcc = 2*triangles / deg*(deg-1) is rational, so the
+    answer is exact micros (operators/graphs.local_clustering);
+    triangle counts reuse the degree-ordered compact-forward
+    enumeration (hub-safe O(sqrt(m)) wedge fan-out), while the oracle
+    counts triangles by the naive ordered triple join — an algebraic
+    cross-check, not an implementation echo. Scale shape: the
+    triangle pipeline's two node-keyed SMJs + one explode/groupBy,
+    then a node-sized left join against the degree table."""
+    from ..operators.graphs import local_clustering
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 600).alias("h"),
+        )
+        .distinct()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .distinct()
+    )
+    return local_clustering(edges).withColumnRenamed("node", "user_id")

@@ -723,3 +723,27 @@ def test_landmark_harmonic_matches_python_reference(spark):
     # node 5 is 5 hops from 0 (beyond cap) and 1 from 4 — only one
     # landmark contributes
     assert got[5] == (1_000_000, 1)
+
+
+def test_local_clustering_known_values(spark):
+    """lcc on K4-plus-pendant: K4 corners not touching the pendant
+    have lcc 1.0 (every neighbor pair connected); the corner with the
+    pendant has deg 4, 3 triangles -> 2e6*3 DIV 12 = 500000; the
+    pendant itself (deg 1) gets the conventional 0."""
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    got = {
+        r["node"]: (r["deg"], r["n_triangles"], r["lcc_micro"])
+        for r in G.local_clustering(_edges(spark, pairs)).collect()
+    }
+    assert got[1] == (3, 3, 1_000_000)
+    assert got[2] == (3, 3, 1_000_000)
+    assert got[3] == (3, 3, 1_000_000)
+    assert got[4] == (4, 3, 500_000)
+    assert got[5] == (1, 0, 0)
+    # triangle-free graphs: every node 0 (incl. deg-2 path interior)
+    path = _edges(spark, [(1, 2), (2, 3)])
+    out = {
+        r["node"]: r["lcc_micro"]
+        for r in G.local_clustering(path).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 0}
