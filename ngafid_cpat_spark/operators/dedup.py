@@ -1369,3 +1369,158 @@ def suffix_lcp_longest_dup(
         .orderBy(id_col)
     )
     return out
+
+
+# --- True sliding-window winnowing (Schleimer, Wilkerson & Aiken
+#     2003, the MOSS fingerprinter) -------------------------------
+
+_WINNOW_POS_CAP = 32767  # pos packs into 15 bits next to the 48-bit hash
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TRUE sliding-window winnowing (Schleimer, Wilkerson & Aiken
+    2003 §4): hash every k-char gram of the normalized text, then in
+    EVERY window of w consecutive gram hashes select the minimum,
+    ties to the RIGHTMOST position — the guarantee the banded
+    simplification (functions/text.winnow) lacks: any shared
+    substring of length >= k + w - 1 yields at least one shared
+    fingerprint, and fingerprint density is bounded by 2/(w+1).
+
+    The rightmost-min rule is ONE plain ``min()`` window aggregate in
+    any engine via key packing: the gram hash is the first 48 bits of
+    md5 (portable hex-parse idiom) and
+
+        key = h * 32768 + (32767 - pos)
+
+    fits BIGINT exactly (48 + 15 = 63 bits); minimizing the key
+    minimizes h with ties to the LARGEST pos. Texts are capped at
+    ``_WINNOW_POS_CAP`` grams by a fail-fast raise_error guard (the
+    pack would alias beyond it — loud, not silent).
+
+    Shape: one explode to gram rows (sequence+transform, no UDF), one
+    ROWS-frame window min per doc ordered by pos (full windows only),
+    one distinct. At 100 TB the gram explosion is the cost — k-gram
+    rows ~ chars — and partitioning is by document, so the window
+    never shuffles beyond the doc key.
+
+    Returns (id, fp BIGINT, pos INT) — the selected fingerprints."""
+    norm = T.normalize(text_col)
+    n = F.length(norm)
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.when(
+                n < F.lit(k), F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(k) + 1),
+                    lambda i: F.substr(norm, i, F.lit(k)),
+                )
+            )
+        ).alias("pos0", "g"),
+    ).select(
+        "id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr(
+            "cast(conv(substr(md5(g), 1, 12), 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    guard = F.expr(
+        f"CASE WHEN pos <= {_WINNOW_POS_CAP} THEN CAST(0 AS LONG) "
+        f"ELSE CAST(raise_error('winnow_fingerprints: text exceeds "
+        f"{_WINNOW_POS_CAP} grams (pos pack would alias)') AS LONG) "
+        "END"
+    )
+    keyed = grams.select(
+        "id",
+        "pos",
+        (
+            F.col("h") * F.lit(32768)
+            + (F.lit(_WINNOW_POS_CAP) - F.col("pos"))
+            + guard
+        ).alias("key"),
+    )
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n_grams = Window.partitionBy("id")
+    sel = (
+        keyed.withColumn("wmin", F.min("key").over(win))
+        .withColumn("ng", F.max("pos").over(n_grams))
+        # full windows only (the paper's definition): starts beyond
+        # ng - w + 1 see a truncated frame
+        .filter(F.col("pos") <= F.col("ng") - F.lit(w) + 1)
+        .select("id", F.col("wmin").alias("key"))
+        .distinct()
+    )
+    return sel.select(
+        "id",
+        F.expr("key DIV 32768").alias("fp"),
+        (F.lit(_WINNOW_POS_CAP) - F.pmod(F.col("key"), F.lit(32768)))
+        .cast("int")
+        .alias("pos"),
+    )
+
+
+def winnow_match_pairs(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+    topk: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document containment candidates by shared winnowing
+    fingerprints — the MOSS match step: docs sharing >= ``min_shared``
+    selected fingerprint HASHES (positions dropped for matching, as
+    the paper prescribes) ranked by shared count, ties (a, b).
+
+    ``max_df`` drops fingerprints appearing in more than that many
+    docs before the pair join — the posting-list df-cut every dedup
+    family member applies (a ubiquitous boilerplate gram pairs
+    everyone with everyone; its evidentiary value is nil and its
+    join fan-out quadratic). Deterministic, so the strict oracle
+    applies the same cut.
+
+    Returns (doc_a, doc_b, n_shared, rn) — the topk best pairs."""
+    fps = winnow_fingerprints(
+        df, k=k, w=w, id_col=id_col, text_col=text_col
+    ).select("id", "fp").distinct()
+    df_cut = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= F.lit(int(max_df)))
+        .select("fp")
+    )
+    kept = fps.join(df_cut, "fp")
+    pairs = (
+        kept.alias("x")
+        .join(
+            kept.alias("y"),
+            (F.col("x.fp") == F.col("y.fp"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .groupBy(
+            F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= F.lit(int(min_shared)))
+    )
+    rank = Window.orderBy(
+        F.col("n_shared").desc(), F.col("doc_a"), F.col("doc_b")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= F.lit(int(topk)))
+        .select("doc_a", "doc_b", "n_shared", "rn")
+    )

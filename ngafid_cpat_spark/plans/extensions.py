@@ -8273,3 +8273,67 @@ def local_clustering_events(
         .distinct()
     )
     return local_clustering(edges).withColumnRenamed("node", "user_id")
+
+
+@register(
+    "winnow_match_pairs_docs",
+    f"""
+    WITH nd AS (
+      SELECT doc_id, {NORM_SQL} AS t FROM documents
+    ), pos_g AS (
+      SELECT doc_id, t,
+             unnest(range(1, length(t) - 8 + 2)) AS pos
+      FROM nd WHERE length(t) >= 8
+    ), keyed AS (
+      SELECT doc_id, pos,
+             CAST(concat('0x', substr(md5(substr(t, pos, 8)), 1, 12))
+                  AS BIGINT) * 32768 + (32767 - pos) AS key
+      FROM pos_g
+    ), sel AS (
+      SELECT DISTINCT doc_id,
+             MIN(key) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+             ) // 32768 AS fp
+      FROM keyed
+      QUALIFY pos <= MAX(pos) OVER (PARTITION BY doc_id) - 4 + 1
+    ), df_cut AS (
+      SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= 50
+    ), kept AS (
+      SELECT s.doc_id, s.fp FROM sel s JOIN df_cut USING (fp)
+    ), pairs AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             COUNT(*) AS n_shared
+      FROM kept x JOIN kept y
+        ON x.fp = y.fp AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY n_shared DESC, doc_a, doc_b) AS INT) AS rn
+    FROM pairs
+    QUALIFY rn <= 20
+    """,
+)
+def winnow_match_pairs_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRUE sliding-window winnowing match pairs (Schleimer,
+    Wilkerson & Aiken 2003 — the MOSS fingerprinter) over the
+    documents table: top-20 document pairs by shared selected
+    fingerprints, the containment-detection upgrade of the banded
+    winnow sketch (functions/text.winnow, pytest-only) to a
+    first-class strict-oracle query. The rightmost-min selection rule
+    collapses to ONE plain min() window aggregate in both engines via
+    the 48-bit-hash x 15-bit-position BIGINT key pack
+    (operators/dedup.winnow_fingerprints) — no argmin, no tie UDF.
+    Scale shape: gram explosion ~ chars, doc-partitioned ROWS-frame
+    window (no cross-doc shuffle), posting-list df-cut before the
+    pair join (the quadratic guard every dedup member applies),
+    k-row TakeOrdered tail."""
+    from ..operators.dedup import winnow_match_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_match_pairs(docs, k=8, w=4, min_shared=2,
+                              max_df=50, topk=20)

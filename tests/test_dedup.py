@@ -705,3 +705,60 @@ def test_fs_linkage_weights_are_exact_subset_sums(spark):
             "match" if r["w_deciban"] >= _FS_MATCH_T else "possible"
         )
         assert r["w_deciban"] >= 0
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """True winnowing (Schleimer et al. 2003): (1) python replay
+    parity — per-window rightmost-min over 48-bit md5 k-gram hashes;
+    (2) the paper's guarantee: two docs sharing a substring of
+    length >= k + w - 1 share >= 1 fingerprint hash."""
+    import hashlib
+
+    from ngafid_cpat_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 8, 4
+    shared = "the quick brown fox jumps over the lazy dog"
+    texts = {
+        1: "AAAA " + shared + " BBBB",
+        2: "xyzzy plugh " + shared + " quux",
+        3: "completely unrelated content lives here now",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    got = {
+        (r["id"], r["fp"], r["pos"])
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+
+    def replay(txt):
+        norm = " ".join(txt.lower().split())
+        hs = [
+            int(
+                hashlib.md5(norm[i:i + k].encode()).hexdigest()[:12], 16
+            )
+            for i in range(len(norm) - k + 1)
+        ]
+        out = set()
+        for s in range(len(hs) - w + 1):
+            win = hs[s:s + w]
+            m = min(win)
+            # rightmost occurrence of the min
+            p = s + max(j for j, h in enumerate(win) if h == m)
+            out.add((m, p + 1))
+        return out
+
+    want = {
+        (i, h, p) for i, t in texts.items() for h, p in replay(t)
+    }
+    assert got == want
+    fp1 = {h for i, h, _ in got if i == 1}
+    fp2 = {h for i, h, _ in got if i == 2}
+    fp3 = {h for i, h, _ in got if i == 3}
+    assert fp1 & fp2          # shared >= k+w-1 substring -> overlap
+    assert not (fp1 & fp3) and not (fp2 & fp3)
+    # density bound: selected per doc <= windows, >= windows/(w)
+    for i, t in texts.items():
+        n_sel = len({(h, p) for j, h, p in got if j == i})
+        n_win = len(" ".join(t.lower().split())) - k + 1 - w + 1
+        assert 1 <= n_sel <= n_win

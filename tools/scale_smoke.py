@@ -797,6 +797,13 @@ def main() -> None:
         )
         return G.landmark_harmonic(edges, lms, n_rounds=3)
 
+    def winnow_pairs(docs):
+        from ngafid_cpat_spark.operators import dedup as D2
+
+        # gram explosion ~ chars, doc-partitioned ROWS window (no
+        # cross-doc shuffle), df-cut before the pair join
+        return D2.winnow_match_pairs(docs, k=8, w=4, topk=100)
+
     def approach_real(tele):
         # end-to-end flagship: full approach pipeline against the
         # REAL 15,165-airport / 164-runway dims (r11 verdict ask #5 —
@@ -856,6 +863,7 @@ def main() -> None:
         "salsa": ("events", salsa),
         "ra_link_prediction": ("events", ra_link),
         "harmonic_centrality": ("events", harmonic),
+        "winnow_match": ("docs", winnow_pairs),
         "pmi_collocations": ("docs", pmi),
         "kneser_ney": ("docs", kneser_ney),
         "weighted_sample_wor": ("docs", es_sample),
