@@ -1495,7 +1495,25 @@ def winnow_match_pairs(
     Returns (doc_a, doc_b, n_shared, rn) — the topk best pairs."""
     fps = winnow_fingerprints(
         df, k=k, w=w, id_col=id_col, text_col=text_col
-    ).select("id", "fp").distinct()
+    )
+    return winnow_pairs_from_fps(
+        fps, min_shared=min_shared, max_df=max_df, topk=topk
+    )
+
+
+def winnow_pairs_from_fps(
+    fps: DataFrame,
+    min_shared: int = 2,
+    max_df: int = 50,
+    topk: int = 20,
+) -> DataFrame:
+    """The match step of winnow_match_pairs over an (id, fp) frame —
+    factored out because fingerprint extraction is PER-DOCUMENT and
+    therefore union-mergeable: the streaming ingestion twin
+    (streaming/foreach_batch.stream_winnow_fingerprints) extracts per
+    micro-batch and unions stores, then runs this identical tail, so
+    both twins share one oracle verbatim."""
+    fps = fps.select("id", "fp").distinct()
     df_cut = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -8337,3 +8337,76 @@ def winnow_match_pairs_docs(
     docs = load(spark, sf_dir, "documents")
     return winnow_match_pairs(docs, k=8, w=4, min_shared=2,
                               max_df=50, topk=20)
+
+
+def streaming_winnow_match_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingestion twin of winnow_match_pairs_docs — the
+    seventh mergeable-ingestion family member, with the simplest
+    merge law of all: winnowing fingerprints are a pure per-document
+    function, so the union of per-batch stores over disjoint batches
+    IS the whole-corpus fingerprint table
+    (streaming/foreach_batch.stream_winnow_fingerprints). Documents
+    arrive in two id-ordered micro-batches; the drained store runs
+    the identical df-cut + pair-join + rank tail
+    (operators/dedup.winnow_pairs_from_fps), so the twin shares the
+    batch query's strict oracle VERBATIM (equality with the batch
+    result also asserted in tests/test_streaming.py)."""
+    import hashlib
+    import os
+
+    from ..operators.dedup import winnow_pairs_from_fps
+    from ..streaming.foreach_batch import stream_winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        st = None
+    tag = hashlib.md5(
+        f"winnow-v1:{src}:{getattr(st, 'st_mtime_ns', 0)}:"
+        f"{getattr(st, 'st_size', 0)}".encode()
+    ).hexdigest()[:12]
+    base = _scratch_dir()
+    stream_dir = os.path.join(base, f"spark_graft_winnow_arrivals_{tag}")
+    store_root = os.path.join(base, f"spark_graft_winnow_store_{tag}")
+    ckpt = os.path.join(base, f"spark_graft_winnow_ckpt_{tag}")
+
+    wdocs = docs.select("doc_id", "text")
+    if not os.path.exists(os.path.join(stream_dir, "_READY")):
+        b = wdocs.agg(
+            F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+        ).first()
+        mid = (int(b["mn"]) + int(b["mx"])) // 2
+        _write_ordered_stream_fixture(stream_dir, (
+            ("docs_00.parquet", wdocs.filter(F.col("doc_id") <= mid),
+             1_000_000_000),
+            ("docs_01.parquet", wdocs.filter(F.col("doc_id") > mid),
+             1_000_000_100),
+        ))
+    schema = spark.read.parquet(
+        os.path.join(stream_dir, "docs_00.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    stream_winnow_fingerprints(
+        stream, store_root, ckpt, k=8, w=4,
+        query_name="streaming_winnow_match_docs",
+    )
+    drained = spark.read.parquet(store_root).select("id", "fp")
+    return winnow_pairs_from_fps(
+        drained, min_shared=2, max_df=50, topk=20
+    )
+
+
+# shares the batch twin's strict oracle VERBATIM (pure per-document
+# fingerprints: union of disjoint batch stores == whole-corpus table)
+register(
+    "streaming_winnow_match_docs",
+    _ORACLES["winnow_match_pairs_docs"],
+)(streaming_winnow_match_docs)

@@ -905,3 +905,49 @@ def stream_kn_bigrams(
     )
     q.awaitTermination()
     return q
+
+
+def stream_winnow_fingerprints(
+    docs: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "winnow_ingest",
+):
+    """Winnowing fingerprint extraction over a STREAMING corpus —
+    seventh member of the CMS / HLL / BM25 / DSIR / E-S / Kneser-Ney
+    mergeable-ingestion family, and the simplest possible merge law:
+    fingerprint selection (operators/dedup.winnow_fingerprints) is a
+    pure PER-DOCUMENT function, so the union of per-batch fingerprint
+    tables over disjoint batches IS the whole-corpus fingerprint
+    table — no reconciliation step at all. Each micro-batch writes
+    its (id, fp, pos) rows under store_root/batch=<epoch>; the
+    drained store feeds the identical match tail
+    (winnow_pairs_from_fps) and shares the batch query's strict
+    oracle verbatim.
+
+    Idempotence: a replayed epoch overwrites its own batch directory
+    (dynamic partition pruning is unnecessary — the directory name IS
+    the epoch)."""
+    from ..operators.dedup import winnow_fingerprints
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        winnow_fingerprints(
+            batch_df, k=k, w=w, id_col=id_col, text_col=text_col
+        ).write.mode("overwrite").parquet(
+            f"{store_root}/batch={epoch_id}"
+        )
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .foreachBatch(_apply)
+        .start()
+    )
+    q.awaitTermination()
+    return q

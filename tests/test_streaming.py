@@ -1475,3 +1475,87 @@ def test_stream_kn_bigrams_overlap_safe_equals_batch(spark, tmp_path):
         )
     )
     assert again == got
+
+
+def test_stream_winnow_fingerprints_equals_batch(spark, tmp_path):
+    """stream_winnow_fingerprints (r14): the drained per-batch
+    fingerprint stores, fed through the shared match tail, equal the
+    batch winnow_match_pairs row-for-row; a document arriving in
+    BOTH batches counts once (the match tail's (id, fp) distinct
+    makes per-document fingerprints overlap-safe by construction);
+    and a fresh-checkpoint replay is a no-op."""
+    import os
+    import shutil
+
+    from ngafid_cpat_spark.operators.dedup import (
+        winnow_match_pairs,
+        winnow_pairs_from_fps,
+    )
+    from ngafid_cpat_spark.streaming.foreach_batch import (
+        stream_winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (1, "AAAA " + shared + " BBBB"),
+        (2, "xyzzy plugh " + shared + " quux"),
+        (3, "totally unrelated filler content lives in here"),
+        (4, "more " + shared + " padding text"),
+    ]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    b1 = full.filter(F.col("doc_id") <= 3)
+    b2 = full.filter(F.col("doc_id") >= 3)  # doc 3 arrives TWICE
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for name, df, mtime in (
+        ("d0.parquet", b1, 1_000_000_000),
+        ("d1.parquet", b2, 1_000_000_100),
+    ):
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, name)
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    store = str(tmp_path / "store")
+
+    def _run(ck):
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_winnow_fingerprints(
+            stream, store, str(tmp_path / ck), k=8, w=4,
+            query_name=f"winnow_twin_{ck}",
+        )
+
+    _run("ck1")
+    drained = spark.read.parquet(store).select("id", "fp")
+    got = sorted(
+        map(
+            tuple,
+            winnow_pairs_from_fps(drained, min_shared=1, topk=100)
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            winnow_match_pairs(full, k=8, w=4, min_shared=1, topk=100)
+            .collect(),
+        )
+    )
+    assert got == want and len(got) >= 3  # 1-2, 1-4, 2-4 share
+    # fresh-checkpoint replay: byte-identical no-op
+    _run("ck2")
+    drained2 = spark.read.parquet(store).select("id", "fp")
+    got2 = sorted(
+        map(
+            tuple,
+            winnow_pairs_from_fps(drained2, min_shared=1, topk=100)
+            .collect(),
+        )
+    )
+    assert got2 == got
