@@ -1566,3 +1566,96 @@ def kneser_ney_score_from_counts(
         ).alias("avg_prob"),
         F.min("__p_micro").alias("min_p_micro"),
     )
+
+def cdc_chunks(
+    df: DataFrame,
+    k: int = 8,
+    divisor: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CONTENT-DEFINED chunking (the LBFS / backup-dedup boundary
+    scheme, Muthitacharoen et al. 2001): cut after every position
+    whose k-char gram hash satisfies ``h % divisor == 0``, so chunk
+    boundaries move WITH the content — an insertion reflows only the
+    chunk it lands in, where chunk_documents' fixed stride reflows
+    everything downstream (the two are complementary: fixed-size for
+    context-window prep, content-defined for storage/transfer dedup).
+
+    This is BASIC CDC — no min/max clamp. The min-size clamp of
+    FastCDC-style variants makes each boundary depend on the previous
+    one (a per-doc sequential chain, hostile to declarative
+    evaluation); basic CDC's boundary set is a stateless per-position
+    predicate, so the whole operator is gram hash -> filter ->
+    per-doc window, all column expressions. Expected chunk length is
+    ``divisor`` chars (geometric); the long tail is bounded in
+    practice and documented rather than clamped.
+
+    Gram hashes and chunk fingerprints reuse the portable 48-bit md5
+    idiom, so everything replays bit-for-bit in any engine. Shape:
+    one gram explode (~chars rows), a boundary filter keeping
+    ~1/divisor of them, a union with the one-sentinel-per-doc frame,
+    one doc-partitioned window (lag) pairing consecutive cuts — no
+    cross-doc shuffle anywhere.
+
+    Returns (id, chunk_idx INT, start INT, chunk_len INT,
+    chunk_fp BIGINT) — fp is the 48-bit md5 of the chunk text, the
+    key a storage layer dedups on."""
+    from pyspark.sql import Window as _Win
+
+    norm = T.normalize(text_col)
+    d = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("t"),
+        F.length(norm).alias("n"),
+    ).filter(F.col("n") > 0)
+    grams = d.select(
+        "id",
+        "t",
+        "n",
+        F.posexplode(
+            F.when(
+                F.col("n") < F.lit(k), F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - F.lit(k) + 1),
+                    lambda i: F.substr(F.col("t"), i, F.lit(k)),
+                )
+            )
+        ).alias("pos0", "g"),
+    )
+    boundary_cuts = grams.filter(
+        F.expr(
+            "pmod(cast(conv(substr(md5(g), 1, 12), 16, 10) as bigint), "
+            f"{int(divisor)}) = 0"
+        )
+    ).select(
+        "id", "t", "n", (F.col("pos0") + F.lit(k)).alias("cut")
+    )
+    # sentinel cut at n closes the final chunk; a boundary gram may
+    # also end exactly at n — the distinct collapses the two
+    cuts = (
+        boundary_cuts.unionByName(
+            d.select("id", "t", "n", F.col("n").alias("cut"))
+        )
+        .distinct()
+        .filter(F.col("cut") <= F.col("n"))
+    )
+    w = _Win.partitionBy("id").orderBy("cut")
+    chunks = cuts.select(
+        "id",
+        "t",
+        F.row_number().over(w).alias("chunk_idx"),
+        (F.coalesce(F.lag("cut").over(w), F.lit(0)) + 1).alias("start"),
+        F.col("cut"),
+    ).select(
+        "id",
+        "chunk_idx",
+        F.col("start").cast("int").alias("start"),
+        (F.col("cut") - F.col("start") + 1).cast("int").alias("chunk_len"),
+        F.expr(
+            "cast(conv(substr(md5(substr(t, start, cut - start + 1)), "
+            "1, 12), 16, 10) as bigint)"
+        ).alias("chunk_fp"),
+    )
+    return chunks

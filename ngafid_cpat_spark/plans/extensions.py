@@ -8410,3 +8410,61 @@ register(
     "streaming_winnow_match_docs",
     _ORACLES["winnow_match_pairs_docs"],
 )(streaming_winnow_match_docs)
+
+
+@register(
+    "cdc_chunks_docs",
+    f"""
+    WITH nd AS (
+      SELECT doc_id, {NORM_SQL} AS t FROM documents
+      WHERE length({NORM_SQL}) > 0
+    ), sized AS (
+      SELECT doc_id, t, length(t) AS n FROM nd
+    ), g AS (
+      SELECT doc_id, t, n, unnest(range(1, n - 8 + 2)) AS pos
+      FROM sized WHERE n >= 8
+    ), bc AS (
+      SELECT doc_id, t, n, pos + 8 - 1 AS cut
+      FROM g
+      WHERE CAST(concat('0x', substr(md5(substr(t, pos, 8)), 1, 12))
+                 AS BIGINT) % 64 = 0
+    ), cuts AS (
+      SELECT DISTINCT doc_id, t, n, cut FROM (
+        SELECT doc_id, t, n, cut FROM bc
+        UNION ALL SELECT doc_id, t, n, n FROM sized
+      ) WHERE cut <= n
+    ), chunks AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY cut) AS chunk_idx,
+             COALESCE(LAG(cut) OVER (
+               PARTITION BY doc_id ORDER BY cut), 0) + 1 AS start,
+             cut, t
+      FROM cuts
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start,
+           CAST(cut - start + 1 AS INT) AS chunk_len,
+           CAST(concat('0x', substr(md5(substr(t, start,
+                cut - start + 1)), 1, 12)) AS BIGINT) AS chunk_fp
+    FROM chunks
+    """,
+)
+def cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Muthitacharoen et al. 2001's LBFS
+    scheme) over the documents table — the storage/transfer-dedup
+    complement of the fixed-stride chunk_docs: boundaries fall where
+    the 48-bit md5 of the 8-char gram is ≡ 0 mod 64, so an edit
+    reflows only its own chunk and identical passages yield identical
+    chunk fingerprints across documents
+    (operators/corpus.cdc_chunks). Fully declarative basic CDC (the
+    FastCDC min-clamp would chain boundaries sequentially — rejected
+    by design, documented there). Scale shape: gram explode ~ chars,
+    boundary filter keeps ~1/64, one doc-partitioned lag window; no
+    cross-doc shuffle."""
+    from ..operators.corpus import cdc_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    return cdc_chunks(docs, k=8, divisor=64).withColumnRenamed(
+        "id", "doc_id"
+    )

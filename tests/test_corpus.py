@@ -923,3 +923,80 @@ def test_kneser_ney_fraction_replay_and_identity(spark):
             assert Fraction(num2, den2) == pr
         want = (len(bs), sum(micros) / len(bs) / 1e6, min(micros))
         assert got[d] == want, (d, got[d], want)
+
+
+def test_cdc_chunks_reconstruction_and_shift_robustness(spark):
+    """Basic CDC (Muthitacharoen et al. 2001): (1) chunks tile the
+    normalized text exactly (concatenation reconstructs it, starts
+    and lengths are contiguous); (2) the content-defined property:
+    prepending text to a long document leaves the chunking of the
+    unchanged tail IDENTICAL (same chunk fingerprints), which
+    fixed-stride chunking cannot do; (3) python replay parity of the
+    boundary rule."""
+    import hashlib
+
+    from ngafid_cpat_spark.operators.corpus import cdc_chunks
+
+    k, d = 8, 64
+    base = " ".join(
+        f"word{i} common phrase segment here" for i in range(40)
+    )
+    texts = {1: base, 2: "PREFIX INSERTED AT FRONT " + base}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    rows = cdc_chunks(df, k=k, divisor=d).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(
+            (r["chunk_idx"], r["start"], r["chunk_len"], r["chunk_fp"])
+        )
+
+    def replay(txt):
+        norm = " ".join(txt.lower().split())
+        cuts = sorted(
+            {
+                p + k
+                for p in range(len(norm) - k + 1)
+                if int(
+                    hashlib.md5(
+                        norm[p:p + k].encode()
+                    ).hexdigest()[:12],
+                    16,
+                ) % d == 0 and p + k <= len(norm)
+            }
+            | {len(norm)}
+        )
+        out, prev = [], 0
+        for i, c in enumerate(cuts):
+            seg = norm[prev:c]
+            out.append(
+                (
+                    i + 1,
+                    prev + 1,
+                    c - prev,
+                    int(
+                        hashlib.md5(seg.encode()).hexdigest()[:12], 16
+                    ),
+                )
+            )
+            prev = c
+        return out
+
+    for doc_id, txt in texts.items():
+        got = sorted(by_doc[doc_id])
+        want = replay(txt)
+        assert got == want, doc_id
+        # contiguity: starts/lengths tile [1, n] exactly
+        pos = 1
+        for _, start, ln, _ in got:
+            assert start == pos
+            pos += ln
+        assert pos - 1 == len(" ".join(txt.lower().split()))
+    # shift robustness: the suffix chunks of doc 2 realign with
+    # doc 1's chunk fingerprints (all but the first few differ only
+    # near the splice point)
+    fp1 = [fp for *_, fp in sorted(by_doc[1])]
+    fp2 = [fp for *_, fp in sorted(by_doc[2])]
+    shared = set(fp1) & set(fp2)
+    assert len(shared) >= max(1, len(fp1) - 2)

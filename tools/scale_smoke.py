@@ -804,6 +804,13 @@ def main() -> None:
         # cross-doc shuffle), df-cut before the pair join
         return D2.winnow_match_pairs(docs, k=8, w=4, topk=100)
 
+    def cdc(docs):
+        from ngafid_cpat_spark.operators import corpus as C2
+
+        # gram explode ~ chars, 1/64 boundary filter, per-doc lag
+        # window — no cross-doc shuffle
+        return C2.cdc_chunks(docs, k=8, divisor=64)
+
     def approach_real(tele):
         # end-to-end flagship: full approach pipeline against the
         # REAL 15,165-airport / 164-runway dims (r11 verdict ask #5 —
@@ -864,6 +871,7 @@ def main() -> None:
         "ra_link_prediction": ("events", ra_link),
         "harmonic_centrality": ("events", harmonic),
         "winnow_match": ("docs", winnow_pairs),
+        "cdc_chunks": ("docs", cdc),
         "pmi_collocations": ("docs", pmi),
         "kneser_ney": ("docs", kneser_ney),
         "weighted_sample_wor": ("docs", es_sample),
