@@ -5,7 +5,7 @@ queries()      every implemented operator from SURVEY.md §2 as
                (spark, sf_dir) -> DataFrame.
 oracle_sql()   DuckDB-equivalent ANSI SQL per query (same column
                aliases; computed doubles rounded identically on both
-               sides). As of r14, ALL 203 queries carry a strict
+               sides). As of r14, ALL 210 queries carry a strict
                oracle (minhash/simhash/CMS/HLL use cross-engine md5
                hash families; the trained-PQ / IVFADC quartet
                replays both Lloyd trainings + ADC as unrolled

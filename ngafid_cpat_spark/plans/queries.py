@@ -7,7 +7,7 @@ registrations the registry is REORDERED: the driver's correctness
 gate checks the first 50 entries in insertion order. Everything else
 keeps its local oracle coverage via tools/check_oracle.py, which
 replays the driver's pandas canonicalization and dtype behavior over
-the full catalog (203 queries: 203 strict oracles, 0 bounded-error, 0 rows-only).
+the full catalog (210 queries: 210 strict oracles, 0 bounded-error, 0 rows-only).
 """
 
 from __future__ import annotations
@@ -66,6 +66,13 @@ PRIORITY = [
     # the rotation filled all 50 slots) also waits for r15 with full
     # check_oracle evidence at sf0.001/0.01/0.1 this round. The
     # whole window is STRICT (the bounded set is EMPTY as of r14).
+    # The SEVEN late-r14 session additions (salsa_users_events,
+    # link_prediction_ra_events, harmonic_centrality_users_events,
+    # local_clustering_events, winnow_match_pairs_docs,
+    # streaming_winnow_match_docs, cdc_chunks_docs) likewise carry to
+    # the r15 window with full check_oracle evidence at
+    # sf0.001/0.01/0.1 + focused two-config determinism pairs this
+    # round.
     "ann_cosine_topk",
     "ann_topk_batch",
     "asof_nearest_click_purchase",
