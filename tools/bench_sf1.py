@@ -56,6 +56,15 @@ HEAVY = [
     "substring_dup_spans",
     "kneser_ney_docs",
     "streaming_incremental_bfs_users_events",
+    # the seven late-r14 session additions — real-data scale
+    # evidence from birth, same as the r14 pair above
+    "salsa_users_events",
+    "link_prediction_ra_events",
+    "harmonic_centrality_users_events",
+    "local_clustering_events",
+    "winnow_match_pairs_docs",
+    "streaming_winnow_match_docs",
+    "cdc_chunks_docs",
 ]
 
 
