@@ -1634,12 +1634,20 @@ def _bestap_two_phase(sql: str) -> str:
     over telemetry x airports carries a VARCHAR inside every
     aggregate state update — at sf1 (1M rows x 630 candidate
     airports) DuckDB ground >9 min and blew untracked memory. The
-    two-phase form computes the cheap vectorized double MIN distance
-    per (flight, time) first, then joins back on distance equality
-    and takes min(struct{'code',...}) over the (tiny) argmin set —
-    the same winner by the same (d, code) tie rule, with the string
-    only touched for true ties. t materializes once as tm so the
-    window chain above it is not re-inlined per phase."""
+    r14 OOM postmortem showed grouped STRUCT-min states are the
+    bomb in ANY form (even a fixed-width {'d','k'} struct state blew
+    a 24 GB limit at 1M groups x 16 threads), so the scaled form
+    uses ONLY flat fixed-width aggregates: phase 1 takes the plain
+    MIN(double) distance per (flight, time); phase 2 joins back on
+    distance equality and takes MIN(BIGINT) over the 4-byte
+    big-endian PACKED airport code (codes are 3-4 alnum chars and
+    unique, and the zero-padded pack preserves lexicographic order,
+    so min(packed) == the (d, code) tie rule's winner among the
+    argmin rows); the winner's attributes return via an equi join
+    against the 630-row packed dim. Measured at sf1: 49 s inside a
+    24 GB DuckDB cap vs OOM-kill for every struct variant. t
+    materializes once as tm so the window chain above it is not
+    re-inlined per phase."""
     old = """), bestap AS MATERIALIZED (
   SELECT t.flight, t.time,
     min({'d': abs(t.latitude - a.ap_lat) + abs(t.longitude - a.ap_lon),
@@ -1654,24 +1662,32 @@ def _bestap_two_phase(sql: str) -> str:
     assert old in sql, "bestap block drifted; update _bestap_two_phase"
     new = """), tm AS MATERIALIZED (
   SELECT * FROM t
+), apk AS MATERIALIZED (
+  SELECT airport_code, ap_lat, ap_lon, ap_elev,
+         ascii(substr(airport_code, 1, 1)) * 16777216
+         + ascii(substr(airport_code, 2, 1)) * 65536
+         + ascii(substr(airport_code, 3, 1)) * 256
+         + CASE WHEN length(airport_code) >= 4
+                THEN ascii(substr(airport_code, 4, 1)) ELSE 0 END AS k
+  FROM apt
 ), mind AS MATERIALIZED (
   SELECT tm.flight, tm.time,
          MIN(abs(tm.latitude - a.ap_lat)
              + abs(tm.longitude - a.ap_lon)) AS d
-  FROM tm, apt a GROUP BY tm.flight, tm.time
-), bestap AS MATERIALIZED (
-  SELECT tm.flight, tm.time,
-    min({'code': a.airport_code, 'lat': a.ap_lat, 'lon': a.ap_lon,
-         'elev': a.ap_elev}) AS b
+  FROM tm, apk a GROUP BY tm.flight, tm.time
+), bestk AS MATERIALIZED (
+  SELECT tm.flight, tm.time, MIN(a.k) AS k
   FROM tm
   JOIN mind m ON tm.flight = m.flight AND tm.time = m.time
-  JOIN apt a
+  JOIN apk a
     ON abs(tm.latitude - a.ap_lat) + abs(tm.longitude - a.ap_lon) = m.d
   GROUP BY tm.flight, tm.time
 ), ap AS MATERIALIZED (
-  SELECT tm.*, b.b.code AS airport_code, b.b.lat AS airport_lat,
-         b.b.lon AS airport_lon, b.b.elev AS airport_elev
-  FROM tm JOIN bestap b USING (flight, time)
+  SELECT tm.*, a.airport_code, a.ap_lat AS airport_lat,
+         a.ap_lon AS airport_lon, a.ap_elev AS airport_elev
+  FROM tm
+  JOIN bestk b ON tm.flight = b.flight AND tm.time = b.time
+  JOIN apk a ON a.k = b.k
 ),"""
     return sql.replace(old, new, 1)
 
