@@ -6142,6 +6142,46 @@ def _ktruss_round_sql(prev: str, idx: int) -> str:
     )"""
 
 
+def _ktruss_round_sql_mat(prev: str, idx: int) -> str:
+    """MATERIALIZED twin of _ktruss_round_sql for the large-sf scaled
+    oracle: each round references its predecessor three times (the
+    directed view twice + the support probe), so DuckDB's default
+    inlining re-expands the whole chain per reference and the
+    3-round unroll compounds — the r14 sf1 sweep died on the 48 GB
+    cap here (456k edges). With per-round materialization the same
+    SQL runs in 9.3 s inside a 24 GB cap. Identical semantics,
+    identical text modulo the hints — the cheapest kind of scaled
+    oracle."""
+    return f"""
+    d{idx} AS MATERIALIZED (
+      SELECT u AS s, v AS t FROM {prev}
+      UNION ALL SELECT v, u FROM {prev}
+    ),
+    s{idx} AS MATERIALIZED (
+      SELECT e.u, e.v, COUNT(*) AS support FROM {prev} e
+      JOIN d{idx} x ON x.s = e.u
+      JOIN d{idx} y ON y.s = e.v AND y.t = x.t
+      GROUP BY e.u, e.v
+    ),
+    t{idx} AS MATERIALIZED (
+      SELECT u, v, support FROM s{idx} WHERE support >= {_KTRUSS_K - 2}
+    )"""
+
+
+SCALED_ORACLES["ktruss_users_events"] = f"""
+    WITH cells AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / {_KTRUSS_CELL}) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ), t0 AS MATERIALIZED (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+    ),{_ktruss_round_sql_mat('t0', 1)},{_ktruss_round_sql_mat('t1', 2)},
+    {_ktruss_round_sql_mat('t2', 3)}
+    SELECT u, v, support FROM t3
+    """
+
+
 @register(
     "ktruss_users_events",
     f"""
