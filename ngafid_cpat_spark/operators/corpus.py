@@ -1603,12 +1603,26 @@ def cdc_chunks(
     key a storage layer dedups on."""
     from pyspark.sql import Window as _Win
 
+    sess = df.sparkSession
+    try:
+        n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_part = 32
     norm = T.normalize(text_col)
-    d = df.select(
-        F.col(id_col).alias("id"),
-        norm.alias("t"),
-        F.length(norm).alias("n"),
-    ).filter(F.col("n") > 0)
+    # repartition by doc BEFORE the gram explosion (the winnowing
+    # lesson): a compact input runs the explode+hash on one task
+    # otherwise, and the cut-pairing window wants id-hash
+    # distribution anyway — one shuffle of the short texts buys
+    # full-width parallelism downstream
+    d = (
+        df.select(
+            F.col(id_col).alias("id"),
+            norm.alias("t"),
+        )
+        .repartition(n_part, "id")
+        .select("id", "t", F.length("t").alias("n"))
+        .filter(F.col("n") > 0)
+    )
     grams = d.select(
         "id",
         "t",
