@@ -72,9 +72,21 @@ def _shingle_sets(
     every dedup query)."""
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(T.tokens(text_col)).alias("pos", "t0"),
+    from .skew import widen_narrow_source
+
+    # widen a compact scan BEFORE tokenize+explode: the lead window
+    # below needs id-hash clustering anyway, so this moves that
+    # exchange ahead of the explosion (doc rows, not token rows) and
+    # parallelizes the regexp tokenizer — no-op on an already-wide
+    # source (see widen_narrow_source)
+    base = widen_narrow_source(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")),
+        "id",
+        probe=False,  # the lead window's exchange is unavoidable
+    )
+    toks = base.select(
+        "id",
+        F.posexplode(T.tokens("__txt")).alias("pos", "t0"),
     )
     w = Window.partitionBy("id").orderBy("pos")
     lead_cols = [F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, k)]

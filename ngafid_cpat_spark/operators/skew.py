@@ -25,6 +25,48 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+def widen_narrow_source(
+    df: DataFrame, *key_cols: str, probe: bool = True
+) -> DataFrame:
+    """Repartition a NARROW source to session shuffle width before
+    expensive per-row compute (tokenize/explode/hash pipelines).
+
+    A compact input — one parquet file with one row group at bench
+    scale — scans as ONE partition, so everything up to the first
+    exchange runs as a single task on a many-core executor (the
+    similarity._parallel_checkpoint / winnow_fingerprints catch,
+    generalized). The dispatch is a plan-metadata probe, no job:
+
+      * source already >= shuffle width partitions (any real 100 TB
+        scan): returned unchanged — zero cost at scale;
+      * narrower: repartition(width, key_cols). When ``key_cols`` is
+        the key the downstream window/groupBy clusters on, the
+        exchange is not extra — it is the SAME exchange moved before
+        the explosion, carrying pre-explosion (smaller) rows, which
+        is the guide's "project before the exchange" shape.
+
+    Row placement never affects results where this is used
+    (aggregates/joins/windows keyed by ``key_cols``); the two-config
+    determinism sweep asserts that engine-wide.
+
+    ``probe=False`` skips the ``.rdd`` width probe and repartitions
+    unconditionally — for call sites where the downstream pipeline
+    REQUIRES ``key_cols`` clustering anyway (a window/groupBy on the
+    key), so the exchange is not extra at any scale, merely moved
+    before the explosion. The probe is a full physical planning of
+    the frame (measured ~0.25 s even on simple plans, 0.4-0.9 s on
+    complex ones — the similarity._parallel_checkpoint note), pure
+    waste when the answer cannot change the plan."""
+    sess = df.sparkSession
+    try:
+        target = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        target = 32
+    if probe and df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(c) for c in key_cols])
+
+
 def with_salt(df: DataFrame, salt_from: list[str], n_salts: int) -> DataFrame:
     """Deterministic salt in [0, n_salts) from a hash of ``salt_from``
     columns (pick high-cardinality ones, e.g. the row's unique id)."""
