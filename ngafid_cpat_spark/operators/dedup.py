@@ -1277,24 +1277,46 @@ def suffix_lcp_longest_dup(
 
     Returns (id_col, dup_len, span) for docs with dup_len >=
     ``min_len``, ordered by id."""
-    toks = df.select(
-        F.col(id_col).alias("__id"), T.tokens(text_col).alias("__toks")
-    ).filter(F.size("__toks") > 0)
+    from .skew import widen_narrow_source
+
+    # widen BEFORE the suffix explosion: a compact source (one parquet
+    # row group at bench scale) scans as one task, and the explosion
+    # multiplies rows ~tokens-per-doc-fold — the dearest place in the
+    # whole pipeline to be single-threaded. The range exchange right
+    # after pays no extra for this (it reshuffles regardless); the
+    # widen shuffles pre-explosion doc rows, the guide's "project
+    # before the exchange" shape. Probe-free: the downstream range
+    # exchange is unconditional, so a no-op widen at real scale costs
+    # one narrow doc-level shuffle, not a planning probe per call.
+    toks = widen_narrow_source(
+        df.select(
+            F.col(id_col).alias("__id"), T.tokens(text_col).alias("__toks")
+        ).filter(F.size("__toks") > 0),
+        "__id",
+        probe=False,
+    )
+    # suffixes as SPACE-JOINED STRINGS ONLY: the token-array form
+    # (`slice(__toks, pos, W)`) is exactly recoverable as
+    # split(__sk, ' ') — tokens are split(normalized, ' ') so they
+    # never contain a space — and carrying both the array and the
+    # string through the range exchange + checkpoint + three rid
+    # joins triples the shuffled bytes of the heaviest exchanges
+    # (measured 11 s -> see OPTIMIZATION_r14.md). The array is
+    # re-derived AFTER the joins, just for the LCP arithmetic.
     suf = toks.select(
         "__id",
-        "__toks",
-        F.posexplode("__toks").alias("__pos0", "__tok"),
-    ).select(
-        "__id",
-        (F.col("__pos0") + 1).alias("__pos"),
-        F.expr(f"slice(__toks, __pos0 + 1, {max_span})").alias("__s"),
-    )
-    suf = suf.withColumn("__sk", F.array_join("__s", " "))
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(__toks)),"
+                f" i -> array_join(slice(__toks, i, {max_span}), ' '))"
+            )
+        ).alias("__pos0", "__sk"),
+    ).select("__id", (F.col("__pos0") + 1).alias("__pos"), "__sk")
     from .windows import global_row_number
 
     ranked = global_row_number(
         suf, ["__sk", "__id", "__pos"], out_col="__rid"
-    ).select("__id", "__pos", "__s", "__rid")
+    ).select("__id", "__pos", "__sk", "__rid")
     # adjacent LCPs both ways in ONE 3-way co-partitioned join:
     # a(rid) = lcp(s[rid], s[rid-1]) and — because LCP is symmetric
     # — b(rid) = a(rid+1) = lcp(s[rid], s[rid+1]) computed directly
@@ -1304,11 +1326,11 @@ def suffix_lcp_longest_dup(
     # __rid, so the second SMJ reuses the first's partitioning.
     prev = ranked.select(
         (F.col("__rid") + 1).alias("__rid"),
-        F.col("__s").alias("__ps"),
+        F.col("__sk").alias("__psk"),
     )
     nxt = ranked.select(
         (F.col("__rid") - 1).alias("__rid"),
-        F.col("__s").alias("__ns"),
+        F.col("__sk").alias("__nsk"),
     )
 
     def _lcp(other: str) -> Column:
@@ -1329,10 +1351,16 @@ def suffix_lcp_longest_dup(
     both = (
         ranked.join(prev, "__rid", "left")
         .join(nxt, "__rid", "left")
+        # token arrays re-derived from the joined strings ONLY here,
+        # post-shuffle, computed once per row: split is the exact
+        # inverse of the ' ' join (tokens never contain a space)
+        .withColumn("__s", F.split("__sk", " "))
+        .withColumn("__ps", F.split("__psk", " "))
+        .withColumn("__ns", F.split("__nsk", " "))
         .select(
             "__id",
             "__pos",
-            "__s",
+            "__sk",
             "__rid",
             _lcp("__ps").alias("__a"),
             _lcp("__ns").alias("__b"),
@@ -1355,7 +1383,7 @@ def suffix_lcp_longest_dup(
     )
     best = isl.select(
         "__id",
-        "__s",
+        "__sk",
         F.greatest(F.min("__a").over(wb), F.min("__b").over(wf)).alias(
             "__best"
         ),
@@ -1370,7 +1398,9 @@ def suffix_lcp_longest_dup(
         .groupBy("__id", "__dup")
         .agg(
             F.min(
-                F.expr("array_join(slice(__s, 1, __dup), ' ')")
+                F.expr(
+                    "array_join(slice(split(__sk, ' '), 1, __dup), ' ')"
+                )
             ).alias("span")
         )
         .select(
