@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import geo
 from ..functions.timeutil import epoch_seconds
+from .skew import pinned_checkpoint
 
 # Hard ceiling on rows broadcast as an argmin build side. Spark's own
 # failure mode for an oversized broadcast is an executor OOM deep in
@@ -326,7 +327,7 @@ def nearest_gridded(
     # exchange reuse; measured 3.75 s -> ~2 s on the real-airports
     # flagship at sf0.1. Points-sized frame, the standard
     # consumed-thrice trade.
-    best = best.localCheckpoint(eager=False)
+    best = pinned_checkpoint(best)
     # exactness guarantee (mirrors nearest_banded_1d): any dim within
     # cell_deg of a point is provably inside the 3x3 window, so a
     # windowed winner at distance <= cell_deg IS the global argmin;

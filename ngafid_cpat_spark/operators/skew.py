@@ -67,6 +67,38 @@ def widen_narrow_source(
     return df.repartition(target, *[F.col(c) for c in key_cols])
 
 
+def pinned_checkpoint(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint that KEEPS the frame's physical
+    partitioning/ordering visible to downstream planning.
+
+    Dataset.checkpoint captures outputPartitioning/outputOrdering
+    from the compiled physical plan into the LogicalRDD it returns —
+    but under AQE that plan is an AdaptiveSparkPlanExec whose STATIC
+    outputPartitioning is UnknownPartitioning(0), so every consumer
+    of the checkpoint re-exchanges (and re-sorts) data that is
+    already correctly placed: the approach flagship's tail
+    re-shuffled the same HashPartitioning(flight) frame at every one
+    of its 9 post-checkpoint exchanges. Compiling the checkpoint
+    with AQE momentarily disabled captures the real partitioning;
+    downstream Exchanges/Sorts then elide via the
+    partitioning-subset rule exactly as they would without the
+    barrier.
+
+    Trade: the checkpointed SUBTREE itself materializes without AQE
+    (no runtime coalesce / skew split for its internal exchanges) —
+    use where those exchanges are already explicitly sized
+    (repartition/groupBy at session shuffle width) and skew-free,
+    and keep plain localCheckpoint where AQE's runtime reshaping of
+    the subtree matters more than the downstream re-exchange."""
+    sess = df.sparkSession
+    prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=False)
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def with_salt(df: DataFrame, salt_from: list[str], n_salts: int) -> DataFrame:
     """Deterministic salt in [0, n_salts) from a hash of ``salt_from``
     columns (pick high-cardinality ones, e.g. the row's unique id)."""

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..functions import geo
 from ..operators import windows as OW
+from ..operators.skew import pinned_checkpoint
 
 TELEMETRY_COLS = (
     "flight",
@@ -394,7 +395,7 @@ def analyze(
         .filter(F.col("time") >= F.col("takeoff_time"))
     )
     if persist == "checkpoint":
-        df = df.localCheckpoint(eager=False)
+        df = pinned_checkpoint(df)
     elif persist:
         # the enriched post-takeoff frame feeds two branches (episode
         # islands and the landing low-island pass); persisting it cuts
@@ -419,7 +420,7 @@ def analyze(
         F.col("agl").between(th.final_min_agl, th.final_max_agl),
     )
     if persist == "checkpoint":
-        eps = eps.localCheckpoint(eager=False)
+        eps = pinned_checkpoint(eps)
     elif persist:
         # eps fans out to three consumers (episode-entry airport,
         # first-final-tick runway probe, and the per-tick predicate
@@ -559,7 +560,7 @@ def analyze(
         _avg_milli(fin & ~F.col("cond_s"), F.col("vertical_airspeed")).alias("s_vsi"),
     ).withColumn("airport_id", F.col("__ap0.airport_code")).drop("__ap0")
     if persist == "checkpoint":
-        ep_agg = ep_agg.localCheckpoint(eager=False)
+        ep_agg = pinned_checkpoint(ep_agg)
     elif persist:
         # ep_agg is read twice (episode bounds for the landing window,
         # and the final join) — one row per episode, so caching is
