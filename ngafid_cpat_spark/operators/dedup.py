@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from .skew import pinned_checkpoint
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -792,9 +793,14 @@ def edit1_pairs(
     n = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("name")
     )
-    # the variant table feeds both self-join sides: materialize once
-    # (the same two-consumer rule as the knn bucket table)
-    v = (
+    # The variant table feeds THREE consumers — the hot-variant
+    # count and both self-join sides. Shuffle it onto the join key
+    # ONCE before the pin: the pinned checkpoint keeps the
+    # var-partitioning visible (operators/skew.pinned_checkpoint), so
+    # the self-join runs co-partitioned with zero further exchange
+    # and the hot count map-side-combines on already-clustered keys —
+    # one full-variant-table exchange instead of two plus the agg's.
+    v = pinned_checkpoint(
         n.select(
             "id",
             "name",
@@ -810,7 +816,9 @@ def edit1_pairs(
             )
             .alias("var"),
         )
-        .localCheckpoint(eager=False)
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "var"
+        )
     )
     if max_variant_freq is not None:
         hot = (
