@@ -1005,16 +1005,28 @@ def dsir_importance_select(
 
     Returns kept rows: (id_col, w_avg, keep_permille).
     """
+    # Widen the compact source BY THE DOC KEY before the gram
+    # explode (guide §2.3/§2.5): the md5-per-gram compute runs at
+    # session width instead of single-task, and — because explode
+    # preserves partitioning and the pinned checkpoint keeps it
+    # visible — the doc-keyed score aggregate below reads the gram
+    # table with NO further exchange. The doc_id exchange is the one
+    # the score groupBy needed anyway, moved before the explosion
+    # (pre-explosion rows, ~2 grams per token narrower).
+    from .skew import pinned_checkpoint, widen_narrow_source
+
     feats = dsir_gram_buckets(
-        docs.select(id_col, text_col, target.alias("_t")),
+        widen_narrow_source(
+            docs.select(id_col, text_col, target.alias("_t")),
+            id_col,
+            probe=False,
+        ),
         text_col=text_col,
         id_col=id_col,
         n_buckets=n_buckets,
         extra_cols=("_t",),
     )
-    from .similarity import _parallel_checkpoint
-
-    feats = _parallel_checkpoint(feats)
+    feats = pinned_checkpoint(feats)
     weights = (
         feats.groupBy("b")
         .agg(

@@ -67,7 +67,9 @@ def widen_narrow_source(
     return df.repartition(target, *[F.col(c) for c in key_cols])
 
 
-def pinned_checkpoint(df: DataFrame) -> DataFrame:
+def pinned_checkpoint(
+    df: DataFrame, eager: bool = False, storage_level=None
+) -> DataFrame:
     """Lazy localCheckpoint that KEEPS the frame's physical
     partitioning/ordering visible to downstream planning.
 
@@ -94,7 +96,9 @@ def pinned_checkpoint(df: DataFrame) -> DataFrame:
     prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
     sess.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        return df.localCheckpoint(eager=False)
+        if storage_level is not None:
+            return df.localCheckpoint(eager=eager, storageLevel=storage_level)
+        return df.localCheckpoint(eager=eager)
     finally:
         sess.conf.set("spark.sql.adaptive.enabled", prev)
 
