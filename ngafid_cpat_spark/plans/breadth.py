@@ -397,7 +397,12 @@ def try_arithmetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline needs, where one malformed row must not kill a 6-hour
     job. DuckDB twin: TRY_CAST plus an explicit zero-denominator
     CASE (its division errors like ANSI Spark would)."""
-    ev = load(spark, sf_dir, "events")
+    from ..operators.skew import widen_narrow_source
+
+    # per-row JSON parse + TRY_CASTs on the scan side of a one-file
+    # table run single-task — spread the scan first (no-op at
+    # production file counts; guide "input skew")
+    ev = widen_narrow_source(load(spark, sf_dir, "events"))
     # FLOOR before the integer cast: DuckDB rounds double->bigint
     # casts half-even while Spark truncates — floor() agrees everywhere
     denom = F.floor("value").cast("bigint") - 50
@@ -431,7 +436,11 @@ def xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle extracts the same value from the original JSON — a
     cross-representation check that the XML encode/decode is
     lossless, not an echo of the same parser."""
-    ev = load(spark, sf_dir, "events")
+    from ..operators.skew import widen_narrow_source
+
+    # JSON->XML render + from_xml re-parse per row: single-task on a
+    # one-file scan — spread first (no-op on a wide source)
+    ev = widen_narrow_source(load(spark, sf_dir, "events"))
     parsed = ev.select(
         "event_type",
         F.expr(

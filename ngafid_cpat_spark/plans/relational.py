@@ -1139,8 +1139,13 @@ def from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object's string path in json_extract_events)."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    from ..operators.skew import widen_narrow_source
+
     schema = StructType([StructField("k", IntegerType())])
-    ev = load(spark, sf_dir, "events")
+    # the from_json parse runs on the scan side of the aggregate's
+    # exchange — single-task on a one-file table; spread the scan
+    # (no-op at production file counts)
+    ev = widen_narrow_source(load(spark, sf_dir, "events"))
     return (
         ev.withColumn("p", F.from_json("props", schema))
         .groupBy((F.col("p.k") % 10).alias("k_mod"))
@@ -1166,7 +1171,11 @@ def variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored columnar-shredded, so every later path extraction is a
     binary probe, not a JSON re-parse; schema drift (new keys) needs
     no table migration."""
-    ev = load(spark, sf_dir, "events")
+    from ..operators.skew import widen_narrow_source
+
+    # parse_json into VARIANT per row on the scan side: spread the
+    # one-file scan first (no-op on a wide source)
+    ev = widen_narrow_source(load(spark, sf_dir, "events"))
     return (
         ev.select("event_type", F.parse_json("props").alias("v"))
         .select(
@@ -1490,7 +1499,11 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON prop extraction (events.props is a JSON string) with
     get_json_object — JVM-side JSON path, no UDF."""
-    ev = load(spark, sf_dir, "events")
+    from ..operators.skew import widen_narrow_source
+
+    # get_json_object per row on the scan side: spread the one-file
+    # scan first (no-op on a wide source)
+    ev = widen_narrow_source(load(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
