@@ -1588,7 +1588,14 @@ def winnow_pairs_from_fps(
     (streaming/foreach_batch.stream_winnow_fingerprints) extracts per
     micro-batch and unions stores, then runs this identical tail, so
     both twins share one oracle verbatim."""
-    fps = fps.select("id", "fp").distinct()
+    # materialize the distinct fingerprint set ONCE: it feeds the
+    # df-cut aggregate and BOTH self-join sides, and the static plan
+    # otherwise carries the full upstream extraction (gram explode +
+    # selection window) four times — exchange reuse dedupes the
+    # shuffle but the post-exchange explode/window compute re-ran
+    # per branch (plans/r14/winnow_match_pairs_docs_before.txt: four
+    # Scan parquet -> Generate -> Window chains)
+    fps = fps.select("id", "fp").distinct().localCheckpoint(eager=False)
     df_cut = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
