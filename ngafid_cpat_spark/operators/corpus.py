@@ -1201,7 +1201,17 @@ def bm25_topk(
 
     Returns (id_col, score_milli, rn) with rn = 1..k, ties broken
     by id."""
-    toks = df.select(
+    from .skew import widen_narrow_source
+
+    # widen BY THE DOC ID before tokenize+explode: the token stream
+    # feeds two doc-keyed aggregates (dl, tf) that each re-run the
+    # tokenizer — on a one-file corpus both passes were single-task,
+    # and hash(id) clustering satisfies both groupBys' distributions
+    # (id, and (id, term) via the subset rule), so the moved exchange
+    # carries doc rows once and neither aggregate exchanges again
+    toks = widen_narrow_source(
+        df.select(F.col(id_col), F.col(text_col)), id_col, probe=False
+    ).select(
         F.col(id_col), F.explode(T.tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
