@@ -400,14 +400,22 @@ def repetition_stats(
     (exact-rational distance from decimal ties >= 1/(2*n_tokens) —
     far beyond double error, so the rounding is engine-portable)."""
     # unigram and bigram branches both consume the exploded stream;
-    # one lazy localCheckpoint tokenizes once (jaccard_pairs pattern)
-    toks = (
-        df.select(
+    # one checkpoint tokenizes once (jaccard_pairs pattern). Widened
+    # BY THE DOC KEY before the explode and pinned: every downstream
+    # clustering (the per-term and per-doc aggregates, the bigram
+    # lead window) is id-keyed, so the one moved exchange carries doc
+    # rows and nothing downstream exchanges again (the dsir shape)
+    from .skew import pinned_checkpoint, widen_narrow_source
+
+    toks = pinned_checkpoint(
+        widen_narrow_source(
+            df.select(F.col(id_col), F.col(text_col)), id_col, probe=False
+        )
+        .select(
             F.col(id_col),
             F.posexplode(T.tokens(text_col)).alias("pos", "term"),
         )
         .filter(F.col("term") != "")
-        .localCheckpoint(eager=False)
     )
     per_term = toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")

@@ -827,8 +827,16 @@ def lr_quality_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 iterations as unrolled CTEs and hash-matches weights, row
     count, and training accuracy."""
     from ..operators import corpus as C
+    from ..operators.skew import widen_narrow_source
 
-    docs = load(spark, sf_dir, "documents")
+    # widen by doc_id BEFORE the feature projection: the normalize/
+    # split/array_distinct chain ran single-task on the one-file
+    # corpus (the round-robin widen inside _parallel_checkpoint came
+    # AFTER it), and id clustering co-partitions the feature<->label
+    # self-join
+    docs = widen_narrow_source(
+        load(spark, sf_dir, "documents"), "doc_id", probe=False
+    )
     feats = C.classifier_features(docs).join(
         docs.select(
             F.col("doc_id").alias("id"),
@@ -836,7 +844,8 @@ def lr_quality_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "id",
     )
-    feats = S._parallel_checkpoint(feats)  # 5 passes share one (parallel) materialization
+    # 5 passes share one materialization; parallel by construction
+    feats = S._parallel_checkpoint(feats, assume_parallel=True)
     model = C.train_linear_classifier(feats, n_iter=4)
     w = model["weights_micro"]
     return spark.createDataFrame(
@@ -880,7 +889,14 @@ def quality_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, no shuffle, no RNG state."""
     from ..operators import corpus as C
 
-    docs = load(spark, sf_dir, "documents")
+    from ..operators.skew import widen_narrow_source
+
+    # widen by doc_id BEFORE the feature projection (the
+    # lr_quality_train_docs shape): parallel feature compute +
+    # co-partitioned label join, one shared materialization
+    docs = widen_narrow_source(
+        load(spark, sf_dir, "documents"), "doc_id", probe=False
+    )
     feats = C.classifier_features(docs).join(
         docs.select(
             F.col("doc_id").alias("id"),
@@ -888,7 +904,7 @@ def quality_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "id",
     )
-    feats = S._parallel_checkpoint(feats)
+    feats = S._parallel_checkpoint(feats, assume_parallel=True)
     model = C.train_linear_classifier(feats, n_iter=4)
     scored = feats.select(
         F.col("id").alias("doc_id"),
