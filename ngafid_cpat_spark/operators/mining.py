@@ -43,7 +43,21 @@ def frequent_pairs(
         .filter(F.col("f") >= min_support)
         .select("i")
     )
-    pruned = baskets.join(l1, "i", "left_semi")
+    # Materialize the pruned basket table ONCE, clustered by basket:
+    # the self-join otherwise plans the whole scan+distinct+semi-join
+    # subtree twice (both sides), and the checkpoint pin keeps the
+    # HashPartitioning(b) visible so neither join side re-exchanges
+    # (the edit1_pairs shape, operators/skew.pinned_checkpoint).
+    from .skew import pinned_checkpoint
+
+    sess = df.sparkSession
+    try:
+        width = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        width = 32
+    pruned = pinned_checkpoint(
+        baskets.join(l1, "i", "left_semi").repartition(width, F.col("b"))
+    )
     a = pruned.select(F.col("b"), F.col("i").alias("item1"))
     bb = pruned.select(F.col("b"), F.col("i").alias("item2"))
     return (
