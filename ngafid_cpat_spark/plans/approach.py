@@ -226,20 +226,28 @@ def with_nearest_airport(
         & F.col("longitude").isNotNull()
     )
 
-    if fold_max_dims > 0:
+    # ONE fused dispatch probe (r14): a single bounded collect serves
+    # both the fold probe (need the rows when <= fold_max_dims) and
+    # the gridded-path cardinality check (>= grid_min_dims) — the
+    # separate limit(grid_min).count() was a second driver-blocking
+    # job over the same dim scan per pipeline build. Cap is
+    # max(fold_max+1, grid_min) rows x 4 columns (~100 KB at the
+    # 2048 default), bounded at any dim size.
+    probe: list = []
+    probe_cap = max(
+        fold_max_dims + 1 if fold_max_dims > 0 else 0,
+        grid_min_dims if grid_min_dims > 0 else 0,
+    )
+    if probe_cap > 0:
         probe = usable.select(
             "airport_code", "latitude", "longitude", "elevation_ft"
-        ).limit(fold_max_dims + 1).collect()
-        if len(probe) <= fold_max_dims:
-            return _nearest_airport_fold(flight_df, probe)
+        ).limit(probe_cap).collect()
+    if fold_max_dims > 0 and len(probe) <= fold_max_dims:
+        return _nearest_airport_fold(flight_df, probe)
 
-    # dim-sized capped count (one bounded action at plan-build, like
-    # the fold probe): at real national-registry cardinality the
-    # gridded equi-join replaces the |ticks| x |airports| fan
-    if (
-        grid_min_dims > 0
-        and usable.limit(grid_min_dims).count() >= grid_min_dims
-    ):
+    # at real national-registry cardinality the gridded equi-join
+    # replaces the |ticks| x |airports| fan
+    if grid_min_dims > 0 and len(probe) >= grid_min_dims:
         from ..operators.joins import nearest_gridded
 
         pts = flight_df.select("flight", "time", "latitude", "longitude")
