@@ -78,11 +78,29 @@ def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     )
 
 
-def _triangle_rows(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+def _triangle_rows(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+    materialize: bool = True,
+) -> DataFrame:
     """Every triangle exactly once as an (a, b, c) row, ord-ordered
     (the degree-ordered compact-forward enumeration triangle_counts
-    and ktruss share)."""
+    and ktruss share).
+
+    ``materialize``: the oriented edge table feeds THREE consumers
+    (both wedge sides + the closing probe), and oriented_edges
+    itself consumes ``edges`` three more times (degree union + the
+    two annotation joins) — so a lazy ``edges`` replans its whole
+    derivation ~9x (exchange reuse dedupes the shuffles but not the
+    post-exchange compute; local_clustering_events carried 172
+    Exchanges / 30 scans in its static plan). One lazy
+    localCheckpoint runs it once. Callers that already hold ``edges``
+    materialized AND loop per round (ktruss) pass False when the
+    per-round materialization costs more than the saved recompute."""
     o = oriented_edges(edges, u, v)
+    if materialize:
+        o = o.localCheckpoint(eager=False)
     e1 = o.select(
         F.col("src").alias("a"),
         F.col("dst").alias("b"),
@@ -967,6 +985,10 @@ def salsa_micro(
 
     Returns (node, hub_micro BIGINT, auth_micro BIGINT) — hub_micro
     is 0 for pure sinks, auth_micro 0 for pure sources."""
+    # NOT checkpointed: de's three consumers all sit inside dd_t's
+    # existing lazy checkpoint, whose single materialization dedupes
+    # the shuffles via exchange reuse — a separate de materialization
+    # measured +10% (r14 interleaved A/B)
     de = edges.select(F.col(s).alias("s"), F.col(t).alias("t")).distinct()
     od = de.groupBy("s").agg(F.count(F.lit(1)).alias("odeg"))
     idg = de.groupBy("t").agg(F.count(F.lit(1)).alias("ideg"))
@@ -1071,6 +1093,10 @@ def link_prediction_ra(
     mitigation; None = exact, what the strict oracle replays).
 
     Returns (a, b, ra_micro BIGINT, rn INT) — the k best non-edges."""
+    # NOT checkpointed: ann's existing lazy checkpoint already runs
+    # the adjacency+degree pipeline once, and the anti-join probe of a
+    # re-planned e dedupes its shuffle via exchange reuse — a separate
+    # e materialization measured +13% (r14 interleaved A/B)
     e = edges.select(F.col(u).alias("a"), F.col(v).alias("b")).distinct()
     adj = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -1216,7 +1242,14 @@ def local_clustering(
 
     Returns (node, deg BIGINT, n_triangles BIGINT, lcc_micro BIGINT)
     for every graph node."""
-    e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).distinct()
+    # the distinct edge set feeds the degree union (2x) and the whole
+    # triangle pipeline (~9x through oriented_edges/_triangle_rows) —
+    # one lazy cut runs the caller's edge derivation once
+    e = (
+        edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))

@@ -8274,6 +8274,10 @@ def harmonic_centrality_users_events(
             F.col("b.user_id").alias("v"),
         )
         .distinct()
+        # four consumers replan the cells self-join otherwise: both
+        # directions of the operator's de union AND both sides of the
+        # landmark derivation below — one lazy cut runs it once
+        .localCheckpoint(eager=False)
     )
     landmarks = (
         edges.select(F.col("u").alias("node"))
