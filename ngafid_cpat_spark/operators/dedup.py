@@ -634,11 +634,22 @@ def connected_components(
     by the label sum (monotone decreasing; an O(1)-result job, not a
     collect of data). Output: (id, cluster_id).
     """
+    # the mirror union consumes ``pairs`` twice, and for every caller
+    # that matters (keep_best_scored / dedup_clusters / fuzzy
+    # consolidation) ``pairs`` is the expensive derived frame — a
+    # shingle-index self-join + aggregate — so the whole candidate
+    # pipeline ran TWICE into the edges checkpoint. One lazy
+    # localCheckpoint of the projected half-edges computes it once;
+    # the mirror then reads cached (src, dst) rows (guide §2.4 /
+    # §5 recompute elimination). Half-edge-sized, reclaimed with the
+    # frame.
+    half = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
     edges = (
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+        half.unionByName(
+            half.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
         .distinct()
@@ -816,8 +827,16 @@ def edit1_pairs(
             )
             .alias("var"),
         )
+        # width from spark.sql.shuffle.partitions, the engine-wide
+        # convention (every other pinned repartition sizes off it):
+        # defaultParallelism happens to match on local[N] but diverges
+        # on a real cluster, and a mismatched pin would force the
+        # self-join to re-exchange at session width anyway
         .repartition(
-            df.sparkSession.sparkContext.defaultParallelism, "var"
+            int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            ),
+            "var",
         )
     )
     if max_variant_freq is not None:
@@ -1296,10 +1315,20 @@ def suffix_lcp_longest_dup(
     # before the exchange" shape. Probe-free: the downstream range
     # exchange is unconditional, so a no-op widen at real scale costs
     # one narrow doc-level shuffle, not a planning probe per call.
+    # bounded-span pre-filter: a suffix shorter than ``min_len``
+    # can never be reported (its best LCP <= its length < min_len)
+    # and cannot change any surviving value >= min_len either — the
+    # LCP through it is capped by its length, and removing entries
+    # from a sorted suffix array leaves every other pairwise LCP
+    # exact (the adjacent-min chain property step 4 relies on). So
+    # docs under min_len tokens drop BEFORE the explosion and each
+    # surviving doc explodes min_len-1 fewer suffixes; the oracle
+    # pairing is unchanged (verified). sequence() stays ascending
+    # because the size filter guarantees stop >= 1.
     toks = widen_narrow_source(
         df.select(
             F.col(id_col).alias("__id"), T.tokens(text_col).alias("__toks")
-        ).filter(F.size("__toks") > 0),
+        ).filter(F.size("__toks") >= max(int(min_len), 1)),
         "__id",
         probe=False,
     )
@@ -1315,7 +1344,7 @@ def suffix_lcp_longest_dup(
         "__id",
         F.posexplode(
             F.expr(
-                "transform(sequence(1, size(__toks)),"
+                f"transform(sequence(1, size(__toks) - {max(int(min_len), 1) - 1}),"
                 f" i -> array_join(slice(__toks, i, {max_span}), ' '))"
             )
         ).alias("__pos0", "__sk"),

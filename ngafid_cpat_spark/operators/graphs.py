@@ -95,9 +95,12 @@ def _triangle_rows(
     derivation ~9x (exchange reuse dedupes the shuffles but not the
     post-exchange compute; local_clustering_events carried 172
     Exchanges / 30 scans in its static plan). One lazy
-    localCheckpoint runs it once. Callers that already hold ``edges``
-    materialized AND loop per round (ktruss) pass False when the
-    per-round materialization costs more than the saved recompute."""
+    localCheckpoint runs it once. ``materialize=False`` is an escape
+    hatch for per-round loops where the materialization might not
+    pay; currently UNUSED — ktruss's peel measured faster WITH
+    materialization (r14 A/B, 5.08 -> 4.79 s) and keeps the default,
+    with the loop unpersisting each round's frames once the next
+    round's eager checkpoint lands (see ktruss)."""
     o = oriented_edges(edges, u, v)
     if materialize:
         o = o.localCheckpoint(eager=False)
@@ -434,14 +437,44 @@ def ktruss(
             F.col("support") >= k - 2
         )
 
+    # Each peel round caches TWO edge-sized frames (the lazy oriented-
+    # edge checkpoint inside _triangle_rows + the round's eager _ckpt)
+    # and neither is referenced once the NEXT round's eager checkpoint
+    # holds the data — without cleanup up to max_rounds=64 dead frames
+    # accumulate in executor storage at scale. Round N's new
+    # persistent RDDs are diffed via getPersistentRDDs and freed after
+    # round N+1 materializes. Frames cached BEFORE the loop (callers'
+    # lazy checkpoints) are in the baseline snapshot and never touched.
+    spark = edges.sparkSession
+
+    def _persistent_ids() -> set:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    def _unpersist(ids: set) -> None:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for jk in m.keySet().toArray():
+            if int(jk) in ids:
+                m.get(jk).unpersist(False)
+
+    prev_round_ids: set = set()
+
+    def _round(d: DataFrame) -> DataFrame:
+        nonlocal prev_round_ids
+        before = _persistent_ids()
+        out = _ckpt(peel(d))
+        _unpersist(prev_round_ids)
+        prev_round_ids = _persistent_ids() - before
+        return out
+
     if n_rounds is not None:
         for _ in range(n_rounds):
-            e = _ckpt(peel(e))
+            e = _round(e)
     else:
         e = _ckpt(e)
         prev = e.count()
         for _ in range(max_rounds):
-            e = _ckpt(peel(e))
+            e = _round(e)
             n = e.count()
             if n == prev:
                 break

@@ -578,17 +578,40 @@ def _assign_quantized(
         )
         for cid, cvec in centroids
     )
+    # the row norm SQRT(sum x^2) is loop-invariant across the k
+    # codebook entries but was evaluated INSIDE the per-entry lambda —
+    # k times per row (interpreted HOFs get no codegen subexpression
+    # elimination). Binding it once as the element of a 1-entry outer
+    # transform evaluates it once per row; a plain withColumn would
+    # NOT survive (CollapseProject counts the single textual reference
+    # and inlines it back into the lambda — the r09 element_at trap).
+    # Same ops on the same values in the same order: bit-identical
+    # sims, so assignments and every downstream centroid are
+    # unchanged (oracle-checked).
     sims = F.expr(
-        f"transform(array({entries}), b -> named_struct("
+        f"transform("
+        f"array(SQRT(aggregate({vec_col}, 0.0D, (acc, x) -> acc + x * x))), "
+        f"rn -> transform(array({entries}), b -> named_struct("
         f"'sim', ROUND(aggregate(zip_with({vec_col}, b.c, "
         f"(x, y) -> x * y), 0.0D, (a, v) -> a + v) / "
-        f"(SQRT(aggregate({vec_col}, 0.0D, (acc, x) -> acc + x * x)) "
-        f"* b.qn), {quant}), "
-        f"'ncid', b.ncid))"
+        f"(rn * b.qn), {quant}), "
+        f"'ncid', b.ncid)))[0]"
     )
     best = F.array_max(sims)
-    return emb.withColumn("centroid_id", -best["ncid"]).withColumn(
-        "centroid_sim", best["sim"]
+    # alias the argmax ONCE and extract fields from the alias: the
+    # previous two withColumns each inlined the WHOLE k-entry scan
+    # into the collapsed Project, so consumers reading both columns
+    # (cluster_profile, semantic_dedup's checkpointed assignment)
+    # paid the assignment twice per row. CollapseProject keeps the
+    # alias separate (non-cheap expression referenced twice —
+    # probe-verified: the transform appears once in the optimized
+    # plan). kmeans_fit's training loop prunes to centroid_id either
+    # way; values are bit-identical.
+    return (
+        emb.withColumn("__best_aq", best)
+        .withColumn("centroid_id", -F.col("__best_aq")["ncid"])
+        .withColumn("centroid_sim", F.col("__best_aq")["sim"])
+        .drop("__best_aq")
     )
 
 
@@ -2329,11 +2352,18 @@ def semantic_dedup(
     self_dot = F.aggregate(
         F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x
     )
+    # ONE materialization shared by the auto-k count, kmeans_fit's
+    # n_iter+1 training passes AND the final assignment — previously
+    # kmeans_fit checkpointed privately and the assignment re-derived
+    # the caller's scan+cast from scratch (plus paid a second
+    # planning-probe checkpoint for the pair/anti-join consumers)
+    emb = _parallel_checkpoint(emb)
     if k == "auto":
         n_live = emb.filter(self_dot > 0).count()
         k = max(2, min(int(round(n_live / target_cell_rows)), max(n_live, 2)))
     cents = kmeans_fit(
-        emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, quant=quant
+        emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        quant=quant, checkpoint_input=False,
     )
     # assign only live rows: zero vectors would be dropped right
     # after anyway, and their normless cosine is an ANSI
@@ -2341,10 +2371,37 @@ def semantic_dedup(
     assigned = _assign_quantized(
         emb.filter(self_dot > 0), cents, vec_col, quant
     )
-    live = _parallel_checkpoint(assigned)
+    live = _parallel_checkpoint(assigned, assume_parallel=True)
+    # Sub-block the within-cluster pairing (the cosine_pairs_blocked
+    # scheme NESTED inside each cell): with a pinned gate k the cell
+    # size grows linearly with the corpus and each cell's |cell|^2
+    # matmul ran as ONE single-threaded pandas task — at sf1 four
+    # 25k x 25k matmuls were the whole query's straggler tail (guide
+    # §2.5, giant-key skew). Composite block ids (cid * B + blk) keep
+    # cells disjoint, so every unordered same-cell pair lands in
+    # exactly ONE (b1, b2) group and the emitted pair SET is
+    # identical — only its task decomposition changes. Replication
+    # cost is B rows per vector; B=8 turns one k-task stage into
+    # k*B(B+1)/2 tasks. (k="auto" bounds cells to ~target_cell_rows,
+    # where blocking is harmless: tiny matmuls, same answer.)
+    n_blocks = 8
+    partners = F.array(*[F.lit(j) for j in range(n_blocks)])
+    blocked = (
+        live.withColumn(
+            "__blk",
+            F.col("centroid_id") * n_blocks
+            + F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)),
+        )
+        .withColumn("__pp", F.explode(partners))
+        .withColumn(
+            "__p", F.col("centroid_id") * n_blocks + F.col("__pp")
+        )
+        .withColumn("__b1", F.least("__blk", "__p"))
+        .withColumn("__b2", F.greatest("__blk", "__p"))
+    )
     pairs = cosine_pairs_in_groups(
-        live, ["centroid_id"], threshold=threshold,
-        id_col=id_col, vec_col=vec_col,
+        blocked, ["__b1", "__b2"], threshold=threshold,
+        id_col=id_col, vec_col=vec_col, split_col="__blk",
     )
     dropped = pairs.select(F.col("id2").alias(id_col)).distinct()
     return live.join(dropped, id_col, "left_anti").select(

@@ -91,7 +91,19 @@ def pinned_checkpoint(
     use where those exchanges are already explicitly sized
     (repartition/groupBy at session shuffle width) and skew-free,
     and keep plain localCheckpoint where AQE's runtime reshaping of
-    the subtree matters more than the downstream re-exchange."""
+    the subtree matters more than the downstream re-exchange.
+
+    CONCURRENCY CONTRACT (same class as sessions.run_to_memory's
+    shuffle-partitions pin): spark.sql.adaptive.enabled is a
+    session-global conf and PySpark exposes no expression-scoped
+    withSQLConf, so the toggle is set-around-compile with a
+    finally-restore. Callers must not compile OTHER plans on the same
+    SparkSession between entry and return — a concurrent plan build
+    would race the toggle and could compile wholesale without AQE
+    (losing runtime skew splitting at scale). Every catalog query
+    plans single-threaded on the driver, so the gate/bench never hit
+    the window; concurrent plan builders must use separate
+    SparkSession.newSession() handles."""
     sess = df.sparkSession
     prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
     sess.conf.set("spark.sql.adaptive.enabled", "false")

@@ -1,4 +1,5 @@
-"""Capture .explain("formatted") for catalog queries into plans/r14/.
+"""Capture .explain("formatted") for catalog queries into plans/
+$SPARK_GRAFT_PLANS_DIR (default r15; r14 dumps are kept committed).
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
   suffix: 'before' or 'after' (file name suffix)
@@ -14,7 +15,11 @@ from contextlib import redirect_stdout
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_DIR", "r15"),
+)
 
 
 def main():
