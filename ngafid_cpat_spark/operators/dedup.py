@@ -661,8 +661,8 @@ def connected_components(
     # near-empty tasks, and per-hop task latency dominates the loop.
     # ~1M edges per partition; a 100 TB corpus with a 10^9-edge dup
     # graph still gets full cluster width. Partition edges BY dst
-    # once: the checkpoint pins HashPartitioning(dst, p), so the
-    # per-hop join reuses it and only the label side moves.
+    # once so the per-hop join reuses the placement and only the
+    # label side moves.
     n_edges = edges.count()
     all_ids = ids.select(F.col(id_col).alias("nid"))
     if n_edges <= small_graph_edges:
@@ -675,20 +675,32 @@ def connected_components(
         # subgraph semantics as the loop: only edges with both
         # endpoints in `ids` propagate labels.
         return _cc_small_graph(edges, all_ids, id_col)
-    p = max(1, min(int(n_edges // 1_000_000) + 1, 2048))
-    edges = edges.repartition(p, "dst").localCheckpoint()
+    # floor 2, not 1: HashPartitioning(key, 1) normalizes away and
+    # the pinned placement would be re-exchanged every hop (see
+    # graphs._pinned_edge_table)
+    p = max(2, min(int(n_edges // 1_000_000) + 1, 2048))
+    # pinned_checkpoint, NOT plain: a plain localCheckpoint reports
+    # UnknownPartitioning downstream, so every hop of every round
+    # re-exchanged the edge table this repartition was supposed to
+    # place once (probe-verified r15 — the r10 comment above claiming
+    # the checkpoint pins HashPartitioning(dst, p) was wrong). The
+    # pinned compile region is one exchange over an already-
+    # checkpointed frame: skew-free, AQE loss immaterial.
+    edges = pinned_checkpoint(edges.repartition(p, "dst"), eager=True)
     # localCheckpoint after every round: truncates the logical plan so
     # round N doesn't re-analyze rounds 1..N-1 (lineage otherwise grows
     # superlinearly and stalls the driver after ~6 iterations)
     # propagation can only ever change nodes that touch an edge (and,
     # matching the output contract, only nodes present in `ids`)
-    labels = (
+    # label init pinned like edges: round 1's first hop then starts
+    # with BOTH sides placed at (key, p) and zero exchanges
+    labels = pinned_checkpoint(
         edges.select("src")
         .distinct()
         .join(all_ids, F.col("src") == F.col("nid"), "left_semi")
         .select(F.col("src").alias("nid"), F.col("src").alias("lbl"))
-        .repartition(p, "nid")
-        .localCheckpoint()
+        .repartition(p, "nid"),
+        eager=True,
     )
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iter):
@@ -994,7 +1006,9 @@ def embedding_incremental_neardup(
     )
     # single-partition trap (one-file parquet => one task): the
     # corpus-side per-row quantize/bucket expressions must run wide
-    n_part = history_emb.sparkSession.sparkContext.defaultParallelism
+    n_part = int(
+        history_emb.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     hb = (
         lsh_bucket_assignments(
             _live(history_emb).repartition(n_part),

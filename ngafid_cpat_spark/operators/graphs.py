@@ -24,6 +24,66 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .skew import pinned_checkpoint
+
+# Static edge tables that feed EVERY round of an iterative loop are
+# placed once via _pinned_edge_table, NOT a plain localCheckpoint: a
+# plain checkpoint (eager or lazy) reports UnknownPartitioning/no
+# ordering to downstream planning under AQE, so every round's SMJ
+# silently re-exchanged AND re-sorted the edge table it was
+# "shuffled once" for (probe-verified r15; the r10-era comments
+# claiming the checkpoint pins HashPartitioning were wrong).
+# Per-round frames deliberately stay on plain checkpoints — pinning
+# them re-ran their small aggregates at full session width with no
+# runtime coalescing (the r14 graphs-wide experiment, 34 -> 59 s,
+# correctly reverted).
+
+
+def _pinned_edge_table(
+    df: DataFrame, key: str, n_rows: int | None = None
+) -> DataFrame:
+    """Materialize a loop's STATIC table once, hash-placed and sorted
+    on ``key`` behind a pinned checkpoint, at a width sized to the
+    TABLE (~1M rows per partition, min 1, cap 2048 — the
+    connected_components policy), not the session shuffle width.
+
+    Both halves matter and were measured separately (r15 A/B):
+      * the PIN keeps partitioning/ordering visible, so per-round
+        SMJs stop re-exchanging and re-sorting the static side
+        (pagerank_events 20 -> 6 Exchanges in the unrolled plan);
+      * the DATA-SIZED width keeps a bench-scale graph from running
+        every round as 32 near-empty tasks — pinning at session
+        width alone regressed the whole loop family 1.5-2x at sf0.1
+        (task latency), while a 10^9-edge dup graph still gets ~1000
+        partitions. AQE cannot size a pinned exchange, so the width
+        must be right at compile time; one bounded count() job pays
+        for it (the frame is lazily checkpointed first, so the count
+        materializes what round 1 needs anyway).
+
+    ``n_rows`` skips the count when the caller already knows it
+    (e.g. a second placement of the same table on another key).
+
+    Width floor is 2, NOT 1: HashPartitioning(key, 1) normalizes to
+    a partitioning the planner re-exchanges anyway (probe: p=1 kept
+    3 exchanges and re-shuffled the pinned side to 32; p=2+ elides
+    and the other side adopts the pinned width).
+
+    ~250k rows per partition, NOT the 1M-row shuffle-bytes heuristic
+    the CC loop uses: the pinned width is also the COMPUTE width of
+    every per-round SMJ (AQE cannot re-split an elided exchange), and
+    at 1M rows/partition a 6M-edge label_propagation ran 13-wide on a
+    32-thread executor — 2.4x slower than the unpinned plan it beat
+    at bench scale (measured r15). 250k rows ≈ 4-8 MB of edge rows:
+    small enough to keep a big graph's loop at full width, large
+    enough that a bench-scale graph stays at 2-3 low-latency tasks."""
+    if n_rows is None:
+        df = df.localCheckpoint(eager=False)
+        n_rows = df.count()
+    p = max(2, min(int(n_rows // 250_000) + 1, 2048))
+    return pinned_checkpoint(
+        df.repartition(p, key).sortWithinPartitions(key)
+    )
+
 def oriented_edges(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     """Undirected distinct edges (u < v, no self-loops) -> edges
     oriented low-ord -> high-ord, carrying both endpoints' ord keys
@@ -170,14 +230,25 @@ def pagerank_micro(
     )
     deg = de.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     # ONE materialization of the static edge side, HASH-PARTITIONED
-    # AND SORTED on the join key before the checkpoint: every
-    # iteration's rank join is an SMJ on `s`, and localCheckpoint
-    # preserves outputPartitioning/ordering — so the 2m-row edge
-    # table is shuffled and sorted ONCE instead of once per
-    # iteration (the GraphX edge-partitioning pattern; the
+    # AND SORTED on the join key before the PINNED checkpoint: every
+    # iteration's rank join is an SMJ on `s`, and only
+    # pinned_checkpoint keeps the partitioning/ordering visible to
+    # planning (a plain localCheckpoint reports UnknownPartitioning —
+    # every iteration re-exchanged AND re-sorted the edge table; see
+    # the module note) — so the 2m-row edge table is shuffled and
+    # sorted ONCE (the GraphX edge-partitioning pattern; the
     # round-robin _parallel_checkpoint variant re-sorted per
     # iteration and went superlinear at 10x in tools/scale_smoke —
     # 165 s -> 105 s at 60M directed edges x 3 iterations)
+    # do NOT _pinned_edge_table here (measured r15, both scales):
+    # pagerank's loop is FULLY LAZY (no per-round checkpoint), so AQE
+    # re-optimizes the whole unrolled plan at runtime — including
+    # converting the per-round rank joins to broadcasts when the
+    # node-sized side fits — and that beats the static pin
+    # (interleaved A/B: +0.6 s at sf0.1, +10% at 6M synthetic edges).
+    # The pin pays off only where per-round eager cuts block AQE's
+    # cross-round view (bfs/sssp/harmonic) or the loop state is
+    # edge-sized (salsa); see those operators.
     sess = edges.sparkSession
     try:
         n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
@@ -348,14 +419,41 @@ def kcore(
             eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
         )
 
+    # free each round's checkpointed frame once the NEXT round's
+    # eager checkpoint holds the data (the ktruss cleanup): surviving-
+    # edge tables shrink monotonically but max_rounds=64 dead frames
+    # still cost rounds x first-round size of executor storage at
+    # scale. Baseline snapshot protects callers' caches.
+    spark = edges.sparkSession
+
+    def _persistent_ids() -> set:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    def _unpersist(ids: set) -> None:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for jk in m.keySet().toArray():
+            if int(jk) in ids:
+                m.get(jk).unpersist(False)
+
+    prev_round_ids: set = set()
+
+    def _round(d: DataFrame) -> DataFrame:
+        nonlocal prev_round_ids
+        before = _persistent_ids()
+        out = _ckpt(peel(d))
+        _unpersist(prev_round_ids)
+        prev_round_ids = _persistent_ids() - before
+        return out
+
     if n_rounds is not None:
         for _ in range(n_rounds):
-            de = _ckpt(peel(de))
+            de = _round(de)
     else:
         de = _ckpt(de)
         prev = de.count()
         for _ in range(max_rounds):
-            de = _ckpt(peel(de))
+            de = _round(de)
             n = de.count()
             if n == prev:
                 break
@@ -668,16 +766,7 @@ def bfs_hops(
     de = edges.select(F.col(u).alias("s"), F.col(v).alias("t")).unionByName(
         edges.select(F.col(v).alias("s"), F.col(u).alias("t"))
     )
-    sess = edges.sparkSession
-    try:
-        n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        n_part = 32
-    dd = (
-        de.repartition(n_part, "s")
-        .sortWithinPartitions("s")
-        .localCheckpoint(eager=False)
-    )
+    dd = _pinned_edge_table(de, "s")
     nodes = dd.select("s").distinct()
     dist = (
         seeds.select(F.col("node").cast("long").alias("node"))
@@ -732,6 +821,13 @@ def label_propagation(
     de = edges.select(F.col(u).alias("s"), F.col(v).alias("t")).unionByName(
         edges.select(F.col(v).alias("s"), F.col(u).alias("t"))
     )
+    # do NOT _pinned_edge_table here (measured r15): like
+    # pagerank_micro, this loop is FULLY LAZY across rounds, and
+    # AQE's runtime re-optimization of the unrolled plan (runtime
+    # broadcasts of the node-sized label side included) beats the
+    # static pin — wash at sf0.1, -39% vs pinned at 6M synthetic
+    # edges (17.9 s unpinned vs 24.9 s pinned@250k-rows/partition,
+    # 49 s pinned@1M).
     sess = edges.sparkSession
     try:
         n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
@@ -811,16 +907,7 @@ def sssp_minplus(
             F.col(v).alias("s"), F.col(u).alias("t"), F.col(w).alias("w")
         )
     )
-    sess = edges.sparkSession
-    try:
-        n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        n_part = 32
-    dd = (
-        de.repartition(n_part, "s")
-        .sortWithinPartitions("s")
-        .localCheckpoint(eager=False)
-    )
+    dd = _pinned_edge_table(de, "s")
     nodes = dd.select("s").distinct()
     dist = (
         seeds.select(F.col("node").cast("long").alias("node"))
@@ -878,15 +965,7 @@ def incremental_bfs_relax(
     de = edges.select(F.col(u).alias("s"), F.col(v).alias("t")).unionByName(
         edges.select(F.col(v).alias("s"), F.col(u).alias("t"))
     )
-    try:
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        n_part = 32
-    dd = (
-        de.repartition(n_part, "s")
-        .sortWithinPartitions("s")
-        .localCheckpoint(eager=False)
-    )
+    dd = _pinned_edge_table(de, "s")
     seeds = (
         dd.select(F.col("s").alias("node"))
         .distinct()
@@ -1025,22 +1104,12 @@ def salsa_micro(
     de = edges.select(F.col(s).alias("s"), F.col(t).alias("t")).distinct()
     od = de.groupBy("s").agg(F.count(F.lit(1)).alias("odeg"))
     idg = de.groupBy("t").agg(F.count(F.lit(1)).alias("ideg"))
-    sess = edges.sparkSession
-    try:
-        n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        n_part = 32
     dd = de.join(od, "s").join(idg, "t")
-    dd_t = (
-        dd.repartition(n_part, "t")
-        .sortWithinPartitions("t")
-        .localCheckpoint(eager=False)
-    )
-    dd_s = (
-        dd_t.repartition(n_part, "s")
-        .sortWithinPartitions("s")
-        .localCheckpoint(eager=False)
-    )
+    dd_t = _pinned_edge_table(dd, "t")
+    # second placement of the SAME rows on the other key: count known
+    # (dd_t is materialized), so only the repartition+sort is paid
+    __n_dd = dd_t.count()
+    dd_s = _pinned_edge_table(dd_t, "s", n_rows=__n_dd)
     auth = dd_t.select("t").distinct().select(
         F.col("t").alias("node"),
         F.lit(1_000_000).cast("long").alias("a"),
@@ -1138,19 +1207,10 @@ def link_prediction_ra(
     ann = adj.join(deg, "z")
     if deg_cap is not None:
         ann = ann.filter(F.col("deg") <= F.lit(int(deg_cap)))
-    sess = edges.sparkSession
-    try:
-        n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        n_part = 32
     # ONE shuffle+sort on the center key feeds both sides of the
-    # wedge self-join (SMJ reuses the exchange); lazy checkpoint so
-    # the adjacency+degree pipeline runs once
-    ann = (
-        ann.repartition(n_part, "z")
-        .sortWithinPartitions("z")
-        .localCheckpoint(eager=False)
-    )
+    # wedge self-join; the PINNED placement makes both SMJ sides
+    # reuse it with zero further exchange or sort
+    ann = _pinned_edge_table(ann, "z")
     left = ann.select("z", F.col("n").alias("a"), "deg")
     right = ann.select("z", F.col("n").alias("b"))
     wedges = left.join(right, "z").filter(F.col("a") < F.col("b"))
@@ -1213,16 +1273,7 @@ def landmark_harmonic(
     de = edges.select(F.col(u).alias("s"), F.col(v).alias("t")).unionByName(
         edges.select(F.col(v).alias("s"), F.col(u).alias("t"))
     )
-    sess = edges.sparkSession
-    try:
-        n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        n_part = 32
-    dd = (
-        de.repartition(n_part, "s")
-        .sortWithinPartitions("s")
-        .localCheckpoint(eager=False)
-    )
+    dd = _pinned_edge_table(de, "s")
     nodes = dd.select("s").distinct()
     dist = (
         landmarks.select(F.col("node").cast("long").alias("lm"))

@@ -155,7 +155,9 @@ def nearest(
       * an int: explicit width, when the fact count is known."""
     # explicit partition count: AQE would coalesce the (small) pre-join
     # shuffle to one partition, blind to the |dims|x fan-out behind it
-    n_part = facts.sparkSession.sparkContext.defaultParallelism
+    n_part = int(
+        facts.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     if fan_partitions == "auto":
         n_facts = facts.count()
         fan_partitions = max(

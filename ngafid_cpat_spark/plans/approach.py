@@ -377,7 +377,10 @@ def analyze(
     # re-exchanging per stage (also removes hot-path exchange jitter;
     # measured slightly faster and much steadier at sf0.1)
     df = df.repartition(
-        flight_df.sparkSession.sparkContext.defaultParallelism, "flight"
+        int(
+            flight_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        ),
+        "flight",
     )
 
     # 2. nearest airport + AGL + distance (FlightAnalysis.py:143-147)
