@@ -30,87 +30,72 @@ from . import tpch_extra as _tpch_extra  # noqa: F401  (registers)
 # `no_oracle` driver row is the documented proof they execute under
 # the gate (check_oracle.py holds their values to measured floors).
 PRIORITY = [
-    # ---- r14 window ----
-    # (1) the r13 verdict's ask #1: the 4 r13 queries the driver gate
-    # has never hashed (they landed after the r13 window cut), plus
-    # the 2 new r14 operators
-    "sssp_weighted_users_events",
-    "pmi_collocations_docs",
-    "weighted_sample_wor_docs",
-    "streaming_weighted_sample_wor_docs",
-    "kneser_ney_docs",
-    "streaming_incremental_bfs_users_events",
-    # (2) the two r09-age stragglers — rows-only at every previous
-    # gate (bounded recall family), STRICT since r14 (_ivfpq_oracle):
-    # their first-ever hashable driver rows
+    # ---- r15 window ----
+    # (1) every query whose OPERATOR INTERNALS changed in the r15
+    # optimization round (the registry invariant: plan-changed
+    # queries lead the window). Note for the plan auditor: most of
+    # these queries' STATIC explain dumps read identical modulo ids,
+    # because the changed stages sit behind localCheckpoint barriers
+    # (loop rounds, materialized fan-outs) that the final plan shows
+    # only as Scan ExistingRDD — the per-change evidence is the
+    # paired timings + the 5 dumps that do differ (semantic_dedup,
+    # kmeans_clusters, fuzzy_name_pairs, salsa, link_prediction).
+    "semantic_dedup_embeddings",
+    "kmeans_clusters_embeddings",
+    "ann_ivfpq_topk",
     "ann_ivfpq_indexed",
     "streaming_ivfpq_ingest_embeddings",
-    # (3) value/oracle changed this round: approx_distinct_parts
-    # moved to m=256 registers (values change), approx_quantile_events
-    # swapped GK for the deterministic sampled rank-exact quantile
-    # (STRICT, closing the catalog's last bounded row), and the other
-    # two trained-quantizer queries gained the strict CTE-replay
-    # oracles
-    "approx_distinct_parts",
-    "approx_quantile_events",
-    "pq_topk_trained_embeddings",
-    "ann_ivfpq_topk",
-    # (4) back-fill with the oldest-evidence strict cohort: 38 of the
-    # 47 r10-age queries (alphabetical prefix). The remaining 9
-    # (range_window_events, rollup_hourly_daily, sessionize_auto_events,
-    # sessionize_events, streaming_interval_join_events,
-    # streaming_sessions_events, stride_sample_events,
-    # string_functions_customers, unpivot_lineitem_measures) carry to
-    # the r15 window — 12 must-in slots left no room, the same
-    # overflow rule as r13. streaming_kneser_ney_docs (added after
-    # the rotation filled all 50 slots) also waits for r15 with full
-    # check_oracle evidence at sf0.001/0.01/0.1 this round. The
-    # whole window is STRICT (the bounded set is EMPTY as of r14).
-    # The SEVEN late-r14 session additions (salsa_users_events,
-    # link_prediction_ra_events, harmonic_centrality_users_events,
-    # local_clustering_events, winnow_match_pairs_docs,
-    # streaming_winnow_match_docs, cdc_chunks_docs) likewise carry to
-    # the r15 window with full check_oracle evidence at
-    # sf0.001/0.01/0.1 + focused two-config determinism pairs this
-    # round.
-    "ann_cosine_topk",
-    "ann_topk_batch",
-    "asof_nearest_click_purchase",
-    "asof_next_click_purchase",
-    "contamination_bloom_docs",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_keep_best",
+    "dedup_clusters",
     "dedup_keep_best_scored",
-    "embedding_incremental_neardup",
-    "embedding_neardup_lsh",
-    "embedding_neardup_pairs",
-    "heavy_hitters_rollup_docs",
-    "heavy_hitters_tokens_docs",
-    "interval_join_click_counts",
-    "islands_auto_events",
-    "islands_chunked_events",
-    "join_anti_customers",
-    "knn_graph_embeddings",
-    "lang_id_docs",
-    "lateral_topk_orders",
-    "latest_snapshot_events",
-    "lr_quality_train_docs",
-    "min_acctbal_customer_per_nation",
-    "nn_join_acctbal",
-    "ntile_distribution_orders",
-    "pack_sequences_docs",
-    "pagerank_events",
-    "pca_power_iteration_embeddings",
-    "pivot_event_counts",
-    "pq_topk_embeddings",
-    "q10_returned_revenue",
-    "q12_priority_by_flag",
-    "q14_promo_share",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "quality_weighted_sample_docs",
+    "dedup_cluster_keep_best",
+    "fs_entity_consolidation_customers",
+    "incremental_cc_events",
+    "suffix_lcp_dup_spans_docs",
+    "fuzzy_name_pairs_customers",
+    "ktruss_users_events",
+    "kcore_users_events",
+    "bfs_hops_users_events",
+    "sssp_weighted_users_events",
+    "salsa_users_events",
+    "link_prediction_ra_events",
+    "harmonic_centrality_users_events",
+    "streaming_incremental_bfs_users_events",
+    # (2) the r14 window comment's carryover PROMISES: the 9 r10-age
+    # stragglers + streaming_kneser_ney_docs (added after the r14
+    # window filled) + the 4 late-r14 session additions not already
+    # in group (1)
+    "range_window_events",
+    "rollup_hourly_daily",
+    "sessionize_auto_events",
+    "sessionize_events",
+    "streaming_interval_join_events",
+    "streaming_sessions_events",
+    "stride_sample_events",
+    "string_functions_customers",
+    "unpivot_lineitem_measures",
+    "streaming_kneser_ney_docs",
+    "local_clustering_events",
+    "winnow_match_pairs_docs",
+    "streaming_winnow_match_docs",
+    "cdc_chunks_docs",
+    # (3) back-fill with the oldest-evidence cohort (newest driver
+    # row r11, alphabetical prefix — computed from CORRECTNESS_r*)
+    "allpairs_jaccard_prefix_docs",
+    "ann_ivf_topk",
+    "approach_pipeline_real_airports",
+    "calibration_lr_docs",
+    "centroid_classify_embeddings",
+    "cms_token_counts_docs",
+    "debias_top_direction_embeddings",
+    "dsir_select_docs",
+    "equi_depth_value_events",
+    "frequent_part_pairs",
+    "gopher_rules_docs",
+    "listagg_customers_per_nation",
+    "pq_codes_embeddings",
+    "profile_columns_events",
+    "q18_big_orders",
+    "q8_market_share",
 ]
 
 
